@@ -1,0 +1,48 @@
+"""Cross-engine deterministic aggregates.
+
+Floating-point SUM/AVG over a shuffled dataset is order-dependent: Spark
+sums partials per partition while a single-threaded engine sums in row
+order, so the low bits differ and an order-insensitive value hash breaks.
+
+Fix: route double aggregation through DECIMAL(38,6). Decimal arithmetic is
+exact and associative, so partial aggregation (Spark) and sequential
+aggregation (DuckDB) produce the *same* decimal; casting the final decimal
+back to DOUBLE is then bit-identical on both engines. The per-row
+double->decimal cast rounds identically (ties to a 6-decimal boundary do
+not occur for IEEE-754 doubles in practice).
+
+This also matters at 100 TB: partial (map-side) aggregation stays enabled —
+we never trade scalability for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent SUM over doubles (exact via decimal), as DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent AVG over doubles: exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c).cast("double")
+
+
+def dsum_expr(sql_expr: str) -> str:
+    """DuckDB/ANSI oracle twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def davg_expr(sql_expr: str) -> str:
+    """DuckDB/ANSI oracle twin of :func:`davg`."""
+    return (
+        f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / CAST(COUNT({sql_expr}) AS DOUBLE)"
+    )

@@ -1,0 +1,30 @@
+"""Reusable DataFrame-level operators.
+
+Each operator is a pure function DataFrame -> DataFrame built from
+Catalyst-native primitives (joins/windows/higher-order functions), so
+plans stay declarative and the optimizer keeps pushdown/pruning/AQE.
+"""
+
+from dataingestionplayground_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from dataingestionplayground_spark.operators.similarity import knn_brute_force, lsh_bucket_ann
+from dataingestionplayground_spark.operators.asof import asof_join, range_join
+from dataingestionplayground_spark.operators.sessionize import sessionize
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "knn_brute_force",
+    "lsh_bucket_ann",
+    "asof_join",
+    "range_join",
+    "sessionize",
+]

@@ -1,0 +1,118 @@
+"""As-of and range joins — operators Spark lacks natively, composed from
+built-ins (SURVEY.md §2.3: engine surface beyond the reference's implicit
+chunk->document association).
+
+The as-of join uses the union+window formulation: one sort-shuffle on
+(key, ts) total — strictly better at scale than per-key ``merge_asof`` in
+Python (no Arrow transfer, no per-group materialization) and immune to key
+skew beyond what the sort itself sees.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """For each left row attach the latest right row with
+    right_ts <= left_ts ('backward'; 'forward' takes the earliest >=),
+    matching on equality of ``on`` keys. Unmatched left rows keep NULLs.
+
+    Ties on right_ts are broken by ``tie_col`` (the max wins for backward,
+    min for forward) so results are deterministic.
+
+    Plan shape: union(tagged left, tagged right) -> one window
+    last(struct, ignoreNulls) over (keys ORDER BY ts, side, tie) -> filter
+    left side. Exactly one sort-shuffle; values travel as a struct so the
+    matched row is atomic even when some value columns are NULL.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    on = list(on)
+    value_cols = list(value_cols)
+    tie = tie_col if tie_col is not None else value_cols[0]
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(right.schema[tie].dataType).alias("__tie"),
+        F.lit(None)
+        .cast("struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">")
+        .alias("__v"),
+    )
+    rhs = right.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        F.col(tie).alias("__tie"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
+    )
+    unioned = lhs.unionByName(rhs)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => inclusive <=;
+        # among equal (ts): max tie wins (last in asc order).
+        order = [F.asc("__ts"), F.asc("__side"), F.asc_nulls_first("__tie")]
+    else:
+        order = [F.desc("__ts"), F.asc("__side"), F.desc_nulls_first("__tie")]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__m", F.last("__v", ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__m").getField(c).alias(c) for c in value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval join (lo <= point < hi) via bucketization.
+
+    A naive theta join is a broadcast-nested-loop at scale; bucketizing the
+    point and exploding each interval over the buckets it covers turns it
+    into an equi-join on (bucket, *extra_on) + residual filter —
+    shuffle-partitionable and AQE-skew-splittable. ``bucket_width`` should
+    approximate the typical interval width (1-2 buckets per interval).
+    """
+    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / bucket_width))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor(F.col(right_hi) / bucket_width),
+            )
+        ),
+    )
+    on = ["__bucket", *extra_on]
+    return (
+        lb.join(rb, on=on, how="inner")
+        .filter((F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi)))
+        .drop("__bucket")
+    )

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns.
+
+Baseline: exact brute-force cosine top-k — a broadcast of the (tiny) query
+set against a scan of the corpus; at 100 TB this is one pass, no shuffle
+except the final TakeOrdered (per-partition top-k then driver merge —
+Spark's ``orderBy().limit(k)`` physical plan is already top-k, not a sort).
+
+Scale path: LSH sign-bucket ANN — random-hyperplane signatures bucket the
+corpus once (shuffle on a small int key), queries probe only their bucket.
+Hyperplanes are derived deterministically from md5 so results are
+reproducible without shipping a model.
+
+Reference behavior being generalized: top-1 cosine search
+(``/root/reference/DataIngestionPlayground/VectorStoreCommands.cs:112-113``)
+-> batched multi-query top-k via window ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions import vector as V
+
+
+def knn_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries x scan corpus.
+
+    Returns (query_id, vec_id, score, rank). The cross join broadcasts the
+    query side — corpus never shuffles; ranking is a per-query window
+    (small k, bounded state).
+    """
+    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "score", V.cosine_similarity(corpus_vec, query_vec)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )
+
+
+def _hyperplane_sign_expr(vec_col: str, plane: int) -> str:
+    """Sign of <v, h_plane> with pseudo-random h derived from md5(plane:dim).
+
+    Each hyperplane component is mapped into [-1, 1) from the first 8 hex
+    chars of md5 — deterministic, engine-portable, no stored model.
+    """
+    comp = (
+        f"(CAST(conv(substring(md5(concat('{plane}', ':', CAST(i AS STRING))), 1, 8), 16, 10) AS DOUBLE)"
+        f" / 2147483648.0) - 1.0"
+    )
+    dot = (
+        f"aggregate(sequence(1, size({vec_col})), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at({vec_col}, i) as double) * ({comp}))"
+    )
+    return f"CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END"
+
+
+def lsh_bucket_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket equi-join + exact rerank.
+
+    Corpus is signed once into 2^num_planes buckets; the join degenerates
+    from |corpus| x |queries| to per-bucket work. Recall is tunable via
+    ``num_planes`` (fewer planes -> bigger buckets -> higher recall).
+    """
+
+    def bucket(df: DataFrame, vec: str) -> DataFrame:
+        expr = " + ".join(
+            f"({_hyperplane_sign_expr(vec, p)}) * {1 << p}" for p in range(num_planes)
+        )
+        return df.withColumn("bucket", F.expr(expr).cast("int"))
+
+    c = bucket(corpus, corpus_vec)
+    q = bucket(queries, query_vec)
+    joined = c.join(F.broadcast(q), "bucket").withColumn(
+        "score", V.cosine_similarity(corpus_vec, query_vec)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )

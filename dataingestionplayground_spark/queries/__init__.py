@@ -1,0 +1,54 @@
+"""Named query registry — the driver-contract surface.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions) registers a named query here:
+
+* ``fn(spark, sf_dir) -> DataFrame`` — the Spark-first implementation;
+* ``oracle`` — equivalent ANSI SQL for the DuckDB correctness oracle
+  (None only for genuinely non-SQL-expressible ops -> rows-only check).
+
+Column names and value representations are kept bit-compatible between
+both sides (see functions.portable for the determinism rules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    # import side-effect: submodules populate REGISTRY
+    from dataingestionplayground_spark.queries import (  # noqa: F401
+        relational,
+        windows,
+        events,
+        dedupq,
+        textq,
+        vectorq,
+        ingestq,
+    )
+
+    return REGISTRY

@@ -1,0 +1,133 @@
+"""Event-stream operators in batch form (SURVEY.md §2.10): tumbling /
+sliding / session windows, JSON extraction, as-of joins against facts.
+
+The reference is strictly batch (Program.cs:18-57); these are the engine
+extensions over the driver's ``events`` table. Each has a Structured
+Streaming twin in dataingestionplayground_spark.streaming.windows; batch
+form is what the DuckDB oracle can verify.
+
+Window buckets are exposed as epoch-second BIGINTs (portable across
+engines and timezone-proof); ``floor(unix_seconds/width)`` matches
+Spark's ``window()`` start boundaries for UTC-aligned widths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions.portable import dsum, dsum_expr
+from dataingestionplayground_spark.operators.asof import asof_join
+from dataingestionplayground_spark.operators.sessionize import sessionize
+from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import load_table as t
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS window_start,
+           event_type, COUNT(*) AS n_events, {dsum_expr('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf):
+    # 10-minute tumbling windows; bucket = epoch//600 (== window().start).
+    e = t(spark, sf, "events")
+    return (
+        e.withColumn(
+            "window_start", (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("long")
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH exploded AS (
+      SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 AS window_start,
+             value
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+    )
+    SELECT window_start, COUNT(*) AS n_events, {dsum_expr('value')} AS total_value
+    FROM exploded GROUP BY 1
+    """,
+)
+def events_sliding_window(spark, sf):
+    # 10-minute windows sliding every 5: each event lands in 2 windows —
+    # expressed as an explode over slide offsets (what window(ts,10m,5m)
+    # compiles to), then a plain hash agg.
+    e = t(spark, sf, "events")
+    return (
+        e.select(
+            F.explode(F.expr("sequence(0, 1)")).alias("k"),
+            F.unix_timestamp("ts").alias("sec"),
+            "value",
+        )
+        .withColumn("window_start", ((F.floor(F.col("sec") / 300) - F.col("k")) * 300).cast("long"))
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, e.user_id, e.event_type, r.o_orderkey AS last_orderkey
+    FROM events e LEFT JOIN (SELECT event_id, o_orderkey FROM ranked WHERE rn = 1) r
+      ON r.event_id = e.event_id
+    """,
+)
+def events_asof_join(spark, sf):
+    # As-of join: each event gets the user's most recent order at event time
+    # (union+window, one sort-shuffle — operators.asof.asof_join).
+    e = t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    o = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    joined = asof_join(
+        e,
+        o,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+        tie_col="o_orderkey",
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", F.col("o_orderkey").alias("last_orderkey")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf):
+    # Gap-based sessionization (30 min), one sort-shuffle (operators.sessionize).
+    e = t(spark, sf, "events")
+    sess = sessionize(e, "user_id", "ts", gap_seconds=1800)
+    return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))

@@ -1,0 +1,179 @@
+"""Text-analysis query surface over ``documents``: language-ID, quality
+scoring, token statistics, fingerprinting, per-source top-k. All pure
+Catalyst expressions (functions.text) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.functions.portable import davg_expr, dsum_expr
+from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import load_table as t
+
+_LANGS = ["en", "es", "fr", "de", "zh"]
+
+
+def _lang_score_cols():
+    return [TX.stopword_hits("text", lg).alias(f"s_{lg}") for lg in _LANGS]
+
+
+def _lang_score_sqls():
+    return ", ".join(f"{TX.stopword_hits_sql('text', lg)} AS s_{lg}" for lg in _LANGS)
+
+
+# argmax with fixed tie-break order: first language in _LANGS order wins ties.
+_PRED_CASE = (
+    "CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en' "
+    "WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es' "
+    "WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr' "
+    "WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END"
+)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, lang, {_lang_score_sqls()} FROM documents)
+    SELECT doc_id, {_PRED_CASE} AS pred_lang,
+           CASE WHEN {_PRED_CASE} = lang THEN 1 ELSE 0 END AS is_match
+    FROM scored
+    """,
+)
+def text_language_id(spark, sf):
+    # n-gram/stopword-ratio heuristic language classifier.
+    d = t(spark, sf, "documents")
+    scored = d.select("doc_id", "lang", *_lang_score_cols())
+    return scored.select(
+        "doc_id",
+        F.expr(_PRED_CASE).alias("pred_lang"),
+        F.expr(f"CASE WHEN {_PRED_CASE} = lang THEN 1 ELSE 0 END").alias("is_match"),
+    )
+
+
+# Quality score: weighted blend of length saturation, stopword ratio,
+# mean token length band. All ratios are exact-int divisions -> portable.
+_QUALITY_SQL = (
+    "0.4 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) "
+    "+ 0.4 * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE)) "
+    "+ 0.2 * (CASE WHEN (CAST(len_sum AS DOUBLE) / CAST(n_toks AS DOUBLE)) BETWEEN 3.0 AND 8.0 "
+    "THEN 1.0 ELSE 0.0 END)"
+)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             CAST(len({TX.tokens_sql('text')}) AS INTEGER) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    )
+    SELECT doc_id, n_toks, n_stop, {_QUALITY_SQL} AS quality
+    FROM feats WHERE n_toks > 0
+    """,
+)
+def text_quality_score(spark, sf):
+    d = t(spark, sf, "documents")
+    feats = d.select(
+        "doc_id",
+        "n_chars",
+        TX.token_count("text").alias("n_toks"),
+        TX.stopword_hits("text", "en").alias("n_stop"),
+        F.length(F.expr("replace(text, ' ', '')")).alias("len_sum"),
+    )
+    return feats.filter(F.col("n_toks") > 0).select(
+        "doc_id", "n_toks", "n_stop", F.expr(_QUALITY_SQL).alias("quality")
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({TX.token_count_sql('text')}) AS BIGINT) AS total_tokens,
+           CAST(SUM({TX.bpe_token_count_sql('text')}) AS BIGINT) AS total_bpe_tokens,
+           {davg_expr(f"CAST({TX.token_count_sql('text')} AS DOUBLE)")} AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def text_token_stats(spark, sf):
+    from dataingestionplayground_spark.functions.portable import davg
+
+    d = t(spark, sf, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        F.sum(TX.bpe_token_count("text")).alias("total_bpe_tokens"),
+        davg(TX.token_count("text").cast("double")).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {TX.fingerprint_sql('text')} AS fingerprint,
+           min(md5(s)) AS min_shingle_hash
+    FROM (SELECT doc_id, text, unnest({TX.char_shingles_sql('text', 16)}) AS s FROM documents)
+    GROUP BY doc_id, text
+    """,
+)
+def text_fingerprint(spark, sf):
+    # Whole-doc fingerprint + winnowing-style min rolling-hash over 16-char
+    # shingles (the char-shingle min-hash is the rolling-hash fingerprint).
+    d = t(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            TX.fingerprint("text").alias("fingerprint"),
+            F.explode(TX.char_shingles("text", 16)).alias("s"),
+        )
+        .groupBy("doc_id", "fingerprint")
+        .agg(F.min(F.md5("s")).alias("min_shingle_hash"))
+    )
+
+
+@register(
+    "text_topk_per_source",
+    oracle="""
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rk
+      FROM documents) WHERE rk <= 5
+    """,
+)
+def text_topk_per_source(spark, sf):
+    d = t(spark, sf, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_props(spark, sf):
+    # Semi-structured extraction (SURVEY §2.8 date/array/map/json row).
+    e = t(spark, sf, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"), "user_id"
+        )
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )

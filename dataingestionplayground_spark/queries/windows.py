@@ -1,0 +1,138 @@
+"""Window functions (SURVEY.md §2.5): ranking, analytic (lag/lead),
+running frames — generalizing the reference's only sequential semantic
+(footer-after-break flag, ``MarkdownParser.cs:48-56``) plus top-k-per-group
+search ranking.
+
+Every window partitions by a key and orders by a *unique* tuple so results
+are deterministic across engines (ties broken explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions.portable import dsum_expr
+from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import load_table as t
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice, rk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rk
+      FROM part) WHERE rk <= 3
+    """,
+)
+def window_topk_per_group(spark, sf):
+    # Top-3 parts per brand — the batched generalization of the reference's
+    # top-1 search (VectorStoreCommands.cs:113).
+    p = t(spark, sf, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_size) AS INTEGER) AS size_rank,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS INTEGER) AS size_dense,
+           CAST(ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INTEGER) AS quartile
+    FROM part
+    """,
+)
+def window_rank_dense(spark, sf):
+    p = t(spark, sf, "part")
+    wb = W.partitionBy("p_brand").orderBy("p_size")
+    wn = W.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_size",
+        F.rank().over(wb).alias("size_rank"),
+        F.dense_rank().over(wb).alias("size_dense"),
+        F.ntile(4).over(wn).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(lag(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
+           CAST(lead(o_totalprice) OVER w AS DOUBLE) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark, sf):
+    # The footer heuristic's lag(kind) formulation (SURVEY §2.5), on orders.
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf):
+    # Running frame: decimal-exact so the prefix sums hash-match (every
+    # prefix is its own float-summation order hazard otherwise).
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "window_sliding_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_3line
+    FROM lineitem
+    """,
+)
+def window_sliding_frame(spark, sf):
+    li = t(spark, sf, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double").alias("qty_3line"),
+    )

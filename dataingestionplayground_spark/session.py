@@ -1,0 +1,84 @@
+"""SparkSession factory and testdata table loading.
+
+Local-mode defaults are tuned for the driver harness (local[32], single
+JVM); at cluster scale the same plans run unchanged — partitioning and
+shuffle sizing are configurable, never hard-coded into operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region: 5
+# rows, nation: 25 rows — fixed-size in TPC-H-like schemas regardless of SF).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def get_spark(app_name: str = "dataingestionplayground_spark", cpus: int | None = None) -> SparkSession:
+    """Build the engine's SparkSession.
+
+    AQE on (runtime coalesce + skew-join handling), shuffle partitions
+    sized to cores for local mode (a real cluster would size to
+    2-3x total cores), UTC session timezone so timestamp semantics match
+    the DuckDB correctness oracle, Arrow enabled for every Python-boundary
+    crossing.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert (load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (columnar parquet scan: Catalyst gets
+    predicate pushdown + column pruning for free).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    as a nano-epoch long — normalize to TimestampType (values are
+    microsecond-aligned, so this is lossless and matches what DuckDB reads).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register testdata tables as temp views for the SQL front-end."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

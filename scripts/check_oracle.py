@@ -1,0 +1,115 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB at
+sf0.01 and compares row count, column names, and an order-insensitive
+stringified value multiset. Stricter than the driver (exact string
+equality of every cell) — if this passes, the driver's hash match should.
+
+Usage: python scripts/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def canon(val):
+    import datetime
+    import math
+
+    if val is None:
+        return "∅"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return repr(val)  # full precision — we demand bit-identity
+    if isinstance(val, datetime.datetime):
+        return val.isoformat()
+    if isinstance(val, (list, tuple)):
+        return "[" + ",".join(canon(v) for v in val) + "]"
+    return str(val)
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    only = set(sys.argv[1:])
+    import __spark_entry__ as E
+    from dataingestionplayground_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures, passes, skipped = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception:
+            failures.append((name, "SPARK ERROR:\n" + traceback.format_exc()))
+            print(f"FAIL {name} (spark error)")
+            continue
+        if name not in oracles:
+            skipped.append((name, len(srows)))
+            print(f"SKIP {name} rows-only: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            failures.append((name, "DUCKDB ERROR:\n" + traceback.format_exc()))
+            print(f"FAIL {name} (duckdb error)")
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sm = rows_to_multiset(scols, [[r[c] for c in scols] for r in srows])
+            dm = rows_to_multiset(dcols, drows)
+            if sm != dm:
+                diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(p[:400] for p in problems)}")
+        else:
+            passes.append(name)
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n=== {len(passes)} pass, {len(failures)} fail, {len(skipped)} rows-only ===")
+    if failures:
+        for n, msg in failures:
+            print(f"\n--- {n} ---\n{msg[:2000]}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
