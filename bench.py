@@ -1,0 +1,80 @@
+"""Headline benchmark: runs representative queries from every operator
+family at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes its full physical plan via the noop sink (no driver
+collect — measures engine throughput, not py4j transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dataingestionplayground_spark.queries import all_queries  # noqa: E402
+from dataingestionplayground_spark.session import get_spark, load_table  # noqa: E402
+
+# One per family: scan-agg, multiway join, window, event-window,
+# sessionize+asof, dedup (minhash full pipeline), text stats, vector
+# search, chunking. These are the throughput-critical shapes at 100 TB.
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_inner_agg",
+    "join_multiway",
+    "window_topk_per_group",
+    "window_running_sum",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_asof_join",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "text_token_stats",
+    "vector_knn_bruteforce",
+    "ingest_chunk_token_windows",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    registry = all_queries()
+
+    # JVM/codegen/parquet-reader warmup so q1 isn't billed for session
+    # startup: touch each input table and compile one agg pipeline at the
+    # smallest SF (codegen classes are cached by structure, not by data).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for tbl in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, tbl).limit(1).count()
+    registry["agg_pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,19 +54,29 @@ def bpe_token_count_sql(col: str) -> str:
     return f"CAST(len(regexp_extract_all({col}, '{BPE_RE}')) AS INTEGER)"
 
 
-def word_shingles(col: str, n: int = 3) -> Column:
-    """Overlapping n-word shingles -> ARRAY<STRING> (basis for MinHash).
+def shingles_from_tokens(tok_col: str, n: int = 3) -> Column:
+    """n-word shingles from a *precomputed* token-array column.
 
+    Keep tokenization in its own projection: inlining it here would make
+    the transform lambda re-split the text for every shingle (O(tokens^2)).
     Guarded: Spark's ``sequence(1, 0)`` DESCENDS, so short docs need an
     explicit empty-array branch.
     """
-    toks = f"filter(split({col}, '{WS}'), x -> x != '')"
     return F.expr(
-        f"if(size({toks}) >= {n}, "
-        f"transform(sequence(1, size({toks}) - {n - 1}, 1), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))), "
+        f"if(size({tok_col}) >= {n}, "
+        f"transform(sequence(1, size({tok_col}) - {n - 1}, 1), "
+        f"i -> concat_ws(' ', slice({tok_col}, i, {n}))), "
         f"cast(array() as array<string>))"
     )
+
+
+def word_shingles(col: str, n: int = 3) -> Column:
+    """Overlapping n-word shingles -> ARRAY<STRING> (basis for MinHash).
+
+    NOTE: for hot paths prefer ``tokens()`` into a column then
+    :func:`shingles_from_tokens` (avoids re-splitting per element).
+    """
+    return shingles_from_tokens(f"filter(split({col}, '{WS}'), x -> x != '')", n)
 
 
 def word_shingles_sql(col: str, n: int = 3) -> str:

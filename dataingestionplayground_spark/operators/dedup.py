@@ -41,11 +41,33 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct rows — the unit of MinHash/Jaccard work."""
+    """(id, shingle) distinct rows — the unit of MinHash/Jaccard work.
+
+    Tokenization materialized as its own projection first so the shingle
+    lambda slices a ready array instead of re-splitting text per shingle.
+    """
     return (
-        df.select(F.col(id_col), F.explode(TX.word_shingles(text_col, n)).alias("shingle"))
+        df.select(F.col(id_col), TX.tokens(text_col).alias("__w"))
+        .select(F.col(id_col), F.explode(TX.shingles_from_tokens("__w", n)).alias("shingle"))
         .distinct()
     )
+
+
+def _lane_expr(i: int) -> str:
+    """Spark/DuckDB-identical SQL for minhash lane i (0..7): an 8-hex-char
+    (32-bit) slice of md5(shingle) (lanes 0-3) or md5('x'||shingle) (4-7).
+
+    Two md5 evaluations yield 8 independent 32-bit hash lanes — 4x less
+    hashing than one md5 per lane; fixed-width hex means lexicographic
+    MIN == numeric MIN, so the aggregate stays a plain string min.
+    """
+    src = "md5(shingle)" if i < 4 else "md5(concat('x', shingle))"
+    return f"substring({src}, {(i % 4) * 8 + 1}, 8)"
+
+
+def _lane_expr_duck(i: int) -> str:
+    src = "md5(shingle)" if i < 4 else "md5(concat('x', shingle))"
+    return f"substr({src}, {(i % 4) * 8 + 1}, 8)"
 
 
 def minhash_signatures(
@@ -53,19 +75,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows (id, h, minhash).
 
-    Hash family h_i(s) = md5(i || ':' || s); the minimum is taken over the
-    *hex string* (fixed width, so lexicographic order == numeric order).
-    Fully portable across engines.
+    One shuffle: ``num_hashes`` min-aggregates over the shingle rows
+    (map-side partial min, no hash-index explosion), then an unpivot of
+    the tiny per-doc result. Portable md5-lane hashing (:func:`_lane_expr`).
     """
+    if num_hashes > 8:
+        raise ValueError("lane scheme provides 8 hashes; extend _lane_expr for more")
     shingles = _shingle_rows(df, id_col, text_col, shingle_n)
-    hashed = shingles.select(
-        id_col,
-        F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("h"),
-        F.col("shingle"),
-    ).select(
-        id_col, "h", F.md5(F.concat_ws(":", F.col("h"), F.col("shingle"))).alias("hv")
+    sig_wide = shingles.groupBy(id_col).agg(
+        *[F.expr(f"min({_lane_expr(i)})").alias(f"mh{i}") for i in range(num_hashes)]
     )
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+    stack = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
+    return sig_wide.select(
+        id_col, F.expr(f"stack({num_hashes}, {stack}) as (h, minhash)")
+    )
 
 
 def minhash_lsh_pairs(
@@ -83,15 +106,21 @@ def minhash_lsh_pairs(
     identical band keys mean near-identical docs (AQE skew-join splits the
     rare hot bucket).
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    bands = (
-        sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.expr("concat_ws('|', transform(array_sort(collect_list(struct(h, minhash))), s -> s.minhash))").alias(
-                "band_key"
-            )
-        )
+    if num_hashes > 8:
+        raise ValueError("lane scheme provides 8 hashes; extend _lane_expr for more")
+    # wide signature (one shuffle), bands assembled as concat of lane mins —
+    # no second shuffle for banding.
+    shingles = _shingle_rows(df, id_col, text_col, shingle_n)
+    sig_wide = shingles.groupBy(id_col).agg(
+        *[F.expr(f"min({_lane_expr(i)})").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    n_bands = num_hashes // rows_per_band
+    band_rows = []
+    for b in range(n_bands):
+        lanes = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
+        band_rows.append(f"{b}, concat_ws('|', {', '.join(lanes)})")
+    bands = sig_wide.select(
+        id_col, F.expr(f"stack({n_bands}, {', '.join(band_rows)}) as (band, band_key)")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -107,36 +136,59 @@ def minhash_lsh_pairs(
     )
 
 
+def _bit_expr(b: int, substring_fn: str = "substring") -> str:
+    """Bit b (0..62) of the md5 hex prefix of column ``hx`` — identical SQL
+    for Spark and DuckDB (hex digit b//4, bit 3-(b%4), via instr lookup)."""
+    return (
+        f"((instr('0123456789abcdef', {substring_fn}(hx, {b // 4 + 1}, 1)) - 1)"
+        f" // {1 << (3 - b % 4)}) % 2"
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63) -> DataFrame:
     """63-bit SimHash per document (positive BIGINT; portable md5 bit source).
 
-    Token t contributes +1/-1 to each bit position according to bit b of
-    md5(t); the sign of the per-bit sum becomes the fingerprint bit.
-    Implemented as explode(tokens) x explode(bits) -> two-level hash agg —
-    pure shuffle-and-count, scales with corpus token count.
+    Each distinct token contributes +1/-1 per bit position according to
+    md5(token); the sign of the per-bit sum is the fingerprint bit.
+    Implemented as ONE hash aggregation with ``bits`` conditional-count
+    columns (map-side partial agg) over (doc, token) rows — no bit
+    explosion, so work is O(tokens), not O(tokens x bits) rows.
+
+    sign-sum_b > 0  <=>  2 * ones_b > n_tokens.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(TX.tokens(text_col))).alias("tok")
+    ).select(id_col, F.md5("tok").alias("hx"))
+    # Spark SQL lacks `//`; spell integer division with div.
+    aggs = [
+        F.expr(f"sum({_bit_expr(b).replace('//', 'div')})").alias(f"c{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    combine = " + ".join(
+        f"(case when 2 * c{b} > n then shiftleft(cast(1 as bigint), {b}) else cast(0 as bigint) end)"
+        for b in range(bits)
     )
-    # bit b of the 64-bit prefix of md5: hex digit b//4, bit 3-(b%4).
-    contrib = toks.select(
-        id_col,
-        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"),
-        F.md5("tok").alias("hx"),
-    ).select(
-        id_col,
-        "b",
-        F.expr(
-            "CASE WHEN shiftright(instr('0123456789abcdef', substring(hx, (b div 4) + 1, 1)) - 1, "
-            "3 - (b % 4)) % 2 = 1 THEN 1 ELSE -1 END"
-        ).alias("sign"),
+    return per_doc.select(id_col, F.expr(f"cast({combine} as bigint)").alias("simhash"))
+
+
+def simhash_oracle_sql(table: str, id_col: str, text_col: str, tokens_sql: str, bits: int = 63) -> str:
+    """DuckDB oracle twin of :func:`simhash` (generated, stays in lock-step)."""
+    aggs = ", ".join(f"SUM({_bit_expr(b, 'substr')}) AS c{b}" for b in range(bits))
+    combine = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
     )
-    per_bit = contrib.groupBy(id_col, "b").agg(F.sum("sign").alias("s"))
-    return per_bit.groupBy(id_col).agg(
-        F.expr(
-            "sum(case when s > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end)"
-        ).alias("simhash")
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT {id_col}, unnest(list_distinct({tokens_sql})) AS tok FROM {table}
+    ), hashed AS (
+      SELECT {id_col}, md5(tok) AS hx FROM toks
+    ), per_doc AS (
+      SELECT {id_col}, COUNT(*) AS n, {aggs} FROM hashed GROUP BY {id_col}
     )
+    SELECT {id_col}, CAST({combine} AS BIGINT) AS simhash FROM per_doc
+    """
 
 
 def ngram_jaccard_pairs(

@@ -11,11 +11,13 @@ from pyspark.sql import functions as F
 from dataingestionplayground_spark.functions import text as TX
 from dataingestionplayground_spark.functions.vector import cosine_similarity, cosine_sql
 from dataingestionplayground_spark.operators.dedup import (
+    _lane_expr_duck,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_oracle_sql,
 )
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
@@ -36,17 +38,30 @@ def dedup_exact(spark, sf):
     return exact_dedup(t(spark, sf, "documents"), "doc_id", "text")
 
 
+_WIDE_SIG = f"""
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ), wide AS (
+      SELECT doc_id,
+             {', '.join(f'min({_lane_expr_duck(i)}) AS mh{i}' for i in range(8))}
+      FROM sh GROUP BY doc_id
+    )"""
+
+_SIG_UNPIVOT = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS h, mh{i} AS minhash FROM wide" for i in range(8)
+)
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('|', mh{2 * b}, mh{2 * b + 1}) AS band_key FROM wide"
+    for b in range(4)
+)
+
+
 @register(
     "dedup_minhash_signatures",
     oracle=f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-    ), hashed AS (
-      SELECT doc_id, h, md5(concat(CAST(h AS VARCHAR), ':', shingle)) AS hv
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h)
-    )
-    SELECT doc_id, CAST(h AS INTEGER) AS h, min(hv) AS minhash
-    FROM hashed GROUP BY doc_id, h
+    WITH {_WIDE_SIG}
+    SELECT doc_id, CAST(h AS INTEGER) AS h, minhash FROM ({_SIG_UNPIVOT})
     """,
 )
 def dedup_minhash_signatures(spark, sf):
@@ -56,17 +71,7 @@ def dedup_minhash_signatures(spark, sf):
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-    ), hashed AS (
-      SELECT doc_id, h, md5(concat(CAST(h AS VARCHAR), ':', shingle)) AS hv
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h)
-    ), sig AS (
-      SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
-    ), bands AS (
-      SELECT doc_id, h // 2 AS band, string_agg(minhash, '|' ORDER BY h) AS band_key
-      FROM sig GROUP BY doc_id, h // 2
-    )
+    WITH {_WIDE_SIG}, bands AS ({_BANDS})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -80,21 +85,7 @@ def dedup_minhash_lsh_pairs(spark, sf):
 
 @register(
     "dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
-    ), contrib AS (
-      SELECT doc_id, b,
-             CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), (b // 4) + 1, 1)) - 1)
-                        >> (3 - (b % 4))) % 2 = 1 THEN 1 ELSE -1 END AS sign
-      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
-    ), per_bit AS (
-      SELECT doc_id, b, CAST(SUM(sign) AS BIGINT) AS s FROM contrib GROUP BY doc_id, b
-    )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-    FROM per_bit GROUP BY doc_id
-    """,
+    oracle=simhash_oracle_sql("documents", "doc_id", "text", _TOKS, bits=63),
 )
 def dedup_simhash(spark, sf):
     return simhash(t(spark, sf, "documents"), "doc_id", "text", bits=63)
