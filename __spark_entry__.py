@@ -26,8 +26,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable first ships the engine package to the session's Python
+    workers (needed for mapInPandas stages when the driver's session was
+    not created by this package).
+    """
+    from dataingestionplayground_spark.session import ensure_package_on_workers
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_package_on_workers(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -41,8 +41,12 @@ def l2_norm(a: str) -> Column:
 
 
 def cosine_similarity(a: str, b: str) -> Column:
-    """Cosine similarity of two ARRAY<FLOAT> columns (1 - cosine distance)."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two ARRAY<FLOAT> columns (1 - cosine distance).
+
+    Zero-norm vectors yield NULL (nullif guard: ANSI mode would otherwise
+    raise DIVIDE_BY_ZERO); NULL scores sort last under desc ordering.
+    """
+    return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def normalize(a: str) -> Column:
@@ -74,4 +78,4 @@ def cosine_sql(a: str, b: str) -> str:
     prepending an explicit 0.0 makes it identical to Spark's ``aggregate``
     with a 0.0 init.
     """
-    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    return f"({_dot_sql(a, b)} / nullif(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}), 0.0))"

@@ -1,0 +1,67 @@
+"""Collection store (S5/S6 in SURVEY.md §2.1): named chunk collections as
+parquet tables under a base path.
+
+Mirrors the reference's vector store surface: write a collection
+(``CreateVectorStoreWriter``, ``VectorStoreCommands.cs:153-161``), list
+collections (``:141-148``), read one back with its declared schema
+(``GetDynamicCollection``, ``:106``). ``incremental=True`` implements the
+``IncrementalIngestion`` option the reference leaves off (``:159``):
+only documents not yet present are appended (anti-join on documentid —
+Delta MERGE territory; emulated since no Delta jars in this image).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.sources.schemas import CHUNK_SCHEMA
+
+
+class CollectionStore:
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+
+    def _path(self, collection: str) -> str:
+        if not collection or "/" in collection:
+            raise ValueError(f"bad collection name: {collection!r}")
+        return os.path.join(self.base_path, collection)
+
+    def list_collections(self) -> list[str]:
+        """S6: enumerate collection names (catalog listing)."""
+        if not os.path.isdir(self.base_path):
+            return []
+        return sorted(
+            d for d in os.listdir(self.base_path)
+            if os.path.isdir(os.path.join(self.base_path, d))
+        )
+
+    def exists(self, collection: str) -> bool:
+        return os.path.isdir(self._path(collection))
+
+    def read(self, spark: SparkSession, collection: str) -> DataFrame:
+        return spark.read.schema(CHUNK_SCHEMA).parquet(self._path(collection))
+
+    def write(self, chunks: DataFrame, collection: str, incremental: bool = False) -> None:
+        """S5: chunk sink. Full re-ingest (reference default) overwrites;
+        incremental appends only chunks of unseen documentids.
+
+        Chunks are repartitioned by documentid so a document's chunks
+        co-locate — reads that reassemble a document touch one partition.
+        """
+        path = self._path(collection)
+        out = chunks.select([f.name for f in CHUNK_SCHEMA.fields])
+        if incremental and self.exists(collection):
+            spark = chunks.sparkSession
+            existing = self.read(spark, collection).select("documentid").distinct()
+            out = out.join(existing, "documentid", "left_anti")
+            out.repartition("documentid").write.mode("append").parquet(path)
+        else:
+            out.repartition("documentid").write.mode("overwrite").parquet(path)
+
+    def drop(self, collection: str) -> None:
+        if self.exists(collection):
+            shutil.rmtree(self._path(collection))

@@ -73,6 +73,78 @@ def ingest_chunk_token_windows(spark, sf):
 
 
 @register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf):
+    # Multimodal binary-column plumbing (SURVEY §1.2 byte[] + media type):
+    # metadata (size, content hash) computed JVM-side over BINARY content.
+    from dataingestionplayground_spark.sources.multimodal import binary_with_metadata
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.lit("text/plain").alias("mt"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+    return binary_with_metadata(d, "doc_id", "mt", "data").select(
+        "media_id", "media_type", "n_bytes", "content_sha"
+    )
+
+
+@register("multimodal_features", oracle=None)  # Python decode stage: rows-only
+def multimodal_features(spark, sf):
+    # Decode/feature-extract plumbing through mapInPandas with the
+    # deterministic fake decoder (real codecs absent from this image).
+    from dataingestionplayground_spark.sources.multimodal import (
+        binary_with_metadata,
+        extract_features,
+        fake_decoder,
+    )
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.lit("text/plain").alias("mt"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+    media = binary_with_metadata(d, "doc_id", "mt", "data")
+    return extract_features(media, decoder=fake_decoder)
+
+
+@register("ingest_pipeline_e2e", oracle=None)  # embedding stage: rows-only
+def ingest_pipeline_e2e(spark, sf):
+    # Full parse->chunk->embed composition over the documents table (texts
+    # treated as single-paragraph docs), returning chunk records with
+    # 384-d deterministic embeddings (ingest.pipeline.build_chunk_records).
+    from dataingestionplayground_spark.ingest.pipeline import build_chunk_records
+
+    d = t(spark, sf, "documents")
+    elements = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("section_idx"),
+        F.lit(0).alias("block_idx"),
+        F.expr("cast(array() as array<int>)").alias("parent_path"),
+        F.lit("paragraph").alias("kind"),
+        F.col("text").alias("markdown"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("int").alias("level"),
+        F.lit(None).cast("string").alias("alt_text"),
+        F.lit(None).cast("string").alias("media_type"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit(None).cast("array<array<string>>").alias("table_cells"),
+    )
+    records = build_chunk_records(elements, max_tokens=64, overlap=0)
+    return records.select(
+        "documentid", "key", F.size("embedding").alias("dims"), F.length("content").alias("n_chars")
+    )
+
+
+@register(
     "ingest_doc_reassembly",
     oracle=f"""
     WITH toks AS (

@@ -58,7 +58,37 @@ def get_spark(app_name: str = "dataingestionplayground_spark", cpus: int | None 
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_on_workers(spark)
     return spark
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (addPyFile zip).
+
+    cloudpickle serializes module-level functions *by reference*, so any
+    mapInPandas/pandas_udf stage needs ``dataingestionplayground_spark``
+    importable on the workers — true for a cwd==repo local run, false for
+    an arbitrary driver session (and for a real cluster, where this zip
+    is exactly how the package ships without pip install).
+    Idempotent per session.
+    """
+    import tempfile
+    import zipfile
+
+    if getattr(spark, "_dip_pkg_shipped", False):
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.mkdtemp(prefix="dip_pkg_"), "dataingestionplayground_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_root))
+                zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._dip_pkg_shipped = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,327 @@
+"""Markdown -> element-IR parser (reference semantics, Spark-first plumbing).
+
+Re-implements the observable semantics of the reference's Markdig-based
+parser (``/root/reference/DataIngestionPlayground/Readers/Markdown/
+MarkdownParser.cs``) in dependency-free Python:
+
+* ATX headers -> header(level)            (MarkdownParser.cs:97-101)
+* thematic break skipped; the paragraph immediately after one becomes a
+  **footer**                              (:48-56, 102-105)
+* image-only paragraph -> image element; ``data:<type>;base64,`` URLs
+  decoded to bytes + media type          (:106, 118-155)
+* pipe tables -> 2-D cell grid with colspan expansion (a cell followed by
+  empty spill cells repeats across the span, :265-269), header-separator
+  handling (:249), and the MarkItDown bogus-blank-first-row skip (:278-296)
+* list items' leaf blocks flattened into a sub-section (:157-181); block
+  quotes recurse as sub-sections (:183-197) — both flattened here to
+  element rows with ``parent_path`` (SURVEY.md §7.4: no recursive structs)
+* empty inline blocks dropped (:63-66, 75-76)
+* fenced code blocks kept as ``code`` elements (text = code body)
+* link-reference definition groups skipped (:51-61)
+
+Distribution: parsing runs per-document inside ``mapInPandas`` (Arrow
+batches, parser state never leaves the executor); everything before and
+after the parse stage stays relational so Catalyst can prune and push
+down around it.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.sources.schemas import ELEMENT_SCHEMA
+
+_ATX_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_BREAK_RE = re.compile(r"^ {0,3}((\*\s*){3,}|(-\s*){3,}|(_\s*){3,})$")
+_IMAGE_RE = re.compile(r"^!\[(?P<alt>[^\]]*)\]\((?P<src>[^)]*)\)\s*$")
+_DATA_URL_RE = re.compile(r"^data:(?P<type>[^;,]+);base64,(?P<data>.*)$", re.DOTALL)
+_LIST_ITEM_RE = re.compile(r"^ {0,3}(?:[-*+]|\d{1,9}[.)])\s+(.*)$")
+_TABLE_ROW_RE = re.compile(r"^\s*\|.*\|\s*$")
+_TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{2,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
+_LINKREF_RE = re.compile(r"^ {0,3}\[[^\]]+\]:\s+\S+")
+_INLINE_MD_RE = re.compile(r"(\*\*|__|\*|_|`)")
+_LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+
+
+@dataclass
+class Element:
+    kind: str
+    markdown: str | None = None
+    text: str | None = None
+    level: int | None = None
+    alt_text: str | None = None
+    media_type: str | None = None
+    content: bytes | None = None
+    table_cells: list[list[str]] | None = None
+    parent_path: list[int] = field(default_factory=list)
+
+
+def _inline_text(md: str) -> str:
+    """Accumulate inline literal text: strip emphasis/code markers and
+    reduce links to their text (MarkdownParser.cs:199-240 semantics)."""
+    out = _LINK_RE.sub(r"\1", md)
+    out = _INLINE_MD_RE.sub("", out)
+    return out.strip()
+
+
+def _split_table_row(line: str) -> list[str]:
+    inner = line.strip()
+    if inner.startswith("|"):
+        inner = inner[1:]
+    if inner.endswith("|"):
+        inner = inner[:-1]
+    return [c.strip() for c in inner.split("|")]
+
+
+def _expand_colspan(rows: list[list[str]]) -> list[list[str]]:
+    """Colspan expansion: pad every row to the grid width by repeating the
+    last non-empty cell across trailing missing columns (the reference
+    copies a spanning cell into each column it covers,
+    MarkdownParser.cs:265-269)."""
+    width = max((len(r) for r in rows), default=0)
+    out = []
+    for r in rows:
+        rr = list(r)
+        while len(rr) < width:
+            rr.append(rr[-1] if rr else "")
+        out.append(rr)
+    return out
+
+
+def _parse_table(lines: list[str]) -> list[list[str]] | None:
+    rows = [_split_table_row(ln) for ln in lines]
+    # locate separator row (---|---): delimits header from body
+    sep_idx = None
+    for i, ln in enumerate(lines):
+        cells = _split_table_row(ln)
+        if cells and all(re.fullmatch(r":?-{2,}:?", c) for c in cells if c != "") and any(c for c in cells):
+            sep_idx = i
+            break
+    if sep_idx is None:
+        return None
+    header_rows = rows[:sep_idx]
+    body_rows = rows[sep_idx + 1 :]
+    # MarkItDown workaround: a completely blank first header row before the
+    # separator is bogus — drop it (MarkdownParser.cs:278-296).
+    header_rows = [r for r in header_rows if any(c.strip() for c in r)]
+    return _expand_colspan(header_rows + body_rows)
+
+
+def parse_markdown(doc_id: str, text: str) -> list[Element]:
+    """Parse one markdown document into the flat element list (source order
+    preserved — T2 in SURVEY.md §2.6)."""
+    lines = text.split("\n")
+    elements: list[Element] = []
+    previous_was_break = False  # footer heuristic flag (MarkdownParser.cs:48-56)
+    i = 0
+
+    def emit(el: Element, after_break_sensitive: bool = False):
+        elements.append(el)
+
+    while i < len(lines):
+        line = lines[i]
+        stripped = line.strip()
+
+        if not stripped:
+            i += 1
+            continue
+
+        # fenced code block
+        if stripped.startswith("```"):
+            j = i + 1
+            body = []
+            while j < len(lines) and not lines[j].strip().startswith("```"):
+                body.append(lines[j])
+                j += 1
+            code = "\n".join(body)
+            if code.strip():
+                elements.append(Element("code", markdown="\n".join(lines[i : j + 1]), text=code))
+            i = j + 1
+            previous_was_break = False
+            continue
+
+        # thematic break: skipped, arms the footer flag
+        if _BREAK_RE.match(stripped):
+            previous_was_break = True
+            i += 1
+            continue
+
+        # link-reference definition group: skipped (structural P3)
+        if _LINKREF_RE.match(line):
+            i += 1
+            continue
+
+        # ATX header
+        m = _ATX_RE.match(stripped)
+        if m:
+            txt = _inline_text(m.group(2))
+            if txt:
+                elements.append(
+                    Element("header", markdown=stripped, text=txt, level=len(m.group(1)))
+                )
+            previous_was_break = False
+            i += 1
+            continue
+
+        # pipe table
+        if _TABLE_ROW_RE.match(line):
+            j = i
+            tbl_lines = []
+            while j < len(lines) and _TABLE_ROW_RE.match(lines[j]):
+                tbl_lines.append(lines[j])
+                j += 1
+            cells = _parse_table(tbl_lines)
+            if cells is not None:
+                elements.append(
+                    Element("table", markdown="\n".join(tbl_lines), table_cells=cells)
+                )
+                i = j
+                previous_was_break = False
+                continue
+            # not a real table: fall through to paragraph handling
+
+        # block quote -> sub-section (recursive)
+        if stripped.startswith(">"):
+            j = i
+            q_lines = []
+            while j < len(lines) and lines[j].strip().startswith(">"):
+                q_lines.append(re.sub(r"^\s*>\s?", "", lines[j]))
+                j += 1
+            sec_idx = len(elements)
+            elements.append(Element("section", markdown="\n".join(lines[i:j])))
+            for sub in parse_markdown(doc_id, "\n".join(q_lines)):
+                sub.parent_path = [sec_idx] + sub.parent_path
+                elements.append(sub)
+            i = j
+            previous_was_break = False
+            continue
+
+        # list -> flattened sub-section of its items' leaf paragraphs
+        if _LIST_ITEM_RE.match(line):
+            j = i
+            items = []
+            while j < len(lines):
+                lm = _LIST_ITEM_RE.match(lines[j])
+                if lm:
+                    items.append(lm.group(1))
+                    j += 1
+                elif lines[j].startswith((" ", "\t")) and lines[j].strip():
+                    if items:
+                        items[-1] += " " + lines[j].strip()
+                    j += 1
+                else:
+                    break
+            sec_idx = len(elements)
+            elements.append(Element("section", markdown="\n".join(lines[i:j])))
+            for it in items:
+                txt = _inline_text(it)
+                if txt:  # empty-block filter inside lists (:169)
+                    elements.append(
+                        Element("paragraph", markdown=it, text=txt, parent_path=[sec_idx])
+                    )
+            i = j
+            previous_was_break = False
+            continue
+
+        # paragraph (possibly an image, possibly a footer)
+        j = i
+        p_lines = []
+        while j < len(lines) and lines[j].strip() and not _BREAK_RE.match(lines[j].strip()) \
+                and not _ATX_RE.match(lines[j].strip()) and not lines[j].strip().startswith((">", "```")) \
+                and not _LIST_ITEM_RE.match(lines[j]) and not _TABLE_ROW_RE.match(lines[j]):
+            p_lines.append(lines[j].strip())
+            j += 1
+        md_block = "\n".join(p_lines)
+
+        im = _IMAGE_RE.match(md_block.strip())
+        if im:
+            alt, src = im.group("alt"), im.group("src")
+            content = None
+            media_type = None
+            dm = _DATA_URL_RE.match(src)
+            if dm:
+                media_type = dm.group("type")
+                try:
+                    content = base64.b64decode(dm.group("data"), validate=False)
+                except Exception:
+                    content = None
+            elements.append(
+                Element(
+                    "image",
+                    markdown=md_block,
+                    text=alt or None,
+                    alt_text=alt,
+                    media_type=media_type,
+                    content=content,
+                )
+            )
+            previous_was_break = False
+        else:
+            txt = _inline_text(md_block)
+            if txt:  # empty-block filter (P1, :63-66)
+                kind = "footer" if previous_was_break else "paragraph"
+                elements.append(Element(kind, markdown=md_block, text=txt))
+            previous_was_break = False
+        i = j
+
+    return elements
+
+
+def elements_to_rows(doc_id: str, elements: list[Element], section_idx: int = 0) -> list[dict]:
+    return [
+        {
+            "doc_id": doc_id,
+            "section_idx": section_idx,
+            "block_idx": b,
+            "parent_path": el.parent_path,
+            "kind": el.kind,
+            "markdown": el.markdown,
+            "text": el.text,
+            "level": el.level,
+            "alt_text": el.alt_text,
+            "media_type": el.media_type,
+            "content": el.content,
+            "table_cells": el.table_cells,
+        }
+        for b, el in enumerate(elements)
+    ]
+
+
+def read_markdown_dir(spark, path: str) -> DataFrame:
+    """S1: markdown directory scan -> (path, content) rows.
+
+    ``wholetext`` keeps one file per row; ``input_file_name()`` is the
+    document identifier (the reference uses the file path,
+    ``VectorStoreCommands.cs:60-61``).
+    """
+    return (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(f"{path}/*.md")
+        .select(F.input_file_name().alias("doc_id"), F.col("value").alias("content"))
+    )
+
+
+def parse_markdown_df(raw: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """D1-D5: parse stage as ``mapInPandas`` (Arrow-batched; the parser is
+    pure Python per document, so this is the designated Python island —
+    filters/projections belong outside it)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                rows.extend(elements_to_rows(str(doc_id), parse_markdown(str(doc_id), content or "")))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ELEMENT_SCHEMA.fields]
+            ) if rows else pd.DataFrame(columns=[f.name for f in ELEMENT_SCHEMA.fields])
+
+    return raw.mapInPandas(run, schema=ELEMENT_SCHEMA)

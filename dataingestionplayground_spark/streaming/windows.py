@@ -1,0 +1,91 @@
+"""Streaming window operators: tumbling/sliding/session windows, watermark
+dedup, custom stateful aggregation.
+
+Each takes a *streaming* DataFrame of the events schema
+(event_id, ts TIMESTAMP, user_id, event_type, value, props) and returns a
+streaming DataFrame. Watermarks bound state so these run indefinitely at
+cluster scale; the batch twins in queries/events.py compute identical
+results for bounded input (what the DuckDB oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_tumbling_counts(events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling windows with late-data tolerance = watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def stream_session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user — the streaming twin of
+    operators.sessionize (state closes once the watermark passes the gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once-per-event-id within the watermark horizon (bounded
+    dedup state — the streaming analogue of exact dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_stateful_running_max(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running max
+    event value per user across micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        mx = state.get[0] if state.exists else float("-inf")
+        n = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += len(pdf)
+        state.update((mx, n))
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_seen": [n]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, max_value double, n_seen long",
+            stateStructType="max_value double, n_seen long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

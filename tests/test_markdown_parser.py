@@ -1,0 +1,103 @@
+"""Golden tests for the markdown parser (D1-D5 semantics,
+MarkdownParser.cs branch coverage per FIXTURES.md §1.2)."""
+
+from __future__ import annotations
+
+import base64
+
+from dataingestionplayground_spark.sources.markdown import parse_markdown
+
+
+def kinds(els):
+    return [e.kind for e in els]
+
+
+def test_header_and_paragraphs():
+    els = parse_markdown(
+        "d", "# Title\n\nPara one.\n\nPara two line a.\npara two line b.\n"
+    )
+    assert kinds(els) == ["header", "paragraph", "paragraph"]
+    assert els[0].level == 1 and els[0].text == "Title"
+    assert els[2].text == "Para two line a.\npara two line b."
+
+
+def test_footer_after_thematic_break():
+    # MarkdownParser.cs:48-56,102-105: paragraph right after a break -> footer
+    els = parse_markdown("d", "Para.\n\n---\n\nThe footer.\n\nNormal again.\n")
+    assert kinds(els) == ["paragraph", "footer", "paragraph"]
+    assert els[1].text == "The footer."
+
+
+def test_break_variants_and_no_footer_for_header():
+    els = parse_markdown("d", "***\n\n# H\n\ntext\n")
+    assert kinds(els) == ["header", "paragraph"]  # header clears the flag
+
+
+def test_image_data_url_decoded():
+    payload = b"\x89PNG fake"
+    md = f"![alt text](data:image/png;base64,{base64.b64encode(payload).decode()})\n"
+    els = parse_markdown("d", md)
+    assert kinds(els) == ["image"]
+    assert els[0].alt_text == "alt text"
+    assert els[0].media_type == "image/png"
+    assert els[0].content == payload
+
+
+def test_image_plain_url_no_decode():
+    els = parse_markdown("d", "![alt](http://x/y.png)\n")
+    assert els[0].kind == "image"
+    assert els[0].media_type is None and els[0].content is None
+
+
+def test_table_grid_and_bogus_first_row():
+    md = (
+        "| a | b |\n| --- | --- |\n| 1 | 2 |\n"
+        "\n"
+        "|   |   |\n| --- | --- |\n| x | y |\n"
+    )
+    els = parse_markdown("d", md)
+    assert kinds(els) == ["table", "table"]
+    assert els[0].table_cells == [["a", "b"], ["1", "2"]]
+    # MarkItDown blank header row skipped (MarkdownParser.cs:278-296)
+    assert els[1].table_cells == [["x", "y"]]
+
+
+def test_table_colspan_expansion():
+    md = "| wide | x |\n| --- | --- |\n| spans |\n"
+    els = parse_markdown("d", md)
+    # short row padded by repeating the spanning cell (:265-269)
+    assert els[0].table_cells == [["wide", "x"], ["spans", "spans"]]
+
+
+def test_list_flattened_with_parent_path():
+    els = parse_markdown("d", "- one\n- two\n  continued\n- *three*\n")
+    assert kinds(els) == ["section", "paragraph", "paragraph", "paragraph"]
+    assert els[1].parent_path == [0]
+    assert els[2].text == "two continued"
+    assert els[3].text == "three"  # inline emphasis stripped
+
+
+def test_quote_recursion():
+    els = parse_markdown("d", "> outer quote\n> # quoted heading\n")
+    assert els[0].kind == "section"
+    sub_kinds = kinds(els[1:])
+    assert "paragraph" in sub_kinds and "header" in sub_kinds
+    assert all(e.parent_path == [0] for e in els[1:])
+
+
+def test_empty_blocks_dropped_and_linkrefs_skipped():
+    els = parse_markdown("d", "   \n\n[ref]: http://x\n\nreal text\n")
+    assert kinds(els) == ["paragraph"]
+    assert els[0].text == "real text"
+
+
+def test_fenced_code():
+    els = parse_markdown("d", "```\ncode body\n```\n")
+    assert kinds(els) == ["code"]
+    assert els[0].text == "code body"
+
+
+def test_order_preserved():
+    md = "# T\n\np1\n\n| a |\n| --- |\n| 1 |\n\np2\n"
+    els = parse_markdown("d", md)
+    assert kinds(els) == ["header", "paragraph", "table", "paragraph"]

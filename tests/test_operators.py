@@ -1,0 +1,146 @@
+"""Unit tests for composed operators: as-of join, range join, sessionize,
+dedup family, similarity — tiny in-memory DFs with hand-checked expected
+output (SURVEY.md §5 strategy item 1)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.operators import (
+    asof_join,
+    exact_dedup,
+    knn_brute_force,
+    lsh_bucket_ann,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    range_join,
+    sessionize,
+    simhash,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "a"), (1, ts("2024-01-01T12:00:00"), "b"),
+         (2, ts("2024-01-01T10:00:00"), "c")],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:00:00"), 100), (1, ts("2024-01-01T11:00:00"), 200),
+         (3, ts("2024-01-01T09:00:00"), 999)],
+        "k long, rt timestamp, v long",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt", value_cols=["v"], tie_col="v")
+    got = {(r.k, r.tag): r.v for r in out.collect()}
+    assert got == {(1, "a"): 100, (1, "b"): 200, (2, "c"): None}
+
+
+def test_asof_inclusive_and_ties(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), "x")], "k long, t timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), 5), (1, ts("2024-01-01T10:00:00"), 9)],
+        "k long, rt timestamp, v long",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt", value_cols=["v"], tie_col="v")
+    # equal timestamps match (<=) and max tie wins deterministically
+    assert out.collect()[0].v == 9
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), "x")], "k long, t timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:59:00"), 1), (1, ts("2024-01-01T10:30:00"), 2),
+         (1, ts("2024-01-01T11:00:00"), 3)],
+        "k long, rt timestamp, v long",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt",
+                    value_cols=["v"], direction="forward", tie_col="v")
+    assert out.collect()[0].v == 2  # earliest at-or-after
+
+
+def test_range_join_bucketized_matches_naive(spark):
+    points = spark.createDataFrame([(float(x),) for x in range(0, 100, 7)], "p double")
+    bands = spark.createDataFrame(
+        [(i, float(i * 10), float(i * 10 + 15)) for i in range(9)], "band long, lo double, hi double"
+    )
+    fast = range_join(points, bands, "p", "lo", "hi", bucket_width=10.0)
+    naive = points.crossJoin(bands).filter((F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+    assert sorted((r.p, r.band) for r in fast.collect()) == sorted(
+        (r.p, r.band) for r in naive.collect()
+    )
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00")), (1, ts("2024-01-01T10:10:00")),
+         (1, ts("2024-01-01T11:30:00")), (2, ts("2024-01-01T09:00:00"))],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800)
+    got = {(r.user_id, r.ts.isoformat()): r.session_id for r in out.collect()}
+    assert got[(1, "2024-01-01T10:00:00")] == 1
+    assert got[(1, "2024-01-01T10:10:00")] == 1
+    assert got[(1, "2024-01-01T11:30:00")] == 2  # 80-min gap -> new session
+    assert got[(2, "2024-01-01T09:00:00")] == 1
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  Text"), (2, "same text"), (3, "other")], "id long, txt string"
+    )
+    out = {r.keep_id: r.n_dups for r in exact_dedup(df, "id", "txt").collect()}
+    # normalization: lowercase + whitespace collapse -> 1 and 2 merge
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this unrelated document about spark"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, txt string")
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, "id", "txt").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "xx yy zz ww vv uu tt ss rr qq")],
+        "id long, txt string",
+    )
+    h = {r.id: r.simhash for r in simhash(df, "id", "txt").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+    assert all(v >= 0 for v in h.values())  # 63-bit -> stays positive
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")], "id long, txt string"
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(df, "id", "txt", shingle_n=3, threshold=0.0).collect()}
+    # shingles(1): {abc,bcd,cde}; shingles(2): {abc,bcd,cdf}; inter=2, union=4
+    assert abs(out[(1, 2)] - 0.5) < 1e-12
+    assert (1, 3) not in out
+
+
+def test_knn_and_lsh_agree_on_exact_match(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    exact = knn_brute_force(corpus, queries, k=1).collect()
+    assert exact[0].vec_id == 0 and abs(exact[0].score - 1.0) < 1e-9
+    approx = lsh_bucket_ann(corpus, queries, k=1, num_planes=2).collect()
+    assert approx and approx[0].vec_id == 0

@@ -1,0 +1,94 @@
+"""PDF plumbing (injected extractor), multimodal binary columns, and the
+database row->document projection."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.sources.database import articles_to_elements
+from dataingestionplayground_spark.sources.multimodal import (
+    binary_with_metadata,
+    decode_stub,
+    extract_features,
+    fake_decoder,
+)
+from dataingestionplayground_spark.sources.pdf import parse_pdf_df
+
+
+def test_articles_to_elements_projection(spark):
+    articles = spark.createDataFrame(
+        [(7, "My Title", "line one\n\n   \nline two\r\nline three")],
+        "Id long, Title string, Body string",
+    )
+    rows = articles_to_elements(articles).orderBy("block_idx").collect()
+    # DatabaseIngestionReader.cs:42-63: H1 title + non-empty body lines
+    assert rows[0].doc_id == "Article #7"
+    assert rows[0].kind == "header" and rows[0].text == "My Title" and rows[0].level == 1
+    assert rows[0].markdown == "# My Title"
+    assert [r.text for r in rows[1:]] == ["line one", "line two", "line three"]
+    assert [r.block_idx for r in rows] == [0, 1, 2, 3]
+    assert all(r.kind == "paragraph" for r in rows[1:])
+
+
+def test_pdf_plumbing_with_fake_extractor(spark):
+    raw = spark.createDataFrame(
+        [("a.pdf", b"%PDF-fake-1"), ("b.pdf", b"%PDF-fake-2")],
+        "doc_id string, content binary",
+    )
+
+    def fake_extract(data: bytes):
+        # two pages, block texts derived from the payload
+        tag = data.decode()[-1]
+        return [[f"page1 block {tag}", ""], [f"page2 block {tag}"]]
+
+    rows = parse_pdf_df(raw, extractor=fake_extract).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {"a.pdf", "b.pdf"}
+    a = sorted(by_doc["a.pdf"], key=lambda r: (r.section_idx, r.block_idx))
+    # one section per page (PdfReader.cs:21-25), empty blocks dropped
+    assert [(r.section_idx, r.text) for r in a] == [(0, "page1 block 1"), (1, "page2 block 1")]
+
+
+def test_pdf_default_extractor_raises_without_lib():
+    with pytest.raises(NotImplementedError):
+        from dataingestionplayground_spark.sources.pdf import default_extractor
+
+        default_extractor(b"%PDF")
+
+
+def test_multimodal_metadata_jvm_side(spark):
+    df = spark.createDataFrame(
+        [("m1", "image/png", b"\x89PNG data"), ("m2", "audio/wav", None)],
+        "id string, mt string, data binary",
+    )
+    media = binary_with_metadata(df, "id", "mt", "data")
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows["m1"].n_bytes == 9
+    assert len(rows["m1"].content_sha) == 64
+    assert rows["m2"].n_bytes == 0
+
+
+def test_multimodal_feature_extraction_fake_decoder(spark):
+    df = spark.createDataFrame(
+        [("m1", "image/png", b"payload-a"), ("m2", "image/jpeg", b"payload-b")],
+        "id string, mt string, data binary",
+    )
+    media = binary_with_metadata(df, "id", "mt", "data")
+    feats = extract_features(media, decoder=fake_decoder).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert len(by_id["m1"].feature) == 8
+    assert 16 <= by_id["m1"].width < 80
+    # deterministic: same payload -> same feature
+    feats2 = extract_features(media, decoder=fake_decoder).collect()
+    assert {r.media_id: r.feature for r in feats2} == {r.media_id: r.feature for r in feats}
+
+
+def test_multimodal_decode_stub_raises(spark):
+    df = spark.createDataFrame([("m1", "image/png", b"x")], "id string, mt string, data binary")
+    media = binary_with_metadata(df, "id", "mt", "data")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_features(media, decoder=decode_stub).collect()

@@ -1,0 +1,94 @@
+"""Structured Streaming twins driven to completion with a file source +
+memory sink (bounded input == batch semantics, SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataingestionplayground_spark.streaming import (
+    stream_dedup_within_watermark,
+    stream_session_windows,
+    stream_stateful_running_max,
+    stream_tumbling_counts,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Small bounded event set written as parquet for readStream."""
+    p = tmp_path_factory.mktemp("events_stream")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:04:00", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01 10:11:00", 1, "view", 3.0, "{}"),
+        (2, "2024-01-01 10:04:00", 1, "click", 2.0, "{}"),  # duplicate event_id
+        (4, "2024-01-01 12:00:00", 2, "click", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(p))
+    return str(p)
+
+
+def _run(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_stream_tumbling(spark, stream_dir):
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    name = _run(stream_tumbling_counts(events, "10 minutes"), "t_tumble", "complete")
+    rows = {(r.window_start.isoformat(), r.event_type): r.n_events
+            for r in spark.sql(f"select * from {name}").collect()}
+    assert rows[("2024-01-01T10:00:00", "click")] == 3  # incl. duplicate row
+    assert rows[("2024-01-01T10:10:00", "view")] == 1
+
+
+def test_stream_sessions(spark, stream_dir):
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    name = _run(stream_session_windows(events, gap="30 minutes"), "t_sess", "complete")
+    rows = spark.sql(f"select * from {name}").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [4]  # one session (max gap 7 min)
+    assert per_user[2] == [1]
+
+
+def test_stream_dedup(spark, stream_dir):
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    name = _run(stream_dedup_within_watermark(events), "t_dedup", "append")
+    ids = [r.event_id for r in spark.sql(f"select * from {name}").collect()]
+    assert sorted(ids) == [1, 2, 3, 4]  # duplicate event_id 2 dropped
+
+
+def test_stream_stateful_running_max(spark, stream_dir):
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    name = _run(stream_stateful_running_max(events), "t_state", "update")
+    rows = {r.user_id: r for r in spark.sql(f"select * from {name}").collect()}
+    assert rows[1].max_value == 3.0 and rows[1].n_seen == 4
+    assert rows[2].max_value == 9.0
