@@ -43,6 +43,7 @@ def all_queries() -> dict[str, Query]:
     # import side-effect: submodules populate REGISTRY
     from dataingestionplayground_spark.queries import (  # noqa: F401
         relational,
+        relational2,
         windows,
         events,
         dedupq,

@@ -370,14 +370,18 @@ def join_semi(spark, sf):
     "join_anti",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
 )
 def join_anti(spark, sf):
     # The incremental-ingestion dedup join (VectorStoreCommands.cs:159 ->
     # SURVEY §2.3): new-rows = source ANTI JOIN existing on documentid.
+    # (Filtered right side keeps the anti-set non-empty at every SF.)
     c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+    return c.join(
+        o.filter(F.col("o_totalprice") > 300000), c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
 
 
 @register(

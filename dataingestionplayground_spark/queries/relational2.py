@@ -1,0 +1,391 @@
+"""Relational coverage, batch 2: ordered-set aggregates, moment statistics,
+grouping sets, unpivot, array/map functions, regexp, null semantics, CTEs,
+range frames, TPC-H Q4/Q14/Q22 shapes, systematic sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions.portable import davg_expr, dsum, dsum_expr
+from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import load_table as t
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           CAST(min(l_extendedprice) AS DOUBLE) AS p_min
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf):
+    # Exact interpolated percentiles: Spark percentile() and DuckDB
+    # quantile_cont share the linear-interpolation definition bit-for-bit.
+    # (At 100 TB you'd switch to percentile_approx — see agg_approx below.)
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.min("l_extendedprice").alias("p_min"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # sketch-based: rows-only
+def agg_approx_distinct(spark, sf):
+    # HLL++ and t-digest sketches — THE scale path for distincts/quantiles
+    # (no exact-agg state explosion). Sketch values are engine-specific,
+    # so correctness is rows-only; tests bound the relative error.
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
+    )
+
+
+@register(
+    "agg_variance_moments",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           round(sqrt(({dsum_expr('o_totalprice * o_totalprice')}
+                 - {dsum_expr('o_totalprice')} * {dsum_expr('o_totalprice')} / CAST(COUNT(*) AS DOUBLE))
+                / CAST(COUNT(*) - 1 AS DOUBLE)), 4) AS stddev_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_variance_moments(spark, sf):
+    # Moment statistics from decimal-exact power sums: the one-pass
+    # (sum, sum-of-squares) formulation every engine parallelizes. The raw
+    # sum-of-squares is ~21 significant digits — decimal->double conversion
+    # differs by 1 ulp across engines at that magnitude, so only the
+    # (rounded) derived statistic is exposed, not the power sums.
+    o = t(spark, sf, "orders")
+    n = F.count(F.lit(1))
+    s1 = dsum("o_totalprice")
+    s2 = dsum(F.col("o_totalprice") * F.col("o_totalprice"))
+    return o.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        F.round(
+            F.sqrt((s2 - s1 * s1 / n.cast("double")) / (n - F.lit(1)).cast("double")), 4
+        ).alias("stddev_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf):
+    t(spark, sf, "lineitem").createOrReplaceTempView("v_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "unpivot_long_form",
+    oracle="""
+    SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'price' AS attr, p_retailprice AS val FROM part
+    """,
+)
+def unpivot_long_form(spark, sf):
+    # wide -> long via stack (the UNPIVOT physical form).
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', cast(p_size as double), 'price', p_retailprice) as (attr, val)"
+        ),
+    )
+
+
+@register(
+    "array_agg_functions",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           CAST(len(list(n_name)) AS INTEGER) AS n_nations,
+           list_contains(list(n_name), 'CHINA') AS has_china
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def array_agg_functions(spark, sf):
+    # collect_list is unordered across partitions -> always sort before
+    # exposing (determinism rule for any array-valued aggregate).
+    n = t(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.size(F.collect_list("n_name")).alias("n_nations"),
+        F.array_contains(F.collect_list("n_name"), "CHINA").alias("has_china"),
+    )
+
+
+@register(
+    "array_lambda_functions",
+    oracle="""
+    SELECT n_regionkey,
+           list_transform(list_sort(list(n_name)), x -> lower(x)) AS lowered,
+           list_filter(list_sort(list(n_name)), x -> length(x) <= 5) AS short_names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def array_lambda_functions(spark, sf):
+    # higher-order functions on arrays (transform/filter) — JVM-side lambdas.
+    n = t(spark, sf, "nation")
+    arr = F.array_sort(F.collect_list("n_name"))
+    return n.groupBy("n_regionkey").agg(
+        F.expr("transform(array_sort(collect_list(n_name)), x -> lower(x))").alias("lowered"),
+        F.expr("filter(array_sort(collect_list(n_name)), x -> length(x) <= 5)").alias(
+            "short_names"
+        ),
+    )
+
+
+@register(
+    "string_regexp_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS INTEGER) AS consonant_len,
+           lpad(p_brand, 12, '.') AS brand_padded,
+           reverse(p_type) AS type_rev,
+           CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+$') THEN 1 ELSE 0 END AS two_words
+    FROM part
+    """,
+)
+def string_regexp_functions(spark, sf):
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).alias("consonant_len"),
+        F.lpad("p_brand", 12, ".").alias("brand_padded"),
+        F.reverse("p_type").alias("type_rev"),
+        F.when(F.col("p_name").rlike("^[a-z]+ [a-z]+$"), 1).otherwise(0).alias("two_words"),
+    )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(CAST(o.n_orders AS BIGINT), 0) AS n_orders,
+           CASE WHEN o.n_orders IS NULL THEN 'inactive' ELSE 'active' END AS status,
+           nullif(c.c_mktsegment, 'MACHINERY') AS seg_or_null
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def null_semantics(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), "inactive").otherwise("active").alias("status"),
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg_or_null"),
+    )
+
+
+@register(
+    "cte_above_average_nations",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_nationkey, {dsum_expr('o.o_totalprice')} AS nation_rev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT c_nationkey, nation_rev FROM rev
+    WHERE nation_rev > (SELECT {davg_expr('nation_rev')} FROM rev)
+    """,
+)
+def cte_above_average_nations(spark, sf):
+    # CTE + scalar subquery over the CTE (TPC-H Q11/Q15 shape). The CTE's
+    # decimal-exact sums make the avg threshold bit-stable cross-engine.
+    t(spark, sf, "customer").createOrReplaceTempView("v_cust_cte")
+    t(spark, sf, "orders").createOrReplaceTempView("v_ord_cte")
+    return spark.sql(
+        f"""
+        WITH rev AS (
+          SELECT c.c_nationkey, {dsum_expr('o.o_totalprice')} AS nation_rev
+          FROM v_cust_cte c JOIN v_ord_cte o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_nationkey
+        )
+        SELECT c_nationkey, nation_rev FROM rev
+        WHERE nation_rev > (SELECT {davg_expr('nation_rev')} FROM rev)
+        """
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf):
+    # Correlated EXISTS via semi-join on a (key, residual) condition —
+    # the residual (l_shipdate > o_orderdate) rides the equi-join.
+    o, li = t(spark, sf, "orders"), t(spark, sf, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    return (
+        filtered.join(
+            li,
+            (filtered.o_orderkey == li.l_orderkey) & (li.l_shipdate > filtered.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q14_promo_ratio",
+    oracle=f"""
+    SELECT 100.0 * {dsum_expr("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+           / {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_ratio(spark, sf):
+    li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "tpch_q22_cntrycode",
+    oracle=f"""
+    WITH cust AS (
+      SELECT substr(c_name, 1, 4) AS cntrycode, c_acctbal, c_custkey FROM customer
+    )
+    SELECT cntrycode, COUNT(*) AS numcust, {dsum_expr('c_acctbal')} AS totacctbal
+    FROM cust c
+    WHERE c_acctbal > (SELECT {davg_expr('c_acctbal')} FROM cust WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_cntrycode(spark, sf):
+    t(spark, sf, "customer").createOrReplaceTempView("v_cust_q22")
+    t(spark, sf, "orders").createOrReplaceTempView("v_ord_q22")
+    return spark.sql(
+        f"""
+        WITH cust AS (
+          SELECT substr(c_name, 1, 4) AS cntrycode, c_acctbal, c_custkey FROM v_cust_q22
+        )
+        SELECT cntrycode, COUNT(*) AS numcust, {dsum_expr('c_acctbal')} AS totacctbal
+        FROM cust c
+        WHERE c_acctbal > (SELECT {davg_expr('c_acctbal')} FROM cust WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM v_ord_q22 o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        GROUP BY cntrycode
+        """
+    )
+
+
+@register(
+    "window_analytic_suite",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(p_partkey) OVER w AS cheapest,
+           nth_value(p_partkey, 2) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def window_analytic_suite(spark, sf):
+    p = t(spark, sf, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("p_partkey").over(w).alias("cheapest"),
+        F.nth_value("p_partkey", 2).over(wfull).alias("second_cheapest"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf):
+    # RANGE frame over a value column (not rows): peers within $1000 below.
+    # (SQL form: PySpark's rangeBetween only takes integer offsets.)
+    t(spark, sf, "orders").createOrReplaceTempView("v_ord_range")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               COUNT(*) OVER (ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k
+        FROM v_ord_range
+        """
+    )
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_orderkey % 97 = 0
+    """,
+)
+def sample_systematic(spark, sf):
+    # Deterministic systematic sampling (key mod k) — the reproducible
+    # alternative to Bernoulli sample() for cross-engine checks.
+    li = t(spark, sf, "lineitem")
+    return li.filter(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -1,0 +1,84 @@
+"""Unit tests for the column-expression library (functions/*)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.functions.portable import davg, dsum
+from dataingestionplayground_spark.functions.vector import cosine_similarity, l2_norm, normalize
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("  a  b\tc\nd  ",), ("",), ("single",)], "t string")
+    rows = df.select(TX.tokens("t").alias("w"), TX.token_count("t").alias("n")).collect()
+    assert rows[0].w == ["a", "b", "c", "d"] and rows[0].n == 4
+    assert rows[1].w == [] and rows[1].n == 0
+    assert rows[2].n == 1
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([("hello world42, ok!",)], "t string")
+    n = df.select(TX.bpe_token_count("t").alias("n")).collect()[0].n
+    # hello | world | 42 | , | ok | !
+    assert n == 6
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    rows = df.select(TX.word_shingles("t", 3).alias("s")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == []  # shorter than n -> empty, not sequence(1,0)
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcdef",), ("ab",)], "t string")
+    rows = df.select(TX.char_shingles("t", 4).alias("s")).collect()
+    assert rows[0].s == ["abcd", "bcde", "cdef"]
+    assert rows[1].s == []
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello   World",), ("hello world",)], "t string")
+    fps = [r.f for r in df.select(TX.fingerprint("t").alias("f")).collect()]
+    assert fps[0] == fps[1]  # case + whitespace insensitive
+    assert len(fps[0]) == 32
+
+
+def test_stopword_hits(spark):
+    df = spark.createDataFrame([("the cat and the dog",)], "t string")
+    n = df.select(TX.stopword_hits("t", "en").alias("n")).collect()[0].n
+    assert n == 3  # the, and, the
+
+
+def test_dsum_davg_exactness(spark):
+    # shuffle-order independence: same values, different partitioning
+    vals = [(float(i) * 0.1,) for i in range(1, 1001)]
+    a = spark.createDataFrame(vals, "x double").repartition(1)
+    b = spark.createDataFrame(vals, "x double").repartition(16)
+    sa = a.agg(dsum("x").alias("s"), davg("x").alias("m")).collect()[0]
+    sb = b.agg(dsum("x").alias("s"), davg("x").alias("m")).collect()[0]
+    assert sa.s == sb.s and sa.m == sb.m
+    assert sa.s == 50050.0  # exact: sum(i)/10 for 1..1000
+
+
+def test_cosine_and_norm(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [3.0, 4.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(
+        cosine_similarity("a", "b").alias("cos"), l2_norm("a").alias("na")
+    ).collect()
+    assert abs(rows[0].cos - 1.0) < 1e-12 and rows[0].na == 5.0
+    assert abs(rows[1].cos) < 1e-12
+    assert rows[2].cos is None  # zero vector -> NULL, not DIVIDE_BY_ZERO
+
+
+def test_normalize_unit_length(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "a array<float>")
+    out = df.select(normalize("a").alias("u")).collect()[0].u
+    assert abs(math.hypot(*out) - 1.0) < 1e-6
+    assert abs(out[0] - 0.6) < 1e-6
