@@ -12,7 +12,7 @@ from dataingestionplayground_spark.operators.dedup import (
     simhash,
     ngram_jaccard_pairs,
 )
-from dataingestionplayground_spark.operators.similarity import knn_brute_force, lsh_bucket_ann
+from dataingestionplayground_spark.operators.similarity import ivf_ann, knn_brute_force, lsh_bucket_ann
 from dataingestionplayground_spark.operators.asof import asof_join, range_join
 from dataingestionplayground_spark.operators.sessionize import sessionize
 
@@ -24,6 +24,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "knn_brute_force",
     "lsh_bucket_ann",
+    "ivf_ann",
     "asof_join",
     "range_join",
     "sessionize",

@@ -54,20 +54,29 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
 
 def _lane_expr(i: int) -> str:
-    """Spark/DuckDB-identical SQL for minhash lane i (0..7): an 8-hex-char
-    (32-bit) slice of md5(shingle) (lanes 0-3) or md5('x'||shingle) (4-7).
+    """Spark SQL for minhash lane i (0..7): the 8-hex-char (32-bit) slice
+    of md5(shingle) (lanes 0-3) or md5('x'||shingle) (4-7), decoded to a
+    BIGINT.
 
     Two md5 evaluations yield 8 independent 32-bit hash lanes — 4x less
-    hashing than one md5 per lane; fixed-width hex means lexicographic
-    MIN == numeric MIN, so the aggregate stays a plain string min.
+    hashing than one md5 per lane. Lanes are *integers* so min() gets a
+    fixed-width mutable agg buffer -> HashAggregate (a string min would
+    force SortAggregate: per-partition sorts and spill risk at scale).
     """
     src = "md5(shingle)" if i < 4 else "md5(concat('x', shingle))"
-    return f"substring({src}, {(i % 4) * 8 + 1}, 8)"
+    return f"cast(conv(substring({src}, {(i % 4) * 8 + 1}, 8), 16, 10) as bigint)"
 
 
 def _lane_expr_duck(i: int) -> str:
+    """DuckDB oracle twin of :func:`_lane_expr` (no conv(); polynomial
+    expansion of the 8 hex nibbles)."""
     src = "md5(shingle)" if i < 4 else "md5(concat('x', shingle))"
-    return f"substr({src}, {(i % 4) * 8 + 1}, 8)"
+    start = (i % 4) * 8 + 1
+    terms = [
+        f"CAST(instr('0123456789abcdef', substr({src}, {start + j}, 1)) - 1 AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def minhash_signatures(
@@ -109,7 +118,10 @@ def minhash_lsh_pairs(
     if num_hashes > 8:
         raise ValueError("lane scheme provides 8 hashes; extend _lane_expr for more")
     # wide signature (one shuffle), bands assembled as concat of lane mins —
-    # no second shuffle for banding.
+    # no second shuffle for banding. The band table is persisted before the
+    # self-join: otherwise Spark recomputes the whole scan->shingle->agg
+    # lineage for BOTH join sides (at warehouse scale you'd materialize
+    # signatures as their own table).
     shingles = _shingle_rows(df, id_col, text_col, shingle_n)
     sig_wide = shingles.groupBy(id_col).agg(
         *[F.expr(f"min({_lane_expr(i)})").alias(f"mh{i}") for i in range(num_hashes)]
@@ -121,7 +133,7 @@ def minhash_lsh_pairs(
         band_rows.append(f"{b}, concat_ws('|', {', '.join(lanes)})")
     bands = sig_wide.select(
         id_col, F.expr(f"stack({n_bands}, {', '.join(band_rows)}) as (band, band_key)")
-    )
+    ).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -49,6 +49,60 @@ def knn_brute_force(
     )
 
 
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to ``n_centroids`` cells,
+    probe the ``n_probe`` nearest cells per query, exact rerank inside.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors
+    (deterministic; production swaps in k-means centroids — the plan shape
+    is identical). Both assignment and probing are broadcast joins of a
+    tiny centroid table against a single corpus/query scan; the only
+    shuffled rows are (id, cell) pairs. Recall/cost dial: ``n_probe``.
+    """
+    cents = (
+        corpus.orderBy(F.asc(corpus_id))
+        .limit(n_centroids)
+        .select(
+            F.col(corpus_id).alias("__cent_src"), F.col(corpus_vec).alias("cent_vec")
+        )
+    )
+    w_rank = Window.orderBy(F.asc("__cent_src"))
+    cents = cents.withColumn("centroid_id", F.row_number().over(w_rank) - 1).drop("__cent_src")
+
+    def assign(df: DataFrame, vec: str, id_col: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim", V.cosine_similarity(vec, "cent_vec")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("__crk", F.row_number().over(w))
+            .filter(F.col("__crk") <= keep)
+            .drop("cent_vec", "__csim", "__crk")
+        )
+
+    corpus_cells = assign(corpus, corpus_vec, corpus_id, keep=1)
+    query_cells = assign(queries, query_vec, query_id, keep=n_probe)
+    joined = corpus_cells.join(F.broadcast(query_cells), "centroid_id").withColumn(
+        "score", V.cosine_similarity(corpus_vec, query_vec)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )
+
+
 def _hyperplane_sign_expr(vec_col: str, plane: int) -> str:
     """Sign of <v, h_plane> with pseudo-random h derived from md5(plane:dim).
 

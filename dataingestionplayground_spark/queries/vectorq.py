@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from dataingestionplayground_spark.functions.portable import davg
 from dataingestionplayground_spark.functions.portable import davg_expr
 from dataingestionplayground_spark.functions.vector import cosine_sql, l2_norm, l2_norm_sql
-from dataingestionplayground_spark.operators.similarity import knn_brute_force, lsh_bucket_ann
+from dataingestionplayground_spark.operators.similarity import ivf_ann, knn_brute_force, lsh_bucket_ann
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
 
@@ -51,6 +51,14 @@ def vector_lsh_ann(spark, sf):
     # within bucket. Approximate by construction -> no SQL oracle.
     return lsh_bucket_ann(
         t(spark, sf, "embeddings"), _queries_df(spark, sf), k=10, num_planes=6
+    )
+
+
+@register("vector_ivf_ann", oracle=None)  # approximate: rows-only check
+def vector_ivf_ann(spark, sf):
+    # IVF scale path: coarse cells + n_probe probing + exact in-cell rerank.
+    return ivf_ann(
+        t(spark, sf, "embeddings"), _queries_df(spark, sf), k=10, n_centroids=16, n_probe=4
     )
 
 

@@ -144,3 +144,24 @@ def test_knn_and_lsh_agree_on_exact_match(spark):
     assert exact[0].vec_id == 0 and abs(exact[0].score - 1.0) < 1e-9
     approx = lsh_bucket_ann(corpus, queries, k=1, num_planes=2).collect()
     assert approx and approx[0].vec_id == 0
+
+
+def test_ivf_ann_finds_exact_match(spark):
+    from dataingestionplayground_spark.operators.similarity import ivf_ann
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) + 0.001 * (j + 1) for j in range(40)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter("vec_id = 25").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sorted(ivf_ann(corpus, queries, k=3, n_centroids=8, n_probe=8).collect(),
+                 key=lambda r: r.rank)
+    # probing all cells == exhaustive: the vector itself must rank first
+    assert out[0].vec_id == 25 and abs(out[0].score - 1.0) < 1e-9
+    # recall dial: with fewer probes result stays a valid subset ranking
+    narrow = sorted(ivf_ann(corpus, queries, k=3, n_centroids=8, n_probe=1).collect(),
+                    key=lambda r: r.rank)
+    assert len(narrow) >= 1
+    assert [r.rank for r in narrow] == list(range(1, len(narrow) + 1))
