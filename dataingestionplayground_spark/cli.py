@@ -1,0 +1,174 @@
+"""Command-line interface mirroring the reference app's surface
+(``/root/reference/DataIngestionPlayground/Program.cs:18-57``):
+
+    ingest --reader markdown|pdf|database --collection C --source PATH
+    search --collection C [--query Q] [--top-k K]
+    list
+
+Defaults mirror ``VectorStoreOptions``/appsettings binding
+(``VectorStoreOptions.cs:5-17``, ``appsettings.json``): collection
+defaults to ``documents``; store path / source defaults come from a JSON
+config file or flags. ``search`` without ``--query`` enters the
+reference's REPL loop (empty line exits, ``VectorStoreCommands.cs:128-138``).
+
+The database reader accepts a SQLite file directly (driver-side sqlite3
+read of the ``Items`` table -> DataFrame, matching the reference's CMS.DB
+shape) — for warehouse-scale sources use a JDBC URL
+(``sources.database.read_jdbc_articles``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+DEFAULTS = {
+    "collection": "documents",
+    "store_path": "./collections",
+    "markdown_source": "./Content/Markdown",
+    "pdf_source": "./Content/Pdf",
+    "database_source": "./Content/Database/CMS.DB",
+    "dimensions": 384,
+}
+
+
+def _load_config(path: str | None) -> dict:
+    cfg = dict(DEFAULTS)
+    if path:
+        with open(path) as f:
+            cfg.update(json.load(f))
+    return cfg
+
+
+def _read_sqlite_articles(spark, db_path: str):
+    """SQLite Items table -> Articles DataFrame (driver-side read; the
+    table is dimension-sized in the reference — 10 rows)."""
+    import sqlite3
+
+    import pandas as pd
+
+    with sqlite3.connect(db_path) as con:
+        pdf = pd.read_sql_query('SELECT Id, Title, Body FROM "Items"', con)
+    return spark.createDataFrame(pdf)
+
+
+def _elements_for(spark, reader: str, source: str):
+    from dataingestionplayground_spark.sources.database import articles_to_elements
+    from dataingestionplayground_spark.sources.markdown import (
+        parse_markdown_df,
+        read_markdown_dir,
+    )
+    from dataingestionplayground_spark.sources.pdf import parse_pdf_df, read_pdf_dir
+
+    if reader == "markdown":
+        return parse_markdown_df(read_markdown_dir(spark, source))
+    if reader == "pdf":
+        return parse_pdf_df(read_pdf_dir(spark, source))
+    if reader == "database":
+        if source.startswith("jdbc:"):
+            from dataingestionplayground_spark.sources.database import read_jdbc_articles
+
+            return articles_to_elements(read_jdbc_articles(spark, source))
+        return articles_to_elements(_read_sqlite_articles(spark, source))
+    raise SystemExit(f"unknown reader: {reader}")
+
+
+def cmd_ingest(args, cfg) -> int:
+    from dataingestionplayground_spark.ingest import CollectionStore, ingest_corpus
+    from dataingestionplayground_spark.session import get_spark
+
+    spark = get_spark("dip-ingest")
+    source = args.source or cfg[f"{args.reader}_source"]
+    store = CollectionStore(args.store or cfg["store_path"])
+    elements = _elements_for(spark, args.reader, source)
+    results = ingest_corpus(
+        elements, store, args.collection or cfg["collection"], incremental=args.incremental
+    )
+    # per-document result lines, like the reference's SUCCESS/FAILURE log
+    # (VectorStoreCommands.cs:163-167)
+    failures = 0
+    for r in results.collect():
+        status = "SUCCESS" if r.succeeded else f"FAILURE: {r.error}"
+        print(f"{r.documentid}: {status}")
+        failures += 0 if r.succeeded else 1
+    return 1 if failures else 0
+
+
+def cmd_search(args, cfg) -> int:
+    from dataingestionplayground_spark.ingest import CollectionStore, search_collection
+    from dataingestionplayground_spark.session import get_spark
+
+    spark = get_spark("dip-search")
+    store = CollectionStore(args.store or cfg["store_path"])
+    collection = args.collection or cfg["collection"]
+    if not store.exists(collection):
+        print(
+            f"error: collection {collection!r} not found "
+            f"(available: {', '.join(store.list_collections()) or 'none'})",
+            file=sys.stderr,
+        )
+        return 2
+
+    def run_one(query: str) -> None:
+        for row in search_collection(spark, store, collection, query, k=args.top_k).collect():
+            print(f"score={row.score:.4f} documentid={row.documentid}")
+            print(f"  context: {row.context}")
+            print(f"  content: {row.content[:200]}")
+
+    if args.query is not None:
+        run_one(args.query)
+        return 0
+    # REPL: empty/whitespace line exits (reference P5 guard)
+    while True:
+        try:
+            line = input("query> ")
+        except EOFError:
+            break
+        if not line.strip():
+            break
+        run_one(line)
+    return 0
+
+
+def cmd_list(args, cfg) -> int:
+    from dataingestionplayground_spark.ingest import CollectionStore
+
+    store = CollectionStore(args.store or cfg["store_path"])
+    for name in store.list_collections():
+        print(name)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dataingestionplayground-spark")
+    ap.add_argument("--config", help="JSON config (appsettings-style defaults)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_ing = sub.add_parser("ingest", help="parse -> chunk -> embed -> collection")
+    p_ing.add_argument("--reader", required=True, choices=["markdown", "pdf", "database"])
+    p_ing.add_argument("--collection")
+    p_ing.add_argument("--source")
+    p_ing.add_argument("--store")
+    p_ing.add_argument("--incremental", action="store_true")
+    p_ing.set_defaults(fn=cmd_ingest)
+
+    p_se = sub.add_parser("search", help="top-k cosine search over a collection")
+    p_se.add_argument("--collection")
+    p_se.add_argument("--store")
+    p_se.add_argument("--query", help="one-shot query (omit for REPL)")
+    p_se.add_argument("--top-k", type=int, default=1)
+    p_se.set_defaults(fn=cmd_search)
+
+    p_ls = sub.add_parser("list", help="list collections")
+    p_ls.add_argument("--store")
+    p_ls.set_defaults(fn=cmd_list)
+
+    args = ap.parse_args(argv)
+    cfg = _load_config(args.config)
+    return args.fn(args, cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,66 @@
+"""CLI surface tests (reference Program.cs flows E1/E2/E3)."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from dataingestionplayground_spark import cli
+
+
+@pytest.fixture()
+def cms_db(tmp_path):
+    db = tmp_path / "CMS.DB"
+    con = sqlite3.connect(db)
+    con.execute(
+        'CREATE TABLE "Items" ("Id" INTEGER PRIMARY KEY AUTOINCREMENT,'
+        ' "Title" TEXT NOT NULL, "Body" TEXT NOT NULL)'
+    )
+    con.execute(
+        'INSERT INTO "Items" ("Title", "Body") VALUES (?, ?)',
+        ("Databases", "A database is an organized collection of data.\n\nManaged by a DBMS."),
+    )
+    con.commit()
+    con.close()
+    return str(db)
+
+
+def test_cli_ingest_list_search_roundtrip(spark, cms_db, tmp_path, capsys):
+    store = str(tmp_path / "store")
+    rc = cli.main(
+        ["ingest", "--reader", "database", "--source", cms_db, "--collection", "docs",
+         "--store", store]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "Article #1: SUCCESS" in out
+
+    rc = cli.main(["list", "--store", store])
+    assert rc == 0 and capsys.readouterr().out.strip() == "docs"
+
+    rc = cli.main(
+        ["search", "--collection", "docs", "--store", store,
+         "--query", "organized collection of data", "--top-k", "1"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "documentid=Article #1" in out and "context: Databases" in out
+
+
+def test_cli_config_defaults(spark, cms_db, tmp_path, capsys):
+    cfg = tmp_path / "appsettings.json"
+    cfg.write_text(json.dumps({
+        "store_path": str(tmp_path / "store2"),
+        "collection": "cfgcoll",
+        "database_source": cms_db,
+    }))
+    rc = cli.main(["--config", str(cfg), "ingest", "--reader", "database"])
+    assert rc == 0 and "SUCCESS" in capsys.readouterr().out
+    cli.main(["--config", str(cfg), "list"])
+    assert capsys.readouterr().out.strip() == "cfgcoll"
+
+
+def test_cli_unknown_reader_rejected():
+    with pytest.raises(SystemExit):
+        cli.main(["ingest", "--reader", "nope"])
