@@ -12,6 +12,7 @@ from dataingestionplayground_spark.streaming.windows import (
     stream_dedup_within_watermark,
     stream_stateful_running_max,
 )
+from dataingestionplayground_spark.streaming.ingest import stream_ingest_markdown
 
 __all__ = [
     "stream_tumbling_counts",
@@ -19,4 +20,5 @@ __all__ = [
     "stream_session_windows",
     "stream_dedup_within_watermark",
     "stream_stateful_running_max",
+    "stream_ingest_markdown",
 ]

@@ -92,3 +92,20 @@ def test_multimodal_decode_stub_raises(spark):
     media = binary_with_metadata(df, "id", "mt", "data")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         extract_features(media, decoder=decode_stub).collect()
+
+
+def test_build_documents_rollup(spark):
+    from dataingestionplayground_spark.sources.documents import build_documents
+    from dataingestionplayground_spark.sources.markdown import parse_markdown_df
+
+    raw = spark.createDataFrame(
+        [("a.md", "# Title\n\npara one\n\npara two"), ("b.md", "just text")],
+        "doc_id string, content string",
+    )
+    docs = {r.doc_id: r for r in build_documents(parse_markdown_df(raw), "markdown").collect()}
+    assert docs["a.md"].source == "markdown"
+    assert len(docs["a.md"].sections) == 1
+    sec = docs["a.md"].sections[0]
+    assert sec.element_count == 3
+    assert sec.markdown.startswith("# Title")
+    assert docs["b.md"].sections[0].element_count == 1

@@ -92,3 +92,40 @@ def test_stream_stateful_running_max(spark, stream_dir):
     rows = {r.user_id: r for r in spark.sql(f"select * from {name}").collect()}
     assert rows[1].max_value == 3.0 and rows[1].n_seen == 4
     assert rows[2].max_value == 9.0
+
+
+def test_stream_ingest_markdown_exactly_once(spark, tmp_path):
+    """Streaming ingest: files arrive -> chunks appear in the collection;
+    restart/replay does not duplicate documents (idempotent sink)."""
+    import json
+
+    from dataingestionplayground_spark.ingest.store import CollectionStore
+    from dataingestionplayground_spark.streaming.ingest import stream_ingest_markdown
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    (watch / "b1.jsonl").write_text(
+        json.dumps({"doc_id": "d1", "content": "# T1\n\nalpha beta gamma delta"}) + "\n"
+        + json.dumps({"doc_id": "d2", "content": "# T2\n\nepsilon zeta eta theta"}) + "\n"
+    )
+    store = CollectionStore(str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_ingest_markdown(spark, str(watch), store, "live", ckpt, max_tokens=8, overlap=0)
+    q.awaitTermination()
+    first = store.read(spark, "live").collect()
+    docs = {r.documentid for r in first}
+    assert docs == {"d1", "d2"}
+    assert all(len(r.embedding) == 384 for r in first)
+
+    # second batch arrives + an already-seen document re-delivered
+    (watch / "b2.jsonl").write_text(
+        json.dumps({"doc_id": "d3", "content": "# T3\n\niota kappa"}) + "\n"
+        + json.dumps({"doc_id": "d1", "content": "# T1\n\nalpha beta gamma delta"}) + "\n"
+    )
+    q2 = stream_ingest_markdown(spark, str(watch), store, "live", ckpt, max_tokens=8, overlap=0)
+    q2.awaitTermination()
+    rows = store.read(spark, "live").collect()
+    assert {r.documentid for r in rows} == {"d1", "d2", "d3"}
+    n_d1 = sum(1 for r in rows if r.documentid == "d1")
+    assert n_d1 == sum(1 for r in first if r.documentid == "d1")  # no dupes
