@@ -21,6 +21,7 @@ from dataingestionplayground_spark.queries import all_queries  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     q = all_queries()["agg_pricing_summary"]
     return q.fn(spark, "/root/testdata/sf0.001")
 
@@ -36,6 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # timestamp semantics (date literals, year()/bucketing) are
+            # session-TZ-dependent; the DuckDB oracle is TZ-naive -> pin UTC
+            # regardless of how the driver built its session.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             ensure_package_on_workers(spark)
             return fn(spark, sf_dir)
 
