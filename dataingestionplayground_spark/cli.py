@@ -55,6 +55,11 @@ def _read_sqlite_articles(spark, db_path: str):
 
 
 def _elements_for(spark, reader: str, source: str):
+    """Returns (elements, attempted_doc_ids) — the attempted list drives
+    per-document failure reporting (a doc whose parse crashed or yielded
+    nothing comes back FAILURE, mirroring VectorStoreCommands.cs:163-167)."""
+    from pyspark.sql import functions as F
+
     from dataingestionplayground_spark.sources.database import articles_to_elements
     from dataingestionplayground_spark.sources.markdown import (
         parse_markdown_df,
@@ -63,15 +68,22 @@ def _elements_for(spark, reader: str, source: str):
     from dataingestionplayground_spark.sources.pdf import parse_pdf_df, read_pdf_dir
 
     if reader == "markdown":
-        return parse_markdown_df(read_markdown_dir(spark, source))
+        raw = read_markdown_dir(spark, source)
+        return parse_markdown_df(raw), raw.select("doc_id")
     if reader == "pdf":
-        return parse_pdf_df(read_pdf_dir(spark, source))
+        raw = read_pdf_dir(spark, source)
+        return parse_pdf_df(raw), raw.select("doc_id")
     if reader == "database":
         if source.startswith("jdbc:"):
             from dataingestionplayground_spark.sources.database import read_jdbc_articles
 
-            return articles_to_elements(read_jdbc_articles(spark, source))
-        return articles_to_elements(_read_sqlite_articles(spark, source))
+            articles = read_jdbc_articles(spark, source)
+        else:
+            articles = _read_sqlite_articles(spark, source)
+        ids = articles.select(
+            F.format_string("Article #%d", F.col("Id").cast("long")).alias("doc_id")
+        )
+        return articles_to_elements(articles), ids
     raise SystemExit(f"unknown reader: {reader}")
 
 
@@ -82,9 +94,13 @@ def cmd_ingest(args, cfg) -> int:
     spark = get_spark("dip-ingest")
     source = args.source or cfg[f"{args.reader}_source"]
     store = CollectionStore(args.store or cfg["store_path"])
-    elements = _elements_for(spark, args.reader, source)
+    elements, attempted = _elements_for(spark, args.reader, source)
     results = ingest_corpus(
-        elements, store, args.collection or cfg["collection"], incremental=args.incremental
+        elements,
+        store,
+        args.collection or cfg["collection"],
+        source_doc_ids=attempted,
+        incremental=args.incremental,
     )
     # per-document result lines, like the reference's SUCCESS/FAILURE log
     # (VectorStoreCommands.cs:163-167)

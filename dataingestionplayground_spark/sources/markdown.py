@@ -319,7 +319,16 @@ def parse_markdown_df(raw: DataFrame, id_col: str = "doc_id", content_col: str =
         for pdf in batches:
             rows: list[dict] = []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
-                rows.extend(elements_to_rows(str(doc_id), parse_markdown(str(doc_id), content or "")))
+                # per-document error isolation (reference semantics,
+                # VectorStoreCommands.cs:32-47): one pathological document
+                # yields zero elements — reported failed downstream by
+                # ingest_corpus(source_doc_ids=...) — never a dead job.
+                try:
+                    rows.extend(
+                        elements_to_rows(str(doc_id), parse_markdown(str(doc_id), content or ""))
+                    )
+                except Exception:
+                    continue
             yield pd.DataFrame(
                 rows, columns=[f.name for f in ELEMENT_SCHEMA.fields]
             ) if rows else pd.DataFrame(columns=[f.name for f in ELEMENT_SCHEMA.fields])

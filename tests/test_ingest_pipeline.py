@@ -134,3 +134,23 @@ def test_pipeline_reports_failed_documents(spark, md_elements, tmp_path):
     assert rows["ghost.md"].succeeded is False
     assert rows["ghost.md"].error == "no chunks produced"
     assert sum(1 for r in rows.values() if r.succeeded) == 6
+
+
+def test_parse_isolates_pathological_document(spark, tmp_path):
+    """A document that crashes the parser is reported FAILURE; the rest of
+    the corpus ingests (per-document isolation end to end)."""
+    from dataingestionplayground_spark.sources.markdown import parse_markdown_df
+
+    deep = ("> " * 4000) + "bottom"  # recursion-depth bomb for quote nesting
+    raw = spark.createDataFrame(
+        [("good.md", "# Fine\n\nnormal paragraph here"), ("evil.md", deep)],
+        "doc_id string, content string",
+    )
+    elements = parse_markdown_df(raw)
+    store = CollectionStore(str(tmp_path))
+    results = ingest_corpus(
+        elements, store, "iso2", source_doc_ids=raw.select("doc_id")
+    )
+    rows = {r.documentid: r for r in results.collect()}
+    assert rows["good.md"].succeeded is True
+    assert rows["evil.md"].succeeded is False

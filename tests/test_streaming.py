@@ -129,3 +129,28 @@ def test_stream_ingest_markdown_exactly_once(spark, tmp_path):
     assert {r.documentid for r in rows} == {"d1", "d2", "d3"}
     n_d1 = sum(1 for r in rows if r.documentid == "d1")
     assert n_d1 == sum(1 for r in first if r.documentid == "d1")  # no dupes
+
+
+def test_batch_stream_tumbling_parity(spark, stream_dir):
+    """The streaming tumbling window and the batch epoch-bucket query
+    produce identical aggregates on bounded input."""
+    from dataingestionplayground_spark.queries import all_queries
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    name = _run(stream_tumbling_counts(events, "10 minutes"), "t_parity", "complete")
+    stream_rows = {
+        (int(r.window_start.timestamp()), r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_df = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    batch_rows = {}
+    import pyspark.sql.functions as F
+
+    agg = (
+        batch_df.withColumn("ws", (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("long"))
+        .groupBy("ws", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    for r in agg.collect():
+        batch_rows[(r.ws, r.event_type)] = (r.n, round(r.v, 6))
+    assert stream_rows == batch_rows
