@@ -44,6 +44,7 @@ def all_queries() -> dict[str, Query]:
     from dataingestionplayground_spark.queries import (  # noqa: F401
         relational,
         relational2,
+        tpch3,
         windows,
         events,
         dedupq,

@@ -126,7 +126,7 @@ def unpivot_long_form(spark, sf):
     SELECT n_regionkey,
            list_sort(list(n_name)) AS nations,
            CAST(len(list(n_name)) AS INTEGER) AS n_nations,
-           list_contains(list(n_name), 'CHINA') AS has_china
+           list_contains(list(n_name), 'NATION_3') AS has_china
     FROM nation GROUP BY n_regionkey
     """,
 )
@@ -137,7 +137,7 @@ def array_agg_functions(spark, sf):
     return n.groupBy("n_regionkey").agg(
         F.array_sort(F.collect_list("n_name")).alias("nations"),
         F.size(F.collect_list("n_name")).alias("n_nations"),
-        F.array_contains(F.collect_list("n_name"), "CHINA").alias("has_china"),
+        F.array_contains(F.collect_list("n_name"), "NATION_3").alias("has_china"),
     )
 
 
