@@ -1,0 +1,199 @@
+"""Analytics batch: TF-IDF ranking, winnowing fingerprints, event funnels,
+cohort retention — the remaining classic text/event analytics shapes a
+training-data + product-analytics pipeline needs.
+
+All Catalyst built-ins (explode/join/window/conditional agg); float math
+(log) is evaluated with the same expression tree on both engines, so
+results stay hash-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import load_table as t
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TX.tokens_sql('text')}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf):
+    # TF-IDF: two hash aggs + a broadcastable term-df join + per-doc top-k.
+    # The df table is |vocabulary|-sized — tiny relative to the corpus, so
+    # it broadcasts at any corpus scale.
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))  # 1-row, stays in-plan
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            # ln() differs in the last ulp between JVM and libm ->
+            # round for cross-engine stability
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, g.i AS pos, md5(substr(text, g.i, 8)) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i) g
+    ), wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             pos
+      FROM grams
+    )
+    SELECT doc_id, fp AS fingerprint, COUNT(*) AS n_windows
+    FROM wins WHERE pos <= (SELECT max(pos) FROM grams g2 WHERE g2.doc_id = wins.doc_id) - 3
+    GROUP BY doc_id, fp
+    """,
+)
+def text_winnowing_fingerprints(spark, sf):
+    # Winnowing (local-min-hash selection): hash every 8-gram, take the min
+    # over each sliding window of 4 positions, keep distinct selected
+    # hashes — the standard plagiarism/near-dup fingerprint set, as one
+    # window function over (doc, pos).
+    d = t(spark, sf, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(TX.char_shingles("text", 8)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wins = grams.withColumn("fp", F.min("h").over(w))
+    max_pos = grams.groupBy("doc_id").agg(F.max("pos").alias("mx"))
+    return (
+        wins.join(F.broadcast(max_pos), "doc_id")
+        .filter(F.col("pos") <= F.col("mx") - 3)
+        .groupBy("doc_id", F.col("fp").alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_buy
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)
+def events_funnel(spark, sf):
+    # Ordered-sequence funnel with conversion windows (click within 24h of
+    # first view, purchase within 24h of that click):
+    # three stage aggregations, each joined to the previous stage's first
+    # event time. Stage tables are per-user (small) -> broadcast joins.
+    e = t(spark, sf, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    # single-row result assembled in-plan (no driver-side counts)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(floor(min(epoch(ts)) / 86400) AS BIGINT) AS first_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, CAST(floor(epoch(e.ts) / 86400) AS BIGINT) AS day
+      FROM events e
+    )
+    SELECT f.first_day AS cohort_day,
+           COUNT(DISTINCT f.user_id) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN a.day = f.first_day + 7 THEN a.user_id END) AS retained_d7
+    FROM firsts f LEFT JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.first_day
+    """,
+)
+def events_cohort_retention(spark, sf):
+    # Day-7 cohort retention: first-activity day per user (the cohort) vs
+    # distinct activity days. Both sides integer epoch-days -> exact.
+    e = t(spark, sf, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    firsts = e.select("user_id", day.alias("day")).groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    activity = e.select("user_id", day.alias("day")).distinct()
+    return (
+        firsts.join(activity, "user_id", "left")
+        .groupBy(F.col("first_day").alias("cohort_day"))
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("first_day") + 7, F.col("user_id"))
+            ).alias("retained_d7"),
+        )
+    )
