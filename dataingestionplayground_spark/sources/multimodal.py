@@ -80,6 +80,75 @@ def binary_with_metadata(df: DataFrame, id_col: str, type_col: str, content_col:
     )
 
 
+TRANSFORM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),  # resize|frame_sample
+        T.StructField("param", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+# transformer: (op, param, media_type, bytes) -> transformed bytes
+Transformer = Callable[[str, int, str, bytes], bytes]
+
+
+def transform_stub(op: str, param: int, media_type: str, data: bytes) -> bytes:  # pragma: no cover
+    """Real resize/frame-sample needs an imaging/video lib (absent here)."""
+    raise NotImplementedError(
+        f"media transform {op!r} requires an imaging/video library; inject "
+        "fake_transformer or a real Transformer"
+    )
+
+
+def fake_transformer(op: str, param: int, media_type: str, data: bytes) -> bytes:
+    """Deterministic fake preserving the contract shape: 'resize' truncates
+    payloads proportionally, 'frame_sample' keeps every param-th byte —
+    stand-ins with real batch plumbing until codecs are injected."""
+    if op == "resize":
+        keep = max(1, len(data) * min(param, 100) // 100)
+        return data[:keep]
+    if op == "frame_sample":
+        return data[:: max(param, 1)]
+    raise ValueError(op)
+
+
+def transform_media(
+    media: DataFrame, op: str, param: int, transformer: Transformer = transform_stub
+) -> DataFrame:
+    """Resize / frame-sample stage over BINARY content (Arrow-batched
+    mapInPandas; per-item error isolation -> NULL content on failure)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TRANSFORM_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                out = None
+                if r.content is not None:
+                    try:
+                        out = transformer(op, param, r.media_type, bytes(r.content))
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        pass
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "media_type": r.media_type,
+                        "op": op,
+                        "param": param,
+                        "content": out,
+                        "n_bytes": len(out) if out is not None else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+    return media.mapInPandas(run, schema=TRANSFORM_SCHEMA)
+
+
 def extract_features(media: DataFrame, decoder: Decoder = decode_stub) -> DataFrame:
     """Decode/feature-extract stage: Arrow batches in, per-row decode,
     errors isolated per item (failed decode -> NULL feature, job survives

@@ -109,3 +109,21 @@ def test_build_documents_rollup(spark):
     assert sec.element_count == 3
     assert sec.markdown.startswith("# Title")
     assert docs["b.md"].sections[0].element_count == 1
+
+
+def test_transform_media_ops(spark):
+    from dataingestionplayground_spark.sources.multimodal import (
+        binary_with_metadata,
+        fake_transformer,
+        transform_media,
+    )
+
+    df = spark.createDataFrame(
+        [("v1", "video/mp4", bytes(range(100)))], "id string, mt string, data binary"
+    )
+    media = binary_with_metadata(df, "id", "mt", "data")
+    resized = transform_media(media, "resize", 50, transformer=fake_transformer).collect()[0]
+    assert resized.n_bytes == 50 and resized.op == "resize"
+    sampled = transform_media(media, "frame_sample", 10, transformer=fake_transformer).collect()[0]
+    assert sampled.n_bytes == 10  # every 10th byte of 100
+    assert bytes(sampled.content) == bytes(range(100))[::10]
