@@ -197,3 +197,60 @@ def events_cohort_retention(spark, sf):
             ).alias("retained_d7"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.s1 / s.n)
+                 / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 4) AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.s1 / s.n)
+              / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark, sf):
+    # z-score outlier detection per event_type from decimal-exact power
+    # sums (one agg pass + a broadcast join back to the stream).
+    e = t(spark, sf, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).cast("double").alias("s2"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        j.filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+@register(
+    "events_heavy_hitters",
+    oracle="""
+    SELECT user_id, n_events, rk FROM (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(row_number() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS INTEGER) AS rk
+      FROM events GROUP BY user_id) WHERE rk <= 10
+    """,
+)
+def events_heavy_hitters(spark, sf):
+    # exact heavy hitters (top users by event volume); at 100 TB swap the
+    # exact count for approx_count_distinct / count-min sketches.
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)

@@ -145,3 +145,39 @@ def dedup_embedding_cosine(spark, sf):
         )
         .filter(F.col("cos_sim") >= 0.95)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_WIDE_SIG.strip().rstrip(')')}
+    ), bands AS ({_BANDS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+    ), comp AS (
+      SELECT id, min(comp) AS component FROM walk GROUP BY id
+    )
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.component, d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def dedup_clusters(spark, sf):
+    # pairs -> connected components (iterative min-label propagation) ->
+    # one kept representative per duplicate cluster. The DuckDB oracle
+    # computes true components with a recursive CTE; the distributed
+    # fixed-point converges to the same min-reachable-id labeling.
+    from dataingestionplayground_spark.operators.graph import dedup_clusters as dc
+
+    d = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    return dc(d, pairs, "doc_id")

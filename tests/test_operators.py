@@ -165,3 +165,20 @@ def test_ivf_ann_finds_exact_match(spark):
                     key=lambda r: r.rank)
     assert len(narrow) >= 1
     assert [r.rank for r in narrow] == list(range(1, len(narrow) + 1))
+
+
+def test_connected_components_and_cluster_dedup(spark):
+    from dataingestionplayground_spark.operators.graph import connected_components, dedup_clusters
+
+    # two chains + a singleton: {1-2-3-4}, {10-11}, {99}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.is_kept) for r in dedup_clusters(df, pairs, "doc_id").collect()}
+    assert out[99] == (99, True)  # singleton keeps itself
+    assert out[1] == (1, True) and out[4] == (1, False)
+    assert sum(1 for c, kept in out.values() if kept) == 3  # one rep per cluster
