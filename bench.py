@@ -55,12 +55,18 @@ def main():
         "noop"
     ).mode("overwrite").save()
 
+    # min of two runs per query: the steady-state number (first run can be
+    # polluted by codegen compilation / page-cache warmup / GC).
     timings = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()  # no cross-run cache reuse: honest timings
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

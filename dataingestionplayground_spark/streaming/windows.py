@@ -62,6 +62,36 @@ def stream_dedup_within_watermark(events: DataFrame, watermark: str = "30 minute
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``within`` interval.
+
+    Both sides carry watermarks so the join state is bounded (Spark drops
+    click state older than watermark + interval) — the canonical
+    attribution join running indefinitely at cluster scale.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - INTERVAL {within}"
+        ),
+    ).select("p_user", "purchase_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
+
+
 def stream_stateful_running_max(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running max
     event value per user across micro-batches."""

@@ -154,3 +154,20 @@ def test_batch_stream_tumbling_parity(spark, stream_dir):
     for r in agg.collect():
         batch_rows[(r.ws, r.event_type)] = (r.n, round(r.v, 6))
     assert stream_rows == batch_rows
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Purchases attribute to same-user clicks within the interval."""
+    from dataingestionplayground_spark.streaming import stream_stream_interval_join
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "view")  # stand-in stage
+    joined = stream_stream_interval_join(clicks, purchases, within="1 hour")
+    name = _run(joined, "t_ssj", "append")
+    rows = spark.sql(f"select * from {name}").collect()
+    # user 1: view @10:11 attributes to clicks @10:00 and @10:04 (dup click
+    # event_id 2 appears twice in the fixture -> 3 joined rows)
+    assert len(rows) == 3
+    assert all(r.p_user == 1 for r in rows)
+    assert all(r.click_ts <= r.purchase_ts for r in rows)
