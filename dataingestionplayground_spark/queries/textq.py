@@ -177,3 +177,65 @@ def json_extract_props(spark, sf):
         .groupBy("k_value")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# Char-trigram profiles (public-knowledge frequent trigrams per language).
+# Score = total occurrences of profile trigrams in the lowercased text
+# (counted via length-delta of replace, no regex) — the classic n-gram
+# language-ID heuristic, complementary to the stopword classifier above.
+_TRIGRAMS = {
+    "en": ["the", "and", "ing", "ion", "ent"],
+    "es": ["que", "ent", "con", "ado", "cio"],
+    "fr": ["les", "ent", "ion", "que", "our"],
+    "de": ["der", "ein", "sch", "ich", "und"],
+    "zh": ["ang", "eng", "ong", "ian", "uan"],
+}
+
+
+def _tri_score(col: str, lang: str) -> str:
+    # occurrences*3 of each profile trigram, summed (no division needed
+    # for argmax); identical expression on both engines.
+    terms = [
+        f"(length({col}) - length(replace({col}, '{g}', '')))" for g in _TRIGRAMS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_TRI_PRED = (
+    "CASE WHEN t_en >= t_es AND t_en >= t_fr AND t_en >= t_de AND t_en >= t_zh THEN 'en' "
+    "WHEN t_es >= t_fr AND t_es >= t_de AND t_es >= t_zh THEN 'es' "
+    "WHEN t_fr >= t_de AND t_fr >= t_zh THEN 'fr' "
+    "WHEN t_de >= t_zh THEN 'de' ELSE 'zh' END"
+)
+
+
+@register(
+    "text_language_id_ngram",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {', '.join(f"CAST({_tri_score('lower(text)', lg)} AS INTEGER) AS t_{lg}" for lg in _TRIGRAMS)}
+      FROM documents
+    )
+    SELECT doc_id, {_TRI_PRED} AS pred_lang, t_en, t_es,
+           CASE WHEN {_TRI_PRED} = lang THEN 1 ELSE 0 END AS is_match
+    FROM scored
+    """,
+)
+def text_language_id_ngram(spark, sf):
+    d = t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(f"CAST({_tri_score('lower(text)', lg)} AS INT)").alias(f"t_{lg}")
+            for lg in _TRIGRAMS
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        F.expr(_TRI_PRED).alias("pred_lang"),
+        "t_en",
+        "t_es",
+        F.expr(f"CASE WHEN {_TRI_PRED} = lang THEN 1 ELSE 0 END").alias("is_match"),
+    )

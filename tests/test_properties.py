@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) on the pure-Python operator cores —
+the invariants that must hold for ANY input, not just fixtures.
+Spark stays out of the hypothesis loop (too slow per example); these
+cover the logic the Spark stages wrap.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataingestionplayground_spark.ingest.chunker import semantic_splits, token_windows
+from dataingestionplayground_spark.ingest.embed import hash_embed
+from dataingestionplayground_spark.sources.markdown import parse_markdown
+
+KINDS = {"header", "paragraph", "footer", "image", "table", "section", "code"}
+
+texts = st.text(alphabet=string.printable, max_size=2000)
+tokens = st.lists(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8), max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(tokens, st.integers(1, 50))
+def test_token_windows_cover_exactly_without_overlap(toks, max_tokens):
+    wins = token_windows(toks, max_tokens, overlap=0)
+    flat = [t for w in wins for t in w]
+    assert flat == toks  # partition: no loss, no duplication, order kept
+    assert all(1 <= len(w) <= max_tokens for w in wins)
+
+
+@settings(max_examples=200, deadline=None)
+@given(tokens, st.integers(2, 50), st.integers(0, 10))
+def test_token_windows_overlap_invariants(toks, max_tokens, overlap):
+    overlap = min(overlap, max_tokens - 1)
+    wins = token_windows(toks, max_tokens, overlap)
+    assert all(len(w) <= max_tokens for w in wins)
+    # consecutive windows share exactly `overlap` tokens (except the tail)
+    for a, b in zip(wins, wins[1:]):
+        assert a[len(a) - overlap :] == b[:overlap] or len(b) < max_tokens
+    # every token position is covered
+    step = max_tokens - overlap
+    covered = sum(1 for i, _ in enumerate(toks) if i < len(wins) * step + overlap)
+    assert covered == len(toks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_parse_markdown_total_and_deterministic(text):
+    """The parser never raises on arbitrary printable input, emits only
+    known element kinds, and is deterministic."""
+    els1 = parse_markdown("d", text)
+    els2 = parse_markdown("d", text)
+    assert [e.kind for e in els1] == [e.kind for e in els2]
+    assert all(e.kind in KINDS for e in els1)
+    # non-section elements carry markdown; text-bearing kinds carry text
+    for e in els1:
+        if e.kind in ("paragraph", "footer", "header"):
+            assert e.text and e.text.strip()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " .", min_size=1, max_size=60), max_size=10),
+       st.floats(0.0, 1.0), st.integers(1, 64))
+def test_semantic_splits_respect_content(sentences, threshold, max_tokens):
+    sentences = [s for s in sentences if s.strip()]
+    chunks = semantic_splits(sentences, hash_embed, threshold, max_tokens)
+    # every sentence lands in exactly one chunk, in order
+    assert " ".join(chunks).split() == " ".join(sentences).split()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase + " ", max_size=200))
+def test_hash_embed_deterministic_unit_norm(text):
+    import math
+
+    v = hash_embed(text)
+    assert v == hash_embed(text)
+    assert len(v) == 384
+    n = math.sqrt(sum(x * x for x in v))
+    assert n == 0.0 or abs(n - 1.0) < 1e-3
