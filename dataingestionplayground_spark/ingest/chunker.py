@@ -90,6 +90,34 @@ def semantic_splits(
     return [" ".join(c) for c in chunks]
 
 
+def _chunk_doc(
+    pdf: pd.DataFrame,
+    strategy: str,
+    max_tokens: int,
+    overlap: int,
+    threshold: float,
+    embed,
+) -> pd.DataFrame:
+    """Chunk ONE document's (already sorted) element rows."""
+    doc_id = pdf["doc_id"].iloc[0]
+    headers = pdf[pdf["kind"] == "header"]
+    context = headers["text"].iloc[0] if len(headers) else None
+    body = " ".join(t for t in pdf["text"].tolist() if t)
+    if strategy == "token_window":
+        contents = [" ".join(w) for w in token_windows(body.split(), max_tokens, overlap)]
+    else:
+        sentences = [s for s in _SENT_RE.split(body) if s.strip()]
+        contents = semantic_splits(sentences, embed, threshold, max_tokens)
+    return pd.DataFrame(
+        {
+            "documentid": [doc_id] * len(contents),
+            "chunk_idx": list(range(len(contents))),
+            "content": contents,
+            "context": [context] * len(contents),
+        }
+    )
+
+
 def chunk_elements(
     elements: DataFrame,
     max_tokens: int = 64,
@@ -99,7 +127,14 @@ def chunk_elements(
     embed: Callable[[str], list[float]] | None = None,
 ) -> DataFrame:
     """Element rows -> chunk-stage rows (documentid, chunk_idx, content,
-    context), grouped per document (one shuffle on doc_id)."""
+    context); one shuffle on doc_id.
+
+    Implementation: repartition+sort by doc_id, then ``mapInPandas`` with
+    a carry-over buffer for documents that straddle Arrow batches — one
+    Python call per ~10k-row batch instead of one per document
+    (``applyInPandas`` per tiny group was the pipeline's bottleneck:
+    ~5ms/doc of per-group overhead).
+    """
     if strategy not in ("token_window", "semantic"):
         raise ValueError(strategy)
     if strategy == "semantic" and embed is None:
@@ -107,26 +142,35 @@ def chunk_elements(
 
         embed = hash_embed
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["section_idx", "block_idx"])
-        doc_id = pdf["doc_id"].iloc[0]
-        headers = pdf[pdf["kind"] == "header"]
-        context = headers["text"].iloc[0] if len(headers) else None
-        texts = [t for t in pdf["text"].tolist() if t]
-        body = " ".join(texts)
-        if strategy == "token_window":
-            toks = body.split()
-            contents = [" ".join(w) for w in token_windows(toks, max_tokens, overlap)]
-        else:
-            sentences = [s for s in _SENT_RE.split(body) if s.strip()]
-            contents = semantic_splits(sentences, embed, threshold, max_tokens)
-        return pd.DataFrame(
-            {
-                "documentid": [doc_id] * len(contents),
-                "chunk_idx": list(range(len(contents))),
-                "content": contents,
-                "context": [context] * len(contents),
-            }
-        )
+    prepared = (
+        elements.select("doc_id", "section_idx", "block_idx", "kind", "text")
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id", "section_idx", "block_idx")
+    )
+    cols = [f.name for f in CHUNK_STAGE_SCHEMA.fields]
 
-    return elements.groupBy("doc_id").applyInPandas(per_doc, schema=CHUNK_STAGE_SCHEMA)
+    def chunk_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _chunk_doc(g, strategy, max_tokens, overlap, threshold, embed)
+            for _, g in pdf.groupby("doc_id", sort=False)
+        ]
+        return pd.concat(outs) if outs else pd.DataFrame(columns=cols)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # hold back the last document: it may continue in the next batch
+            last_doc = pdf["doc_id"].iloc[-1]
+            carry = pdf[pdf["doc_id"] == last_doc]
+            main = pdf[pdf["doc_id"] != last_doc]
+            if len(main):
+                yield chunk_docs(main)
+        if carry is not None and len(carry):
+            yield chunk_docs(carry)
+
+    return prepared.mapInPandas(run, schema=CHUNK_STAGE_SCHEMA)
