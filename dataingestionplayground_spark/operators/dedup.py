@@ -20,7 +20,7 @@ versions — a property Spark's ``hash()``/``xxhash64()`` does not give.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions import text as TX

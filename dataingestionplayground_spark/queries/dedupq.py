@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions import text as TX
-from dataingestionplayground_spark.functions.vector import cosine_similarity, cosine_sql
 from dataingestionplayground_spark.operators.dedup import (
     _lane_expr_duck,
     exact_dedup,

@@ -632,3 +632,59 @@ def date_functions(spark, sf):
         .groupBy("o_year", "o_month")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("monthly_value"))
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           coalesce(CAST(c.n_cust AS BIGINT), 0) AS n_cust,
+           coalesce(CAST(s.n_supp AS BIGINT), 0) AS n_supp
+    FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+          WHERE c_acctbal > 9990 GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+                     WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer(spark, sf):
+    # FULL OUTER preserving both unmatched sides (rare-key aggregates so
+    # each side genuinely has keys the other lacks).
+    c = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9990)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def set_union_all(spark, sf):
+    # UNION ALL (bag semantics) vs the distinct UNION above.
+    c, s = t(spark, sf, "customer"), t(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .unionAll(s.select(F.col("s_nationkey").alias("nationkey")))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions import text as TX
-from dataingestionplayground_spark.functions.portable import davg_expr, dsum_expr
+from dataingestionplayground_spark.functions.portable import davg_expr
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
 

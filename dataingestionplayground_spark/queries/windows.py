@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dataingestionplayground_spark.functions.portable import dsum_expr
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
 

@@ -3,8 +3,6 @@ physical operator — the scale properties SURVEY.md §4.3 relies on."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from dataingestionplayground_spark.plans import (
     has_broadcast_join,
     physical_plan,

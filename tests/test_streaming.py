@@ -134,8 +134,6 @@ def test_stream_ingest_markdown_exactly_once(spark, tmp_path):
 def test_batch_stream_tumbling_parity(spark, stream_dir):
     """The streaming tumbling window and the batch epoch-bucket query
     produce identical aggregates on bounded input."""
-    from dataingestionplayground_spark.queries import all_queries
-
     events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
     name = _run(stream_tumbling_counts(events, "10 minutes"), "t_parity", "complete")
     stream_rows = {
