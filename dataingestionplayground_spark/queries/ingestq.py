@@ -97,10 +97,28 @@ def multimodal_metadata(spark, sf):
     )
 
 
-@register("multimodal_features", oracle=None)  # Python decode stage: rows-only
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             'text/plain' AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS h
+      FROM documents
+    )
+    SELECT media_id, media_type, n_bytes,
+           CAST(16 + ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS INTEGER) AS width,
+           CAST(16 + ((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 64 AS INTEGER) AS height,
+           [CAST(round(((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 6, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 8, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 10, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 11, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 12, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 14, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 15, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 16, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 17, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 18, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 19, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 20, 1)) - 1)) / 255.0, 6) AS REAL)] AS feature
+    FROM base
+    """,
+)
 def multimodal_features(spark, sf):
     # Decode/feature-extract plumbing through mapInPandas with the
-    # deterministic fake decoder (real codecs absent from this image).
+    # deterministic fake decoder (real codecs absent from this image);
+    # the oracle replicates the fake decoder (sha256 nibble decode) in
+    # SQL so even the Python stage is value-checked.
     from dataingestionplayground_spark.sources.multimodal import (
         binary_with_metadata,
         extract_features,
@@ -116,8 +134,30 @@ def multimodal_features(spark, sf):
     return extract_features(media, decoder=fake_decoder)
 
 
-@register("ingest_pipeline_e2e", oracle=None)  # embedding stage: rows-only
+@register(
+    "ingest_pipeline_e2e",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(c - 1 AS INTEGER) AS chunk_idx,
+             array_to_string(w[(c - 1) * 64 + 1 : c * 64], ' ') AS content
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS c)
+      WHERE (c - 1) * 64 < len(w)
+    )
+    SELECT doc_id AS documentid,
+           md5(concat(doc_id, ':', CAST(chunk_idx AS VARCHAR))) AS "key",
+           384 AS dims,
+           CAST(length(content) AS INTEGER) AS n_chars
+    FROM chunks
+    """,
+)
 def ingest_pipeline_e2e(spark, sf):
+    # The embedding VALUES are non-SQL (hash model), but every other
+    # observable — chunk boundaries, keys, dimensionality — is, so the
+    # oracle checks the full pipeline shape, not just row counts.
     # Full parse->chunk->embed composition over the documents table (texts
     # treated as single-paragraph docs), returning chunk records with
     # 384-d deterministic embeddings (ingest.pipeline.build_chunk_records).
