@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # session-TZ-dependent; the DuckDB oracle is TZ-naive -> pin UTC
             # regardless of how the driver built its session.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # sane execution conf on foreign sessions (a default 200-part
+            # shuffle over-parallelizes small SFs; AQE fixes it at any SF)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
             ensure_package_on_workers(spark)
             return fn(spark, sf_dir)
 
