@@ -25,10 +25,13 @@ def asof_join(
     value_cols: Sequence[str],
     direction: str = "backward",
     tie_col: str | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row attach the latest right row with
     right_ts <= left_ts ('backward'; 'forward' takes the earliest >=),
     matching on equality of ``on`` keys. Unmatched left rows keep NULLs.
+    ``allow_exact_matches=False`` makes the comparison strict (< / >),
+    mirroring the pandas ``merge_asof`` knob.
 
     Ties on right_ts are broken by ``tie_col`` (the max wins for backward,
     min for forward) so results are deterministic.
@@ -65,12 +68,15 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs)
 
+    # side ordering encodes inclusivity: right(0) before left(1) at equal
+    # ts => <= / >=; flipping puts equal-ts right rows after the left row,
+    # outside its unbounded-preceding frame => strict < / >.
+    side_order = F.asc("__side") if allow_exact_matches else F.desc("__side")
     if direction == "backward":
-        # right rows sort before left rows at equal ts => inclusive <=;
         # among equal (ts): max tie wins (last in asc order).
-        order = [F.asc("__ts"), F.asc("__side"), F.asc_nulls_first("__tie")]
+        order = [F.asc("__ts"), side_order, F.asc_nulls_first("__tie")]
     else:
-        order = [F.desc("__ts"), F.asc("__side"), F.desc_nulls_first("__tie")]
+        order = [F.desc("__ts"), side_order, F.desc_nulls_first("__tie")]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

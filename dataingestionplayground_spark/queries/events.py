@@ -131,3 +131,26 @@ def events_sessionize(spark, sf):
     e = t(spark, sf, "events")
     sess = sessionize(e, "user_id", "ts", gap_seconds=1800)
     return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "events_map_functions",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def events_map_functions(spark, sf):
+    # MapType surface: parse the JSON props into MAP<STRING,INT>, expose
+    # map_keys / cardinality / element access (SURVEY §2.8 map_* row).
+    e = t(spark, sf, "events").filter(F.col("event_id") % 50 == 0)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        m.getItem("k").alias("k_val"),
+    )

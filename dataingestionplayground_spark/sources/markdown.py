@@ -231,14 +231,38 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
             previous_was_break = False
             continue
 
-        # paragraph (possibly an image, possibly a footer)
+        # paragraph (possibly an image, a setext heading, or a footer)
         j = i
         p_lines = []
         while j < len(lines) and lines[j].strip() and not _BREAK_RE.match(lines[j].strip()) \
                 and not _ATX_RE.match(lines[j].strip()) and not lines[j].strip().startswith((">", "```")) \
                 and not _LIST_ITEM_RE.match(lines[j]) and not _TABLE_ROW_RE.match(lines[j]):
+            if p_lines and re.fullmatch(r"=+|-+", lines[j].strip()):
+                break  # setext underline terminates the paragraph
             p_lines.append(lines[j].strip())
             j += 1
+        # setext heading: a one-line paragraph underlined with === (H1) or
+        # --- (H2). The underline wins over thematic-break interpretation
+        # when it directly follows paragraph text (CommonMark precedence).
+        if p_lines and j < len(lines):
+            underline = lines[j].strip()
+            if re.fullmatch(r"=+", underline) or (
+                re.fullmatch(r"-+", underline) and len(p_lines) == 1
+            ):
+                level = 1 if underline.startswith("=") else 2
+                txt = _inline_text(" ".join(p_lines))
+                if txt:
+                    elements.append(
+                        Element(
+                            "header",
+                            markdown="\n".join(p_lines + [underline]),
+                            text=txt,
+                            level=level,
+                        )
+                    )
+                previous_was_break = False
+                i = j + 1
+                continue
         md_block = "\n".join(p_lines)
 
         im = _IMAGE_RE.match(md_block.strip())

@@ -101,3 +101,17 @@ def test_order_preserved():
     md = "# T\n\np1\n\n| a |\n| --- |\n| 1 |\n\np2\n"
     els = parse_markdown("d", md)
     assert kinds(els) == ["header", "paragraph", "table", "paragraph"]
+
+
+def test_setext_headers():
+    els = parse_markdown("d", "Main Title\n===\n\nSub Title\n---\n\nbody text\n")
+    assert kinds(els) == ["header", "header", "paragraph"]
+    assert (els[0].text, els[0].level) == ("Main Title", 1)
+    assert (els[1].text, els[1].level) == ("Sub Title", 2)
+
+
+def test_setext_vs_thematic_break_precedence():
+    # underline directly after text = setext H2; isolated --- = break
+    els = parse_markdown("d", "Heading\n---\n\npara\n\n---\n\nfooter after break\n")
+    assert kinds(els) == ["header", "paragraph", "footer"]
+    assert els[0].level == 2

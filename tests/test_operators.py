@@ -182,3 +182,17 @@ def test_connected_components_and_cluster_dedup(spark):
     assert out[99] == (99, True)  # singleton keeps itself
     assert out[1] == (1, True) and out[4] == (1, False)
     assert sum(1 for c, kept in out.values() if kept) == 3  # one rep per cluster
+
+
+def test_asof_strict_excludes_exact(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), "x")], "k long, t timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), 5), (1, ts("2024-01-01T09:00:00"), 3)],
+        "k long, rt timestamp, v long",
+    )
+    inclusive = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt",
+                          value_cols=["v"], tie_col="v")
+    strict = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt",
+                       value_cols=["v"], tie_col="v", allow_exact_matches=False)
+    assert inclusive.collect()[0].v == 5  # equal ts matches
+    assert strict.collect()[0].v == 3     # equal ts excluded -> earlier row
