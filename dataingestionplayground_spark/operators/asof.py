@@ -107,7 +107,7 @@ def range_join(
     approximate the typical interval width (1-2 buckets per interval).
     """
     lb = left.withColumn("__bucket", F.floor(F.col(left_point) / bucket_width))
-    rb = right.withColumn(
+    rb = right.filter(F.col(right_hi) >= F.col(right_lo)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -115,7 +115,7 @@ def range_join(
                 F.floor(F.col(right_hi) / bucket_width),
             )
         ),
-    )
+    )  # inverted intervals match nothing (and would make sequence() descend)
     on = ["__bucket", *extra_on]
     return (
         lb.join(rb, on=on, how="inner")

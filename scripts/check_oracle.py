@@ -42,6 +42,13 @@ def canon(val):
     return str(val)
 
 
+def _norm_type(t: str) -> str:
+    """Normalize Arrow type spellings that compare equal for our purposes."""
+    t = t.replace("large_string", "string").replace("large_list", "list")
+    t = t.replace("timestamp[us]", "timestamp").replace("timestamp[ns]", "timestamp")
+    return t
+
+
 def rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -89,6 +96,19 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            # dtype comparison via Arrow (what the driver's schema check sees)
+            try:
+                sa = {f.name: _norm_type(str(f.type)) for f in sdf.limit(0).toArrow().schema}
+                da = {
+                    f.name: _norm_type(str(f.type))
+                    for f in con.execute(oracles[name]).fetch_arrow_table().schema
+                }
+                diffs = {c: (sa[c], da[c]) for c in sa if sa[c] != da.get(c)}
+                if diffs:
+                    print(f"  dtype-note {name}: {diffs}")
+            except Exception:
+                pass
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:

@@ -196,3 +196,12 @@ def test_asof_strict_excludes_exact(spark):
                        value_cols=["v"], tie_col="v", allow_exact_matches=False)
     assert inclusive.collect()[0].v == 5  # equal ts matches
     assert strict.collect()[0].v == 3     # equal ts excluded -> earlier row
+
+
+def test_range_join_inverted_interval_matches_nothing(spark):
+    points = spark.createDataFrame([(5.0,)], "p double")
+    bands = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 10.0, 0.0)], "band long, lo double, hi double"
+    )
+    out = range_join(points, bands, "p", "lo", "hi", bucket_width=5.0).collect()
+    assert [r.band for r in out] == [1]  # inverted band 2 dropped, no crash
