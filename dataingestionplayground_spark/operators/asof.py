@@ -45,6 +45,9 @@ def asof_join(
         raise ValueError(direction)
     on = list(on)
     value_cols = list(value_cols)
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
     tie = tie_col if tie_col is not None else value_cols[0]
 
     lhs = left.select(

@@ -120,23 +120,21 @@ def text_token_stats(spark, sf):
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id, {TX.fingerprint_sql('text')} AS fingerprint,
-           min(md5(s)) AS min_shingle_hash
-    FROM (SELECT doc_id, text, unnest({TX.char_shingles_sql('text', 16)}) AS s FROM documents)
-    GROUP BY doc_id, text
+           list_min(list_transform({TX.char_shingles_sql('text', 16)}, s -> md5(s))) AS min_shingle_hash
+    FROM documents
     """,
 )
 def text_fingerprint(spark, sf):
-    # Whole-doc fingerprint + winnowing-style min rolling-hash over 16-char
-    # shingles (the char-shingle min-hash is the rolling-hash fingerprint).
+    # Whole-doc fingerprint + min rolling-hash over 16-char shingles. The
+    # min is computed INSIDE the projection (array_min over the shingle
+    # array) — no explode, no shuffle: one pass over documents instead of
+    # aggregating |text| rows per document.
     d = t(spark, sf, "documents")
-    return (
-        d.select(
-            "doc_id",
-            TX.fingerprint("text").alias("fingerprint"),
-            F.explode(TX.char_shingles("text", 16)).alias("s"),
-        )
-        .groupBy("doc_id", "fingerprint")
-        .agg(F.min(F.md5("s")).alias("min_shingle_hash"))
+    shingles = TX.char_shingles("text", 16)
+    return d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fingerprint"),
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("min_shingle_hash"),
     )
 
 

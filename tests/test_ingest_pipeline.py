@@ -154,3 +154,32 @@ def test_parse_isolates_pathological_document(spark, tmp_path):
     rows = {r.documentid: r for r in results.collect()}
     assert rows["good.md"].succeeded is True
     assert rows["evil.md"].succeeded is False
+
+
+def test_store_drop_and_reread(spark, md_elements, tmp_path):
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "temp")
+    assert store.exists("temp")
+    store.drop("temp")
+    assert not store.exists("temp") and store.list_collections() == []
+    store.drop("temp")  # idempotent
+
+
+def test_search_k_larger_than_collection(spark, md_elements, tmp_path):
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "small", max_tokens=512)
+    n = store.read(spark, "small").count()
+    hits = search_collection(spark, store, "small", "anything", k=n + 100).collect()
+    assert len(hits) == n  # k beyond collection size returns everything
+
+
+def test_articles_with_empty_body(spark, tmp_path):
+    articles = spark.createDataFrame(
+        [(1, "Only Title", ""), (2, "Real", "body line")], "Id long, Title string, Body string"
+    )
+    els = articles_to_elements(articles)
+    store = CollectionStore(str(tmp_path))
+    results = ingest_corpus(els, store, "eb")
+    res = {r.documentid: r.succeeded for r in results.collect()}
+    # title-only article still chunks (the header text is content)
+    assert res == {"Article #1": True, "Article #2": True}
