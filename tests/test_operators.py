@@ -205,3 +205,38 @@ def test_range_join_inverted_interval_matches_nothing(spark):
     )
     out = range_join(points, bands, "p", "lo", "hi", bucket_width=5.0).collect()
     assert [r.band for r in out] == [1]  # inverted band 2 dropped, no crash
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized (seeded) cross-check against pandas merge_asof — an
+    independent reference implementation of as-of semantics."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "t": pd.to_datetime(rng.integers(0, 100_000, 300), unit="s"),
+    }).sort_values("t").reset_index(drop=True)
+    left_pd["row_id"] = range(len(left_pd))
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 6, 200),
+        "rt": pd.to_datetime(rng.integers(0, 100_000, 200), unit="s"),
+        "val": rng.integers(0, 10_000, 200),
+    }).sort_values("rt").reset_index(drop=True)
+    # make (k, rt) unique so both implementations tie-break identically
+    right_pd = right_pd.drop_duplicates(subset=["k", "rt"]).reset_index(drop=True)
+
+    expected = pd.merge_asof(left_pd, right_pd, left_on="t", right_on="rt", by="k")
+
+    out = asof_join(
+        spark.createDataFrame(left_pd[["k", "t", "row_id"]]),
+        spark.createDataFrame(right_pd),
+        on=["k"], left_ts="t", right_ts="rt", value_cols=["val"], tie_col="val",
+    ).collect()
+    got = {r.row_id: r.val for r in out}
+    exp = {
+        int(r.row_id): (None if pd.isna(r.val) else int(r.val))
+        for r in expected.itertuples()
+    }
+    assert got == exp
