@@ -30,6 +30,8 @@ DEFAULTS = {
     "markdown_source": "./Content/Markdown",
     "pdf_source": "./Content/Pdf",
     "database_source": "./Content/Database/CMS.DB",
+    "jsonl_source": "./Content/corpus.jsonl",
+    "csv_source": "./Content/corpus.csv",
     "dimensions": 384,
 }
 
@@ -70,6 +72,15 @@ def _elements_for(spark, reader: str, source: str):
     if reader == "markdown":
         raw = read_markdown_dir(spark, source)
         return parse_markdown_df(raw), raw.select("doc_id")
+    if reader in ("jsonl", "csv"):
+        from dataingestionplayground_spark.sources.textfiles import (
+            docs_to_elements,
+            read_csv_docs,
+            read_jsonl_docs,
+        )
+
+        raw = (read_jsonl_docs if reader == "jsonl" else read_csv_docs)(spark, source)
+        return docs_to_elements(raw), raw.select("doc_id")
     if reader == "pdf":
         raw = read_pdf_dir(spark, source)
         return parse_pdf_df(raw), raw.select("doc_id")
@@ -163,7 +174,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_ing = sub.add_parser("ingest", help="parse -> chunk -> embed -> collection")
-    p_ing.add_argument("--reader", required=True, choices=["markdown", "pdf", "database"])
+    p_ing.add_argument("--reader", required=True,
+                       choices=["markdown", "pdf", "database", "jsonl", "csv"])
     p_ing.add_argument("--collection")
     p_ing.add_argument("--source")
     p_ing.add_argument("--store")

@@ -58,9 +58,13 @@ class CollectionStore:
             spark = chunks.sparkSession
             existing = self.read(spark, collection).select("documentid").distinct()
             out = out.join(existing, "documentid", "left_anti")
-            out.repartition("documentid").write.mode("append").parquet(path)
+            out.repartition("documentid").write.option("compression", "zstd").mode(
+                "append"
+            ).parquet(path)
         else:
-            out.repartition("documentid").write.mode("overwrite").parquet(path)
+            out.repartition("documentid").write.option("compression", "zstd").mode(
+                "overwrite"
+            ).parquet(path)
 
     def drop(self, collection: str) -> None:
         if self.exists(collection):

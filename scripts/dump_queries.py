@@ -1,0 +1,45 @@
+"""Regenerate QUERIES.md: the full registry index (name, module,
+oracle status, one-line description from the implementation comment).
+
+Usage: python scripts/dump_queries.py
+"""
+
+from __future__ import annotations
+
+import inspect
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dataingestionplayground_spark.queries import all_queries
+
+
+def first_comment(fn) -> str:
+    src = inspect.getsource(fn)
+    m = re.search(r"^\s*#\s*(.+)$", src, re.MULTILINE)
+    return m.group(1).strip() if m else ""
+
+
+def main():
+    reg = all_queries()
+    lines = [
+        "# QUERIES — registry index (regenerate: `python scripts/dump_queries.py`)\n",
+        f"{len(reg)} queries; **[oracle]** = hash-matched vs DuckDB at sf0.01,",
+        "**[rows]** = rows-only (approximate/sketch results by construction).\n",
+        "| query | check | module | summary |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(reg):
+        q = reg[name]
+        mod = q.fn.__module__.split(".")[-1]
+        check = "oracle" if q.oracle is not None else "rows"
+        lines.append(f"| `{name}` | {check} | {mod} | {first_comment(q.fn)[:90]} |")
+    Path("QUERIES.md").write_text("\n".join(lines) + "\n")
+    n_oracle = sum(1 for q in reg.values() if q.oracle is not None)
+    print(f"wrote QUERIES.md: {len(reg)} queries, {n_oracle} oracle-matched")
+
+
+if __name__ == "__main__":
+    main()

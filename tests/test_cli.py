@@ -64,3 +64,28 @@ def test_cli_config_defaults(spark, cms_db, tmp_path, capsys):
 def test_cli_unknown_reader_rejected():
     with pytest.raises(SystemExit):
         cli.main(["ingest", "--reader", "nope"])
+
+
+def test_cli_jsonl_and_csv_readers(spark, tmp_path, capsys):
+    import json as _json
+
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text(
+        _json.dumps({"doc_id": "j1", "text": "jsonl document about databases"}) + "\n"
+        + _json.dumps({"doc_id": "j2", "text": ""}) + "\n"  # empty -> FAILURE
+    )
+    store = str(tmp_path / "store")
+    rc = cli.main(["ingest", "--reader", "jsonl", "--source", str(jl),
+                   "--collection", "jd", "--store", store])
+    out = capsys.readouterr().out
+    assert "j1: SUCCESS" in out and "j2: FAILURE" in out and rc == 1
+
+    cs = tmp_path / "corpus.csv"
+    cs.write_text('doc_id,text\nc1,"csv document about spark engines"\n')
+    rc = cli.main(["ingest", "--reader", "csv", "--source", str(cs),
+                   "--collection", "cd", "--store", store])
+    assert "c1: SUCCESS" in capsys.readouterr().out and rc == 0
+
+    rc = cli.main(["search", "--collection", "jd", "--store", store,
+                   "--query", "databases", "--top-k", "1"])
+    assert "documentid=j1" in capsys.readouterr().out
