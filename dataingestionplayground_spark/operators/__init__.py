@@ -15,6 +15,13 @@ from dataingestionplayground_spark.operators.dedup import (
 from dataingestionplayground_spark.operators.similarity import ivf_ann, knn_brute_force, lsh_bucket_ann
 from dataingestionplayground_spark.operators.asof import asof_join, range_join
 from dataingestionplayground_spark.operators.sessionize import sessionize
+from dataingestionplayground_spark.operators.graph import connected_components, dedup_clusters
+from dataingestionplayground_spark.operators.skew import (
+    salted_agg,
+    salted_skew_join,
+    write_bucketed,
+    bucketed_join,
+)
 
 __all__ = [
     "exact_dedup",
@@ -28,4 +35,10 @@ __all__ = [
     "asof_join",
     "range_join",
     "sessionize",
+    "connected_components",
+    "dedup_clusters",
+    "salted_agg",
+    "salted_skew_join",
+    "write_bucketed",
+    "bucketed_join",
 ]
