@@ -389,3 +389,42 @@ def sample_systematic(spark, sf):
     return li.filter(F.col("l_orderkey") % 97 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo, CAST(max(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS bucket_min,
+           CAST(max(o_totalprice) AS DOUBLE) AS bucket_max
+    FROM orders CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf):
+    # Equi-width 20-bucket histogram: bounds from one agg pass (broadcast
+    # 1-row), bucket index arithmetic identical on both engines (min/max
+    # are exact, the division/floor path is the same IEEE expression).
+    o = t(spark, sf, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
+        F.lit(19),
+    ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+    )
