@@ -154,3 +154,39 @@ def events_map_functions(spark, sf):
         F.size(F.map_keys(m)).alias("n_keys"),
         m.getItem("k").alias("k_val"),
     )
+
+
+@register(
+    "events_multilevel_rollup",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start,
+           event_type, COUNT(*) AS n_events, {dsum_expr('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_multilevel_rollup(spark, sf):
+    # Continuous-aggregate / hypertable-rollup pattern: day-level stats
+    # computed by RE-AGGREGATING 10-minute partials -> hourly -> daily,
+    # not by rescanning raw events. Decimal partials are associative, so
+    # the oracle's direct day aggregation matches bit-for-bit — the
+    # property that makes multi-resolution rollup cascades trustworthy.
+    e = t(spark, sf, "events")
+    minute10 = (
+        e.withColumn("b10", (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("long"))
+        .groupBy("b10", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),  # stay decimal
+        )
+    )
+    hourly = (
+        minute10.withColumn("bh", (F.floor(F.col("b10") / 3600) * 3600).cast("long"))
+        .groupBy("bh", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    )
+    daily = (
+        hourly.withColumn("day_start", (F.floor(F.col("bh") / 86400) * 86400).cast("long"))
+        .groupBy("day_start", "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("v").cast("double").alias("total_value"))
+    )
+    return daily.select("day_start", "event_type", "n_events", "total_value")
