@@ -159,6 +159,32 @@ def cmd_search(args, cfg) -> int:
     return 0
 
 
+def cmd_info(args, cfg) -> int:
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.ingest import CollectionStore
+    from dataingestionplayground_spark.session import get_spark
+
+    spark = get_spark("dip-info")
+    store = CollectionStore(args.store or cfg["store_path"])
+    collection = args.collection or cfg["collection"]
+    if not store.exists(collection):
+        print(f"error: collection {collection!r} not found", file=sys.stderr)
+        return 2
+    stats = store.read(spark, collection).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("documentid").alias("n_docs"),
+        F.min(F.size("embedding")).alias("dims"),
+        F.avg(F.length("content")).alias("avg_chars"),
+    ).collect()[0]
+    print(f"collection: {collection}")
+    print(f"documents:  {stats.n_docs}")
+    print(f"chunks:     {stats.n_chunks}")
+    print(f"dims:       {stats.dims}")
+    print(f"avg chars:  {stats.avg_chars:.1f}")
+    return 0
+
+
 def cmd_list(args, cfg) -> int:
     from dataingestionplayground_spark.ingest import CollectionStore
 
@@ -188,6 +214,11 @@ def main(argv: list[str] | None = None) -> int:
     p_se.add_argument("--query", help="one-shot query (omit for REPL)")
     p_se.add_argument("--top-k", type=int, default=1)
     p_se.set_defaults(fn=cmd_search)
+
+    p_in = sub.add_parser("info", help="collection statistics")
+    p_in.add_argument("--collection")
+    p_in.add_argument("--store")
+    p_in.set_defaults(fn=cmd_info)
 
     p_ls = sub.add_parser("list", help="list collections")
     p_ls.add_argument("--store")

@@ -428,3 +428,92 @@ def agg_histogram(spark, sf):
             F.max("o_totalprice").alias("bucket_max"),
         )
     )
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_match_levenshtein(spark, sf):
+    # Fuzzy string matching: brand-blocked self-join + edit-distance
+    # filter (blocking bounds the candidate pairs; at scale the block key
+    # comes from LSH/phonetic bucketing).
+    p = t(spark, sf, "part")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark, sf):
+    # Q16 shape: NOT IN subquery (null-aware anti join) + distinct count
+    # over a filtered dimension join.
+    t(spark, sf, "lineitem").createOrReplaceTempView("v_li_q16")
+    t(spark, sf, "part").createOrReplaceTempView("v_p_q16")
+    t(spark, sf, "supplier").createOrReplaceTempView("v_s_q16")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM v_li_q16 l JOIN v_p_q16 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM v_s_q16 WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19_disjunctive(spark, sf):
+    # Q19 shape: disjunction of conjunctive predicates across both join
+    # sides — Catalyst pushes the common p_partkey equi-key and evaluates
+    # the OR residual post-join.
+    li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )

@@ -89,3 +89,14 @@ def test_cli_jsonl_and_csv_readers(spark, tmp_path, capsys):
     rc = cli.main(["search", "--collection", "jd", "--store", store,
                    "--query", "databases", "--top-k", "1"])
     assert "documentid=j1" in capsys.readouterr().out
+
+
+def test_cli_info(spark, cms_db, tmp_path, capsys):
+    store = str(tmp_path / "store")
+    cli.main(["ingest", "--reader", "database", "--source", cms_db,
+              "--collection", "docs", "--store", store])
+    capsys.readouterr()
+    rc = cli.main(["info", "--collection", "docs", "--store", store])
+    out = capsys.readouterr().out
+    assert rc == 0 and "documents:  1" in out and "dims:       384" in out
+    assert cli.main(["info", "--collection", "nope", "--store", store]) == 2
