@@ -326,11 +326,18 @@ def read_markdown_dir(spark, path: str) -> DataFrame:
     document identifier (the reference uses the file path,
     ``VectorStoreCommands.cs:60-61``).
     """
+    # Spark's text source passes file bytes through unvalidated; dirty
+    # corpora with invalid UTF-8 would crash the Arrow conversion into the
+    # parse stage. The encode/decode roundtrip validates JVM-side,
+    # replacing malformed sequences with U+FFFD.
     return (
         spark.read.format("text")
         .option("wholetext", "true")
         .load(f"{path}/*.md")
-        .select(F.input_file_name().alias("doc_id"), F.col("value").alias("content"))
+        .select(
+            F.input_file_name().alias("doc_id"),
+            F.decode(F.encode(F.col("value"), "UTF-8"), "UTF-8").alias("content"),
+        )
     )
 
 
@@ -348,8 +355,12 @@ def parse_markdown_df(raw: DataFrame, id_col: str = "doc_id", content_col: str =
                 # yields zero elements — reported failed downstream by
                 # ingest_corpus(source_doc_ids=...) — never a dead job.
                 try:
+                    # dirty corpora contain invalid UTF-8 that Spark decodes
+                    # to lone surrogates; Arrow refuses to serialize those on
+                    # the way back out — normalize to replacement chars.
+                    clean = (content or "").encode("utf-8", "replace").decode("utf-8")
                     rows.extend(
-                        elements_to_rows(str(doc_id), parse_markdown(str(doc_id), content or ""))
+                        elements_to_rows(str(doc_id), parse_markdown(str(doc_id), clean))
                     )
                 except Exception:
                     continue
