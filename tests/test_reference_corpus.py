@@ -102,3 +102,37 @@ def test_reference_ingest_results_all_succeed(spark, ref_md_elements, tmp_path):
     assert all(r.succeeded for r in results.collect())
     chunks = store.read(spark, "ok")
     assert chunks.filter(F.size("embedding") != 384).count() == 0
+
+
+def test_reference_pdf_corpus_extracts(spark):
+    """The dependency-free extractor recovers the reference's own PDFs:
+    ten topics, readable text, correct topic words per file."""
+    from dataingestionplayground_spark.sources.pdf import parse_pdf_df, read_pdf_dir
+
+    raw = read_pdf_dir(spark, f"{REF_CONTENT}/Pdf")
+    els = parse_pdf_df(raw).cache()
+    docs = {r.doc_id.split("/")[-1]: r for r in els.collect()}
+    assert len({d.rsplit("/", 1)[-1] for d in docs}) == 10
+    blob = {k: v.text for k, v in docs.items()}
+    assert "Nile" in blob["ancient_egypt.pdf"]
+    assert "gravity" in blob["black_holes.pdf"]
+
+
+def test_reference_three_format_search_parity(spark, ref_md_elements, ref_db_elements, tmp_path):
+    """All three reference formats (markdown, SQLite, PDF) ingest and
+    return the same topic for the same query — full E1/E2 parity."""
+    from dataingestionplayground_spark.sources.pdf import parse_pdf_df, read_pdf_dir
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(ref_md_elements, store, "md")
+    ingest_corpus(ref_db_elements, store, "db")
+    ingest_corpus(parse_pdf_df(read_pdf_dir(spark, f"{REF_CONTENT}/Pdf")), store, "pdf")
+
+    q = "pyramids pharaohs nile river civilization"
+    tops = {
+        fmt: search_collection(spark, store, fmt, q, k=1).collect()[0].documentid
+        for fmt in ("md", "db", "pdf")
+    }
+    assert "ancient_egypt" in tops["md"]
+    assert "ancient_egypt" in tops["pdf"]
+    assert tops["db"].startswith("Article #")

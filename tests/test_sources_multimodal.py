@@ -53,11 +53,11 @@ def test_pdf_plumbing_with_fake_extractor(spark):
     assert [(r.section_idx, r.text) for r in a] == [(0, "page1 block 1"), (1, "page2 block 1")]
 
 
-def test_pdf_default_extractor_raises_without_lib():
-    with pytest.raises(NotImplementedError):
-        from dataingestionplayground_spark.sources.pdf import default_extractor
+def test_pdf_default_extractor_falls_back_to_stdlib():
+    from dataingestionplayground_spark.sources.pdf import default_extractor
 
-        default_extractor(b"%PDF")
+    # no text layer -> empty pages, not an exception
+    assert default_extractor(b"%PDF-1.4 empty") == []
 
 
 def test_multimodal_metadata_jvm_side(spark):
