@@ -101,8 +101,13 @@ def _chunk_doc(
     """Chunk ONE document's (already sorted) element rows."""
     doc_id = pdf["doc_id"].iloc[0]
     headers = pdf[pdf["kind"] == "header"]
-    context = headers["text"].iloc[0] if len(headers) else None
     body = " ".join(t for t in pdf["text"].tolist() if t)
+    if len(headers):
+        context = headers["text"].iloc[0]
+    else:
+        # header-less sources (PDF pages, plain-text corpora): lead words
+        head = body.split()[:8]
+        context = " ".join(head) if head else None
     if strategy == "token_window":
         contents = [" ".join(w) for w in token_windows(body.split(), max_tokens, overlap)]
     else:
