@@ -45,18 +45,72 @@ def vector_knn_bruteforce(spark, sf):
     return knn_brute_force(t(spark, sf, "embeddings"), _queries_df(spark, sf), k=10)
 
 
-@register("vector_lsh_ann", oracle=None)  # approximate: rows-only check
+@register(
+    "vector_lsh_ann",
+    oracle="""
+    WITH corpus_b AS (
+      SELECT vec_id, embedding, CAST((CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 1 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 2 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 4 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 8 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 16 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 32 AS INTEGER) AS bucket FROM embeddings
+    ), q_b AS (
+      SELECT vec_id AS query_id, embedding AS query_vec, CAST((CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 1 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('1', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 2 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('2', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 4 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('3', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 8 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('4', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 16 + (CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ((CAST((CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('5', ':', CAST(i AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) AS DOUBLE) / 2147483648.0) - 1.0))), (acc, v) -> acc + v)) >= 0 THEN 1 ELSE 0 END) * 32 AS INTEGER) AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id, (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))), (acc, v) -> acc + v) / nullif(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(q.query_vec)), i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))), (acc, v) -> acc + v)), 0.0)) AS score
+      FROM corpus_b c JOIN q_b q ON c.bucket = q.bucket
+    )
+    SELECT query_id, vec_id, score, "rank" FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank"
+      FROM scored) WHERE "rank" <= 10
+    """,
+)
 def vector_lsh_ann(spark, sf):
-    # Scale-path ANN: deterministic random-hyperplane buckets + exact rerank
-    # within bucket. Approximate by construction -> no SQL oracle.
+    # Scale-path ANN: random-hyperplane buckets + exact rerank within the
+    # bucket. The hyperplanes derive deterministically from md5, so the
+    # oracle replicates bucketing AND scoring (polynomial hex decode of
+    # the plane components) — approximate recall, exact reproducibility.
     return lsh_bucket_ann(
         t(spark, sf, "embeddings"), _queries_df(spark, sf), k=10, num_planes=6
     )
 
 
-@register("vector_ivf_ann", oracle=None)  # approximate: rows-only check
+@register(
+    "vector_ivf_ann",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS centroid_id,
+             embedding AS cent_vec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), corpus_assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_vec[i] AS DOUBLE))), (acc, v) -> acc + v) / nullif(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(c.cent_vec)), i -> CAST(c.cent_vec[i] AS DOUBLE) * CAST(c.cent_vec[i] AS DOUBLE))), (acc, v) -> acc + v)), 0.0)) DESC, c.centroid_id ASC) AS crk
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE crk = 1
+    ), query_assign AS (
+      SELECT query_id, query_vec, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS query_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_vec[i] AS DOUBLE))), (acc, v) -> acc + v) / nullif(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(c.cent_vec)), i -> CAST(c.cent_vec[i] AS DOUBLE) * CAST(c.cent_vec[i] AS DOUBLE))), (acc, v) -> acc + v)), 0.0)) DESC, c.centroid_id ASC) AS crk
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 5
+      ) WHERE crk <= 4
+    ), scored AS (
+      SELECT qa.query_id, ca.vec_id, (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(ca.embedding)), i -> CAST(ca.embedding[i] AS DOUBLE) * CAST(qa.query_vec[i] AS DOUBLE))), (acc, v) -> acc + v) / nullif(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(ca.embedding)), i -> CAST(ca.embedding[i] AS DOUBLE) * CAST(ca.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(qa.query_vec)), i -> CAST(qa.query_vec[i] AS DOUBLE) * CAST(qa.query_vec[i] AS DOUBLE))), (acc, v) -> acc + v)), 0.0)) AS score
+      FROM corpus_assign ca JOIN query_assign qa ON ca.centroid_id = qa.centroid_id
+    )
+    SELECT query_id, vec_id, score, "rank" FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank"
+      FROM scored) WHERE "rank" <= 10
+    """,
+)
 def vector_ivf_ann(spark, sf):
     # IVF scale path: coarse cells + n_probe probing + exact in-cell rerank.
+    # Deterministic by construction (lowest-id centroids, tie-broken
+    # assignments), so the oracle replicates the full algorithm in SQL.
     return ivf_ann(
         t(spark, sf, "embeddings"), _queries_df(spark, sf), k=10, n_centroids=16, n_probe=4
     )
