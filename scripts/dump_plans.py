@@ -25,6 +25,8 @@ SHOW = [
     ("events_asof_join", "as-of join: union + single sort-shuffle window"),
     ("dedup_minhash_lsh_pairs", "minhash: HashAggregate lane-mins, band self-join"),
     ("vector_knn_bruteforce", "corpus scan x broadcast queries, window top-k"),
+    ("vector_ivf_ann", "IVF: broadcast centroid assignment, bucket equi-join, rerank"),
+    ("text_fingerprint", "min rolling-hash inside the projection — no explode, no shuffle"),
 ]
 
 INTERESTING = re.compile(
