@@ -169,3 +169,16 @@ def test_stream_stream_interval_join(spark, stream_dir):
     assert len(rows) == 3
     assert all(r.p_user == 1 for r in rows)
     assert all(r.click_ts <= r.purchase_ts for r in rows)
+
+
+def test_stream_sliding(spark, stream_dir):
+    from dataingestionplayground_spark.streaming import stream_sliding_counts
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    name = _run(stream_sliding_counts(events, "10 minutes", "5 minutes"), "t_slide", "complete")
+    rows = {r.window_start.isoformat(): r.n_events for r in spark.sql(f"select * from {name}").collect()}
+    # events at 10:00,10:04(x2),10:11 -> window 10:00-10:10 holds 3,
+    # window 09:55-10:05 holds 3, window 10:05-10:15 holds 1
+    assert rows["2024-01-01T10:00:00"] == 3
+    assert rows["2024-01-01T09:55:00"] == 3
+    assert rows["2024-01-01T10:05:00"] == 1
