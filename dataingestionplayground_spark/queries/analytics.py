@@ -254,3 +254,36 @@ def events_heavy_hitters(spark, sf):
     counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     w = W.orderBy(F.desc("n_events"), F.asc("user_id"))
     return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+@register(
+    "events_rolling_dau",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM activity
+    )
+    SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+    FROM days d JOIN activity a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_dau(spark, sf):
+    # Rolling 7-day active users: COUNT(DISTINCT) cannot ride a window
+    # frame, so the standard formulation is a bounded range join of the
+    # (tiny) day spine against per-day distinct activity — the join fans
+    # each activity row to <= 7 spine days, then one distinct-count agg.
+    e = t(spark, sf, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    activity = e.select(day.alias("day"), "user_id").distinct()
+    days = activity.select("day").distinct()
+    return (
+        days.alias("d")
+        .join(
+            activity.alias("a"),
+            (F.col("a.day") >= F.col("d.day") - 6) & (F.col("a.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.user_id").alias("wau"))
+    )
