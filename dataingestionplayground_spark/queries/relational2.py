@@ -126,7 +126,8 @@ def unpivot_long_form(spark, sf):
     SELECT n_regionkey,
            list_sort(list(n_name)) AS nations,
            CAST(len(list(n_name)) AS INTEGER) AS n_nations,
-           list_contains(list(n_name), 'NATION_3') AS has_china
+           list_contains(list(n_name), 'NATION_3') AS has_china,
+           array_to_string(list_sort(list(n_name)), ',') AS nations_csv
     FROM nation GROUP BY n_regionkey
     """,
 )
@@ -138,6 +139,7 @@ def array_agg_functions(spark, sf):
         F.array_sort(F.collect_list("n_name")).alias("nations"),
         F.size(F.collect_list("n_name")).alias("n_nations"),
         F.array_contains(F.collect_list("n_name"), "NATION_3").alias("has_china"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
     )
 
 
