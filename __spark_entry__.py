@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # shuffle over-parallelizes small SFs; AQE fixes it at any SF)
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            # pin ANSI semantics (cast/overflow behavior) independent of
+            # how the driver configured its session
+            spark.conf.set("spark.sql.ansi.enabled", "true")
             ensure_package_on_workers(spark)
             return fn(spark, sf_dir)
 
