@@ -20,10 +20,12 @@ from dataingestionplayground_spark.queries import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    q = all_queries()["agg_pricing_summary"]
-    return q.fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Routed through queries() so it gets the same session pinning
+    (UTC/AQE/ANSI, worker package shipping) as every other entry point.
+    """
+    return queries()["agg_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
