@@ -287,3 +287,32 @@ def events_rolling_dau(spark, sf):
         .groupBy(F.col("d.day").alias("day"))
         .agg(F.countDistinct("a.user_id").alias("wau"))
     )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_type_transitions(spark, sf):
+    # First-order event-sequence transitions (Markov counts): one window
+    # pass per user ordered by (ts, event_id) then a hash agg — the basis
+    # for funnel discovery and next-event prediction features.
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -182,3 +182,30 @@ def test_stream_sliding(spark, stream_dir):
     assert rows["2024-01-01T10:00:00"] == 3
     assert rows["2024-01-01T09:55:00"] == 3
     assert rows["2024-01-01T10:05:00"] == 1
+
+
+def test_batch_stream_session_parity(spark, stream_dir):
+    """Gap-based batch sessionization and streaming session_window produce
+    the same session partitioning on bounded input."""
+    from dataingestionplayground_spark.operators.sessionize import sessionize
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    b = (
+        sessionize(batch, "user_id", "ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .count()
+        .collect()
+    )
+    batch_sizes = {}
+    for r in b:
+        batch_sizes.setdefault(r.user_id, []).append(r["count"])
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    name = _run(stream_session_windows(events, gap="30 minutes"), "t_sess_par", "complete")
+    stream_sizes = {}
+    for r in spark.sql(f"select * from {name}").collect():
+        stream_sizes.setdefault(r.user_id, []).append(r.n_events)
+
+    assert {k: sorted(v) for k, v in batch_sizes.items()} == {
+        k: sorted(v) for k, v in stream_sizes.items()
+    }
