@@ -209,3 +209,70 @@ def dedup_clusters(spark, sf):
     d = t(spark, sf, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
     return dc(d, pairs, "doc_id")
+
+
+@register(
+    "dedup_lsh_verified_pairs",
+    oracle=f"""
+    WITH {_WIDE_SIG}, bands AS ({_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), csh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+      WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN csh x ON x.doc_id = c.id_a
+      JOIN csh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE) >= 0.3
+    """,
+)
+def dedup_lsh_verified_pairs(spark, sf):
+    # The canonical two-stage near-dup pipeline in one plan: LSH banding
+    # generates candidates (cheap, recall-oriented), exact shingle Jaccard
+    # verifies them (precision) — shingle sets are computed only for
+    # documents that appear in a candidate pair, so the expensive exact
+    # stage touches a vanishing fraction of the corpus at scale.
+    d = t(spark, sf, "documents")
+    cand = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    ids = cand.select(F.col("id_a").alias("doc_id")).union(
+        cand.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    from dataingestionplayground_spark.functions import text as TXT
+    from dataingestionplayground_spark.operators.dedup import _shingle_rows
+
+    sh = _shingle_rows(d.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("__yid"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(x, "id_a")
+        .join(y, (F.col("id_b") == F.col("__yid")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
