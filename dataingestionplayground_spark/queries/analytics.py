@@ -316,3 +316,33 @@ def events_type_transitions(spark, sf):
         .groupBy("prev_type", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+    ), grp AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM activity
+    )
+    SELECT user_id, COUNT(*) AS streak_len, min(day) AS streak_start
+    FROM grp GROUP BY user_id, island
+    """,
+)
+def events_activity_streaks(spark, sf):
+    # Gaps-and-islands: consecutive-active-day streaks per user via the
+    # day - row_number() constant-per-island trick — one window pass plus
+    # one aggregation, the standard streak/retention building block.
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    activity = e.select("user_id", day.alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = activity.withColumn("island", F.col("day") - F.row_number().over(w))
+    return grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("streak_start")
+    ).drop("island")

@@ -135,3 +135,33 @@ def window_sliding_frame(spark, sf):
         "l_linenumber",
         F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double").alias("qty_3line"),
     )
+
+
+@register(
+    "window_ratio_to_total",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE), 10) AS pct_of_total,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                      OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE), 10) AS priority_share
+    FROM orders
+    """,
+)
+def window_ratio_to_total(spark, sf):
+    # Ratio-to-report: decimal-exact window denominators cast to double
+    # once, double division, rounded — decimal DIVISION scale rules differ
+    # across engines, so never divide decimals directly.
+    t(spark, sf, "orders").createOrReplaceTempView("v_ord_ratio")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(o_totalprice
+                     / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE), 10) AS pct_of_total,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                          OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                     / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE), 10) AS priority_share
+        FROM v_ord_ratio
+        """
+    )
