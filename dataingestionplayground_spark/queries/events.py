@@ -137,7 +137,7 @@ def events_sessionize(spark, sf):
     "events_map_functions",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
     FROM events WHERE event_id % 50 = 0
@@ -146,11 +146,13 @@ def events_sessionize(spark, sf):
 def events_map_functions(spark, sf):
     # MapType surface: parse the JSON props into MAP<STRING,INT>, expose
     # map_keys / cardinality / element access (SURVEY §2.8 map_* row).
+    # Key list is sorted + joined to a scalar string: map_keys order is
+    # engine-dependent and the driver canonicalizer hashes scalars only.
     e = t(spark, sf, "events").filter(F.col("event_id") % 50 == 0)
     m = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).alias("n_keys"),
         m.getItem("k").alias("k_val"),
     )

@@ -110,7 +110,14 @@ def multimodal_metadata(spark, sf):
     SELECT media_id, media_type, n_bytes,
            CAST(16 + ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS INTEGER) AS width,
            CAST(16 + ((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 64 AS INTEGER) AS height,
-           [CAST(round(((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 6, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 8, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 10, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 11, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 12, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 14, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 15, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 16, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 17, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 18, 1)) - 1)) / 255.0, 6) AS REAL), CAST(round(((instr('0123456789abcdef', substr(h, 19, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 20, 1)) - 1)) / 255.0, 6) AS REAL)] AS feature
+           CAST(round(((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 6, 1)) - 1)) / 255.0, 6) AS REAL) AS f1,
+           CAST(round(((instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 8, 1)) - 1)) / 255.0, 6) AS REAL) AS f2,
+           CAST(round(((instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 10, 1)) - 1)) / 255.0, 6) AS REAL) AS f3,
+           CAST(round(((instr('0123456789abcdef', substr(h, 11, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 12, 1)) - 1)) / 255.0, 6) AS REAL) AS f4,
+           CAST(round(((instr('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 14, 1)) - 1)) / 255.0, 6) AS REAL) AS f5,
+           CAST(round(((instr('0123456789abcdef', substr(h, 15, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 16, 1)) - 1)) / 255.0, 6) AS REAL) AS f6,
+           CAST(round(((instr('0123456789abcdef', substr(h, 17, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 18, 1)) - 1)) / 255.0, 6) AS REAL) AS f7,
+           CAST(round(((instr('0123456789abcdef', substr(h, 19, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 20, 1)) - 1)) / 255.0, 6) AS REAL) AS f8
     FROM base
     """,
 )
@@ -118,7 +125,9 @@ def multimodal_features(spark, sf):
     # Decode/feature-extract plumbing through mapInPandas with the
     # deterministic fake decoder (real codecs absent from this image);
     # the oracle replicates the fake decoder (sha256 nibble decode) in
-    # SQL so even the Python stage is value-checked.
+    # SQL so even the Python stage is value-checked. The 8-d feature
+    # array is exposed as scalar columns f1..f8 because the driver's
+    # canonicalizer hashes atomic columns only.
     from dataingestionplayground_spark.sources.multimodal import (
         binary_with_metadata,
         extract_features,
@@ -131,7 +140,15 @@ def multimodal_features(spark, sf):
         F.encode("text", "UTF-8").alias("data"),
     )
     media = binary_with_metadata(d, "doc_id", "mt", "data")
-    return extract_features(media, decoder=fake_decoder)
+    feats = extract_features(media, decoder=fake_decoder)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        *[F.element_at("feature", i + 1).alias(f"f{i + 1}") for i in range(8)],
+    )
 
 
 @register(

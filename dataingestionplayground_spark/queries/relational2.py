@@ -124,7 +124,7 @@ def unpivot_long_form(spark, sf):
     "array_agg_functions",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
            CAST(len(list(n_name)) AS INTEGER) AS n_nations,
            list_contains(list(n_name), 'NATION_3') AS has_china,
            array_to_string(list_sort(list(n_name)), ',') AS nations_csv
@@ -133,10 +133,13 @@ def unpivot_long_form(spark, sf):
 )
 def array_agg_functions(spark, sf):
     # collect_list is unordered across partitions -> always sort before
-    # exposing (determinism rule for any array-valued aggregate).
+    # exposing (determinism rule for any array-valued aggregate). The array
+    # itself is projected through array_join: the driver's pandas
+    # canonicalizer hashes scalar columns only (lists are unhashable), so
+    # every registry query must expose scalar output columns.
     n = t(spark, sf, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
         F.size(F.collect_list("n_name")).alias("n_nations"),
         F.array_contains(F.collect_list("n_name"), "NATION_3").alias("has_china"),
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
@@ -147,20 +150,31 @@ def array_agg_functions(spark, sf):
     "array_lambda_functions",
     oracle="""
     SELECT n_regionkey,
-           list_transform(list_sort(list(n_name)), x -> lower(x)) AS lowered,
-           list_filter(list_sort(list(n_name)), x -> length(x) <= 5) AS short_names
+           array_to_string(list_transform(list_sort(list(n_name)), x -> lower(x)), '|')
+             AS lowered,
+           coalesce(array_to_string(list_filter(list_sort(list(n_name)),
+                                                x -> length(x) <= 5), '|'), '')
+             AS short_names,
+           CAST(list_aggregate(list_transform(list(n_name), x -> length(x)), 'sum')
+                AS BIGINT) AS total_len
     FROM nation GROUP BY n_regionkey
     """,
 )
 def array_lambda_functions(spark, sf):
-    # higher-order functions on arrays (transform/filter) — JVM-side lambdas.
+    # higher-order functions on arrays (transform/filter/aggregate) — JVM-side
+    # lambdas. Output arrays are flattened via array_join so the driver's
+    # scalar-only canonicalizer can hash the rows.
     n = t(spark, sf, "nation")
-    arr = F.array_sort(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
-        F.expr("transform(array_sort(collect_list(n_name)), x -> lower(x))").alias("lowered"),
-        F.expr("filter(array_sort(collect_list(n_name)), x -> length(x) <= 5)").alias(
-            "short_names"
-        ),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(n_name)), x -> lower(x)), '|')"
+        ).alias("lowered"),
+        F.expr(
+            "array_join(filter(array_sort(collect_list(n_name)), x -> length(x) <= 5), '|')"
+        ).alias("short_names"),
+        F.expr(
+            "aggregate(transform(collect_list(n_name), x -> length(x)), 0L, (a, x) -> a + x)"
+        ).alias("total_len"),
     )
 
 
