@@ -1,9 +1,9 @@
 """Similarity search over embedding columns.
 
 Baseline: exact brute-force cosine top-k — a broadcast of the (tiny) query
-set against a scan of the corpus; at 100 TB this is one pass, no shuffle
-except the final TakeOrdered (per-partition top-k then driver merge —
-Spark's ``orderBy().limit(k)`` physical plan is already top-k, not a sort).
+set against a scan of the corpus, per-partition partial top-k map-side,
+then an exact final rank over <= k x n_partitions survivors per query; at
+100 TB this is one corpus pass and a k-bounded shuffle.
 
 Scale path: LSH sign-bucket ANN — random-hyperplane signatures bucket the
 corpus once (shuffle on a small int key), queries probe only their bucket.
@@ -32,18 +32,48 @@ def knn_brute_force(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
 ) -> DataFrame:
-    """Exact cosine top-k per query: broadcast queries x scan corpus.
+    """Exact cosine top-k per query, two-phase.
 
-    Returns (query_id, vec_id, score, rank). The cross join broadcasts the
-    query side — corpus never shuffles; ranking is a per-query window
-    (small k, bounded state).
+    Phase 1 (map-side, no shuffle): broadcast queries x scan corpus, score
+    JVM-side, then a per-partition partial top-k (Arrow-batched
+    ``mapInPandas`` keeping at most k rows per query per partition — state
+    is bounded by k x |queries|, independent of corpus size).
+
+    Phase 2 (tiny shuffle): exact per-query ranking over the survivors —
+    the Exchange carries <= k x n_partitions rows per query instead of the
+    full |corpus| x |queries| cross product, so no reducer ever sees a
+    corpus-sized partition. Returns (query_id, vec_id, score, rank).
+
+    NaN scores (zero vectors) are nulled first: Spark's DESC puts NaN
+    first but NULL last, pandas sorts NaN last — nulling makes the two
+    phases agree and keeps degenerate vectors out of the top-k.
     """
-    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "score", V.cosine_similarity(corpus_vec, query_vec)
+    import pandas as pd
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("score", V.cosine_similarity(corpus_vec, query_vec))
+        .withColumn("score", F.when(F.isnan("score"), F.lit(None)).otherwise(F.col("score")))
+        .select(query_id, corpus_id, "score")
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+
+    def partial_topk(batches):
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf], ignore_index=True) if best is not None else pdf
+            cur = cur.sort_values(
+                [query_id, "score", corpus_id], ascending=[True, False, True]
+            )
+            best = cur.groupby(query_id, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    survivors = scored.mapInPandas(partial_topk, schema=scored.schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc_nulls_last("score"), F.asc(corpus_id)
+    )
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "score", "rank")
     )
