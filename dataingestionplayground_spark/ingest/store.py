@@ -13,6 +13,7 @@ Delta MERGE territory; emulated since no Delta jars in this image).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,10 +26,22 @@ class CollectionStore:
     def __init__(self, base_path: str):
         self.base_path = base_path
 
+    # must start alphanumeric: excludes '.', '..', dotfiles, and any
+    # separator — drop('..') would rmtree the PARENT of base_path and
+    # write(mode=overwrite) would clobber it, so names are allow-listed,
+    # not deny-listed.
+    _NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
     def _path(self, collection: str) -> str:
-        if not collection or "/" in collection:
+        if not collection or not self._NAME_RE.match(collection):
             raise ValueError(f"bad collection name: {collection!r}")
-        return os.path.join(self.base_path, collection)
+        path = os.path.join(self.base_path, collection)
+        # defense in depth: the resolved path must stay inside base_path
+        base = os.path.realpath(self.base_path)
+        real = os.path.realpath(path)
+        if os.path.commonpath([real, base]) != base:
+            raise ValueError(f"collection escapes base path: {collection!r}")
+        return path
 
     def list_collections(self) -> list[str]:
         """S6: enumerate collection names (catalog listing)."""

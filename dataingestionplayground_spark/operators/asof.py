@@ -40,10 +40,16 @@ def asof_join(
     last(struct, ignoreNulls) over (keys ORDER BY ts, side, tie) -> filter
     left side. Exactly one sort-shuffle; values travel as a struct so the
     matched row is atomic even when some value columns are NULL.
+
+    NULL timestamps: right rows with a NULL ``right_ts`` are dropped (they
+    can never be an as-of match — pandas ``merge_asof`` rejects them);
+    left rows with a NULL ``left_ts`` get NULL values (they sort before
+    every real right row in both directions, so their frame is empty).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     on = list(on)
+    right = right.filter(F.col(right_ts).isNotNull())
     value_cols = list(value_cols)
     clash = set(value_cols) & set(left.columns)
     if clash:
@@ -76,10 +82,14 @@ def asof_join(
     # outside its unbounded-preceding frame => strict < / >.
     side_order = F.asc("__side") if allow_exact_matches else F.desc("__side")
     if direction == "backward":
-        # among equal (ts): max tie wins (last in asc order).
+        # among equal (ts): max tie wins (last in asc order). asc is
+        # NULLS FIRST: NULL-ts left rows land before any right row.
         order = [F.asc("__ts"), side_order, F.asc_nulls_first("__tie")]
     else:
-        order = [F.desc("__ts"), side_order, F.desc_nulls_first("__tie")]
+        # desc_nulls_first so NULL-ts left rows still sort before every
+        # right row (plain desc is NULLS LAST -> they would wrongly
+        # adopt the final right row as a match).
+        order = [F.desc_nulls_first("__ts"), side_order, F.desc_nulls_first("__tie")]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

@@ -118,10 +118,12 @@ def minhash_lsh_pairs(
     if num_hashes > 8:
         raise ValueError("lane scheme provides 8 hashes; extend _lane_expr for more")
     # wide signature (one shuffle), bands assembled as concat of lane mins —
-    # no second shuffle for banding. The band table is persisted before the
-    # self-join: otherwise Spark recomputes the whole scan->shingle->agg
-    # lineage for BOTH join sides (at warehouse scale you'd materialize
-    # signatures as their own table).
+    # no second shuffle for banding. Both self-join sides shuffle the same
+    # band subplan on the same keys, so Spark's ReuseExchange computes the
+    # scan->shingle->agg lineage ONCE and replays the shuffle files for the
+    # other side (verified in the executed plan: one ReusedExchange) — no
+    # persist needed, so no cached-block leak across calls (at warehouse
+    # scale you'd still materialize signatures as their own table).
     shingles = _shingle_rows(df, id_col, text_col, shingle_n)
     sig_wide = shingles.groupBy(id_col).agg(
         *[F.expr(f"min({_lane_expr(i)})").alias(f"mh{i}") for i in range(num_hashes)]
@@ -133,7 +135,7 @@ def minhash_lsh_pairs(
         band_rows.append(f"{b}, concat_ws('|', {', '.join(lanes)})")
     bands = sig_wide.select(
         id_col, F.expr(f"stack({n_bands}, {', '.join(band_rows)}) as (band, band_key)")
-    ).persist()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -210,15 +212,33 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     block_col: str | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard similarity for pairs sharing >=1 shingle.
 
     |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|. ``block_col``
     optionally restricts pairs to a blocking key (e.g. same source) to
     bound the candidate space — at scale you run this *after* LSH.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents BEFORE the self-join (standard df-capping): a stopword
+    trigram shared by millions of docs would otherwise explode the
+    equi-join quadratically. Set sizes are computed on the retained
+    shingles, so the result is exact Jaccard over the discriminative
+    shingle universe — deterministic and oracle-replicable.
     Jaccard is a ratio of exact integers -> portable across engines.
     """
     sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    if max_shingle_df is not None:
+        # one extra hash-agg on the shingle key (map-side partial count),
+        # broadcast-joined back — df table is vocabulary-sized
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     if block_col is not None:
         blocks = df.select(F.col(id_col), F.col(block_col))
         sh = sh.join(blocks, id_col)

@@ -2,13 +2,16 @@
 that turns near-dup PAIRS (MinHash-LSH output) into dedup CLUSTERS
 ("keep one document per duplicate cluster").
 
-Algorithm: iterative min-label propagation (large-star/small-star
-simplified): every node adopts the smallest id reachable in one hop;
-repeat until a fixed point. Each iteration is one join + one aggregation
-(all shuffle-partitioned by node id); iterations ~ O(log(diameter)) —
-the standard scalable CC formulation when a graph library isn't
-available. The driver loop only checks a convergence *count* per
-iteration; all data stays distributed.
+Algorithm: min-label propagation with pointer jumping. Each iteration
+(1) adopts the smallest label reachable in one hop (join + min-agg) and
+(2) path-halves: label := label(label) — the pointer-jump makes label
+chains collapse geometrically, so convergence is O(log diameter)
+iterations (plain one-hop propagation alone would be O(diameter): a
+20-hop near-dup chain would exhaust a 20-iteration budget). The driver
+loop only checks a convergence *count* per iteration; all data stays
+distributed. Raises if the budget is exhausted before the fixed point —
+a silently unconverged result would split one duplicate cluster into
+several and keep multiple "representatives".
 """
 
 from __future__ import annotations
@@ -29,13 +32,18 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # initial label: min neighbor (including self)
+    # initial label: min neighbor (including self). Each iteration's result
+    # is localCheckpoint-ed: the pointer-jump references `labels` three
+    # times per round, so without lineage truncation the logical plan grows
+    # ~4^n and Catalyst itself OOMs long before the data does (persist
+    # caches blocks but does NOT shrink the analyzed plan).
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
         .select(F.col("src").alias("id"), "component")
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # propagate: node label := min(own label, neighbors' labels)
         neigh = (
@@ -44,15 +52,22 @@ def connected_components(
             .agg(F.min("component").alias("n_comp"))
             .select(F.col("src").alias("id"), "n_comp")
         )
+        hopped = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump (path halving): component := component's component.
+        # Labels are node ids, so the lookup is a self-join; chains of
+        # stale labels collapse geometrically -> O(log diameter) rounds.
+        parent = hopped.select(
+            F.col("id").alias("component"), F.col("component").alias("g_comp")
+        )
         new_labels = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
-            .persist()
+            hopped.join(parent, "component", "left")
+            .select("id", F.least("component", F.coalesce("g_comp", "component")).alias("component"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -60,11 +75,16 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter (labels would otherwise be silently wrong)"
+        )
     return labels
 
 

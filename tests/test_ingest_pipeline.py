@@ -156,6 +156,21 @@ def test_parse_isolates_pathological_document(spark, tmp_path):
     assert rows["evil.md"].succeeded is False
 
 
+def test_store_rejects_traversal_names(tmp_path):
+    import pytest
+
+    store = CollectionStore(str(tmp_path / "base"))
+    for bad in ("..", ".", "../x", "a/b", "a\\b", ".hidden", "", "x/../.."):
+        with pytest.raises(ValueError):
+            store._path(bad)
+    # drop('..') must NOT delete the parent of base_path
+    with pytest.raises(ValueError):
+        store.drop("..")
+    assert tmp_path.exists()
+    # normal names still fine
+    assert store._path("my-coll_1.v2").endswith("my-coll_1.v2")
+
+
 def test_store_drop_and_reread(spark, md_elements, tmp_path):
     store = CollectionStore(str(tmp_path))
     ingest_corpus(md_elements, store, "temp")

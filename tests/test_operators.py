@@ -132,6 +132,25 @@ def test_jaccard_exact_values(spark):
     assert (1, 3) not in out
 
 
+def test_jaccard_df_cap_drops_hot_shingle(spark):
+    # every doc shares the stopword-ish prefix "of the and" — without a df
+    # cap that one shingle joins all docs pairwise (quadratic); with the
+    # cap it is dropped and only genuinely similar pairs survive.
+    n = 30
+    rows = [(i, f"of the and w{i} x{i} y{i} z{i}") for i in range(n)]
+    rows.append((n, "of the and w0 x0 y0 z0"))  # true near-dup of doc 0
+    df = spark.createDataFrame(rows, "id long, txt string")
+    capped = ngram_jaccard_pairs(
+        df, "id", "txt", shingle_n=3, threshold=0.5, max_shingle_df=5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(0, n)}
+    # doc0/docN share all retained shingles -> jaccard 1.0 on the capped set
+    assert abs(capped[0].jaccard - 1.0) < 1e-12
+    # uncapped at threshold 0: the hot shingle creates every pair
+    uncapped = ngram_jaccard_pairs(df, "id", "txt", shingle_n=3, threshold=0.0)
+    assert uncapped.count() == (n + 1) * n // 2
+
+
 def test_knn_and_lsh_agree_on_exact_match(spark):
     corpus = spark.createDataFrame(
         [(i, [float(i == j) for j in range(8)]) for i in range(8)],
@@ -182,6 +201,53 @@ def test_connected_components_and_cluster_dedup(spark):
     assert out[99] == (99, True)  # singleton keeps itself
     assert out[1] == (1, True) and out[4] == (1, False)
     assert sum(1 for c, kept in out.values() if kept) == 3  # one rep per cluster
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    from dataingestionplayground_spark.operators.graph import connected_components
+
+    # a 60-hop chain: one-hop propagation needs 60 iterations; pointer
+    # jumping must finish well inside max_iter=10 (O(log diameter)).
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs, max_iter=10).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 61
+
+
+def test_connected_components_raises_when_budget_exhausted(spark):
+    import pytest
+
+    from dataingestionplayground_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_asof_null_timestamps(spark):
+    # right rows with NULL rt must never match (they'd otherwise sort
+    # first under asc NULLS FIRST and become everyone's fallback);
+    # left rows with NULL t get NULL values in both directions.
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "x"), (1, None, "nul")],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999), (1, ts("2024-01-01T09:00:00"), 7)],
+        "k long, rt timestamp, v long",
+    )
+    back = {r.tag: r.v for r in asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt", value_cols=["v"], tie_col="v"
+    ).collect()}
+    assert back == {"x": 7, "nul": None}
+    fwd = {r.tag: r.v for r in asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt", value_cols=["v"],
+        direction="forward", tie_col="v"
+    ).collect()}
+    assert fwd == {"x": None, "nul": None}  # no right row at-or-after 10:00
 
 
 def test_asof_strict_excludes_exact(spark):
