@@ -20,18 +20,22 @@ from dataingestionplayground_spark.queries import all_queries  # noqa: E402
 from dataingestionplayground_spark.session import get_spark, load_table  # noqa: E402
 
 # One per family: scan-agg, multiway join, window, event-window,
-# sessionize+asof, dedup (minhash full pipeline), text stats, vector
-# search, chunking. These are the throughput-critical shapes at 100 TB.
+# sessionize+asof, dedup (minhash full pipeline + LSH->Jaccard verify),
+# text stats, vector search, chunking, plus the most shuffle-heavy TPC-H
+# shape (Q21: 4-way fact self-joins + exists/not-exists). These are the
+# throughput-critical shapes at 100 TB.
 HEADLINE = [
     "agg_pricing_summary",
     "join_inner_agg",
     "join_multiway",
+    "tpch_q21_suppliers_kept_waiting",
     "window_topk_per_group",
     "window_running_sum",
     "events_tumbling_window",
     "events_sessionize",
     "events_asof_join",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_verified_pairs",
     "dedup_simhash",
     "text_token_stats",
     "vector_knn_bruteforce",

@@ -93,6 +93,52 @@ def embed_text_udf(dims: int = DIMS):
     return embed
 
 
+def onnx_model_udf(model_path: str, tokenizer_path: str, max_seq: int = 256):
+    """ONNX-runtime embedding path — the closest analogue of the
+    reference's in-process ONNX all-MiniLM-L6-v2 calls (``Program.cs:64-73``:
+    local .onnx + vocab file, 384-d output).
+
+    Session + tokenizer load ONCE per executor python worker (inside the
+    iterator udf, before the batch loop); mean-pooled last hidden state,
+    L2-normalized — the standard sentence-transformers pooling. Raises
+    NotImplementedError when onnxruntime/tokenizers are absent (this
+    container); the deterministic ``embed_text_udf`` is the CI/oracle path.
+    """
+    try:
+        import onnxruntime  # noqa: F401
+        import tokenizers  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "onnxruntime/tokenizers not installed; use embed_text_udf() "
+            "(deterministic hash embedding) or install the model runtime"
+        ) from e
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:  # pragma: no cover
+        import onnxruntime as ort
+        from tokenizers import Tokenizer
+
+        sess = ort.InferenceSession(model_path, providers=["CPUExecutionProvider"])
+        tok = Tokenizer.from_file(tokenizer_path)
+        tok.enable_truncation(max_length=max_seq)
+        tok.enable_padding()
+        input_names = {i.name for i in sess.get_inputs()}
+        for s in batches:
+            enc = tok.encode_batch([t or "" for t in s])
+            ids = np.array([e.ids for e in enc], dtype=np.int64)
+            mask = np.array([e.attention_mask for e in enc], dtype=np.int64)
+            feeds = {"input_ids": ids, "attention_mask": mask}
+            if "token_type_ids" in input_names:
+                feeds["token_type_ids"] = np.zeros_like(ids)
+            hidden = sess.run(None, feeds)[0]  # (batch, seq, dims)
+            m = mask[..., None].astype(np.float32)
+            pooled = (hidden * m).sum(axis=1) / np.clip(m.sum(axis=1), 1e-9, None)
+            pooled /= np.clip(np.linalg.norm(pooled, axis=1, keepdims=True), 1e-12, None)
+            yield pd.Series([row.astype(np.float32).tolist() for row in pooled])
+
+    return embed
+
+
 def real_model_udf(model_name: str = "sentence-transformers/all-MiniLM-L6-v2"):
     """Real-model path (not available in this container) — kept as the
     production wiring: broadcast model files, load once per worker."""

@@ -79,6 +79,68 @@ def knn_brute_force(
     )
 
 
+def _seed_centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str, n: int) -> DataFrame:
+    """Deterministic seeds: the ``n`` lowest-id corpus vectors."""
+    cents = (
+        corpus.orderBy(F.asc(corpus_id))
+        .limit(n)
+        .select(
+            F.col(corpus_id).alias("__cent_src"), F.col(corpus_vec).alias("cent_vec")
+        )
+    )
+    w_rank = Window.orderBy(F.asc("__cent_src"))
+    return cents.withColumn("centroid_id", F.row_number().over(w_rank) - 1).drop("__cent_src")
+
+
+def _assign_cells(df: DataFrame, cents: DataFrame, vec: str, id_col: str, keep: int) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the tiny centroid table,
+    score JVM-side, keep the ``keep`` best cells per row."""
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "__csim", V.cosine_similarity(vec, "cent_vec")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__crk", F.row_number().over(w))
+        .filter(F.col("__crk") <= keep)
+        .drop("cent_vec", "__csim", "__crk")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration, deterministically-seeded Lloyd k-means, pure
+    DataFrame ops (no MLlib dependency, no RDDs).
+
+    Per iteration: assign (broadcast centroids x one corpus scan), then
+    recompute each centroid as the element-wise mean via posexplode ->
+    (cell, pos) partial-aggregatable avg -> rebuild the array. Both
+    shuffles carry (cell, pos, val) rows bounded by corpus x dims — no
+    per-group vector materialization, so it scales like any hash agg.
+    Deterministic: seeds are the lowest-id vectors and every step is an
+    exact aggregate, so repeated runs give identical centroids.
+    """
+    cents = _seed_centroids(corpus, corpus_id, corpus_vec, n_centroids)
+    for _ in range(n_iters):
+        assigned = _assign_cells(corpus, cents, corpus_vec, corpus_id, keep=1)
+        cents = (
+            assigned.select("centroid_id", F.posexplode(corpus_vec))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("v"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("__pv"))
+            .select(
+                "centroid_id",
+                F.expr("transform(__pv, x -> cast(x.v as float))").alias("cent_vec"),
+            )
+        )
+    return cents
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -89,39 +151,31 @@ def ivf_ann(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    centroid_mode: str = "seed",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to ``n_centroids`` cells,
     probe the ``n_probe`` nearest cells per query, exact rerank inside.
 
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors
-    (deterministic; production swaps in k-means centroids — the plan shape
-    is identical). Both assignment and probing are broadcast joins of a
-    tiny centroid table against a single corpus/query scan; the only
-    shuffled rows are (id, cell) pairs. Recall/cost dial: ``n_probe``.
+    ``centroid_mode='seed'`` (default, oracle-replicable) uses the
+    ``n_centroids`` lowest-id corpus vectors; ``'kmeans'`` refines them
+    with :func:`kmeans_centroids` for defensible recall — the probe/rerank
+    plan shape is identical either way. Both assignment and probing are
+    broadcast joins of a tiny centroid table against a single corpus/query
+    scan; the only shuffled rows are (id, cell) pairs. Recall/cost dial:
+    ``n_probe``.
     """
-    cents = (
-        corpus.orderBy(F.asc(corpus_id))
-        .limit(n_centroids)
-        .select(
-            F.col(corpus_id).alias("__cent_src"), F.col(corpus_vec).alias("cent_vec")
+    if centroid_mode == "seed":
+        cents = _seed_centroids(corpus, corpus_id, corpus_vec, n_centroids)
+    elif centroid_mode == "kmeans":
+        cents = kmeans_centroids(
+            corpus, n_centroids, kmeans_iters, corpus_id, corpus_vec
         )
-    )
-    w_rank = Window.orderBy(F.asc("__cent_src"))
-    cents = cents.withColumn("centroid_id", F.row_number().over(w_rank) - 1).drop("__cent_src")
+    else:
+        raise ValueError(f"centroid_mode must be 'seed' or 'kmeans': {centroid_mode!r}")
 
-    def assign(df: DataFrame, vec: str, id_col: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "__csim", V.cosine_similarity(vec, "cent_vec")
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("__crk", F.row_number().over(w))
-            .filter(F.col("__crk") <= keep)
-            .drop("cent_vec", "__csim", "__crk")
-        )
-
-    corpus_cells = assign(corpus, corpus_vec, corpus_id, keep=1)
-    query_cells = assign(queries, query_vec, query_id, keep=n_probe)
+    corpus_cells = _assign_cells(corpus, cents, corpus_vec, corpus_id, keep=1)
+    query_cells = _assign_cells(queries, cents, query_vec, query_id, keep=n_probe)
     joined = corpus_cells.join(F.broadcast(query_cells), "centroid_id").withColumn(
         "score", V.cosine_similarity(corpus_vec, query_vec)
     )

@@ -18,6 +18,11 @@ MarkdownParser.cs``) in dependency-free Python:
 * empty inline blocks dropped (:63-66, 75-76)
 * fenced code blocks kept as ``code`` elements (text = code body)
 * link-reference definition groups skipped (:51-61)
+* Markdig "advanced extensions" breadth (MarkdownParser.cs:24-29): task-
+  list markers (``[ ]``/``[x]``) are stripped from list-item text;
+  footnote definitions (``[^label]: text``) become ``footnote`` elements
+  (Markdig renders footnote bodies as document-end content) and inline
+  ``[^label]`` references are stripped like other inline markers
 
 Distribution: parsing runs per-document inside ``mapInPandas`` (Arrow
 batches, parser state never leaves the executor); everything before and
@@ -47,6 +52,9 @@ _LIST_ITEM_RE = re.compile(r"^ {0,3}(?:[-*+]|\d{1,9}[.)])\s+(.*)$")
 _TABLE_ROW_RE = re.compile(r"^\s*\|.*\|\s*$")
 _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{2,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
 _LINKREF_RE = re.compile(r"^ {0,3}\[[^\]]+\]:\s+\S+")
+_FOOTNOTE_DEF_RE = re.compile(r"^ {0,3}\[\^([^\]]+)\]:\s*(.*)$")
+_FOOTNOTE_REF_RE = re.compile(r"\[\^[^\]]+\]")
+_TASK_MARKER_RE = re.compile(r"^\[( |x|X)\]\s+")
 _INLINE_MD_RE = re.compile(r"(\*\*|__|\*|_|`)")
 _LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
 
@@ -65,9 +73,11 @@ class Element:
 
 
 def _inline_text(md: str) -> str:
-    """Accumulate inline literal text: strip emphasis/code markers and
-    reduce links to their text (MarkdownParser.cs:199-240 semantics)."""
-    out = _LINK_RE.sub(r"\1", md)
+    """Accumulate inline literal text: strip emphasis/code markers, reduce
+    links to their text, and drop footnote references — Markdig's literal
+    accumulation skips non-literal inlines (MarkdownParser.cs:199-240)."""
+    out = _FOOTNOTE_REF_RE.sub("", md)
+    out = _LINK_RE.sub(r"\1", out)
     out = _INLINE_MD_RE.sub("", out)
     return out.strip()
 
@@ -154,6 +164,26 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
             i += 1
             continue
 
+        # footnote definition: checked BEFORE linkrefs ([^1]: also matches
+        # the linkref pattern); the body (plus indented continuations)
+        # becomes a footnote element — Markdig's footnote extension hoists
+        # definitions to a document-end group rendered as content.
+        fm = _FOOTNOTE_DEF_RE.match(line)
+        if fm:
+            j = i + 1
+            body = [fm.group(2)]
+            while j < len(lines) and lines[j].startswith((" ", "\t")) and lines[j].strip():
+                body.append(lines[j].strip())
+                j += 1
+            txt = _inline_text(" ".join(b for b in body if b))
+            if txt:
+                elements.append(
+                    Element("footnote", markdown="\n".join(lines[i:j]), text=txt)
+                )
+            i = j
+            previous_was_break = False
+            continue
+
         # link-reference definition group: skipped (structural P3)
         if _LINKREF_RE.match(line):
             i += 1
@@ -222,7 +252,9 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
             sec_idx = len(elements)
             elements.append(Element("section", markdown="\n".join(lines[i:j])))
             for it in items:
-                txt = _inline_text(it)
+                # task-list marker ([ ]/[x]) stripped: Markdig's TaskList
+                # inline is not a literal, so it never reaches the text
+                txt = _inline_text(_TASK_MARKER_RE.sub("", it))
                 if txt:  # empty-block filter inside lists (:169)
                     elements.append(
                         Element("paragraph", markdown=it, text=txt, parent_path=[sec_idx])

@@ -56,6 +56,33 @@ def decode_stub(media_type: str, data: bytes):  # pragma: no cover - by design
     )
 
 
+def pil_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode, gated on Pillow (absent from this container —
+    ``fake_decoder`` stays the oracle path). Feature: 8-d summary of the
+    RGB image (per-channel mean + std, aspect ratio, mean luminance) —
+    deterministic for a given image, shape-compatible with FEATURE_SCHEMA.
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:
+        raise NotImplementedError(
+            "Pillow not installed; inject fake_decoder (deterministic) or "
+            "install Pillow for real image decode"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    w, h = img.size
+    import numpy as np
+
+    px = np.asarray(img, dtype=np.float64) / 255.0  # (h, w, 3)
+    means = px.mean(axis=(0, 1))
+    stds = px.std(axis=(0, 1))
+    lum = float(0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2])
+    feat = [*means.tolist(), *stds.tolist(), w / h if h else 0.0, lum]
+    return w, h, [round(float(x), 6) for x in feat]
+
+
 def fake_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
     """Deterministic fake: dimensions and an 8-d feature derived from the
     sha256 of the payload — stable plumbing tests without codecs."""

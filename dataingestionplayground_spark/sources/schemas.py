@@ -27,7 +27,7 @@ ELEMENT_SCHEMA = T.StructType(
         T.StructField("section_idx", T.IntegerType(), False),
         T.StructField("block_idx", T.IntegerType(), False),
         T.StructField("parent_path", T.ArrayType(T.IntegerType()), False),
-        T.StructField("kind", T.StringType(), False),  # header|paragraph|footer|image|table|section|code
+        T.StructField("kind", T.StringType(), False),  # header|paragraph|footer|image|table|section|code|footnote
         T.StructField("markdown", T.StringType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("level", T.IntegerType(), True),  # headers

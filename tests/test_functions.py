@@ -82,3 +82,35 @@ def test_normalize_unit_length(spark):
     out = df.select(normalize("a").alias("u")).collect()[0].u
     assert abs(math.hypot(*out) - 1.0) < 1e-6
     assert abs(out[0] - 0.6) < 1e-6
+
+
+def test_approx_distinct_error_bound(spark):
+    # the one rows-only registry query: make its check meaningful by
+    # bounding the HLL++ estimate against DuckDB's exact COUNT(DISTINCT)
+    # (default rsd = 5%; assert a loose 3-sigma-ish 15% envelope) and the
+    # approx median against the exact percentile neighborhood.
+    import duckdb
+
+    from dataingestionplayground_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.l_returnflag: (r.approx_orders, r.approx_p50)
+        for r in all_queries()["agg_approx_distinct"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    exact = {
+        flag: (n, p50)
+        for flag, n, p50 in con.execute(
+            f"""
+            SELECT l_returnflag, COUNT(DISTINCT l_orderkey),
+                   quantile_cont(l_extendedprice, 0.5)
+            FROM read_parquet('{sf}/lineitem.parquet') GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for flag, (n_exact, p50_exact) in exact.items():
+        n_approx, p50_approx = got[flag]
+        assert abs(n_approx - n_exact) <= 0.15 * n_exact, (flag, n_approx, n_exact)
+        assert abs(p50_approx - p50_exact) <= 0.10 * p50_exact, (flag, p50_approx, p50_exact)

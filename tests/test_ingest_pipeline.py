@@ -198,3 +198,37 @@ def test_articles_with_empty_body(spark, tmp_path):
     res = {r.documentid: r.succeeded for r in results.collect()}
     # title-only article still chunks (the header text is content)
     assert res == {"Article #1": True, "Article #2": True}
+
+
+def test_onnx_model_udf_gates_cleanly():
+    # without onnxruntime/tokenizers the factory must raise the guided
+    # NotImplementedError at construction time (not at executor time)
+    import pytest
+
+    from dataingestionplayground_spark.ingest.embed import onnx_model_udf
+
+    try:
+        import onnxruntime  # noqa: F401
+        import tokenizers  # noqa: F401
+
+        pytest.skip("onnx runtime installed: covered by the real test")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="onnxruntime"):
+        onnx_model_udf("/nonexistent/model.onnx", "/nonexistent/tokenizer.json")
+
+
+def test_real_model_udf_when_available(spark):
+    # runs only where sentence-transformers (and its model cache) exist —
+    # skipped in this container; hash_embed stays the oracle default
+    import pytest
+
+    pytest.importorskip("sentence_transformers")
+    from dataingestionplayground_spark.ingest.embed import DIMS, real_model_udf
+
+    df = spark.createDataFrame([("hello world",), ("spark",)], "text string")
+    out = df.select(real_model_udf()("text").alias("v")).collect()
+    assert all(len(r.v) == DIMS for r in out)
+    for r in out:
+        norm = sum(x * x for x in r.v) ** 0.5
+        assert abs(norm - 1.0) < 1e-3  # normalize_embeddings=True

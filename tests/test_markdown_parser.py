@@ -115,3 +115,30 @@ def test_setext_vs_thematic_break_precedence():
     els = parse_markdown("d", "Heading\n---\n\npara\n\n---\n\nfooter after break\n")
     assert kinds(els) == ["header", "paragraph", "footer"]
     assert els[0].level == 2
+
+
+def test_task_list_markers_stripped():
+    els = parse_markdown("t.md", "- [ ] open item\n- [x] done item\n- plain item")
+    texts = [e.text for e in els if e.kind == "paragraph"]
+    assert texts == ["open item", "done item", "plain item"]
+    assert not any("[x]" in (t or "") or "[ ]" in (t or "") for t in texts)
+
+
+def test_footnote_definition_and_reference():
+    doc = (
+        "Some claim[^1] in a paragraph.\n"
+        "\n"
+        "[^1]: The footnote body\n"
+        "    with a continuation line.\n"
+        "\n"
+        "After.\n"
+    )
+    els = parse_markdown("f.md", doc)
+    kinds = [e.kind for e in els]
+    assert kinds == ["paragraph", "footnote", "paragraph"]
+    # inline reference stripped from the paragraph text
+    assert els[0].text == "Some claim in a paragraph."
+    assert els[1].text == "The footnote body with a continuation line."
+    # plain linkref definitions are still skipped, not footnotes
+    els2 = parse_markdown("l.md", "[ref]: https://example.com\n\ntext")
+    assert [e.kind for e in els2] == ["paragraph"]

@@ -306,3 +306,28 @@ def test_asof_matches_pandas_merge_asof(spark):
         for r in expected.itertuples()
     }
     assert got == exp
+
+
+def test_ivf_kmeans_centroids_deterministic_and_exact(spark):
+    from dataingestionplayground_spark.operators.similarity import ivf_ann, kmeans_centroids
+
+    # three well-separated clusters in 4-d
+    rows = []
+    for c, base in enumerate([(10.0, 0, 0, 0), (0, 10.0, 0, 0), (0, 0, 10.0, 0)]):
+        for i in range(5):
+            rows.append((c * 5 + i, [b + (0.1 * i if b else 0.0) for b in base]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [9.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    out = ivf_ann(corpus, queries, k=3, n_centroids=3, n_probe=1,
+                  centroid_mode="kmeans").collect()
+    assert [r.vec_id for r in out] == [0, 1, 2]  # the x-axis cluster
+
+    # determinism: two runs give identical centroids
+    c1 = sorted(map(tuple, (r.cent_vec for r in kmeans_centroids(corpus, 3).collect())))
+    c2 = sorted(map(tuple, (r.cent_vec for r in kmeans_centroids(corpus, 3).collect())))
+    assert c1 == c2
+
+    with __import__("pytest").raises(ValueError, match="centroid_mode"):
+        ivf_ann(corpus, queries, centroid_mode="bogus")

@@ -127,3 +127,37 @@ def test_transform_media_ops(spark):
     sampled = transform_media(media, "frame_sample", 10, transformer=fake_transformer).collect()[0]
     assert sampled.n_bytes == 10  # every 10th byte of 100
     assert bytes(sampled.content) == bytes(range(100))[::10]
+
+
+def test_pil_decoder_real_image():
+    # exercised only where Pillow exists (skipped in this container)
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from dataingestionplayground_spark.sources.multimodal import pil_decoder
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (255, 0, 0)).save(buf, format="PNG")
+    w, h, feat = pil_decoder("image/png", buf.getvalue())
+    assert (w, h) == (32, 16)
+    assert len(feat) == 8
+    assert abs(feat[0] - 1.0) < 1e-6 and abs(feat[1]) < 1e-6  # solid red
+
+
+def test_pil_decoder_raises_not_implemented_when_absent():
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed")
+    except ImportError:
+        pass
+    from dataingestionplayground_spark.sources.multimodal import pil_decoder
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        pil_decoder("image/png", b"\x89PNG")
