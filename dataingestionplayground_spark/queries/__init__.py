@@ -45,6 +45,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational2,
         tpch3,
+        tpch4,
         analytics,
         windows,
         events,
