@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
         textq,
         vectorq,
         ingestq,
+        pipelineq,
     )
 
     return REGISTRY

@@ -1,0 +1,272 @@
+"""Training-data pipeline stages beyond dedup/ANN: repetition-based
+quality filtering (Gopher-style), PII redaction, deterministic stratified
+sampling, and sequence packing — each a first-class registry query with a
+DuckDB oracle twin, all pure Catalyst expressions (no Python except the
+multimodal resize stage, whose Python transform is itself value-checked
+by an SQL replica).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import load_table as t
+
+
+def _md5_mod_sql(expr: str, mod: int) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(x),1,8),16,10) % mod —
+    polynomial nibble decode (DuckDB has no conv)."""
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"(({terms}) % {mod})"
+
+
+def _md5_mod(expr: str, mod: int) -> str:
+    """Spark SQL: first 32 bits of md5 as a BIGINT, mod ``mod``."""
+    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint) % {mod}"
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok FROM documents
+    ), ucnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), uni AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_cnt
+      FROM ucnt GROUP BY doc_id
+    ), bigr AS (
+      SELECT doc_id, unnest({TX.word_shingles_sql('text', 2)}) AS bg FROM documents
+    ), bcnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigr GROUP BY doc_id, bg
+    ), bi AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_cnt
+      FROM bcnt GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_toks,
+           CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS distinct_ratio,
+           CAST(top_cnt AS DOUBLE) / CAST(n_toks AS DOUBLE) AS top_token_frac,
+           coalesce(CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0)
+             AS top_bigram_frac,
+           (CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 0.2
+            AND coalesce(CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) <= 0.2)
+             AS keep
+    FROM uni LEFT JOIN bi ON bi.doc_id = uni.doc_id
+    """,
+)
+def text_repetition_filter(spark, sf):
+    # Gopher/C4-style repetition quality gates on the token stream:
+    # distinct-token ratio, top-unigram fraction, top-bigram fraction.
+    # Two hash aggs (doc,gram) -> (doc), both map-side partial — the same
+    # shape at 100 TB; ratios are exact-int divisions -> portable.
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    uni = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+    bigr = d.select("doc_id", F.explode(TX.word_shingles("text", 2)).alias("bg"))
+    bi = (
+        bigr.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_cnt"))
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_toks").cast("double")
+    top_token_frac = F.col("top_cnt").cast("double") / F.col("n_toks").cast("double")
+    top_bigram_frac = F.coalesce(
+        F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams").cast("double"),
+        F.lit(0.0),
+    )
+    return uni.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        distinct_ratio.alias("distinct_ratio"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        ((distinct_ratio >= 0.2) & (top_bigram_frac <= 0.2)).alias("keep"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             concat('contact user', CAST(doc_id AS VARCHAR), '@mail-', source,
+                    '.com or 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 re: ',
+                    substr(text, 1, 40)) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_IP_RE}', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}', 0)) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_IP_RE}', 0)) AS INTEGER) AS n_ips
+    FROM synth
+    """,
+)
+def text_pii_redaction(spark, sf):
+    # PII scrubbing as pure regexp expressions (JVM-side, pushes through
+    # codegen). The corpus has no real PII, so a deterministic contact
+    # string is synthesized from the row first — the redaction logic is
+    # what's under test, identically on both engines.
+    d = t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 re: "),
+        F.substring("text", 1, 40),
+    )
+    synth = d.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ).alias("redacted"),
+        # group 0 = whole match: the email pattern has no capture group,
+        # and DuckDB's extract_all is pinned to 0 for the same reason
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_IP_RE), 0)).alias("n_ips"),
+    )
+
+
+# per-source keep rates in permille — the domain-mixing knob of a
+# training-data pipeline (downsample the over-represented source).
+_RATES = {"src0": 250, "src1": 500, "src2": 750}
+_RATE_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _RATES.items())
+    + " ELSE 900 END"
+)
+
+
+@register(
+    "sample_stratified_by_source",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 1000)} < {_RATE_CASE}
+    """,
+)
+def sample_stratified_by_source(spark, sf):
+    # Deterministic stratified sampling: md5(doc_id) mod 1000 against a
+    # per-source permille rate. Reproducible across engines and runs
+    # (unlike Bernoulli sample()), embarrassingly parallel (no shuffle,
+    # the filter pushes into the scan stage).
+    d = t(spark, sf, "documents")
+    return d.filter(
+        F.expr(_md5_mod("cast(doc_id as string)", 1000)) < F.expr(_RATE_CASE)
+    ).select("doc_id", "source", "lang")
+
+
+@register(
+    "ingest_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, {TX.token_count_sql('text')} AS n_toks FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_toks,
+             coalesce(CAST(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS cum_before
+      FROM sized
+    )
+    SELECT doc_id, source, n_toks,
+           CAST(cum_before // 256 AS BIGINT) AS bin_id,
+           CAST(cum_before % 256 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+)
+def ingest_pack_sequences(spark, sf):
+    # Sequence packing for pretraining: concat docs per shard (source) in
+    # stable doc_id order, split into capacity-256 token bins; a doc's bin
+    # and offset come from the running token count before it. One window
+    # (sort-shuffle on source) — integer arithmetic only, portable. The
+    # concat-and-split policy is what streaming tokenized datasets do;
+    # documents may straddle a boundary by design.
+    d = t(spark, sf, "documents")
+    sized = d.select("doc_id", "source", TX.token_count("text").alias("n_toks"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        (F.col("cum_before") / 256).cast("long").alias("bin_id"),
+        (F.col("cum_before") % 256).cast("long").alias("bin_offset"),
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH media AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes
+      FROM documents
+    )
+    SELECT media_id, 'resize' AS op, 40 AS param,
+           CAST(greatest(1, orig_bytes * 40 // 100) AS BIGINT) AS n_bytes,
+           sha256(substr(text, 1, CAST(greatest(1, orig_bytes * 40 // 100) AS INTEGER)))
+             AS content_sha
+    FROM media
+    -- DuckDB cannot slice BLOBs, so the truncation replays on the VARCHAR:
+    -- the corpus is ASCII (1 char == 1 byte), making the two equivalent
+    """,
+)
+def multimodal_resize(spark, sf):
+    # resize stage over BINARY media via mapInPandas with the
+    # deterministic fake transformer (proportional truncation); the
+    # oracle replicates the truncation in SQL so the Python batch
+    # plumbing itself is value-checked (hash of the transformed bytes).
+    from dataingestionplayground_spark.sources.multimodal import (
+        binary_with_metadata,
+        fake_transformer,
+        transform_media,
+    )
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.lit("text/plain").alias("mt"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+    media = binary_with_metadata(d, "doc_id", "mt", "data")
+    out = transform_media(media, "resize", 40, transformer=fake_transformer)
+    return out.select(
+        "media_id",
+        "op",
+        "param",
+        "n_bytes",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
