@@ -58,3 +58,33 @@ def test_registry_contract():
         assert callable(q.fn)
         if q.oracle is not None:
             assert "SELECT" in q.oracle.upper()
+
+
+def test_knn_partial_topk_bounds_the_shuffle(spark, sf_dir):
+    """Two-phase top-k: the per-partition partial (mapInPandas / Arrow
+    eval) must sit BELOW the final window's Exchange, so the shuffle
+    carries only survivors — never the raw corpus x queries product."""
+    q = all_queries()["vector_knn_bruteforce"]
+    plan = physical_plan(q.fn(spark, sf_dir))
+    arrow = plan.find("ArrowEvalPython") if "ArrowEvalPython" in plan else plan.find("MapInPandas")
+    assert arrow != -1, plan
+    win = plan.find("Window")
+    # formatted plans list operators leaves-last; the window (final rank)
+    # must appear ABOVE the Arrow stage in the operator tree dump
+    assert win != -1 and win < arrow, plan
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    q = all_queries()["tpch_q6_forecast_revenue"]
+    pushed = pushed_filters(q.fn(spark, sf_dir))
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined and "l_discount" in joined and "l_quantity" in joined
+    # column pruning: the scan reads only the 4 referenced columns
+    cols = read_schema_columns(q.fn(spark, sf_dir))
+    assert sorted(cols[0]) == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+
+
+def test_stratified_sample_filter_pushes_no_shuffle(spark, sf_dir):
+    q = all_queries()["sample_stratified_by_source"]
+    plan = physical_plan(q.fn(spark, sf_dir))
+    assert "Exchange" not in plan  # pure scan+filter+project: no shuffle at any scale
