@@ -246,14 +246,23 @@ def dedup_lsh_verified_pairs(spark, sf):
     # documents that appear in a candidate pair, so the expensive exact
     # stage touches a vanishing fraction of the corpus at scale.
     d = t(spark, sf, "documents")
-    cand = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    # the candidate set is consumed three times (two id projections + the
+    # verify join) and the shingle rows three more (sizes + both join
+    # sides): materialize each once via localCheckpoint — both are small
+    # by construction (candidates are a vanishing fraction of all pairs,
+    # shingles only cover candidate documents), so this is cheap state,
+    # and it cuts 4 redundant recomputations of the banding lineage.
+    cand = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2
+    ).localCheckpoint(eager=True)
     ids = cand.select(F.col("id_a").alias("doc_id")).union(
         cand.select(F.col("id_b").alias("doc_id"))
     ).distinct()
-    from dataingestionplayground_spark.functions import text as TXT
     from dataingestionplayground_spark.operators.dedup import _shingle_rows
 
-    sh = _shingle_rows(d.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3)
+    sh = _shingle_rows(
+        d.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     x = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     y = sh.select(F.col("doc_id").alias("__yid"), F.col("shingle").alias("shingle_b"))
