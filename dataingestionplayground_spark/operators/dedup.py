@@ -45,11 +45,14 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
     Tokenization materialized as its own projection first so the shingle
     lambda slices a ready array instead of re-splitting text per shingle.
+    Set semantics come from ``array_distinct`` BEFORE the explode: a
+    per-row JVM dedup, so no (id, shingle) Exchange is ever needed —
+    ``.distinct()`` here would shuffle the largest intermediate of the
+    whole dedup pipeline for nothing.
     """
-    return (
-        df.select(F.col(id_col), TX.tokens(text_col).alias("__w"))
-        .select(F.col(id_col), F.explode(TX.shingles_from_tokens("__w", n)).alias("shingle"))
-        .distinct()
+    return df.select(F.col(id_col), TX.tokens(text_col).alias("__w")).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.shingles_from_tokens("__w", n))).alias("shingle"),
     )
 
 
