@@ -285,3 +285,55 @@ def dedup_lsh_verified_pairs(spark, sf):
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+@register(
+    "dedup_pipeline_stats",
+    oracle=f"""
+    WITH RECURSIVE {_WIDE_SIG.strip().rstrip(')')}
+    ), bands AS ({_BANDS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+    ), comp AS (
+      SELECT id, min(comp) AS component FROM walk GROUP BY id
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(DISTINCT {TX.fingerprint_sql('text')}) FROM documents)
+             AS n_exact_groups,
+           (SELECT COUNT(*) FROM pairs) AS n_candidate_pairs,
+           (SELECT COUNT(*) FROM documents d
+            WHERE d.doc_id = (SELECT coalesce(min(c.component), d.doc_id)
+                              FROM comp c WHERE c.id = d.doc_id)) AS n_kept
+    """,
+)
+def dedup_pipeline_stats(spark, sf):
+    # the whole dedup funnel as one row: corpus size -> exact groups ->
+    # LSH candidate pairs -> near-dup cluster representatives kept.
+    # Each stat is a 1-row aggregate; they meet via broadcast cross joins
+    # (no data shuffle beyond each stage's own aggregation).
+    from dataingestionplayground_spark.operators.dedup import exact_dedup as ed
+    from dataingestionplayground_spark.operators.graph import dedup_clusters as dc
+
+    d = t(spark, sf, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = ed(d, "doc_id", "text").agg(F.count(F.lit(1)).alias("n_exact_groups"))
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    pairs = pairs.localCheckpoint(eager=True)  # consumed twice (count + clustering)
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    n_kept = dc(d, pairs, "doc_id").agg(
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_kept))
+    )

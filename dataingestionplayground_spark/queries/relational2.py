@@ -533,3 +533,26 @@ def tpch_q19_disjunctive(spark, sf):
     return j.filter(cond).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
+
+
+@register(
+    "window_ntile_buckets",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           ntile(10) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+             AS decile_in_status
+    FROM orders
+    """,
+)
+def window_ntile_buckets(spark, sf):
+    # ntile bucketing (equi-depth partitioning) — global and per-group;
+    # unique tie-break column makes the assignment deterministic.
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(W.orderBy("o_totalprice", "o_orderkey")).alias("quartile"),
+        F.ntile(10)
+        .over(W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile_in_status"),
+    )
