@@ -24,9 +24,14 @@ SHOW = [
     ("sort_limit_topk", "TakeOrderedAndProject — top-k without a global sort"),
     ("events_asof_join", "as-of join: union + single sort-shuffle window"),
     ("dedup_minhash_lsh_pairs", "minhash: HashAggregate lane-mins, band self-join"),
-    ("vector_knn_bruteforce", "corpus scan x broadcast queries, window top-k"),
+    ("vector_knn_bruteforce", "two-phase top-k: partial per-partition heap below the final window exchange"),
     ("vector_ivf_ann", "IVF: broadcast centroid assignment, bucket equi-join, rerank"),
     ("text_fingerprint", "min rolling-hash inside the projection — no explode, no shuffle"),
+    ("tpch_q6_forecast_revenue", "all predicates pushed to the scan, 4-column pruned read, no join"),
+    ("tpch_q21_suppliers_kept_waiting", "the most shuffle-heavy TPC-H shape: fact self-joins + exists/not-exists"),
+    ("sample_stratified_by_source", "md5-permille stratified sampling — zero Exchange at any scale"),
+    ("ingest_pack_sequences", "sequence packing: one running-sum window, integer-only"),
+    ("text_repetition_filter", "two cascaded hash aggs (doc,gram)->(doc), both map-side partial"),
 ]
 
 INTERESTING = re.compile(
