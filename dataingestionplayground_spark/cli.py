@@ -185,6 +185,46 @@ def cmd_info(args, cfg) -> int:
     return 0
 
 
+def cmd_dedup(args, cfg) -> int:
+    """Near-duplicate report over an ingested collection: document texts
+    are reassembled from chunks, run through the exact + MinHash-LSH +
+    cluster pipeline, and the funnel is printed (optionally writing the
+    per-document keep/drop table)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.ingest import CollectionStore
+    from dataingestionplayground_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from dataingestionplayground_spark.operators.graph import dedup_clusters
+    from dataingestionplayground_spark.session import get_spark
+
+    spark = get_spark("dip-dedup")
+    store = CollectionStore(args.store or cfg["store_path"])
+    collection = args.collection or cfg["collection"]
+    if not store.exists(collection):
+        print(f"error: collection {collection!r} not found", file=sys.stderr)
+        return 2
+    docs = (
+        store.read(spark, collection)
+        .groupBy("documentid")
+        .agg(F.concat_ws(" ", F.collect_list("content")).alias("text"))
+    )
+    n_docs = docs.count()
+    n_exact = exact_dedup(docs, "documentid", "text").count()
+    pairs = minhash_lsh_pairs(docs, "documentid", "text").localCheckpoint(eager=True)
+    clusters = dedup_clusters(docs, pairs, "documentid")
+    n_kept = clusters.filter("is_kept").count()
+    print(f"documents:        {n_docs}")
+    print(f"exact-unique:     {n_exact}")
+    print(f"near-dup pairs:   {pairs.count()}")
+    print(f"kept after dedup: {n_kept}")
+    if args.out:
+        clusters.repartition(1).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(args.out)
+        print(f"wrote keep/drop table to {args.out}")
+    return 0
+
+
 def cmd_list(args, cfg) -> int:
     from dataingestionplayground_spark.ingest import CollectionStore
 
@@ -219,6 +259,12 @@ def main(argv: list[str] | None = None) -> int:
     p_in.add_argument("--collection")
     p_in.add_argument("--store")
     p_in.set_defaults(fn=cmd_info)
+
+    p_dd = sub.add_parser("dedup", help="near-duplicate report for a collection")
+    p_dd.add_argument("--collection")
+    p_dd.add_argument("--store")
+    p_dd.add_argument("--out", help="write the per-document keep/drop parquet here")
+    p_dd.set_defaults(fn=cmd_dedup)
 
     p_ls = sub.add_parser("list", help="list collections")
     p_ls.add_argument("--store")

@@ -100,3 +100,28 @@ def test_cli_info(spark, cms_db, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0 and "documents:  1" in out and "dims:       384" in out
     assert cli.main(["info", "--collection", "nope", "--store", store]) == 2
+
+
+def test_cli_dedup_report(spark, tmp_path, capsys):
+    # two identical docs + one distinct -> exact-unique 2, kept 2
+    src = tmp_path / "md"
+    src.mkdir()
+    body = "# T\n\nthe quick brown fox jumps over the lazy dog again and again"
+    (src / "a.md").write_text(body)
+    (src / "b.md").write_text(body)
+    (src / "c.md").write_text("# U\n\ncompletely different words about spark engines here")
+    store = str(tmp_path / "store")
+    assert cli.main(["ingest", "--reader", "markdown", "--collection", "dd",
+                     "--source", str(src), "--store", store]) == 0
+    capsys.readouterr()
+    out_pq = str(tmp_path / "keep.parquet")
+    assert cli.main(["dedup", "--collection", "dd", "--store", store,
+                     "--out", out_pq]) == 0
+    out = capsys.readouterr().out
+    assert "documents:        3" in out
+    assert "exact-unique:     2" in out
+    assert "kept after dedup: 2" in out
+    kept = {r.documentid: r.is_kept for r in spark.read.parquet(out_pq).collect()}
+    assert sum(kept.values()) == 2
+    # unknown collection -> error exit
+    assert cli.main(["dedup", "--collection", "nope", "--store", store]) == 2
