@@ -121,8 +121,10 @@ def kmeans_centroids(
     (cell, pos) partial-aggregatable avg -> rebuild the array. Both
     shuffles carry (cell, pos, val) rows bounded by corpus x dims — no
     per-group vector materialization, so it scales like any hash agg.
-    Deterministic: seeds are the lowest-id vectors and every step is an
-    exact aggregate, so repeated runs give identical centroids.
+    Deterministic: seeds are the lowest-id vectors and the mean routes
+    through DECIMAL(38,6) (associative — identical under any
+    partitioning AND replicable in the DuckDB oracle), so repeated runs
+    give identical centroids.
     """
     cents = _seed_centroids(corpus, corpus_id, corpus_vec, n_centroids)
     for _ in range(n_iters):
@@ -130,7 +132,12 @@ def kmeans_centroids(
         cents = (
             assigned.select("centroid_id", F.posexplode(corpus_vec))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("col").alias("v"))
+            .agg(
+                (
+                    F.sum(F.col("col").cast("double").cast("decimal(38,6)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("v")
+            )
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("__pv"))
             .select(

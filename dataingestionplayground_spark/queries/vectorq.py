@@ -130,3 +130,81 @@ def vector_norm_stats(spark, sf):
         F.count(F.lit(1)).alias("n_vectors"),
         davg(l2_norm("embedding")).alias("avg_norm"),
     )
+
+
+_KCOS = cosine_sql  # alias for readability in the long kmeans oracle
+
+
+@register(
+    "vector_ivf_kmeans",
+    oracle=f"""
+    WITH cents0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS centroid_id,
+             embedding AS cent_vec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), assign1 AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ({_KCOS('e.embedding', 'c.cent_vec')}) DESC,
+                                           c.centroid_id ASC) AS crk
+        FROM embeddings e CROSS JOIN cents0 c
+      ) WHERE crk = 1
+    ), cell_pos AS (
+      SELECT centroid_id,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM assign1
+    ), cell_mean AS (
+      SELECT centroid_id, pos,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS REAL) AS v
+      FROM cell_pos GROUP BY centroid_id, pos
+    ), cents AS (
+      SELECT centroid_id, list(v ORDER BY pos) AS cent_vec
+      FROM cell_mean GROUP BY centroid_id
+    ), corpus_assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ({_KCOS('e.embedding', 'c.cent_vec')}) DESC,
+                                           c.centroid_id ASC) AS crk
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE crk = 1
+    ), query_assign AS (
+      SELECT query_id, query_vec, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS query_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ({_KCOS('e.embedding', 'c.cent_vec')}) DESC,
+                                           c.centroid_id ASC) AS crk
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 5
+      ) WHERE crk <= 4
+    ), scored AS (
+      SELECT qa.query_id, ca.vec_id,
+             ({_KCOS('ca.embedding', 'qa.query_vec')}) AS score
+      FROM corpus_assign ca JOIN query_assign qa ON ca.centroid_id = qa.centroid_id
+    )
+    SELECT query_id, vec_id, score, "rank" FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank"
+      FROM scored) WHERE "rank" <= 10
+    """,
+)
+def vector_ivf_kmeans(spark, sf):
+    # IVF with one Lloyd iteration of k-means refinement over the seeded
+    # centroids. The centroid means route through DECIMAL(38,6), making
+    # the whole algorithm — seeding, assignment, mean, re-assignment,
+    # probe, rerank — bitwise deterministic, so the oracle unrolls the
+    # iteration and replicates it end-to-end in SQL (the strongest check
+    # an approximate index can get: exact value equality, not recall).
+    return ivf_ann(
+        t(spark, sf, "embeddings"),
+        _queries_df(spark, sf),
+        k=10,
+        n_centroids=8,
+        n_probe=4,
+        centroid_mode="kmeans",
+        kmeans_iters=1,
+    )
