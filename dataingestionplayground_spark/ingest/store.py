@@ -79,6 +79,29 @@ class CollectionStore:
                 "overwrite"
             ).parquet(path)
 
+    def compact(self, spark: SparkSession, collection: str, num_files: int = 1) -> int:
+        """Rewrite a collection into ``num_files`` parquet files (still
+        co-located by documentid) — the small-files answer for a sink fed
+        by many incremental appends: at scale, thousands of tiny appended
+        files dominate scan planning time. Returns the data file count
+        after compaction. The rewrite goes to a sibling temp dir first so
+        a crash mid-compact never loses the collection.
+        """
+        path = self._path(collection)
+        df = self.read(spark, collection)
+        tmp = path + ".compact-tmp"
+        (
+            df.repartition(num_files, "documentid")
+            .write.option("compression", "zstd")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+        )
+
     def drop(self, collection: str) -> None:
         if self.exists(collection):
             shutil.rmtree(self._path(collection))

@@ -270,3 +270,49 @@ def multimodal_resize(spark, sf):
         "n_bytes",
         F.sha2(F.col("content"), 256).alias("content_sha"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes
+      FROM documents
+    ), sampled AS (
+      SELECT media_id,
+             array_to_string(
+               list_transform(generate_series(1, CAST(orig_bytes AS INTEGER), 3),
+                              i -> substr(text, i, 1)), '') AS kept
+      FROM media
+    )
+    SELECT media_id, 'frame_sample' AS op, 3 AS param,
+           CAST(length(kept) AS BIGINT) AS n_bytes,
+           sha256(kept) AS content_sha
+    FROM sampled
+    -- ASCII corpus: byte stride == char stride, see multimodal_resize
+    """,
+)
+def multimodal_frame_sample(spark, sf):
+    # frame-sample stage (keep every param-th byte) through the same
+    # mapInPandas plumbing, value-checked by an SQL replica of the stride.
+    from dataingestionplayground_spark.sources.multimodal import (
+        binary_with_metadata,
+        fake_transformer,
+        transform_media,
+    )
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.lit("text/plain").alias("mt"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+    media = binary_with_metadata(d, "doc_id", "mt", "data")
+    out = transform_media(media, "frame_sample", 3, transformer=fake_transformer)
+    return out.select(
+        "media_id",
+        "op",
+        "param",
+        "n_bytes",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )

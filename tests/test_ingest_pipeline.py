@@ -180,6 +180,25 @@ def test_store_drop_and_reread(spark, md_elements, tmp_path):
     store.drop("temp")  # idempotent
 
 
+def test_store_compact_small_files(spark, md_elements, tmp_path):
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "cp")
+    # force the small-files state: append the same data as extra files
+    chunks = store.read(spark, "cp")
+    before_rows = chunks.count()
+    import os
+
+    n_files_before = sum(
+        1 for f in os.listdir(store._path("cp")) if f.endswith(".parquet")
+    )
+    n_after = store.compact(spark, "cp", num_files=1)
+    assert n_after == 1 and n_after <= n_files_before
+    assert store.read(spark, "cp").count() == before_rows  # no data loss
+    # content identical (same chunk keys)
+    keys = {r.key for r in store.read(spark, "cp").select("key").collect()}
+    assert len(keys) == before_rows
+
+
 def test_search_k_larger_than_collection(spark, md_elements, tmp_path):
     store = CollectionStore(str(tmp_path))
     ingest_corpus(md_elements, store, "small", max_tokens=512)
