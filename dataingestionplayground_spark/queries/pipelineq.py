@@ -316,3 +316,61 @@ def multimodal_frame_sample(spark, sf):
         "n_bytes",
         F.sha2(F.col("content"), 256).alias("content_sha"),
     )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) AS sum_o_totalprice,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS count_o_orderkey,
+           min(o_totalprice) AS min_o_totalprice
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_salted_twophase(spark, sf):
+    # salting is semantically transparent (algebraic two-phase rewrite),
+    # so the oracle is the PLAIN group-by — the strongest possible check
+    # that the skew mitigation changes the plan, not the answer. The sum
+    # routes through decimal on both phases (partial sums are decimal),
+    # matching the portable-aggregation rule.
+    from dataingestionplayground_spark.operators.skew import salted_agg
+
+    o = t(spark, sf, "orders").withColumn(
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(38,6)")
+    )
+    out = salted_agg(
+        o,
+        ["o_orderstatus"],
+        {"o_totalprice_dec": "sum", "o_orderkey": "count", "o_totalprice": "min"},
+        salt_buckets=16,
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("sum_o_totalprice_dec").cast("double").alias("sum_o_totalprice"),
+        F.col("count_o_orderkey").cast("long").alias("count_o_orderkey"),
+        F.col("min_o_totalprice").alias("min_o_totalprice"),
+    )
+
+
+@register(
+    "join_salted_replicate",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_salted_replicate(spark, sf):
+    # manual hot-key salting (salt the big side, replicate the small side
+    # across salts) — again checked against the PLAIN join: the rewrite
+    # must be invisible in the result.
+    from dataingestionplayground_spark.operators.skew import salted_skew_join
+
+    c = t(spark, sf, "customer").withColumnRenamed("c_nationkey", "nk")
+    n = t(spark, sf, "nation").withColumnRenamed("n_nationkey", "nk")
+    return (
+        salted_skew_join(c, n.select("nk", "n_name"), "nk", salt_buckets=8)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
