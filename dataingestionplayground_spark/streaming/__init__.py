@@ -11,6 +11,7 @@ from dataingestionplayground_spark.streaming.windows import (
     stream_session_windows,
     stream_dedup_within_watermark,
     stream_stateful_running_max,
+    stream_running_stats_tws,
     stream_stream_interval_join,
 )
 from dataingestionplayground_spark.streaming.ingest import stream_ingest_markdown
@@ -21,6 +22,7 @@ __all__ = [
     "stream_session_windows",
     "stream_dedup_within_watermark",
     "stream_stateful_running_max",
+    "stream_running_stats_tws",
     "stream_stream_interval_join",
     "stream_ingest_markdown",
 ]

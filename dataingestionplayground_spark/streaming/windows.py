@@ -119,3 +119,57 @@ def stream_stateful_running_max(events: DataFrame, watermark: str = "30 minutes"
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_running_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (sum, count, max) via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state API (the successor to
+    ``applyInPandasWithState``): explicit named value state on a handle,
+    batch-iterated Arrow input, update-mode emission per key per batch.
+
+    The API's state protocol needs ``protobuf`` (absent from this
+    container) — gated like the other optional-dependency paths;
+    :func:`stream_stateful_running_max` is the always-available stateful
+    operator.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package; use "
+            "stream_stateful_running_max (applyInPandasWithState) instead"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "total double, n bigint, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            total, n, mx = (got[0], got[1], got[2]) if got else (0.0, 0, float("-inf"))
+            for pdf in rows:
+                if len(pdf):
+                    total += float(pdf["value"].sum())
+                    n += len(pdf)
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((total, n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total": [total], "n_seen": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType="user_id long, total double, n_seen long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

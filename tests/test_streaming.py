@@ -209,3 +209,31 @@ def test_batch_stream_session_parity(spark, stream_dir):
     assert {k: sorted(v) for k, v in batch_sizes.items()} == {
         k: sorted(v) for k, v in stream_sizes.items()
     }
+
+
+def test_stream_running_stats_transform_with_state(spark, stream_dir):
+    # runs only where protobuf exists (Spark 4's transformWithState
+    # protocol dependency); skipped in this container
+    pytest.importorskip("google.protobuf")
+    from dataingestionplayground_spark.streaming import stream_running_stats_tws
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    name = _run(stream_running_stats_tws(events), "t_tws", "update")
+    rows = {r.user_id: r for r in spark.sql(f"select * from {name}").collect()}
+    # user 1: values 1,2,3,2 (dup event ids NOT deduped here) -> sum 8, n 4, max 3
+    assert rows[1].total == 8.0 and rows[1].n_seen == 4 and rows[1].max_value == 3.0
+    assert rows[2].total == 9.0 and rows[2].n_seen == 1 and rows[2].max_value == 9.0
+
+
+def test_stream_tws_gates_cleanly_without_protobuf(spark, stream_dir):
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        pytest.skip("protobuf installed: covered by the real test")
+    except ImportError:
+        pass
+    from dataingestionplayground_spark.streaming import stream_running_stats_tws
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        stream_running_stats_tws(events)
