@@ -216,6 +216,7 @@ def lsh_bucket_ann(
     queries: DataFrame,
     k: int = 10,
     num_planes: int = 8,
+    probe_radius: int = 0,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -224,9 +225,15 @@ def lsh_bucket_ann(
     """Approximate top-k: random-hyperplane bucket equi-join + exact rerank.
 
     Corpus is signed once into 2^num_planes buckets; the join degenerates
-    from |corpus| x |queries| to per-bucket work. Recall is tunable via
-    ``num_planes`` (fewer planes -> bigger buckets -> higher recall).
+    from |corpus| x |queries| to per-bucket work. Recall dials:
+    ``num_planes`` (fewer -> bigger buckets) and ``probe_radius``
+    (multi-probe LSH — ``1`` also probes every bucket one sign-flip away,
+    recovering neighbors that straddle a hyperplane). Probing replicates
+    only the tiny broadcast query side (num_planes+1 rows per query at
+    radius 1); the corpus is still signed and shuffled exactly once.
     """
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
 
     def bucket(df: DataFrame, vec: str) -> DataFrame:
         expr = " + ".join(
@@ -236,6 +243,16 @@ def lsh_bucket_ann(
 
     c = bucket(corpus, corpus_vec)
     q = bucket(queries, query_vec)
+    if probe_radius == 1:
+        flips = ", ".join(str(1 << p) for p in range(num_planes))
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.expr(
+                    f"array_union(array(bucket), transform(array({flips}), m -> cast(bucket ^ m as int)))"
+                )
+            ),
+        )
     joined = c.join(F.broadcast(q), "bucket").withColumn(
         "score", V.cosine_similarity(corpus_vec, query_vec)
     )

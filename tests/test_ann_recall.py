@@ -1,0 +1,89 @@
+"""Recall grading for the approximate similarity paths.
+
+The oracle harness proves each ANN query computes exactly what its SQL
+twin computes; these tests prove the *strategies* are worth using — that
+bucketing keeps most of the true neighbors. Exact top-k from
+knn_brute_force (itself pandas-cross-checked elsewhere) is ground truth.
+
+Guaranteed relations are asserted as hard invariants (multi-probe
+candidates are a superset of single-probe at equal planes); absolute
+floors are set well below observed values so the tests flag collapse
+(a broken bucketer sends recall to ~1/2^planes), not noise.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from ann_recall import recall_at_k, topk_sets  # noqa: E402
+
+from dataingestionplayground_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 10
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(corpus, queries):
+    return topk_sets(S.knn_brute_force(corpus, queries, k=K), K)
+
+
+def test_ivf_kmeans_recall_floor(corpus, queries, exact):
+    approx = topk_sets(
+        S.ivf_ann(
+            corpus, queries, k=K, n_centroids=16, n_probe=4,
+            centroid_mode="kmeans", kmeans_iters=2,
+        ),
+        K,
+    )
+    assert recall_at_k(exact, approx, K) >= 0.5
+
+
+def test_ivf_probe_dial_monotone(corpus, queries, exact):
+    # probing every cell IS brute force: recall must be exactly 1, and
+    # more probes can never lose candidates (superset of cells searched).
+    r = {
+        p: recall_at_k(
+            exact,
+            topk_sets(S.ivf_ann(corpus, queries, k=K, n_centroids=8, n_probe=p), K),
+            K,
+        )
+        for p in (1, 4, 8)
+    }
+    assert r[1] <= r[4] <= r[8]
+    assert r[8] == 1.0
+
+
+def test_lsh_multiprobe_beats_single_probe(corpus, queries, exact):
+    single = topk_sets(S.lsh_bucket_ann(corpus, queries, k=K, num_planes=4), K)
+    multi = topk_sets(
+        S.lsh_bucket_ann(corpus, queries, k=K, num_planes=4, probe_radius=1), K
+    )
+    r_single = recall_at_k(exact, single, K)
+    r_multi = recall_at_k(exact, multi, K)
+    # radius-1 probes a strict superset of buckets -> recall can only rise
+    assert r_multi >= r_single
+    assert r_multi >= 0.5
+
+
+def test_recall_self_is_one(exact):
+    assert recall_at_k(exact, exact, K) == 1.0
