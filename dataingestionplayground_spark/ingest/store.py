@@ -22,9 +22,23 @@ from pyspark.sql import functions as F
 from dataingestionplayground_spark.sources.schemas import CHUNK_SCHEMA
 
 
+_FORMATS = ("parquet", "orc")
+
+
 class CollectionStore:
-    def __init__(self, base_path: str):
+    """``fmt`` picks the on-disk columnar format for NEW collections:
+    ``parquet`` (default) or ``orc`` — both JVM-native writers, both
+    zstd-compressed, identical plan shapes (columnar scan with pushdown).
+    Reads auto-detect from the data files' extension, so one store can
+    hold collections in either format and a format migration is just
+    ``compact()`` under a store constructed with the new ``fmt``.
+    """
+
+    def __init__(self, base_path: str, fmt: str = "parquet"):
+        if fmt not in _FORMATS:
+            raise ValueError(f"fmt must be one of {_FORMATS}: {fmt!r}")
         self.base_path = base_path
+        self.fmt = fmt
 
     # must start alphanumeric: excludes '.', '..', dotfiles, and any
     # separator — drop('..') would rmtree the PARENT of base_path and
@@ -55,8 +69,23 @@ class CollectionStore:
     def exists(self, collection: str) -> bool:
         return os.path.isdir(self._path(collection))
 
+    def _detect_fmt(self, path: str) -> str:
+        """Format of an existing collection, from its data files' extension
+        (falls back to the store default for empty/new dirs)."""
+        if os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.startswith(".") or f.startswith("_"):
+                    continue
+                for fmt in _FORMATS:
+                    if f.endswith("." + fmt) or ("." + fmt + ".") in f:
+                        return fmt
+        return self.fmt
+
     def read(self, spark: SparkSession, collection: str) -> DataFrame:
-        return spark.read.schema(CHUNK_SCHEMA).parquet(self._path(collection))
+        path = self._path(collection)
+        return (
+            spark.read.schema(CHUNK_SCHEMA).format(self._detect_fmt(path)).load(path)
+        )
 
     def write(self, chunks: DataFrame, collection: str, incremental: bool = False) -> None:
         """S5: chunk sink. Full re-ingest (reference default) overwrites;
@@ -71,13 +100,23 @@ class CollectionStore:
             spark = chunks.sparkSession
             existing = self.read(spark, collection).select("documentid").distinct()
             out = out.join(existing, "documentid", "left_anti")
-            out.repartition("documentid").write.option("compression", "zstd").mode(
-                "append"
-            ).parquet(path)
+            # append in the collection's EXISTING format — a store default
+            # flipped mid-life must not produce a mixed-format directory
+            (
+                out.repartition("documentid")
+                .write.option("compression", "zstd")
+                .mode("append")
+                .format(self._detect_fmt(path))
+                .save(path)
+            )
         else:
-            out.repartition("documentid").write.option("compression", "zstd").mode(
-                "overwrite"
-            ).parquet(path)
+            (
+                out.repartition("documentid")
+                .write.option("compression", "zstd")
+                .mode("overwrite")
+                .format(self.fmt)
+                .save(path)
+            )
 
     def compact(self, spark: SparkSession, collection: str, num_files: int = 1) -> int:
         """Rewrite a collection into ``num_files`` parquet files (still
@@ -90,16 +129,21 @@ class CollectionStore:
         path = self._path(collection)
         df = self.read(spark, collection)
         tmp = path + ".compact-tmp"
+        # compaction rewrites in the STORE's format — so it doubles as the
+        # format-migration path (construct a store with the target fmt)
         (
             df.repartition(num_files, "documentid")
             .write.option("compression", "zstd")
             .mode("overwrite")
-            .parquet(tmp)
+            .format(self.fmt)
+            .save(tmp)
         )
         shutil.rmtree(path)
         os.rename(tmp, path)
         return sum(
-            1 for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+            1
+            for f in os.listdir(path)
+            if f.endswith("." + self.fmt) and not f.startswith(".")
         )
 
     def drop(self, collection: str) -> None:

@@ -251,3 +251,61 @@ def test_real_model_udf_when_available(spark):
     for r in out:
         norm = sum(x * x for x in r.v) ** 0.5
         assert abs(norm - 1.0) < 1e-3  # normalize_embeddings=True
+
+def test_store_orc_format_roundtrip(spark, md_elements, tmp_path):
+    """ORC store: same surface, same schema, same search results."""
+    import os
+
+    store = CollectionStore(str(tmp_path), fmt="orc")
+    ingest_corpus(md_elements, store, "odocs", max_tokens=32, overlap=0)
+    files = os.listdir(store._path("odocs"))
+    assert any(f.endswith(".orc") for f in files)
+    assert not any(f.endswith(".parquet") for f in files)
+    chunks = store.read(spark, "odocs")
+    assert chunks.count() > 0
+    assert chunks.schema == store.read(spark, "odocs").schema
+    top = search_collection(
+        spark, store, "odocs", "statistical machine learning algorithms", k=1
+    ).collect()
+    assert "machine_learning" in top[0].documentid
+
+
+def test_store_incremental_append_respects_existing_format(spark, md_elements, tmp_path):
+    """A store default flipped mid-life must not mix formats in one dir."""
+    import os
+
+    orc_store = CollectionStore(str(tmp_path), fmt="orc")
+    ingest_corpus(md_elements, orc_store, "mix")
+    # same base re-opened with the (different) parquet default
+    pq_store = CollectionStore(str(tmp_path))
+    before = pq_store.read(spark, "mix").count()  # read auto-detects orc
+    extra = md_elements.withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("-v2"))
+    )
+    ingest_corpus(extra, pq_store, "mix", incremental=True)
+    files = os.listdir(pq_store._path("mix"))
+    assert not any(f.endswith(".parquet") for f in files)  # appended as orc
+    assert pq_store.read(spark, "mix").count() == before * 2
+
+
+def test_store_compact_migrates_format(spark, md_elements, tmp_path):
+    """compact() under a store with a new fmt IS the migration path."""
+    import os
+
+    CollectionStore(str(tmp_path), fmt="orc")  # constructor validates fmt
+    orc_store = CollectionStore(str(tmp_path), fmt="orc")
+    ingest_corpus(md_elements, orc_store, "mig")
+    rows = orc_store.read(spark, "mig").count()
+    pq_store = CollectionStore(str(tmp_path))  # parquet default
+    n = pq_store.compact(spark, "mig", num_files=1)
+    files = os.listdir(pq_store._path("mig"))
+    assert n == 1 and any(f.endswith(".parquet") for f in files)
+    assert not any(f.endswith(".orc") for f in files)
+    assert pq_store.read(spark, "mig").count() == rows
+
+
+def test_store_rejects_unknown_format(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CollectionStore(str(tmp_path), fmt="avro")
