@@ -63,6 +63,23 @@ _QUALITY_SQL = (
 )
 
 
+def quality_scores(docs):
+    """(doc_id, n_toks, n_stop, quality) for any frame with
+    (doc_id, text, n_chars) — pure Catalyst expressions, so it works
+    unchanged on BATCH and STREAMING frames (streaming/documents.py wraps
+    it as the stream twin; the oracle checks the batch side)."""
+    feats = docs.select(
+        "doc_id",
+        "n_chars",
+        TX.token_count("text").alias("n_toks"),
+        TX.stopword_hits("text", "en").alias("n_stop"),
+        F.length(F.expr("replace(text, ' ', '')")).alias("len_sum"),
+    )
+    return feats.filter(F.col("n_toks") > 0).select(
+        "doc_id", "n_toks", "n_stop", F.expr(_QUALITY_SQL).alias("quality")
+    )
+
+
 @register(
     "text_quality_score",
     oracle=f"""
@@ -78,17 +95,7 @@ _QUALITY_SQL = (
     """,
 )
 def text_quality_score(spark, sf):
-    d = t(spark, sf, "documents")
-    feats = d.select(
-        "doc_id",
-        "n_chars",
-        TX.token_count("text").alias("n_toks"),
-        TX.stopword_hits("text", "en").alias("n_stop"),
-        F.length(F.expr("replace(text, ' ', '')")).alias("len_sum"),
-    )
-    return feats.filter(F.col("n_toks") > 0).select(
-        "doc_id", "n_toks", "n_stop", F.expr(_QUALITY_SQL).alias("quality")
-    )
+    return quality_scores(t(spark, sf, "documents"))
 
 
 @register(

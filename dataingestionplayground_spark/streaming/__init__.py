@@ -15,8 +15,14 @@ from dataingestionplayground_spark.streaming.windows import (
     stream_stream_interval_join,
 )
 from dataingestionplayground_spark.streaming.ingest import stream_ingest_markdown
+from dataingestionplayground_spark.streaming.documents import (
+    stream_quality_scores,
+    stream_pack_sequences,
+)
 
 __all__ = [
+    "stream_quality_scores",
+    "stream_pack_sequences",
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_windows",

@@ -1,0 +1,77 @@
+"""Streaming twins of the training-data document pipeline (SURVEY.md
+§2.10 extended to the LLM-pipeline surface): quality scoring and
+sequence packing over an unbounded document stream.
+
+Quality scoring is stateless (pure Catalyst expressions shared with the
+batch query, so parity is by construction). Packing is genuinely
+stateful — a document's bin depends on every token that came before it
+in its shard — carried across micro-batches with
+``applyInPandasWithState`` keyed by shard (``source``): state is ONE
+bigint per shard (the running token count), so memory is bounded by the
+shard count no matter how many documents flow through.
+
+Determinism contract: within a micro-batch, documents pack in
+``doc_id`` order; across batches, in arrival order. Bounded input
+delivered as one batch therefore matches the batch window query
+(``queries/pipelineq.py ingest_pack_sequences``) exactly — that parity
+is tested in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.queries.textq import quality_scores
+
+
+def stream_quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality score on a streaming (doc_id, text, n_chars)
+    frame — same expressions as the batch `text_quality_score` query
+    (append-mode safe: no aggregation, no watermark needed)."""
+    return quality_scores(docs)
+
+
+def stream_pack_sequences(docs: DataFrame, capacity: int = 256) -> DataFrame:
+    """Streaming sequence packing: assign each arriving document its
+    (bin_id, bin_offset) in its shard's concat-and-split token stream.
+
+    The cumulative token count per shard lives in group state (a single
+    bigint), updated once per micro-batch; token counting itself stays
+    JVM-side (the same `TX.token_count` expression as the batch query)
+    so the Python stage only does the tiny running-sum bookkeeping.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sized = docs.select(
+        "doc_id", "source", TX.token_count("text").cast("long").alias("n_toks")
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        cum = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        bins, offs = [], []
+        for n in pdf["n_toks"]:
+            bins.append(cum // capacity)
+            offs.append(cum % capacity)
+            cum += int(n)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "source": key[0],
+                "n_toks": pdf["n_toks"].astype("int64"),
+                "bin_id": pd.Series(bins, dtype="int64"),
+                "bin_offset": pd.Series(offs, dtype="int64"),
+            }
+        )
+
+    return sized.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, source string, n_toks long, bin_id long, bin_offset long",
+        stateStructType="cum bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -237,3 +237,107 @@ def test_stream_tws_gates_cleanly_without_protobuf(spark, stream_dir):
     events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
     with pytest.raises(NotImplementedError, match="protobuf"):
         stream_running_stats_tws(events)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+DOCS_SF_FILE = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(tmp_path_factory):
+    """FileStreamSource wants a directory; link the single testdata
+    parquet file into one."""
+    import os
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    os.symlink(DOCS_SF_FILE, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_stream_quality_scores_batch_parity(spark, docs_stream_dir):
+    """Stateless quality scoring: streaming result == batch query result
+    on bounded input (same Catalyst expressions by construction)."""
+    from dataingestionplayground_spark.streaming import stream_quality_scores
+    from dataingestionplayground_spark.queries.textq import quality_scores
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    name = _run(stream_quality_scores(docs), "t_quality", "append")
+    stream_rows = {
+        r.doc_id: (r.n_toks, r.n_stop, round(r.quality, 9))
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_rows = {
+        r.doc_id: (r.n_toks, r.n_stop, round(r.quality, 9))
+        for r in quality_scores(spark.read.parquet(DOCS_SF_FILE)).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_stream_pack_sequences_batch_parity(spark, docs_stream_dir):
+    """Stateful packing: one bounded micro-batch packs exactly like the
+    batch window query (doc_id order within each shard)."""
+    from dataingestionplayground_spark.queries.pipelineq import ingest_pack_sequences
+    from dataingestionplayground_spark.streaming import stream_pack_sequences
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    name = _run(stream_pack_sequences(docs), "t_pack", "update")
+    stream_rows = {
+        r.doc_id: (r.source, r.n_toks, r.bin_id, r.bin_offset)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_rows = {
+        r.doc_id: (r.source, r.n_toks, r.bin_id, r.bin_offset)
+        for r in ingest_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == 500
+
+
+def test_stream_pack_sequences_state_carries_across_batches(spark, tmp_path):
+    """A shard's running token count survives micro-batch boundaries: with
+    maxFilesPerTrigger=1 each file is its own micro-batch, and the second
+    batch's doc starts at the first batch's cumulative offset."""
+    import os
+    import time
+
+    from dataingestionplayground_spark.streaming import stream_pack_sequences
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    b1 = spark.createDataFrame([(1, "alpha beta gamma", "en", "s1", 16)], DOCS_SCHEMA)
+    b1.write.parquet(str(d / "b1.parquet"))
+    time.sleep(1.1)  # FileStreamSource batches by mtime order
+    b2 = spark.createDataFrame(
+        [(2, "delta epsilon zeta eta theta", "en", "s1", 28)], DOCS_SCHEMA
+    )
+    b2.write.parquet(str(d / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    q = (
+        stream_pack_sequences(stream, capacity=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_pack_multi")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = q.lastProgress["batchId"] + 1
+    q.stop()
+    rows = {r.doc_id: r for r in spark.sql("select * from t_pack_multi").collect()}
+    assert n_batches >= 2  # the two files really were separate micro-batches
+    # doc 1: 3 tokens from offset 0; doc 2 resumes at cum=3 -> bin 0 offset 3
+    assert rows[1].bin_id == 0 and rows[1].bin_offset == 0
+    assert rows[2].bin_id == 0 and rows[2].bin_offset == 3 and rows[2].n_toks == 5
