@@ -374,3 +374,140 @@ def join_salted_replicate(spark, sf):
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest(list_distinct({TX.word_shingles_sql('text', 3)})) AS g
+      FROM documents WHERE doc_id % 25 = 0
+    ), tr AS (
+      SELECT doc_id, unnest(list_distinct({TX.word_shingles_sql('text', 3)})) AS g
+      FROM documents WHERE doc_id % 25 <> 0
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM tr JOIN ev USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap,
+           coalesce(n_overlap, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+def dedup_decontaminate(spark, sf):
+    # Benchmark decontamination: flag training documents sharing any
+    # word trigram with a held-out eval set (doc_id % 25 == 0 stands in
+    # for the benchmark). The eval gram table is benchmark-sized ->
+    # broadcast, so the only shuffle is the per-doc overlap count (hash
+    # agg, map-side partial): one corpus scan at 100 TB. Per-doc grams
+    # are array_distinct'ed BEFORE the explode, so a gram repeated
+    # inside one doc costs one row, and n_overlap counts distinct
+    # contaminated grams.
+    d = t(spark, sf, "documents")
+
+    def grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+        )
+
+    ev = grams(d.filter(F.col("doc_id") % 25 == 0)).select("g").distinct()
+    tr = grams(d.filter(F.col("doc_id") % 25 != 0))
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    base = d.filter(F.col("doc_id") % 25 != 0).select("doc_id")
+    n = F.coalesce("n_overlap", F.lit(0).cast("long"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id", n.alias("n_overlap"), (n > 0).alias("contaminated")
+    )
+
+
+@register(
+    "sample_language_balanced",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+    ), m AS (SELECT MIN(n_lang) AS min_n FROM counts)
+    SELECT doc_id, lang, n_lang, min_n,
+           ({_md5_mod_sql('CAST(doc_id AS VARCHAR)', 'n_lang')}) < min_n AS keep
+    FROM documents JOIN counts USING (lang) CROSS JOIN m
+    """,
+)
+def sample_language_balanced(spark, sf):
+    # Uniform language rebalance: downsample every language to the
+    # rarest language's size in expectation, deterministically —
+    # keep iff md5(doc_id) mod n_lang < min_n (exact-integer, so the
+    # same doc keeps/drops on every engine and every rerun). Language
+    # counts and the global min are tiny -> both broadcast; the corpus
+    # is scanned once with zero shuffles on the big side.
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_lang"))
+    m = counts.agg(F.min("n_lang").alias("min_n"))
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            "lang",
+            "n_lang",
+            "min_n",
+            (
+                F.expr(_md5_mod("cast(doc_id as string)", "n_lang"))
+                < F.col("min_n")
+            ).alias("keep"),
+        )
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0)) AS BIGINT) AS isqrt
+      FROM counts
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(SUM(isqrt) AS BIGINT) AS total_isqrt FROM w
+    )
+    SELECT source, n_docs,
+           round(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE), 9) AS raw_share,
+           round(CAST(isqrt AS DOUBLE) / CAST(total_isqrt AS DOUBLE), 9) AS temp_share,
+           round((CAST(isqrt AS DOUBLE) / CAST(total_isqrt AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)), 9) AS boost
+    FROM w CROSS JOIN tot
+    """,
+)
+def sample_temperature_mix(spark, sf):
+    # Temperature-based source mixing (alpha = 0.5): sampling share of
+    # shard s is sqrt(n_s) / sum(sqrt(n_t)) — flattens the source
+    # distribution so head domains don't drown the tail. Portability:
+    # sqrt is IEEE-correctly-rounded in both engines, so
+    # floor(sqrt(n*1e6)) is an EXACT integer weight; all cross-row sums
+    # are integer sums, and shares divide two bigints as one double op.
+    # The whole query runs on the source-count table (vocabulary-sized).
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = counts.withColumn(
+        "isqrt",
+        F.floor(F.sqrt(F.col("n_docs").cast("double") * F.lit(1000000.0))).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.sum("isqrt").cast("long").alias("total_isqrt"),
+    )
+    raw = F.col("n_docs").cast("double") / F.col("total_docs").cast("double")
+    temp = F.col("isqrt").cast("double") / F.col("total_isqrt").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(raw, 9).alias("raw_share"),
+        F.round(temp, 9).alias("temp_share"),
+        F.round(temp / raw, 9).alias("boost"),
+    )
