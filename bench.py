@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_verified_pairs",
     "dedup_simhash",
+    "dedup_decontaminate",
     "text_token_stats",
     "vector_knn_bruteforce",
     "ingest_chunk_token_windows",

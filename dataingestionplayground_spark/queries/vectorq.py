@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions.portable import davg
 from dataingestionplayground_spark.functions.portable import davg_expr
+from dataingestionplayground_spark.functions import vector as V
 from dataingestionplayground_spark.functions.vector import cosine_sql, l2_norm, l2_norm_sql
 from dataingestionplayground_spark.operators.similarity import ivf_ann, knn_brute_force, lsh_bucket_ann
 from dataingestionplayground_spark.queries import register
@@ -274,4 +275,70 @@ def vector_lsh_multiprobe(spark, sf):
         k=10,
         num_planes=_MP_PLANES,
         probe_radius=1,
+    )
+
+
+_MSE_SPARK = (
+    "case when scale > 0.0 then aggregate(sequence(1, size(embedding)), cast(0.0 as double), "
+    "(acc, i) -> acc + power(cast(element_at(embedding, i) as double) "
+    "- cast(element_at(qvec, i) as double) / scale, 2)) / cast(size(embedding) as double) "
+    "else 0.0 end"
+)
+
+_MSE_DUCK = (
+    "CASE WHEN scale > 0.0 THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len(embedding)), "
+    "i -> power(CAST(embedding[i] AS DOUBLE) - CAST(qvec[i] AS DOUBLE) / scale, 2))), "
+    "(acc, v) -> acc + v) / CAST(len(embedding) AS DOUBLE) ELSE 0.0 END"
+)
+
+
+@register(
+    "vector_int8_quantize",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0.0
+                  THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                  ELSE 0.0 END AS scale
+      FROM embeddings
+    ), quant AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qvec
+      FROM scaled
+    )
+    SELECT vec_id, round(scale, 9) AS scale,
+           round({cosine_sql('embedding', 'qvec')}, 9) AS cos_recon,
+           round({_MSE_DUCK}, 12) AS mse
+    FROM quant
+    """,
+)
+def vector_int8_quantize(spark, sf):
+    # Int8 scalar quantization of the embedding column — the 4x storage /
+    # bandwidth shrink an ANN serving tier applies before indexing — plus
+    # per-vector reconstruction quality. Everything is per-row Catalyst
+    # expressions (zero shuffles, zero Python). cos_recon exploits that
+    # cosine is scale-invariant: cos(orig, dequant) == cos(orig, int
+    # codes), so no division by scale enters the similarity path; mse
+    # measures the actual rounding loss on the dequantized values.
+    e = t(spark, sf, "embeddings")
+    quant = (
+        e.withColumn(
+            "scale",
+            F.expr(
+                "case when array_max(transform(embedding, x -> abs(cast(x as double)))) > 0.0 "
+                "then 127.0 / array_max(transform(embedding, x -> abs(cast(x as double)))) "
+                "else 0.0 end"
+            ),
+        )
+        .withColumn(
+            "qvec",
+            F.expr("transform(embedding, x -> cast(round(cast(x as double) * scale) as int))"),
+        )
+    )
+    return quant.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round(V.cosine_similarity("embedding", "qvec"), 9).alias("cos_recon"),
+        F.round(F.expr(_MSE_SPARK), 12).alias("mse"),
     )
