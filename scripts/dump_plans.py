@@ -28,6 +28,8 @@ SHOW = [
     ("vector_ivf_ann", "IVF: broadcast centroid assignment, bucket equi-join, rerank"),
     ("text_fingerprint", "min rolling-hash inside the projection — no explode, no shuffle"),
     ("tpch_q6_forecast_revenue", "all predicates pushed to the scan, 4-column pruned read, no join"),
+    ("dedup_decontaminate", "eval grams broadcast (benchmark-sized); one per-doc overlap hash agg"),
+    ("vector_int8_quantize", "quantization as pure per-row projection — no exchange anywhere"),
     ("tpch_q21_suppliers_kept_waiting", "the most shuffle-heavy TPC-H shape: fact self-joins + exists/not-exists"),
     ("sample_stratified_by_source", "md5-permille stratified sampling — zero Exchange at any scale"),
     ("ingest_pack_sequences", "sequence packing: one running-sum window, integer-only"),
