@@ -270,3 +270,50 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 2,
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line whose
+    (trimmed) fingerprint occurs in >= ``min_df`` distinct documents,
+    rebuild each document from its surviving lines in original order.
+
+    Returns (doc_id, n_lines_total, n_lines_kept, clean_text); documents
+    with no non-empty line are absent. Two big shuffles at any scale:
+    the line-df hash agg and the per-doc rebuild agg. The boilerplate
+    set (lines repeated across docs) joins back as a broadcast by
+    default — it is df-filtered and far smaller than the line table; on
+    a corpus where repeated lines rival the corpus itself, pass
+    ``broadcast_boilerplate=False`` for a shuffle equi-join instead.
+    Fingerprints are portable md5 (reproducible in the SQL oracle).
+    """
+    lines = (
+        docs.select(doc_id, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+        .filter(F.trim("line") != "")
+        .withColumn("fp", F.md5(F.trim("line")))
+    )
+    boiler = (
+        lines.groupBy("fp")
+        .agg(F.count_distinct(doc_id).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("fp", F.lit(True).alias("is_boiler"))
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    flagged = lines.join(boiler, "fp", "left").withColumn(
+        "kept", F.col("is_boiler").isNull()
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "line")))
+    )
+    return flagged.groupBy(doc_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines_total"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_lines_kept"),
+        F.array_join(F.transform(ordered, lambda x: x["line"]), sep).alias("clean_text"),
+    )

@@ -511,3 +511,87 @@ def sample_temperature_mix(spark, sf):
         F.round(temp, 9).alias("temp_share"),
         F.round(temp / raw, 9).alias("boost"),
     )
+
+
+_SEG = 12  # tokens per synthetic "line" for the boilerplate demo
+
+
+@register(
+    "dedup_line_boilerplate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+      WHERE len({TX.tokens_sql('text')}) > 0
+    ), segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tk[(i-1)*{_SEG}+1:i*{_SEG}], ' ') AS line
+      FROM base, unnest(generate_series(1, CAST(ceil(len(tk)/{_SEG}.0) AS INTEGER))) AS u(i)
+    ), nz AS (
+      SELECT doc_id, pos, line FROM segs WHERE trim(line) <> ''
+    ), fdf AS (
+      SELECT md5(trim(line)) AS fp, count(distinct doc_id) AS line_df
+      FROM nz GROUP BY 1
+    ), flagged AS (
+      SELECT s.doc_id, s.pos, s.line, (f.line_df >= 2) AS is_boiler
+      FROM nz s JOIN fdf f ON md5(trim(s.line)) = f.fp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_total,
+           CAST(coalesce(SUM(CASE WHEN NOT is_boiler THEN 1 END), 0) AS BIGINT) AS n_lines_kept,
+           coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, chr(10) ORDER BY pos), '')
+             AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_line_boilerplate(spark, sf):
+    # CCNet-style boilerplate removal via operators.dedup.line_dedup:
+    # drop every line repeated across >= 2 docs, rebuild the doc from
+    # survivors. The synthetic corpus is single-line, so the query first
+    # segments the token stream into 12-token "paragraphs" (real corpora
+    # pass their newline-separated text straight in). Shuffle shape at
+    # any scale: line-df hash agg + per-doc rebuild agg; the df-filtered
+    # boilerplate set broadcasts back.
+    from dataingestionplayground_spark.operators.dedup import line_dedup
+
+    d = t(spark, sf, "documents").withColumn("tk", TX.tokens("text"))
+    d = d.filter(F.size("tk") > 0)
+    seg = lambda i: F.array_join(F.slice(F.col("tk"), (i - 1) * _SEG + 1, _SEG), " ")
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size("tk") / float(_SEG)).cast("int")),
+                seg,
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(lined, "doc_id", "text", min_df=2)
+
+
+@register(
+    "sample_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(({_md5_mod_sql('CAST(doc_id AS VARCHAR)', 8)}) AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ({_md5_mod_sql('CAST(doc_id AS VARCHAR)', 8)})
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def sample_global_shuffle(spark, sf):
+    # Deterministic global shuffle for training-order randomization:
+    # shard = md5(doc_id) mod 8, position within shard = rank by the md5
+    # hex (a reproducible permutation — same order on every engine and
+    # every rerun, no RNG state to ship). One sort-shuffle, partitioned
+    # by shard so no reducer sees more than a shard's worth of ids; at
+    # 100 TB, n_shards scales with the cluster and each output shard
+    # writes independently.
+    d = t(spark, sf, "documents")
+    shard = F.expr(_md5_mod("cast(doc_id as string)", 8)).cast("long")
+    w = W.partitionBy("shard").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

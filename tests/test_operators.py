@@ -331,3 +331,36 @@ def test_ivf_kmeans_centroids_deterministic_and_exact(spark):
 
     with __import__("pytest").raises(ValueError, match="centroid_mode"):
         ivf_ann(corpus, queries, centroid_mode="bogus")
+
+
+def test_line_dedup_drops_boilerplate(spark):
+    from dataingestionplayground_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nSubscribe to our newsletter\nmore alpha text"),
+            (2, "totally different beta\nSubscribe to our newsletter\n"),
+            (3, "gamma only\n\n  \ngamma again"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_df=2).collect()}
+    # the shared line vanishes from BOTH docs; order of survivors kept
+    assert out[1].clean_text == "unique alpha\nmore alpha text"
+    assert out[1].n_lines_total == 3 and out[1].n_lines_kept == 2
+    assert out[2].clean_text == "totally different beta"
+    # blank/whitespace-only lines don't count at all
+    assert out[3].n_lines_total == 2 and out[3].n_lines_kept == 2
+    assert out[3].clean_text == "gamma only\ngamma again"
+
+
+def test_line_dedup_all_boilerplate_doc(spark):
+    from dataingestionplayground_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "same line\nextra")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_df=2).collect()}
+    assert out[1].n_lines_kept == 0 and out[1].clean_text == ""
+    assert out[3].clean_text == "extra"
