@@ -1,0 +1,78 @@
+"""Sharded JSONL export — the delivery end of a training-data pipeline:
+hand a curated DataFrame to a trainer as N reproducible gzip JSONL
+shards plus a machine-readable manifest.
+
+Shard assignment is the same portable md5-mod used by the sampling
+queries (``queries/pipelineq.py``), NOT Spark's internal partitioner:
+a row's shard depends only on its id, so re-exports, different
+cluster sizes, and other engines all agree on membership. The write is
+``partitionBy`` on the shard key, so each shard is its own directory
+(``shard=K/``) and the trainer can read any subset without touching the
+rest; at 100 TB each shard directory writes in parallel from however
+many tasks hold its rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions import text as TX
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    compression: str = "gzip",
+) -> dict:
+    """Write ``df`` as ``n_shards`` JSONL shard directories under
+    ``path`` and a ``_MANIFEST.json`` recording per-shard row counts
+    (and token counts when ``text_col`` is present). Returns the
+    manifest dict. Deterministic: shard membership is md5(id) mod
+    n_shards, and the manifest counts come from the same expression.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    shard = F.expr(
+        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10) as bigint) % {n_shards}"
+    ).cast("long")
+    out = df.withColumn("shard", shard)
+    out.write.mode("overwrite").option("compression", compression).partitionBy(
+        "shard"
+    ).json(path)
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("rows")]
+    has_text = text_col is not None and text_col in df.columns
+    if has_text:
+        aggs.append(F.sum(TX.token_count(text_col).cast("long")).cast("long").alias("tokens"))
+    stats = out.groupBy("shard").agg(*aggs).collect()
+    shards = {
+        str(r["shard"]): (
+            {"rows": r["rows"], "tokens": r["tokens"]} if has_text else {"rows": r["rows"]}
+        )
+        for r in stats
+    }
+    manifest = {
+        "format": "jsonl",
+        "compression": compression,
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "total_rows": sum(s["rows"] for s in shards.values()),
+        "shards": shards,
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def read_export(spark, path: str) -> DataFrame:
+    """Read an export back (shard recovered as a partition column)."""
+    return spark.read.json(path)

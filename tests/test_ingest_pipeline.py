@@ -309,3 +309,39 @@ def test_store_rejects_unknown_format(tmp_path):
 
     with _pytest.raises(ValueError):
         CollectionStore(str(tmp_path), fmt="avro")
+
+
+def test_export_jsonl_roundtrip_and_manifest(spark, tmp_path):
+    from dataingestionplayground_spark.ingest.export import export_jsonl, read_export
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "export")
+    manifest = export_jsonl(docs, path, n_shards=4)
+    assert manifest["total_rows"] == docs.count()
+    assert set(manifest["shards"]) <= {"0", "1", "2", "3"}
+    assert sum(s["rows"] for s in manifest["shards"].values()) == manifest["total_rows"]
+    assert all(s["tokens"] > 0 for s in manifest["shards"].values())
+
+    back = read_export(spark, path)
+    assert back.count() == docs.count()
+    assert set(r.doc_id for r in back.select("doc_id").collect()) == set(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("shard=")
+    ) == [f"shard={k}" for k in sorted(manifest["shards"], key=int)]
+
+
+def test_export_jsonl_deterministic_shards(spark, tmp_path):
+    """Same ids -> same shards on re-export (portable md5 assignment)."""
+    from dataingestionplayground_spark.ingest.export import export_jsonl, read_export
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    m1 = export_jsonl(docs, str(tmp_path / "e1"), n_shards=4)
+    m2 = export_jsonl(docs, str(tmp_path / "e2"), n_shards=4)
+    assert m1["shards"] == m2["shards"]
+    a = {(r.doc_id, r.shard) for r in read_export(spark, str(tmp_path / "e1")).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in read_export(spark, str(tmp_path / "e2")).select("doc_id", "shard").collect()}
+    assert a == b
