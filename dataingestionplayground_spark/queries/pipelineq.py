@@ -80,7 +80,9 @@ def text_repetition_filter(spark, sf):
             F.max("c").alias("top_cnt"),
         )
     )
-    bigr = d.select("doc_id", F.explode(TX.word_shingles("text", 2)).alias("bg"))
+    bigr = d.select("doc_id", TX.tokens("text").alias("__tk")).select(
+        "doc_id", F.explode(TX.shingles_from_tokens("__tk", 2)).alias("bg")
+    )
     bi = (
         bigr.groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -407,9 +409,12 @@ def dedup_decontaminate(spark, sf):
     d = t(spark, sf, "documents")
 
     def grams(df):
-        return df.select(
+        # two-step projection: tokenize ONCE per doc, then shingle the
+        # token array (inlining the split into the shingle lambda would
+        # re-split the text per shingle -> O(tokens^2) regex work)
+        return df.select("doc_id", TX.tokens("text").alias("__tk")).select(
             "doc_id",
-            F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+            F.explode(F.array_distinct(TX.shingles_from_tokens("__tk", 3))).alias("g"),
         )
 
     ev = grams(d.filter(F.col("doc_id") % 25 == 0)).select("g").distinct()
