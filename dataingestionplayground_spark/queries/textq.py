@@ -244,3 +244,39 @@ def text_language_id_ngram(spark, sf):
         "t_es",
         F.expr(f"CASE WHEN {_TRI_PRED} = lang THEN 1 ELSE 0 END").alias("is_match"),
     )
+
+
+@register(
+    "text_quality_calibrated_filter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             CAST(len({TX.tokens_sql('text')}) AS INTEGER) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats WHERE n_toks > 0
+    ), thr AS (
+      SELECT quantile_cont(quality, 0.25) AS q25 FROM scored
+    )
+    SELECT doc_id, quality, q25 AS threshold, quality >= q25 AS keep
+    FROM scored CROSS JOIN thr
+    """,
+)
+def text_quality_calibrated_filter(spark, sf):
+    # Corpus-calibrated quality gate: instead of a magic absolute cutoff,
+    # keep documents at or above the corpus's own 25th percentile of
+    # quality — the threshold adapts to each crawl/shard. Two passes:
+    # one agg to a single-row threshold (exact interpolated percentile,
+    # bitwise equal to DuckDB quantile_cont; percentile_approx at
+    # 100 TB), broadcast back over one more corpus scan. Zero shuffles
+    # on the corpus side either pass.
+    scored = quality_scores(t(spark, sf, "documents")).select("doc_id", "quality")
+    thr = scored.agg(F.expr("percentile(quality, 0.25)").alias("threshold"))
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "quality",
+        "threshold",
+        (F.col("quality") >= F.col("threshold")).alias("keep"),
+    )
