@@ -225,6 +225,36 @@ def cmd_dedup(args, cfg) -> int:
     return 0
 
 
+def cmd_export(args, cfg) -> int:
+    """Export a collection's reassembled documents as sharded JSONL +
+    manifest (the training-data delivery format)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.ingest import CollectionStore
+    from dataingestionplayground_spark.ingest.export import export_jsonl
+    from dataingestionplayground_spark.session import get_spark
+
+    spark = get_spark("dip-export")
+    store = CollectionStore(args.store or cfg["store_path"])
+    collection = args.collection or cfg["collection"]
+    if not store.exists(collection):
+        print(f"error: collection {collection!r} not found", file=sys.stderr)
+        return 2
+    docs = (
+        store.read(spark, collection)
+        .groupBy("documentid")
+        .agg(F.concat_ws(" ", F.collect_list("content")).alias("text"))
+    )
+    manifest = export_jsonl(
+        docs, args.out, n_shards=args.shards, id_col="documentid"
+    )
+    print(
+        f"wrote {manifest['total_rows']} docs to {args.out} "
+        f"({manifest['n_shards']} shards)"
+    )
+    return 0
+
+
 def cmd_list(args, cfg) -> int:
     from dataingestionplayground_spark.ingest import CollectionStore
 
@@ -265,6 +295,13 @@ def main(argv: list[str] | None = None) -> int:
     p_dd.add_argument("--store")
     p_dd.add_argument("--out", help="write the per-document keep/drop parquet here")
     p_dd.set_defaults(fn=cmd_dedup)
+
+    p_ex = sub.add_parser("export", help="export a collection as sharded JSONL")
+    p_ex.add_argument("--collection")
+    p_ex.add_argument("--store")
+    p_ex.add_argument("--out", required=True, help="export directory")
+    p_ex.add_argument("--shards", type=int, default=8)
+    p_ex.set_defaults(fn=cmd_export)
 
     p_ls = sub.add_parser("list", help="list collections")
     p_ls.add_argument("--store")

@@ -125,3 +125,30 @@ def test_cli_dedup_report(spark, tmp_path, capsys):
     assert sum(kept.values()) == 2
     # unknown collection -> error exit
     assert cli.main(["dedup", "--collection", "nope", "--store", store]) == 2
+
+
+def test_cli_export_jsonl(spark, tmp_path, capsys):
+    import json
+    import os
+
+    src = tmp_path / "md"
+    src.mkdir()
+    (src / "a.md").write_text("# A\n\nalpha beta gamma delta epsilon")
+    (src / "b.md").write_text("# B\n\nzeta eta theta iota kappa")
+    store = str(tmp_path / "store")
+    assert cli.main(["ingest", "--reader", "markdown", "--collection", "ex",
+                     "--source", str(src), "--store", store]) == 0
+    capsys.readouterr()
+    out_dir = str(tmp_path / "export")
+    assert cli.main(["export", "--collection", "ex", "--store", store,
+                     "--out", out_dir, "--shards", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "wrote 2 docs" in out
+    manifest = json.load(open(os.path.join(out_dir, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 2
+    back = spark.read.json(out_dir)
+    names = {r.documentid.rsplit("/", 1)[-1] for r in back.select("documentid").collect()}
+    assert names == {"a.md", "b.md"}
+    # unknown collection -> error exit
+    assert cli.main(["export", "--collection", "nope", "--store", store,
+                     "--out", str(tmp_path / "x")]) == 2
