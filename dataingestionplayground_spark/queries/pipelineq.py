@@ -600,3 +600,61 @@ def sample_global_shuffle(spark, sf):
         d.select("doc_id", shard.alias("shard"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+@register(
+    "dedup_intra_doc_lines",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+      WHERE len({TX.tokens_sql('text')}) > 0
+    ), segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tk[(i-1)*{_SEG}+1:i*{_SEG}], ' ') AS line
+      FROM base, unnest(generate_series(1, CAST(ceil(len(tk)/{_SEG}.0) AS INTEGER))) AS u(i)
+    ), nz AS (
+      SELECT doc_id, pos, line,
+             CAST(row_number() OVER (PARTITION BY doc_id, md5(trim(line))
+                                     ORDER BY pos) AS BIGINT) AS occurrence
+      FROM segs WHERE trim(line) <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_total,
+           CAST(SUM(CASE WHEN occurrence = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+           coalesce(string_agg(CASE WHEN occurrence = 1 THEN line END, chr(10) ORDER BY pos), '')
+             AS clean_text
+    FROM nz GROUP BY doc_id
+    """,
+)
+def dedup_intra_doc_lines(spark, sf):
+    # Within-document repeated-line removal (keep the FIRST occurrence,
+    # preserve order) — the intra-page half of boilerplate cleanup, vs
+    # dedup_line_boilerplate's cross-corpus half. One window + one
+    # rebuild agg, both partitioned by doc_id: a single sort-shuffle at
+    # any scale, and no cross-document state at all. Same 12-token
+    # segmentation stand-in as the cross-corpus query.
+    d = t(spark, sf, "documents").withColumn("tk", TX.tokens("text"))
+    d = d.filter(F.size("tk") > 0)
+    seg = lambda i: F.array_join(F.slice(F.col("tk"), (i - 1) * _SEG + 1, _SEG), " ")
+    lines = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.ceil(F.size("tk") / float(_SEG)).cast("int")),
+                    seg,
+                )
+            ).alias("pos0", "line"),
+        )
+        .filter(F.trim("line") != "")
+        .withColumn("pos", F.col("pos0") + 1)
+    )
+    w = W.partitionBy("doc_id", F.md5(F.trim("line"))).orderBy("pos")
+    flagged = lines.withColumn("occurrence", F.row_number().over(w).cast("long"))
+    first = F.col("occurrence") == 1
+    ordered = F.array_sort(F.collect_list(F.when(first, F.struct("pos", "line"))))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines_total"),
+        F.sum(first.cast("long")).cast("long").alias("n_lines_kept"),
+        F.array_join(F.transform(ordered, lambda x: x["line"]), "\n").alias("clean_text"),
+    )
