@@ -60,13 +60,15 @@ def main():
         "noop"
     ).mode("overwrite").save()
 
-    # min of two runs per query: the steady-state number (first run can be
-    # polluted by codegen compilation / page-cache warmup / GC).
+    # min of three runs per query: the steady-state number (first run can
+    # be polluted by codegen compilation / page-cache warmup / GC, and
+    # local[32] timings carry ~30% scheduler noise — the min is the
+    # stable round-over-round signal).
     timings = {}
     for name in HEADLINE:
         fn = registry[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()  # no cross-run cache reuse: honest timings
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
