@@ -262,3 +262,74 @@ def lsh_bucket_ann(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "score", "rank")
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    dims: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m`` subspaces
+    of ``dims/m`` dims, quantize each against ``k`` per-subspace centroids
+    (seeded deterministically from the ``k`` lowest-id vectors' slices),
+    emit the code word plus the reconstruction cosine.
+
+    The centroid codebook is m*k tiny slices collected into ONE broadcast
+    row; encoding is then a pure per-row expression over the corpus scan
+    — zero shuffles at any scale (the m*k*dsub codebook is the entire
+    cluster-wide state). Argmin is expressed as
+    ``array_position(dists, array_min(dists))`` — first-index-of-min, so
+    ties break to the lowest centroid id identically on every engine.
+    Output: (id, code_0..code_{m-1}, cos_recon).
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    dsub = dims // m
+
+    seeds = _seed_centroids(corpus, corpus_id, corpus_vec, k)
+    sub_slices = None
+    for s in range(m):
+        part = seeds.select(
+            F.lit(s).alias("s"),
+            F.col("centroid_id").alias("cid"),
+            F.expr(
+                f"transform(slice(cent_vec, {s * dsub + 1}, {dsub}), x -> cast(x as double))"
+            ).alias("v"),
+        )
+        sub_slices = part if sub_slices is None else sub_slices.unionByName(part)
+    codebook = sub_slices.agg(
+        F.array_sort(F.collect_list(F.struct("s", "cid", "v"))).alias("cents")
+    )
+
+    enc = corpus.crossJoin(F.broadcast(codebook))
+    code_cols = []
+    for s in range(m):
+        # (x-y)*(x-y), not power(x-y, 2): multiplication is exact IEEE on
+        # both engines; pow implementations may differ by an ulp
+        dists = (
+            f"transform(filter(cents, c -> c.s = {s}), c -> "
+            f"aggregate(sequence(1, {dsub}), cast(0.0 as double), "
+            f"(acc, i) -> acc + (cast(element_at({corpus_vec}, {s * dsub} + i) as double) "
+            f"- element_at(c.v, i)) * (cast(element_at({corpus_vec}, {s * dsub} + i) as double) "
+            f"- element_at(c.v, i))))"
+        )
+        enc = enc.withColumn(
+            f"code_{s}",
+            (F.expr(f"array_position({dists}, array_min({dists}))") - 1).cast("int"),
+        )
+        code_cols.append(f"code_{s}")
+    recon = F.concat(
+        *[
+            F.expr(f"element_at(filter(cents, c -> c.s = {s}), code_{s} + 1).v")
+            for s in range(m)
+        ]
+    )
+    enc = enc.withColumn("recon", recon)
+    return enc.select(
+        F.col(corpus_id),
+        *code_cols,
+        F.round(V.cosine_similarity(corpus_vec, "recon"), 9).alias("cos_recon"),
+    )

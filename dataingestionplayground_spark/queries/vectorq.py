@@ -12,7 +12,12 @@ from dataingestionplayground_spark.functions.portable import davg
 from dataingestionplayground_spark.functions.portable import davg_expr
 from dataingestionplayground_spark.functions import vector as V
 from dataingestionplayground_spark.functions.vector import cosine_sql, l2_norm, l2_norm_sql
-from dataingestionplayground_spark.operators.similarity import ivf_ann, knn_brute_force, lsh_bucket_ann
+from dataingestionplayground_spark.operators.similarity import (
+    ivf_ann,
+    knn_brute_force,
+    lsh_bucket_ann,
+    pq_encode,
+)
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
 
@@ -342,3 +347,67 @@ def vector_int8_quantize(spark, sf):
         F.round(V.cosine_similarity("embedding", "qvec"), 9).alias("cos_recon"),
         F.round(F.expr(_MSE_SPARK), 12).alias("mse"),
     )
+
+
+_PQ_M, _PQ_K, _PQ_D = 4, 8, 64
+_PQ_DSUB = _PQ_D // _PQ_M
+
+
+def _pq_dists_duck(s: int) -> str:
+    """Per-subspace squared-L2 distance list vs each codebook entry —
+    (x-y)*(x-y) folds, never pow (exact IEEE on both engines)."""
+    diff = (
+        f"(CAST(e.embedding[{s * _PQ_DSUB} + i] AS DOUBLE) - (c['v'])[i])"
+    )
+    return (
+        f"list_transform(list_filter(cents, c -> c['s'] = {s}), c -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_PQ_DSUB}), i -> {diff} * {diff})), "
+        f"(a, b) -> a + b))"
+    )
+
+
+def _pq_oracle() -> str:
+    subs = ", ".join(str(s) for s in range(_PQ_M))
+    code_cols = ", ".join(
+        f"CAST(list_position({_pq_dists_duck(s)}, list_min({_pq_dists_duck(s)})) - 1 AS INTEGER) AS code_{s}"
+        for s in range(_PQ_M)
+    )
+    recon = " || ".join(
+        f"(list_filter(cents, c -> c['s'] = {s})[code_{s} + 1])['v']" for s in range(_PQ_M)
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ), cb AS (
+      SELECT list(struct_pack(s := s, cid := cid, v := v) ORDER BY s, cid) AS cents
+      FROM (
+        SELECT u.s AS s, cid,
+               list_transform(embedding[u.s*{_PQ_DSUB}+1:u.s*{_PQ_DSUB}+{_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM seeds, (SELECT unnest([{subs}]) AS s) u
+      )
+    ), coded AS (
+      SELECT e.vec_id, e.embedding, cents, {code_cols}
+      FROM embeddings e CROSS JOIN cb
+    ), recon AS (
+      SELECT vec_id, embedding, code_0, code_1, code_2, code_3,
+             ({recon}) AS recon_vec
+      FROM coded
+    )
+    SELECT vec_id, code_0, code_1, code_2, code_3,
+           round({cosine_sql('embedding', 'recon_vec')}, 9) AS cos_recon
+    FROM recon
+    """
+
+
+@register("vector_pq_encode", oracle=_pq_oracle())
+def vector_pq_encode(spark, sf):
+    # Product quantization: 4 subspaces x 8 centroids over the 64-d
+    # embeddings -> 4 int codes/vector (a 64x compression of the float
+    # payload) + reconstruction cosine. The codebook is one broadcast
+    # row; encoding is a pure per-row expression — zero shuffles over
+    # the corpus. Argmin via first-index-of-min so ties resolve to the
+    # lowest centroid id on every engine.
+    return pq_encode(t(spark, sf, "embeddings"), m=_PQ_M, k=_PQ_K, dims=_PQ_D)

@@ -87,3 +87,28 @@ def test_lsh_multiprobe_beats_single_probe(corpus, queries, exact):
 
 def test_recall_self_is_one(exact):
     assert recall_at_k(exact, exact, K) == 1.0
+
+
+def test_pq_encode_seed_vectors_reconstruct_exactly(corpus):
+    from dataingestionplayground_spark.operators.similarity import pq_encode
+
+    rows = pq_encode(corpus, m=4, k=8, dims=64).collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 8
+    # a seed vector's slices ARE centroids -> distance 0 -> exact recon
+    seeds = [r.cos_recon for r in rows if r.vec_id < 8]
+    assert seeds and all(c == 1.0 for c in seeds)
+    # collapse guard: a broken argmin/codebook sends average recon to ~0
+    cos = [r.cos_recon for r in rows]
+    assert sum(cos) / len(cos) > 0.1
+
+
+def test_pq_encode_rejects_bad_dims():
+    import pytest as _pytest
+
+    from dataingestionplayground_spark.operators.similarity import pq_encode
+
+    with _pytest.raises(ValueError):
+        pq_encode(None, m=5, dims=64)
