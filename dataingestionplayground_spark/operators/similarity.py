@@ -264,6 +264,63 @@ def lsh_bucket_ann(
     )
 
 
+def _pq_codebook(
+    corpus: DataFrame, m: int, k: int, dims: int, corpus_id: str, corpus_vec: str
+) -> DataFrame:
+    """One-row codebook: array of (s, cid, v) structs sorted by (s, cid)
+    — m*k per-subspace centroid slices seeded from the k lowest-id
+    vectors. Index of subspace s centroid cid in the array: s*k + cid."""
+    dsub = dims // m
+    seeds = _seed_centroids(corpus, corpus_id, corpus_vec, k)
+    sub_slices = None
+    for s in range(m):
+        part = seeds.select(
+            F.lit(s).alias("s"),
+            F.col("centroid_id").alias("cid"),
+            F.expr(
+                f"transform(slice(cent_vec, {s * dsub + 1}, {dsub}), x -> cast(x as double))"
+            ).alias("v"),
+        )
+        sub_slices = part if sub_slices is None else sub_slices.unionByName(part)
+    return sub_slices.agg(
+        F.array_sort(F.collect_list(F.struct("s", "cid", "v"))).alias("cents")
+    )
+
+
+def pq_encode_codes(
+    corpus: DataFrame,
+    m: int,
+    k: int,
+    dims: int,
+    corpus_id: str,
+    corpus_vec: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, code_0..code_{m-1}) for each vector — pure per-row expression
+    over one broadcast of the codebook; zero corpus-side shuffles."""
+    dsub = dims // m
+    codebook = _pq_codebook(corpus, m, k, dims, corpus_id, corpus_vec)
+    enc = corpus.crossJoin(F.broadcast(codebook))
+    for s in range(m):
+        # (x-y)*(x-y), not power(x-y, 2): multiplication is exact IEEE on
+        # both engines; pow implementations may differ by an ulp
+        dists = (
+            f"transform(filter(cents, c -> c.s = {s}), c -> "
+            f"aggregate(sequence(1, {dsub}), cast(0.0 as double), "
+            f"(acc, i) -> acc + (cast(element_at({corpus_vec}, {s * dsub} + i) as double) "
+            f"- element_at(c.v, i)) * (cast(element_at({corpus_vec}, {s * dsub} + i) as double) "
+            f"- element_at(c.v, i))))"
+        )
+        enc = enc.withColumn(
+            f"code_{s}",
+            (F.expr(f"array_position({dists}, array_min({dists}))") - 1).cast("int"),
+        )
+    cols = [corpus_id] + ([corpus_vec, "cents"] if keep_vec else []) + [
+        f"code_{s}" for s in range(m)
+    ]
+    return enc.select(*cols)
+
+
 def pq_encode(
     corpus: DataFrame,
     m: int = 4,
@@ -287,40 +344,7 @@ def pq_encode(
     """
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
-    dsub = dims // m
-
-    seeds = _seed_centroids(corpus, corpus_id, corpus_vec, k)
-    sub_slices = None
-    for s in range(m):
-        part = seeds.select(
-            F.lit(s).alias("s"),
-            F.col("centroid_id").alias("cid"),
-            F.expr(
-                f"transform(slice(cent_vec, {s * dsub + 1}, {dsub}), x -> cast(x as double))"
-            ).alias("v"),
-        )
-        sub_slices = part if sub_slices is None else sub_slices.unionByName(part)
-    codebook = sub_slices.agg(
-        F.array_sort(F.collect_list(F.struct("s", "cid", "v"))).alias("cents")
-    )
-
-    enc = corpus.crossJoin(F.broadcast(codebook))
-    code_cols = []
-    for s in range(m):
-        # (x-y)*(x-y), not power(x-y, 2): multiplication is exact IEEE on
-        # both engines; pow implementations may differ by an ulp
-        dists = (
-            f"transform(filter(cents, c -> c.s = {s}), c -> "
-            f"aggregate(sequence(1, {dsub}), cast(0.0 as double), "
-            f"(acc, i) -> acc + (cast(element_at({corpus_vec}, {s * dsub} + i) as double) "
-            f"- element_at(c.v, i)) * (cast(element_at({corpus_vec}, {s * dsub} + i) as double) "
-            f"- element_at(c.v, i))))"
-        )
-        enc = enc.withColumn(
-            f"code_{s}",
-            (F.expr(f"array_position({dists}, array_min({dists}))") - 1).cast("int"),
-        )
-        code_cols.append(f"code_{s}")
+    enc = pq_encode_codes(corpus, m, k, dims, corpus_id, corpus_vec, keep_vec=True)
     recon = F.concat(
         *[
             F.expr(f"element_at(filter(cents, c -> c.s = {s}), code_{s} + 1).v")
@@ -330,6 +354,61 @@ def pq_encode(
     enc = enc.withColumn("recon", recon)
     return enc.select(
         F.col(corpus_id),
-        *code_cols,
+        *[f"code_{s}" for s in range(m)],
         F.round(V.cosine_similarity(corpus_vec, "recon"), 9).alias("cos_recon"),
+    )
+
+
+def pq_adc_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_centroids: int = 8,
+    dims: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """PQ asymmetric-distance search: rank the corpus for each query by
+    the sum of per-subspace distances from the query's slice to each
+    vector's CODED centroid — the classic ADC lookup-table scan.
+
+    The per-query LUT (m x n_centroids distances) is computed ONCE on
+    the tiny broadcast query side; the corpus side then scores each
+    (vector, query) pair with just ``m`` array lookups over its int
+    codes — at 100 TB the scan reads 4 int codes per vector instead of
+    the float payload, and the only corpus-wide work besides the encode
+    is the per-query top-k (bounded exactly like knn_brute_force's
+    final phase). Returns (query_id, vec_id, adc_dist, rank) —
+    ascending distance, ties to the lowest id.
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    dsub = dims // m
+
+    enc = pq_encode_codes(corpus, m, n_centroids, dims, corpus_id, corpus_vec)
+    codebook = _pq_codebook(corpus, m, n_centroids, dims, corpus_id, corpus_vec)
+
+    # LUT aligned with the (s, cid)-sorted codebook array: index s*K+cid+1
+    diff = f"(cast(element_at({query_vec}, c.s * {dsub} + i) as double) - element_at(c.v, i))"
+    lut_expr = (
+        f"transform(cents, c -> aggregate(sequence(1, {dsub}), cast(0.0 as double), "
+        f"(acc, i) -> acc + {diff} * {diff}))"
+    )
+    q_lut = (
+        queries.crossJoin(F.broadcast(codebook))
+        .withColumn("lut", F.expr(lut_expr))
+        .select(query_id, "lut")
+    )
+    score = " + ".join(
+        f"element_at(lut, {s * n_centroids} + code_{s} + 1)" for s in range(m)
+    )
+    scored = enc.crossJoin(F.broadcast(q_lut)).withColumn("adc_dist", F.expr(score))
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("adc_dist", 9).alias("adc_dist"), "rank")
     )

@@ -16,6 +16,7 @@ from dataingestionplayground_spark.operators.similarity import (
     ivf_ann,
     knn_brute_force,
     lsh_bucket_ann,
+    pq_adc_search,
     pq_encode,
 )
 from dataingestionplayground_spark.queries import register
@@ -411,3 +412,69 @@ def vector_pq_encode(spark, sf):
     # the corpus. Argmin via first-index-of-min so ties resolve to the
     # lowest centroid id on every engine.
     return pq_encode(t(spark, sf, "embeddings"), m=_PQ_M, k=_PQ_K, dims=_PQ_D)
+
+
+def _pq_lut_duck() -> str:
+    diff = f"(CAST(q.query_vec[c['s'] * {_PQ_DSUB} + i] AS DOUBLE) - (c['v'])[i])"
+    return (
+        f"list_transform(cents, c -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_PQ_DSUB}), i -> {diff} * {diff})), "
+        f"(a, b) -> a + b))"
+    )
+
+
+def _pq_adc_oracle() -> str:
+    subs = ", ".join(str(s) for s in range(_PQ_M))
+    code_cols = ", ".join(
+        f"CAST(list_position({_pq_dists_duck(s)}, list_min({_pq_dists_duck(s)})) - 1 AS INTEGER) AS code_{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"lut[{s * _PQ_K} + code_{s} + 1]" for s in range(_PQ_M))
+    return f"""
+    WITH seeds AS (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ), cb AS (
+      SELECT list(struct_pack(s := s, cid := cid, v := v) ORDER BY s, cid) AS cents
+      FROM (
+        SELECT u.s AS s, cid,
+               list_transform(embedding[u.s*{_PQ_DSUB}+1:u.s*{_PQ_DSUB}+{_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM seeds, (SELECT unnest([{subs}]) AS s) u
+      )
+    ), coded AS (
+      SELECT e.vec_id, {code_cols}
+      FROM embeddings e CROSS JOIN cb
+    ), qlut AS (
+      SELECT q.query_id, {_pq_lut_duck()} AS lut
+      FROM (SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id < 5) q
+      CROSS JOIN cb
+    ), scored AS (
+      SELECT ql.query_id, c.vec_id, ({adc}) AS adc
+      FROM coded c CROSS JOIN qlut ql
+    )
+    SELECT query_id, vec_id, round(adc, 9) AS adc_dist, "rank" FROM (
+      SELECT query_id, vec_id, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS "rank"
+      FROM scored) WHERE "rank" <= 10
+    """
+
+
+@register("vector_pq_adc_search", oracle=_pq_adc_oracle())
+def vector_pq_adc_search(spark, sf):
+    # PQ asymmetric-distance search: the per-query lookup table (m x k
+    # subspace distances) is built once on the broadcast side; every
+    # (vector, query) score is then m array lookups over the vector's
+    # int codes. At 100 TB the scan touches 4 ints per vector instead
+    # of the 64-float payload — the standard memory-bound ANN serving
+    # trade. Full SQL replica, ranks computed on unrounded doubles.
+    return pq_adc_search(
+        t(spark, sf, "embeddings"),
+        _queries_df(spark, sf),
+        k=10,
+        m=_PQ_M,
+        n_centroids=_PQ_K,
+        dims=_PQ_D,
+    )
