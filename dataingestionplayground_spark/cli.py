@@ -72,14 +72,16 @@ def _elements_for(spark, reader: str, source: str):
     if reader == "markdown":
         raw = read_markdown_dir(spark, source)
         return parse_markdown_df(raw), raw.select("doc_id")
-    if reader in ("jsonl", "csv"):
+    if reader in ("jsonl", "csv", "xml"):
         from dataingestionplayground_spark.sources.textfiles import (
             docs_to_elements,
             read_csv_docs,
             read_jsonl_docs,
+            read_xml_docs,
         )
 
-        raw = (read_jsonl_docs if reader == "jsonl" else read_csv_docs)(spark, source)
+        readers = {"jsonl": read_jsonl_docs, "csv": read_csv_docs, "xml": read_xml_docs}
+        raw = readers[reader](spark, source)
         return docs_to_elements(raw), raw.select("doc_id")
     if reader == "pdf":
         raw = read_pdf_dir(spark, source)
@@ -271,7 +273,7 @@ def main(argv: list[str] | None = None) -> int:
 
     p_ing = sub.add_parser("ingest", help="parse -> chunk -> embed -> collection")
     p_ing.add_argument("--reader", required=True,
-                       choices=["markdown", "pdf", "database", "jsonl", "csv"])
+                       choices=["markdown", "pdf", "database", "jsonl", "csv", "xml"])
     p_ing.add_argument("--collection")
     p_ing.add_argument("--source")
     p_ing.add_argument("--store")

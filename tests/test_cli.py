@@ -152,3 +152,22 @@ def test_cli_export_jsonl(spark, tmp_path, capsys):
     # unknown collection -> error exit
     assert cli.main(["export", "--collection", "nope", "--store", store,
                      "--out", str(tmp_path / "x")]) == 2
+
+
+def test_cli_xml_reader(spark, tmp_path, capsys):
+    src = tmp_path / "xml"
+    src.mkdir()
+    (src / "a.xml").write_text(
+        "<docs>"
+        "<article><doc_id>x1</doc_id><text>alpha beta gamma delta epsilon zeta</text></article>"
+        "<article><doc_id>x2</doc_id><text>eta theta iota kappa lambda mu</text></article>"
+        "</docs>"
+    )
+    store = str(tmp_path / "store")
+    assert cli.main(["ingest", "--reader", "xml", "--collection", "xm",
+                     "--source", str(src), "--store", store]) == 0
+    out = capsys.readouterr().out
+    assert "x1: SUCCESS" in out and "x2: SUCCESS" in out
+    assert cli.main(["search", "--collection", "xm", "--store", store,
+                     "--query", "alpha beta gamma", "--top-k", "1"]) == 0
+    assert "x1" in capsys.readouterr().out
