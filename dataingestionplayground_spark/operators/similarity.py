@@ -412,3 +412,82 @@ def pq_adc_search(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("adc_dist", 9).alias("adc_dist"), "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: coarse-cluster the corpus into
+    ``n_cells`` (argmax cosine to seeded centroids), then within each
+    cell drop every vector that has a more-similar-than-``threshold``
+    neighbor with a LOWER id (the kept one is each duplicate group's
+    minimum id under this dominance rule).
+
+    Cell assignment is a pure per-row expression against a one-row
+    broadcast centroid array (no assignment shuffle); the pair search is
+    an equi-join on the cell key — work bounded by cell size, never an
+    all-pairs product. Returns (id, cell, keep).
+    """
+    cents = _seed_centroids(corpus, corpus_id, corpus_vec, n_cells)
+    one_row = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.expr("transform(cent_vec, x -> cast(x as double))").alias("v"),
+                )
+            )
+        ).alias("cents")
+    )
+    # cosine(emb, c.v) per centroid; argmax via first-index-of-max so
+    # ties break to the lowest centroid id on every engine
+    dot = (
+        f"aggregate(sequence(1, size({corpus_vec})), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at({corpus_vec}, i) as double) * element_at(c.v, i))"
+    )
+    nrm = (
+        f"sqrt(aggregate(sequence(1, size({corpus_vec})), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at({corpus_vec}, i) as double) * "
+        f"cast(element_at({corpus_vec}, i) as double)))"
+    )
+    cnrm = (
+        "sqrt(aggregate(sequence(1, size(c.v)), cast(0.0 as double), "
+        "(acc, i) -> acc + element_at(c.v, i) * element_at(c.v, i)))"
+    )
+    sims = f"transform(cents, c -> ({dot}) / nullif(({nrm}) * ({cnrm}), 0.0))"
+    assigned = (
+        corpus.crossJoin(F.broadcast(one_row))
+        .withColumn(
+            "cell",
+            (F.expr(f"array_position({sims}, array_max({sims}))") - 1).cast("int"),
+        )
+        .select(corpus_id, corpus_vec, "cell")
+    )
+    a = assigned.select(
+        F.col(corpus_id).alias("__ida"), F.col(corpus_vec).alias("__va"), "cell"
+    )
+    b = assigned.select(
+        F.col(corpus_id).alias("__idb"), F.col(corpus_vec).alias("__vb"), "cell"
+    )
+    pair_cos = V.cosine_similarity("__va", "__vb")
+    dominated = (
+        a.join(b, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("__cos", pair_cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__idb").alias(corpus_id))
+        .distinct()
+        .withColumn("__dom", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, corpus_id, "left")
+        .select(
+            corpus_id,
+            "cell",
+            F.col("__dom").isNull().alias("keep"),
+        )
+    )

@@ -18,6 +18,7 @@ from dataingestionplayground_spark.operators.similarity import (
     lsh_bucket_ann,
     pq_adc_search,
     pq_encode,
+    semantic_dedup,
 )
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
@@ -477,4 +478,65 @@ def vector_pq_adc_search(spark, sf):
         m=_PQ_M,
         n_centroids=_PQ_K,
         dims=_PQ_D,
+    )
+
+
+_SD_CELLS, _SD_THRESH = 16, 0.35  # demo threshold: synthetic corpus max pair cos ~0.51
+
+
+def _sd_cell_duck() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * (c['v'])[i])), (a, b) -> a + b)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (a, b) -> a + b))"
+    )
+    cnrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(c['v'])), "
+        "i -> (c['v'])[i] * (c['v'])[i])), (a, b) -> a + b))"
+    )
+    sims = f"list_transform(cents, c -> ({dot}) / nullif(({nrm}) * ({cnrm}), 0.0))"
+    return f"CAST(list_position({sims}, list_max({sims})) - 1 AS INTEGER)"
+
+
+@register(
+    "vector_semdedup",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SD_CELLS})
+    ), cb AS (
+      SELECT list(struct_pack(cid := cid,
+                              v := list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                  ORDER BY cid) AS cents
+      FROM seeds
+    ), assigned AS (
+      SELECT e.vec_id, e.embedding, {_sd_cell_duck()} AS cell
+      FROM embeddings e CROSS JOIN cb
+    ), dominated AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ({cosine_sql('a.embedding', 'b.embedding')}) >= {_SD_THRESH}
+    )
+    SELECT s.vec_id, cell, d.vec_id IS NULL AS keep
+    FROM assigned s LEFT JOIN dominated d ON s.vec_id = d.vec_id
+    """,
+)
+def vector_semdedup(spark, sf):
+    # SemDeDup: coarse-cluster embeddings (argmax cosine to a one-row
+    # broadcast centroid array — no assignment shuffle), then inside
+    # each cell drop vectors with a more-similar-than-threshold
+    # lower-id neighbor. Pair work is an equi-join bounded by cell
+    # size, never all-pairs. Threshold 0.35 exercises real drops on the
+    # synthetic corpus (max pairwise cos ~0.51); production default 0.9.
+    return semantic_dedup(
+        t(spark, sf, "embeddings"),
+        threshold=_SD_THRESH,
+        n_cells=_SD_CELLS,
     )
