@@ -280,3 +280,105 @@ def text_quality_calibrated_filter(spark, sf):
         "threshold",
         (F.col("quality") >= F.col("threshold")).alias("keep"),
     )
+
+
+@register(
+    "text_bpe_pair_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({TX.tokens_sql('lower(text)')}) AS w FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM toks WHERE len(w) >= 2
+    ), counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, rk FROM (
+      SELECT pair, n,
+             CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rk
+      FROM counted) WHERE rk <= 20
+    """,
+)
+def text_bpe_pair_merge(spark, sf):
+    # One BPE-training merge step: count adjacent symbol pairs across
+    # every token occurrence (frequency-weighted, as BPE requires) and
+    # rank the top merge candidates. Explode -> hash agg (map-side
+    # partial) -> TakeOrderedAndProject: the same single-shuffle shape
+    # at 100 TB; iterating merges = re-running with the merged symbol
+    # table applied.
+    d = t(spark, sf, "documents")
+    toks = d.select(F.explode(TX.tokens("lower(text)")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select("pair", "n", "rk")
+    )
+
+
+@register(
+    "text_unigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TX.tokens_sql('lower(text)')}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ), total AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             round(exp(CAST(SUM(CAST(round(ln(CAST(n AS DOUBLE))
+                                - ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)), 6) AS ppl
+      FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN total
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_toks, ppl, ppl <= 30.25 AS keep FROM scored
+    """,
+)
+def text_unigram_perplexity(spark, sf):
+    # CCNet-style perplexity filter with the corpus's own unigram LM:
+    # ppl(d) = exp(-mean log p(w)), p(w) = c_w / N. High perplexity =
+    # the doc's tokens are rare corpus-wide (gibberish / wrong-language
+    # candidates). Two hash aggs (vocab count, per-doc mean) + a
+    # vocabulary-sized broadcast join: the corpus shuffles once. ppl is
+    # rounded to 6 dp before the keep comparison so the flag is stable
+    # cross-engine (sum-of-logs can differ by ~1 ulp).
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("lower(text)")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.round(
+                            F.log(F.col("n").cast("double"))
+                            - F.log(F.col("c").cast("double")),
+                            6,
+                        ).cast("decimal(38,6)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_toks", "ppl", (F.col("ppl") <= 30.25).alias("keep")
+    )
