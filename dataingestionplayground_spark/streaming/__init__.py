@@ -18,11 +18,13 @@ from dataingestionplayground_spark.streaming.ingest import stream_ingest_markdow
 from dataingestionplayground_spark.streaming.documents import (
     stream_quality_scores,
     stream_pack_sequences,
+    stream_decontaminate,
 )
 
 __all__ = [
     "stream_quality_scores",
     "stream_pack_sequences",
+    "stream_decontaminate",
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_windows",

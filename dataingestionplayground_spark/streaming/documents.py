@@ -75,3 +75,27 @@ def stream_pack_sequences(docs: DataFrame, capacity: int = 256) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_decontaminate(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Streaming decontamination: flag arriving documents that share any
+    word trigram with a STATIC eval-set gram table (stream-static join —
+    the eval side is fixed per run and broadcast to every micro-batch).
+
+    Per-doc overlap counting is an update-mode aggregation keyed by
+    doc_id; state is one counter per in-flight document. The batch twin
+    is ``queries/pipelineq.py dedup_decontaminate`` — same gram
+    expressions, same broadcast shape.
+    """
+    from pyspark.sql import functions as F
+
+    tr = docs.select("doc_id", TX.tokens("text").alias("__tk")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingles_from_tokens("__tk", 3))
+        ).alias("g"),
+    )
+    hits = tr.join(F.broadcast(eval_grams), "g")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )

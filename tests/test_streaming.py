@@ -341,3 +341,37 @@ def test_stream_pack_sequences_state_carries_across_batches(spark, tmp_path):
     # doc 1: 3 tokens from offset 0; doc 2 resumes at cum=3 -> bin 0 offset 3
     assert rows[1].bin_id == 0 and rows[1].bin_offset == 0
     assert rows[2].bin_id == 0 and rows[2].bin_offset == 3 and rows[2].n_toks == 5
+
+
+def test_stream_decontaminate_matches_batch(spark, docs_stream_dir):
+    """Stream-static decontamination: streaming overlap counts on bounded
+    input equal the batch query's non-zero rows."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.functions import text as TX
+    from dataingestionplayground_spark.queries.pipelineq import dedup_decontaminate
+    from dataingestionplayground_spark.streaming import stream_decontaminate
+
+    static_docs = spark.read.schema(DOCS_SCHEMA).parquet(DOCS_SF_FILE)
+    eval_grams = (
+        static_docs.filter(F.col("doc_id") % 25 == 0)
+        .select(TX.tokens("text").alias("__tk"))
+        .select(F.explode(F.array_distinct(TX.shingles_from_tokens("__tk", 3))).alias("g"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .parquet(docs_stream_dir)
+        .filter(F.col("doc_id") % 25 != 0)
+    )
+    name = _run(stream_decontaminate(stream, eval_grams), "t_decon", "update")
+    stream_rows = {
+        r.doc_id: r.n_overlap for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_rows = {
+        r.doc_id: r.n_overlap
+        for r in dedup_decontaminate(spark, "/root/testdata/sf0.001").collect()
+        if r.n_overlap > 0
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
