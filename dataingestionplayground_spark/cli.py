@@ -257,6 +257,97 @@ def cmd_export(args, cfg) -> int:
     return 0
 
 
+def cmd_curate(args, cfg) -> int:
+    """End-to-end training-data curation over a JSONL corpus: line-level
+    boilerplate removal -> calibrated quality gate -> exact dedup ->
+    (optional) eval-set decontamination -> sharded JSONL export. Prints
+    the funnel; every stage is the same operator the registry queries
+    verify against DuckDB."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.functions import text as TX
+    from dataingestionplayground_spark.ingest.export import export_jsonl
+    from dataingestionplayground_spark.operators.dedup import exact_dedup, line_dedup
+    from dataingestionplayground_spark.queries.textq import quality_scores
+    from dataingestionplayground_spark.session import get_spark
+    from dataingestionplayground_spark.sources.textfiles import read_jsonl_docs
+
+    spark = get_spark("dip-curate")
+    docs = read_jsonl_docs(spark, args.source).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    n0 = docs.count()
+
+    # 1. exact dedup FIRST: with it after cross-doc line dedup, the two
+    # copies of an exact duplicate would mark every one of their shared
+    # lines as boilerplate and erase each other entirely
+    keep = exact_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    n1 = deduped.count()
+
+    # 2. boilerplate: drop lines still repeated across >= 2 distinct
+    # (now-unique) docs, rebuild each doc from its surviving lines
+    cleaned = (
+        line_dedup(deduped, min_df=2)
+        .filter(F.col("n_lines_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    n2 = cleaned.count()
+
+    # 3. calibrated quality gate: keep docs at/above the corpus quantile
+    feats = cleaned.withColumn("n_chars", F.length("text"))
+    scored = quality_scores(feats)
+    thr = scored.agg(
+        F.expr(f"percentile(quality, {args.quality_pct / 100.0})").alias("q")
+    )
+    kept_ids = (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("q"))
+        .select("doc_id")
+    )
+    quality_kept = cleaned.join(kept_ids, "doc_id", "left_semi")
+    n3 = quality_kept.count()
+
+    deduped = quality_kept
+    # 4. optional decontamination vs an eval-set corpus
+    if args.eval_source:
+        ev_docs = read_jsonl_docs(spark, args.eval_source)
+        ev_grams = (
+            ev_docs.select(TX.tokens("content").alias("__tk"))
+            .select(
+                F.explode(
+                    F.array_distinct(TX.shingles_from_tokens("__tk", 3))
+                ).alias("g")
+            )
+            .distinct()
+        )
+        contaminated = (
+            deduped.select("doc_id", TX.tokens("text").alias("__tk"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(TX.shingles_from_tokens("__tk", 3))
+                ).alias("g"),
+            )
+            .join(F.broadcast(ev_grams), "g")
+            .select("doc_id")
+            .distinct()
+        )
+        deduped = deduped.join(contaminated, "doc_id", "left_anti")
+    n4 = deduped.count()
+
+    manifest = export_jsonl(deduped, args.out, n_shards=args.shards, id_col="doc_id")
+    print(f"input docs:        {n0}")
+    print(f"after exact dedup: {n1}")
+    print(f"after boilerplate: {n2}")
+    print(f"after quality:     {n3}")
+    print(f"after decontam:    {n4}")
+    print(f"exported:          {manifest['total_rows']} docs, {manifest['n_shards']} shards -> {args.out}")
+    return 0
+
+
 def cmd_list(args, cfg) -> int:
     from dataingestionplayground_spark.ingest import CollectionStore
 
@@ -297,6 +388,16 @@ def main(argv: list[str] | None = None) -> int:
     p_dd.add_argument("--store")
     p_dd.add_argument("--out", help="write the per-document keep/drop parquet here")
     p_dd.set_defaults(fn=cmd_dedup)
+
+    p_cu = sub.add_parser(
+        "curate", help="boilerplate -> quality -> dedup -> decontam -> export"
+    )
+    p_cu.add_argument("--source", required=True, help="JSONL corpus (doc_id, text)")
+    p_cu.add_argument("--out", required=True, help="export directory")
+    p_cu.add_argument("--eval-source", help="JSONL eval set for decontamination")
+    p_cu.add_argument("--quality-pct", type=float, default=25.0)
+    p_cu.add_argument("--shards", type=int, default=8)
+    p_cu.set_defaults(fn=cmd_curate)
 
     p_ex = sub.add_parser("export", help="export a collection as sharded JSONL")
     p_ex.add_argument("--collection")

@@ -55,11 +55,15 @@ def text_language_id(spark, sf):
 
 # Quality score: weighted blend of length saturation, stopword ratio,
 # mean token length band. All ratios are exact-int divisions -> portable.
+# Denominators go through nullif(.., 0): consumers filter n_toks > 0, but
+# inside a larger fused plan Spark may evaluate this projection on rows the
+# filter will discard (ANSI mode then throws DIVIDE_BY_ZERO). nullif is a
+# no-op on surviving rows and identical in DuckDB, so oracle parity holds.
 _QUALITY_SQL = (
     "0.4 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) "
-    "+ 0.4 * (CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE)) "
-    "+ 0.2 * (CASE WHEN (CAST(len_sum AS DOUBLE) / CAST(n_toks AS DOUBLE)) BETWEEN 3.0 AND 8.0 "
-    "THEN 1.0 ELSE 0.0 END)"
+    "+ 0.4 * (CAST(n_stop AS DOUBLE) / nullif(CAST(n_toks AS DOUBLE), 0.0)) "
+    "+ 0.2 * (CASE WHEN (CAST(len_sum AS DOUBLE) / nullif(CAST(n_toks AS DOUBLE), 0.0)) "
+    "BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)"
 )
 
 

@@ -171,3 +171,42 @@ def test_cli_xml_reader(spark, tmp_path, capsys):
     assert cli.main(["search", "--collection", "xm", "--store", store,
                      "--query", "alpha beta gamma", "--top-k", "1"]) == 0
     assert "x1" in capsys.readouterr().out
+
+
+def test_cli_curate_full_funnel(spark, tmp_path, capsys):
+    import json as _json
+    import os
+
+    corpus = tmp_path / "corpus.jsonl"
+    boiler = "Subscribe to our newsletter today"
+    rows = [
+        # a and b are EXACT duplicates (caught by stage 1, so their
+        # shared fox line never counts as cross-doc boilerplate)
+        {"doc_id": "a", "text": f"the quick brown fox jumps over the lazy dog\n{boiler}"},
+        {"doc_id": "b", "text": f"the quick brown fox jumps over the lazy dog\n{boiler}"},
+        {"doc_id": "c", "text": "a completely different sentence with many common english words here"},
+        # doc that is ONLY boilerplate -> dropped at stage 1
+        {"doc_id": "d", "text": boiler},
+        # contaminated doc: shares a trigram with the eval set
+        {"doc_id": "e", "text": "this exact benchmark question appears verbatim in the eval set"},
+    ]
+    corpus.write_text("".join(_json.dumps(r) + "\n" for r in rows))
+    ev = tmp_path / "eval.jsonl"
+    ev.write_text(_json.dumps({"doc_id": "ev1", "text": "exact benchmark question appears"}) + "\n")
+
+    out_dir = str(tmp_path / "curated")
+    rc = cli.main([
+        "curate", "--source", str(corpus), "--out", out_dir,
+        "--eval-source", str(ev), "--quality-pct", "0", "--shards", "2",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "input docs:        5" in out
+    assert "after exact dedup: 4" in out   # b is an exact duplicate of a
+    assert "after boilerplate: 3" in out   # shared line erased; d left empty
+    assert "after quality:     3" in out   # pct=0 keeps all survivors
+    assert "after decontam:    2" in out   # e shares eval trigrams
+    manifest = _json.load(open(os.path.join(out_dir, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 2
+    back = spark.read.json(out_dir)
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {"a", "c"}
