@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.queries.textq import _QUALITY_SQL
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
 
@@ -657,4 +658,82 @@ def dedup_intra_doc_lines(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_lines_total"),
         F.sum(first.cast("long")).cast("long").alias("n_lines_kept"),
         F.array_join(F.transform(ordered, lambda x: x["line"]), "\n").alias("clean_text"),
+    )
+
+
+@register(
+    "sample_train_val_test",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+             ({_md5_mod_sql("concat(source, '|', CAST(doc_id AS VARCHAR))", 1000)}) AS h
+      FROM documents
+    )
+    """,
+)
+def sample_train_val_test(spark, sf):
+    # Deterministic 80/10/10 split, stratified by construction: the hash
+    # mixes (source, doc_id) so every source's docs spread independently
+    # across the three splits, a doc never migrates between runs or
+    # engines, and the assignment is a pure per-row expression (zero
+    # shuffles — it pushes into the scan like the other md5 samplers).
+    d = t(spark, sf, "documents")
+    h = F.expr(_md5_mod("concat(source, '|', cast(doc_id as string))", 1000))
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(h < 800, "train").when(h < 900, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             CAST(len({TX.tokens_sql('text')}) AS INTEGER) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_toks, {_QUALITY_SQL} AS quality FROM feats WHERE n_toks > 0
+    ), ranked AS (
+      SELECT doc_id, n_toks, quality,
+             coalesce(CAST(SUM(n_toks) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS toks_before
+      FROM scored
+    )
+    SELECT doc_id, n_toks, quality, toks_before,
+           toks_before + n_toks <= 4096 AS keep
+    FROM ranked
+    """,
+)
+def sample_token_budget(spark, sf):
+    # Budgeted subset selection: take the highest-quality documents until
+    # the token budget is spent (greedy by quality, the standard "best
+    # data under B tokens" curation step). One global sort-window at this
+    # demo scale; at 100 TB, first histogram quality into buckets, pick
+    # the threshold bucket from the (tiny) histogram, and only sort the
+    # boundary bucket — the keep set is identical.
+    from dataingestionplayground_spark.queries.textq import quality_scores
+
+    scored = quality_scores(t(spark, sf, "documents")).select(
+        "doc_id", "n_toks", "quality"
+    )
+    w = W.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ranked = scored.withColumn(
+        "toks_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long")
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_toks"),
+        "quality",
+        "toks_before",
+        (F.col("toks_before") + F.col("n_toks") <= 4096).alias("keep"),
     )
