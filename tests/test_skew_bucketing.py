@@ -71,3 +71,35 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_target_sized_splits_and_coalesces(spark, tmp_path):
+    import os
+
+    from dataingestionplayground_spark.operators.layout import write_target_sized
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # huge target -> exactly one file
+    n1 = write_target_sized(docs, str(tmp_path / "one"), target_mb=1024)
+    assert n1 == 1
+    # tiny target (~8 KB) -> several files, roughly evenly sized
+    n2 = write_target_sized(docs, str(tmp_path / "many"), target_mb=8 / 1024.0)
+    assert n2 > 1
+    sizes = sorted(
+        os.path.getsize(os.path.join(tmp_path / "many", f))
+        for f in os.listdir(tmp_path / "many")
+        if f.endswith(".parquet")
+    )
+    assert len(sizes) == n2
+    assert sizes[0] > 0 and sizes[-1] / sizes[0] < 4  # no degenerate shards
+    # round trip: no data loss either way
+    assert spark.read.parquet(str(tmp_path / "many")).count() == docs.count()
+
+
+def test_write_target_sized_empty_frame(spark, tmp_path):
+    from dataingestionplayground_spark.operators.layout import write_target_sized
+
+    empty = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter("doc_id < 0")
+    n = write_target_sized(empty, str(tmp_path / "empty"), target_mb=64)
+    assert n == 1
+    assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
