@@ -348,6 +348,23 @@ def cmd_curate(args, cfg) -> int:
     return 0
 
 
+def cmd_sql(args, cfg) -> int:
+    """Ad-hoc SQL over the testdata tables (region/nation/.../documents/
+    embeddings registered as temp views) — the engine's SQL front-end."""
+    from dataingestionplayground_spark.session import get_spark, register_views
+
+    spark = get_spark("dip-sql")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    rows = df.limit(args.max_rows).collect()
+    cols = df.columns
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols))
+    print(f"({len(rows)} row(s))")
+    return 0
+
+
 def cmd_list(args, cfg) -> int:
     from dataingestionplayground_spark.ingest import CollectionStore
 
@@ -388,6 +405,12 @@ def main(argv: list[str] | None = None) -> int:
     p_dd.add_argument("--store")
     p_dd.add_argument("--out", help="write the per-document keep/drop parquet here")
     p_dd.set_defaults(fn=cmd_dedup)
+
+    p_sq = sub.add_parser("sql", help="run SQL over the registered tables")
+    p_sq.add_argument("query")
+    p_sq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    p_sq.add_argument("--max-rows", type=int, default=100)
+    p_sq.set_defaults(fn=cmd_sql)
 
     p_cu = sub.add_parser(
         "curate", help="boilerplate -> quality -> dedup -> decontam -> export"

@@ -210,3 +210,15 @@ def test_cli_curate_full_funnel(spark, tmp_path, capsys):
     assert manifest["total_rows"] == 2
     back = spark.read.json(out_dir)
     assert {r.doc_id for r in back.select("doc_id").collect()} == {"a", "c"}
+
+
+def test_cli_sql_frontend(spark, capsys):
+    rc = cli.main([
+        "sql",
+        "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name LIMIT 2",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.splitlines()[0] == "r_name\tn"
+    assert "(2 row(s))" in out
