@@ -420,6 +420,7 @@ def semantic_dedup(
     n_cells: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup: coarse-cluster the corpus into
     ``n_cells`` (argmax cosine to seeded centroids), then within each
@@ -467,6 +468,12 @@ def semantic_dedup(
         )
         .select(corpus_id, corpus_vec, "cell")
     )
+    # the assignment feeds BOTH self-join sides plus the output projection,
+    # and Spark does not ReusedExchange across the differently-aliased
+    # sides — materialize once so the corpus is scanned (and the argmax
+    # expression evaluated) a single time instead of three
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col(corpus_id).alias("__ida"), F.col(corpus_vec).alias("__va"), "cell"
     )
