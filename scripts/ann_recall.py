@@ -43,6 +43,30 @@ def recall_at_k(exact, approx, k):
     return sum(len(exact[q] & approx.get(q, set())) for q in exact) / (k * len(exact))
 
 
+def exact_l2_topk(corpus, queries, k):
+    """Exact L2 top-k (the right baseline for the ADC path, which ranks
+    by distance, not cosine) — brute-force crossJoin + window; baseline
+    only, bench-scale corpora go through knn_brute_force's two-phase."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dist = F.expr(
+        "aggregate(sequence(1, size(embedding)), cast(0.0 as double), "
+        "(acc, i) -> acc + (cast(element_at(embedding, i) as double) - "
+        "cast(element_at(query_vec, i) as double)) * "
+        "(cast(element_at(embedding, i) as double) - "
+        "cast(element_at(query_vec, i) as double)))"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
@@ -71,6 +95,12 @@ def main():
         name: round(recall_at_k(exact, topk_sets(df, k), k), 4)
         for name, df in variants.items()
     }
+    # ADC ranks by (approximate) L2 distance — grade it against exact L2
+    exact_l2 = topk_sets(exact_l2_topk(corpus, queries, k), k)
+    adc = topk_sets(
+        S.pq_adc_search(corpus, queries, k=k, m=4, n_centroids=8, dims=64), k
+    )
+    recall["pq_adc_vs_l2"] = round(recall_at_k(exact_l2, adc, k), 4)
     print(json.dumps({"k": k, "n_queries": n_queries, "recall": recall}))
 
 
