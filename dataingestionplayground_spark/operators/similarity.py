@@ -498,3 +498,42 @@ def semantic_dedup(
             F.col("__dom").isNull().alias("keep"),
         )
     )
+
+
+def pq_adc_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    n_centroids: int = 8,
+    dims: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """The production PQ pipeline: ADC over int codes prunes the corpus
+    to a per-query ``shortlist``, then an exact cosine rerank over only
+    the shortlisted vectors picks the final top-``k``.
+
+    The rerank join touches shortlist x |queries| rows (broadcast), so
+    the full-precision vectors are read for a vanishing fraction of the
+    corpus — ADC recall losses are largely recovered while the scan
+    stays code-only. Returns (query_id, vec_id, score, rank).
+    """
+    short = pq_adc_search(
+        corpus, queries, k=shortlist, m=m, n_centroids=n_centroids, dims=dims,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
+    ).select(query_id, corpus_id)
+    cand = corpus.join(F.broadcast(short), corpus_id)
+    scored = cand.join(F.broadcast(queries), query_id).withColumn(
+        "score", V.cosine_similarity(corpus_vec, query_vec)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )

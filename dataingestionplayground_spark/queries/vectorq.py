@@ -17,6 +17,7 @@ from dataingestionplayground_spark.operators.similarity import (
     knn_brute_force,
     lsh_bucket_ann,
     pq_adc_search,
+    pq_adc_rerank,
     pq_encode,
     semantic_dedup,
 )
@@ -539,4 +540,66 @@ def vector_semdedup(spark, sf):
         t(spark, sf, "embeddings"),
         threshold=_SD_THRESH,
         n_cells=_SD_CELLS,
+    )
+
+
+@register(
+    "vector_pq_adc_rerank",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ), cb AS (
+      SELECT list(struct_pack(s := s, cid := cid, v := v) ORDER BY s, cid) AS cents
+      FROM (
+        SELECT u.s AS s, cid,
+               list_transform(embedding[u.s*{_PQ_DSUB}+1:u.s*{_PQ_DSUB}+{_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM seeds, (SELECT unnest([{', '.join(str(s) for s in range(_PQ_M))}]) AS s) u
+      )
+    ), coded AS (
+      SELECT e.vec_id, {', '.join(
+        f"CAST(list_position({_pq_dists_duck(s)}, list_min({_pq_dists_duck(s)})) - 1 AS INTEGER) AS code_{s}"
+        for s in range(_PQ_M))}
+      FROM embeddings e CROSS JOIN cb
+    ), qlut AS (
+      SELECT q.query_id, q.query_vec, {_pq_lut_duck()} AS lut
+      FROM (SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id < 5) q
+      CROSS JOIN cb
+    ), shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT ql.query_id, c.vec_id,
+               CAST(row_number() OVER (PARTITION BY ql.query_id
+                 ORDER BY ({' + '.join(f"lut[{s * _PQ_K} + code_{s} + 1]" for s in range(_PQ_M))}) ASC,
+                          c.vec_id ASC) AS INTEGER) AS rk
+        FROM coded c CROSS JOIN qlut ql) WHERE rk <= 50
+    ), rescored AS (
+      SELECT s.query_id, s.vec_id,
+             ({cosine_sql('e.embedding', 'q.query_vec')}) AS score
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN (SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id < 5) q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, score, "rank" FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank"
+      FROM rescored) WHERE "rank" <= 10
+    """,
+)
+def vector_pq_adc_rerank(spark, sf):
+    # ADC shortlist (code-only scan) -> exact cosine rerank on the
+    # shortlisted 50 per query. The full-precision vectors are read
+    # only for shortlist x queries rows (broadcast join) — the standard
+    # two-stage PQ serving pipeline.
+    return pq_adc_rerank(
+        t(spark, sf, "embeddings"),
+        _queries_df(spark, sf),
+        k=10,
+        shortlist=50,
+        m=_PQ_M,
+        n_centroids=_PQ_K,
+        dims=_PQ_D,
     )

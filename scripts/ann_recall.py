@@ -101,6 +101,10 @@ def main():
         S.pq_adc_search(corpus, queries, k=k, m=4, n_centroids=8, dims=64), k
     )
     recall["pq_adc_vs_l2"] = round(recall_at_k(exact_l2, adc, k), 4)
+    reranked = topk_sets(
+        S.pq_adc_rerank(corpus, queries, k=k, shortlist=50, m=4, n_centroids=8, dims=64), k
+    )
+    recall["pq_adc_rerank"] = round(recall_at_k(exact, reranked, k), 4)
     print(json.dumps({"k": k, "n_queries": n_queries, "recall": recall}))
 
 
