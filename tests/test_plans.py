@@ -88,3 +88,44 @@ def test_stratified_sample_filter_pushes_no_shuffle(spark, sf_dir):
     q = all_queries()["sample_stratified_by_source"]
     plan = physical_plan(q.fn(spark, sf_dir))
     assert "Exchange" not in plan  # pure scan+filter+project: no shuffle at any scale
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram (benchmark-sized) side must broadcast; the train
+    side's only Exchange is the per-doc overlap hash agg."""
+    q = all_queries()["dedup_decontaminate"]
+    plan = physical_plan(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_encode_no_corpus_exchange(spark, sf_dir):
+    """PQ encoding is a per-row expression: the only exchanges allowed
+    are the tiny codebook build (SinglePartition over <= k seed rows)
+    and its broadcast — never a corpus-wide shuffle."""
+    q = all_queries()["vector_pq_encode"]
+    plan = physical_plan(q.fn(spark, sf_dir))
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(kind in ("SinglePartition,", "SinglePartition") for kind in exchanges), exchanges
+
+
+def test_quantize_is_pure_projection(spark, sf_dir):
+    q = all_queries()["vector_int8_quantize"]
+    plan = physical_plan(q.fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_language_balance_broadcasts_counts(spark, sf_dir):
+    """Corpus side never shuffles: counts + min are broadcast back."""
+    q = all_queries()["sample_language_balanced"]
+    plan = physical_plan(q.fn(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_train_val_test_split_no_shuffle(spark, sf_dir):
+    q = all_queries()["sample_train_val_test"]
+    plan = physical_plan(q.fn(spark, sf_dir))
+    assert "Exchange" not in plan
