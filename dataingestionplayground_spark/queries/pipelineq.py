@@ -737,3 +737,68 @@ def sample_token_budget(spark, sf):
         "toks_before",
         (F.col("toks_before") + F.col("n_toks") <= 4096).alias("keep"),
     )
+
+
+@register(
+    "sample_token_budget_bucketed",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             CAST(len({TX.tokens_sql('text')}) AS INTEGER) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_toks,
+             CAST(floor(({_QUALITY_SQL}) * 1000.0) AS BIGINT) AS qbucket
+      FROM feats WHERE n_toks > 0
+    ), hist AS (
+      SELECT qbucket, CAST(SUM(n_toks) AS BIGINT) AS bucket_toks
+      FROM scored GROUP BY qbucket
+    ), ranked AS (
+      SELECT qbucket,
+             coalesce(CAST(SUM(bucket_toks) OVER (
+               ORDER BY qbucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS toks_above
+      FROM hist
+    ), thr AS (
+      SELECT coalesce(MIN(qbucket), 9223372036854775807) AS cut
+      FROM ranked WHERE toks_above <= 4096
+    )
+    SELECT doc_id, n_toks, qbucket, qbucket > cut AS keep
+    FROM scored CROSS JOIN thr
+    """,
+)
+def sample_token_budget_bucketed(spark, sf):
+    # The 100 TB twin of sample_token_budget: no global sort. Quality is
+    # floored into integer permille buckets; per-bucket token sums are
+    # ONE hash agg (map-side partial); the running sum that finds the
+    # threshold bucket runs over <= 1000 rows on a single reducer; the
+    # keep decision joins ONE broadcast scalar back over the corpus.
+    # Bucket-granular semantics: strictly-above-threshold buckets are
+    # kept in full ("cut" is the best bucket whose predecessors already
+    # fit the budget — the boundary bucket itself is dropped, a bounded
+    # under-fill never an over-fill).
+    from pyspark.sql import Window as W2
+
+    from dataingestionplayground_spark.queries.textq import quality_scores
+
+    scored = quality_scores(t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.floor(F.col("quality") * 1000.0).cast("long").alias("qbucket"),
+    )
+    hist = scored.groupBy("qbucket").agg(
+        F.sum("n_toks").cast("long").alias("bucket_toks")
+    )
+    w = W2.orderBy(F.desc("qbucket")).rowsBetween(W2.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "toks_above", F.coalesce(F.sum("bucket_toks").over(w), F.lit(0)).cast("long")
+    )
+    thr = ranked.filter(F.col("toks_above") <= 4096).agg(
+        F.coalesce(F.min("qbucket"), F.lit(9223372036854775807)).alias("cut")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "n_toks", "qbucket", (F.col("qbucket") > F.col("cut")).alias("keep")
+    )
