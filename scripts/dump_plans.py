@@ -30,6 +30,9 @@ SHOW = [
     ("tpch_q6_forecast_revenue", "all predicates pushed to the scan, 4-column pruned read, no join"),
     ("dedup_decontaminate", "eval grams broadcast (benchmark-sized); one per-doc overlap hash agg"),
     ("vector_int8_quantize", "quantization as pure per-row projection — no exchange anywhere"),
+    ("vector_pq_adc_search", "ADC: per-query LUT broadcast; corpus scored via int-code lookups"),
+    ("vector_semdedup", "cell-blocked dedup: materialized assignment, bounded cell equi-join"),
+    ("sample_token_budget_bucketed", "budget selection without a global sort: histogram + broadcast threshold"),
     ("tpch_q21_suppliers_kept_waiting", "the most shuffle-heavy TPC-H shape: fact self-joins + exists/not-exists"),
     ("sample_stratified_by_source", "md5-permille stratified sampling — zero Exchange at any scale"),
     ("ingest_pack_sequences", "sequence packing: one running-sum window, integer-only"),
