@@ -135,3 +135,46 @@ def range_join(
         .filter((F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-interval overlap join (half-open: lo <= other < hi on
+    either side) via grid bucketization.
+
+    Both sides explode over the buckets their interval covers; candidate
+    pairs meet on (bucket, *extra_on) and the exact overlap predicate
+    filters residuals. A pair whose overlap spans several buckets would
+    match in each — the dedup assigns every pair to the single bucket
+    containing the overlap's start (max of the two lo-buckets), so each
+    surviving pair is emitted exactly once WITHOUT a distinct shuffle.
+    Same scale posture as range_join: equi-join on the grid key,
+    AQE-skew-splittable; size ``bucket_width`` near the typical interval.
+    """
+    def burst(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.filter(F.col(hi) >= F.col(lo)).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bucket_width),
+                    F.floor(F.col(hi) / bucket_width),
+                )
+            ),
+        )
+
+    lb = burst(left, left_lo, left_hi)
+    rb = burst(right, right_lo, right_hi)
+    on = ["__bucket", *extra_on]
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
+    anchor = F.col("__bucket") == F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / bucket_width
+    )
+    return lb.join(rb, on=on, how="inner").filter(overlap & anchor).drop("__bucket")

@@ -688,3 +688,66 @@ def set_union_all(spark, sf):
         .groupBy("nationkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS lo,
+             CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+                  + CAST(l_quantity AS BIGINT) AS BIGINT) AS hi
+      FROM lineitem
+    )
+    SELECT a.l_orderkey, a.l_linenumber AS line_a, b.l_linenumber AS line_b,
+           CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+     AND a.lo < b.hi AND b.lo < a.hi
+    """,
+)
+def join_interval_overlap(spark, sf):
+    # Interval-interval overlap join: pairs of lineitems in the same
+    # order whose [commit, receipt) windows overlap, with the overlap
+    # length. Spark side grid-bucketizes both interval sets
+    # (operators.asof.interval_overlap_join) so the theta predicate
+    # becomes an equi-join on (bucket, orderkey) with each pair emitted
+    # exactly once (anchored to the overlap-start bucket, no distinct);
+    # the oracle states the plain quadratic semantics.
+    from dataingestionplayground_spark.operators.asof import interval_overlap_join
+
+    # synthetic lineitem has no commit/receipt dates; model each line's
+    # "delivery window" as [shipdate, shipdate + quantity days)
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff("l_shipdate", F.lit("1992-01-01")).cast("long").alias("lo"),
+        (
+            F.datediff("l_shipdate", F.lit("1992-01-01")).cast("long")
+            + F.col("l_quantity").cast("long")
+        ).alias("hi"),
+    )
+    a = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").alias("line_a"),
+        F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").alias("line_b"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    joined = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=30.0, extra_on=["l_orderkey"]
+    ).filter(F.col("line_a") < F.col("line_b"))
+    return joined.select(
+        "l_orderkey",
+        "line_a",
+        "line_b",
+        (
+            F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
+        ).cast("long").alias("overlap_days"),
+    )

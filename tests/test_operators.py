@@ -364,3 +364,34 @@ def test_line_dedup_all_boilerplate_doc(spark):
     out = {r.doc_id: r for r in line_dedup(docs, min_df=2).collect()}
     assert out[1].n_lines_kept == 0 and out[1].clean_text == ""
     assert out[3].clean_text == "extra"
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    from dataingestionplayground_spark.operators.asof import interval_overlap_join
+
+    # overlap [10, 95) spans many width-10 buckets -> must still be ONE row
+    a = spark.createDataFrame([(1, 0, 95), (2, 200, 210)], "id_a long, a_lo long, a_hi long")
+    b = spark.createDataFrame(
+        [(10, 10, 120), (20, 90, 100), (30, 300, 310)],
+        "id_b long, b_lo long, b_hi long",
+    )
+    rows = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=10.0
+    ).collect()
+    pairs = sorted((r.id_a, r.id_b) for r in rows)
+    # (1,10): [0,95) x [10,120) overlap; (1,20): [0,95) x [90,100) overlap
+    assert pairs == [(1, 10), (1, 20)]
+    assert len(pairs) == len(set(pairs))  # exactly-once, no per-bucket dupes
+
+
+def test_interval_overlap_join_half_open_touching_excluded(spark):
+    from dataingestionplayground_spark.operators.asof import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10)], "id_a long, a_lo long, a_hi long")
+    b = spark.createDataFrame([(2, 10, 20)], "id_b long, b_lo long, b_hi long")
+    assert (
+        interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=10.0
+        ).count()
+        == 0
+    )  # [0,10) and [10,20) touch but do not overlap
