@@ -265,11 +265,22 @@ def lsh_bucket_ann(
 
 
 def _pq_codebook(
-    corpus: DataFrame, m: int, k: int, dims: int, corpus_id: str, corpus_vec: str
+    corpus: DataFrame,
+    m: int,
+    k: int,
+    dims: int,
+    corpus_id: str,
+    corpus_vec: str,
+    mode: str = "seed",
 ) -> DataFrame:
     """One-row codebook: array of (s, cid, v) structs sorted by (s, cid)
     — m*k per-subspace centroid slices seeded from the k lowest-id
-    vectors. Index of subspace s centroid cid in the array: s*k + cid."""
+    vectors; ``mode='kmeans'`` refines each subspace with one Lloyd
+    iteration (L2 assignment, DECIMAL(38,6)-routed means — bitwise
+    deterministic and SQL-replicable like the IVF k-means). Index of
+    subspace s centroid cid in the array: s*k + cid."""
+    if mode not in ("seed", "kmeans"):
+        raise ValueError(f"mode must be 'seed' or 'kmeans': {mode!r}")
     dsub = dims // m
     seeds = _seed_centroids(corpus, corpus_id, corpus_vec, k)
     sub_slices = None
@@ -282,8 +293,60 @@ def _pq_codebook(
             ).alias("v"),
         )
         sub_slices = part if sub_slices is None else sub_slices.unionByName(part)
+    if mode == "kmeans":
+        sub_slices = _pq_refine_subspaces(
+            corpus, sub_slices, m, dsub, corpus_id, corpus_vec
+        )
     return sub_slices.agg(
         F.array_sort(F.collect_list(F.struct("s", "cid", "v"))).alias("cents")
+    )
+
+
+def _pq_refine_subspaces(
+    corpus: DataFrame,
+    seed_rows: DataFrame,
+    m: int,
+    dsub: int,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """One Lloyd iteration per subspace: assign every vector's slice to
+    its nearest seed (exact-multiplication L2, ties to lowest cid), then
+    recompute each (s, cid) centroid as the decimal-routed element mean.
+    All shuffles carry (id,s)/(s,cid,pos) rows — hash-agg shapes."""
+    slice_structs = ", ".join(
+        f"struct({s} as s, transform(slice({corpus_vec}, {s * dsub + 1}, {dsub}), "
+        f"x -> cast(x as double)) as sv)"
+        for s in range(m)
+    )
+    slices = corpus.select(
+        F.col(corpus_id).alias("__id"),
+        F.explode(F.expr(f"array({slice_structs})")).alias("sub"),
+    ).select("__id", F.col("sub.s").alias("s"), F.col("sub.sv").alias("sv"))
+    dist = (
+        f"aggregate(sequence(1, {dsub}), cast(0.0 as double), "
+        f"(acc, i) -> acc + (element_at(sv, i) - element_at(v, i)) "
+        f"* (element_at(sv, i) - element_at(v, i)))"
+    )
+    scored = slices.join(F.broadcast(seed_rows), "s").withColumn("__d", F.expr(dist))
+    w = Window.partitionBy("__id", "s").orderBy(F.asc("__d"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("s", "cid", "sv")
+    )
+    return (
+        assigned.select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("s", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mv")
+        )
+        .groupBy("s", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("__pv"))
+        .select("s", "cid", F.expr("transform(__pv, x -> x.mv)").alias("v"))
     )
 
 
@@ -295,11 +358,12 @@ def pq_encode_codes(
     corpus_id: str,
     corpus_vec: str,
     keep_vec: bool = False,
+    codebook_mode: str = "seed",
 ) -> DataFrame:
     """(id, code_0..code_{m-1}) for each vector — pure per-row expression
     over one broadcast of the codebook; zero corpus-side shuffles."""
     dsub = dims // m
-    codebook = _pq_codebook(corpus, m, k, dims, corpus_id, corpus_vec)
+    codebook = _pq_codebook(corpus, m, k, dims, corpus_id, corpus_vec, codebook_mode)
     enc = corpus.crossJoin(F.broadcast(codebook))
     for s in range(m):
         # (x-y)*(x-y), not power(x-y, 2): multiplication is exact IEEE on
@@ -328,6 +392,7 @@ def pq_encode(
     dims: int = 64,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    codebook_mode: str = "seed",
 ) -> DataFrame:
     """Product-quantization encode: split each vector into ``m`` subspaces
     of ``dims/m`` dims, quantize each against ``k`` per-subspace centroids
@@ -344,7 +409,10 @@ def pq_encode(
     """
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
-    enc = pq_encode_codes(corpus, m, k, dims, corpus_id, corpus_vec, keep_vec=True)
+    enc = pq_encode_codes(
+        corpus, m, k, dims, corpus_id, corpus_vec, keep_vec=True,
+        codebook_mode=codebook_mode,
+    )
     recon = F.concat(
         *[
             F.expr(f"element_at(filter(cents, c -> c.s = {s}), code_{s} + 1).v")

@@ -603,3 +603,80 @@ def vector_pq_adc_rerank(spark, sf):
         n_centroids=_PQ_K,
         dims=_PQ_D,
     )
+
+
+def _pq_l2_duck(a: str, b: str) -> str:
+    d = f"(({a})[i] - ({b})[i])"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_PQ_DSUB}), i -> {d} * {d})), "
+        f"(x, y) -> x + y)"
+    )
+
+
+@register(
+    "vector_pq_kmeans_encode",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ), subs AS (SELECT unnest([{', '.join(str(s) for s in range(_PQ_M))}]) AS s
+    ), sub_seeds AS (
+      SELECT u.s AS s, cid,
+             list_transform(embedding[u.s*{_PQ_DSUB}+1:u.s*{_PQ_DSUB}+{_PQ_DSUB}],
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM seeds, subs u
+    ), sub_slices AS (
+      SELECT e.vec_id, u.s AS s,
+             list_transform(e.embedding[u.s*{_PQ_DSUB}+1:u.s*{_PQ_DSUB}+{_PQ_DSUB}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings e, subs u
+    ), sub_assign AS (
+      SELECT s, cid, sv FROM (
+        SELECT sl.s, sd.cid, sl.sv,
+               row_number() OVER (PARTITION BY sl.vec_id, sl.s
+                 ORDER BY ({_pq_l2_duck('sl.sv', 'sd.v')}) ASC, sd.cid ASC) AS rk
+        FROM sub_slices sl JOIN sub_seeds sd ON sl.s = sd.s
+      ) WHERE rk = 1
+    ), sub_pos AS (
+      SELECT s, cid, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS val
+      FROM sub_assign
+    ), sub_mean AS (
+      SELECT s, cid, pos,
+             CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mv
+      FROM sub_pos GROUP BY s, cid, pos
+    ), cb_rows AS (
+      SELECT s, cid, list(mv ORDER BY pos) AS v FROM sub_mean GROUP BY s, cid
+    ), cb AS (
+      SELECT list(struct_pack(s := s, cid := cid, v := v) ORDER BY s, cid) AS cents
+      FROM cb_rows
+    ), coded AS (
+      SELECT e.vec_id, e.embedding, cents, {', '.join(
+        f"CAST(list_position({_pq_dists_duck(s)}, list_min({_pq_dists_duck(s)})) - 1 AS INTEGER) AS code_{s}"
+        for s in range(_PQ_M))}
+      FROM embeddings e CROSS JOIN cb
+    ), recon AS (
+      SELECT vec_id, embedding, code_0, code_1, code_2, code_3,
+             ({' || '.join(f"(list_filter(cents, c -> c['s'] = {s})[code_{s} + 1])['v']" for s in range(_PQ_M))}) AS recon_vec
+      FROM coded
+    )
+    SELECT vec_id, code_0, code_1, code_2, code_3,
+           round({cosine_sql('embedding', 'recon_vec')}, 9) AS cos_recon
+    FROM recon
+    """,
+)
+def vector_pq_kmeans_encode(spark, sf):
+    # PQ encode with one Lloyd iteration refining each subspace codebook
+    # (L2 assignment with exact-multiplication folds, DECIMAL-routed
+    # means) — reconstruction cosine improves ~0.32 -> ~0.40 over the
+    # seeded codebook on this corpus. Like vector_ivf_kmeans, the whole
+    # training iteration is bitwise deterministic, so the oracle unrolls
+    # it end-to-end in SQL — exact value equality on a trained index.
+    return pq_encode(
+        t(spark, sf, "embeddings"),
+        m=_PQ_M,
+        k=_PQ_K,
+        dims=_PQ_D,
+        codebook_mode="kmeans",
+    )
