@@ -395,3 +395,37 @@ def test_interval_overlap_join_half_open_touching_excluded(spark):
         ).count()
         == 0
     )  # [0,10) and [10,20) touch but do not overlap
+
+
+def test_interval_overlap_join_randomized_vs_bruteforce(spark):
+    """50 seeded random interval worlds in ONE Spark job (worlds keyed by
+    extra_on) — bucketized result must equal the quadratic ground truth,
+    including intervals spanning many buckets and zero-length ones."""
+    import random
+
+    from dataingestionplayground_spark.operators.asof import interval_overlap_join
+
+    rng = random.Random(7)
+    a_rows, b_rows = [], []
+    for world in range(50):
+        for i in range(rng.randint(0, 8)):
+            lo = rng.randint(-50, 200)
+            a_rows.append((world, i, lo, lo + rng.randint(0, 120)))
+        for j in range(rng.randint(0, 8)):
+            lo = rng.randint(-50, 200)
+            b_rows.append((world, j, lo, lo + rng.randint(0, 120)))
+    a = spark.createDataFrame(a_rows, "w long, id_a long, a_lo long, a_hi long")
+    b = spark.createDataFrame(b_rows, "w long, id_b long, b_lo long, b_hi long")
+    got = {
+        (r.w, r.id_a, r.id_b)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=25.0, extra_on=["w"]
+        ).collect()
+    }
+    want = {
+        (wa, ia, ib)
+        for (wa, ia, alo, ahi) in a_rows
+        for (wb, ib, blo, bhi) in b_rows
+        if wa == wb and alo < bhi and blo < ahi and ahi >= alo and bhi >= blo
+    }
+    assert got == want
