@@ -438,6 +438,7 @@ def pq_adc_search(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    codebook_mode: str = "seed",
 ) -> DataFrame:
     """PQ asymmetric-distance search: rank the corpus for each query by
     the sum of per-subspace distances from the query's slice to each
@@ -456,8 +457,13 @@ def pq_adc_search(
         raise ValueError(f"dims {dims} not divisible by m {m}")
     dsub = dims // m
 
-    enc = pq_encode_codes(corpus, m, n_centroids, dims, corpus_id, corpus_vec)
-    codebook = _pq_codebook(corpus, m, n_centroids, dims, corpus_id, corpus_vec)
+    enc = pq_encode_codes(
+        corpus, m, n_centroids, dims, corpus_id, corpus_vec,
+        codebook_mode=codebook_mode,
+    )
+    codebook = _pq_codebook(
+        corpus, m, n_centroids, dims, corpus_id, corpus_vec, codebook_mode
+    )
 
     # LUT aligned with the (s, cid)-sorted codebook array: index s*K+cid+1
     diff = f"(cast(element_at({query_vec}, c.s * {dsub} + i) as double) - element_at(c.v, i))"
@@ -580,6 +586,7 @@ def pq_adc_rerank(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    codebook_mode: str = "seed",
 ) -> DataFrame:
     """The production PQ pipeline: ADC over int codes prunes the corpus
     to a per-query ``shortlist``, then an exact cosine rerank over only
@@ -593,7 +600,7 @@ def pq_adc_rerank(
     short = pq_adc_search(
         corpus, queries, k=shortlist, m=m, n_centroids=n_centroids, dims=dims,
         corpus_id=corpus_id, corpus_vec=corpus_vec,
-        query_id=query_id, query_vec=query_vec,
+        query_id=query_id, query_vec=query_vec, codebook_mode=codebook_mode,
     ).select(query_id, corpus_id)
     cand = corpus.join(F.broadcast(short), corpus_id)
     scored = cand.join(F.broadcast(queries), query_id).withColumn(

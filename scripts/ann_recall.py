@@ -105,6 +105,11 @@ def main():
         S.pq_adc_rerank(corpus, queries, k=k, shortlist=50, m=4, n_centroids=8, dims=64), k
     )
     recall["pq_adc_rerank"] = round(recall_at_k(exact, reranked, k), 4)
+    reranked_km = topk_sets(
+        S.pq_adc_rerank(corpus, queries, k=k, shortlist=50, m=4, n_centroids=8,
+                        dims=64, codebook_mode="kmeans"), k
+    )
+    recall["pq_adc_rerank_kmeans"] = round(recall_at_k(exact, reranked_km, k), 4)
     print(json.dumps({"k": k, "n_queries": n_queries, "recall": recall}))
 
 
