@@ -429,3 +429,75 @@ def test_interval_overlap_join_randomized_vs_bruteforce(spark):
         if wa == wb and alo < bhi and blo < ahi and ahi >= alo and bhi >= blo
     }
     assert got == want
+
+
+def test_incremental_rollup_refresh_equals_full_rebuild(spark, tmp_path):
+    """Refreshing only the changed day produces a table identical to a
+    full rebuild, and untouched partition files stay byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.operators.incremental import (
+        build_rollup,
+        refresh_rollup,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 11:00:00", 2, "view", 2.0),
+            (3, "2024-01-02 09:00:00", 1, "click", 4.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "rollup")
+    build_rollup(base, path)
+
+    def mtimes(day):
+        d = os.path.join(path, f"day={day}")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")}
+
+    day1_before = mtimes("2024-01-01")
+
+    # new events land on day 2 only
+    extra = spark.createDataFrame(
+        [(4, "2024-01-02 10:00:00", 3, "click", 8.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    all_events = base.unionByName(extra)
+    n = refresh_rollup(spark, all_events, path, ["2024-01-02"])
+    assert n == 1
+
+    got = {
+        (str(r.day), r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(path).collect()
+    }
+    from dataingestionplayground_spark.operators.incremental import daily_event_rollup
+
+    want = {
+        (str(r.day), r.event_type): (r.n_events, r.total_value)
+        for r in daily_event_rollup(all_events).collect()
+    }
+    assert got == want
+    assert ("2024-01-02", "click") in got and got[("2024-01-02", "click")][0] == 2
+    # the untouched day's files were not rewritten
+    assert mtimes("2024-01-01") == day1_before
+
+
+def test_incremental_rollup_refresh_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.operators.incremental import (
+        build_rollup,
+        refresh_rollup,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "r2")
+    build_rollup(base, path)
+    assert refresh_rollup(spark, base, path, []) == 0
+    assert spark.read.parquet(path).count() == 1
