@@ -76,3 +76,63 @@ def export_jsonl(
 def read_export(spark, path: str) -> DataFrame:
     """Read an export back (shard recovered as a partition column)."""
     return spark.read.json(path)
+
+
+def delete_from_export(
+    spark, path: str, ids: "list", id_col: str | None = None
+) -> dict:
+    """Targeted deletion (right-to-be-forgotten) from a sharded export:
+    because shard membership is md5(id) mod n_shards, the affected
+    shards are computed FROM THE IDS — only those shard directories are
+    read, filtered, and rewritten; every other shard stays byte-
+    untouched. The manifest is updated in place. Returns the new
+    manifest. At 100 TB this touches |affected shards| / n_shards of
+    the data instead of rescanning the export.
+    """
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    n_shards = manifest["n_shards"]
+    id_col = id_col or manifest["id_col"]
+    compression = manifest.get("compression", "gzip")
+
+    def shard_of(v) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % n_shards
+
+    affected = sorted({shard_of(v) for v in ids})
+    drop = {str(v) for v in ids}
+    text_col = "text" if any("tokens" in s for s in manifest["shards"].values()) else None
+    for sh in affected:
+        key = str(sh)
+        if key not in manifest["shards"]:
+            continue  # no rows ever landed in this shard
+        shard_dir = os.path.join(path, f"shard={sh}")
+        kept = (
+            spark.read.json(shard_dir)
+            .filter(~F.col(id_col).cast("string").isin(list(drop)))
+        )
+        kept = kept.localCheckpoint(eager=True)  # sever lineage from the dir we rewrite
+        n_rows = kept.count()
+        tmp = shard_dir + ".rewrite-tmp"
+        kept.write.mode("overwrite").option("compression", compression).json(tmp)
+        shutil.rmtree(shard_dir)
+        os.rename(tmp, shard_dir)
+        if n_rows == 0:
+            manifest["shards"].pop(key)
+        else:
+            stats = {"rows": n_rows}
+            if text_col and text_col in kept.columns:
+                from dataingestionplayground_spark.functions import text as TX
+
+                stats["tokens"] = kept.agg(
+                    F.sum(TX.token_count(text_col).cast("long")).cast("long").alias("t")
+                ).collect()[0]["t"]
+            manifest["shards"][key] = stats
+    manifest["total_rows"] = sum(s["rows"] for s in manifest["shards"].values())
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

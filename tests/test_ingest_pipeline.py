@@ -345,3 +345,46 @@ def test_export_jsonl_deterministic_shards(spark, tmp_path):
     a = {(r.doc_id, r.shard) for r in read_export(spark, str(tmp_path / "e1")).select("doc_id", "shard").collect()}
     b = {(r.doc_id, r.shard) for r in read_export(spark, str(tmp_path / "e2")).select("doc_id", "shard").collect()}
     assert a == b
+
+
+def test_delete_from_export_touches_only_affected_shards(spark, tmp_path):
+    import os
+
+    from dataingestionplayground_spark.ingest.export import (
+        delete_from_export,
+        export_jsonl,
+        read_export,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "exp")
+    m0 = export_jsonl(docs, path, n_shards=4)
+    victims = [r.doc_id for r in docs.limit(3).collect()]
+
+    def shard_mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("shard="):
+                full = os.path.join(path, d)
+                out[d] = max(os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full))
+        return out
+
+    before = shard_mtimes()
+    m1 = delete_from_export(spark, path, victims)
+    after = shard_mtimes()
+
+    assert m1["total_rows"] == m0["total_rows"] - len(victims)
+    back = read_export(spark, path)
+    assert back.count() == m1["total_rows"]
+    assert not set(victims) & {r.doc_id for r in back.select("doc_id").collect()}
+    # shards that contain no victim were not rewritten
+    import hashlib
+
+    hit = {f"shard={int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 4}" for v in victims}
+    for d, t in before.items():
+        if d not in hit:
+            assert after[d] == t, f"untouched shard {d} was rewritten"
+    # manifest row counts agree with the data per shard
+    for k, s in m1["shards"].items():
+        n = spark.read.json(os.path.join(path, f"shard={k}")).count()
+        assert n == s["rows"]
