@@ -149,3 +149,31 @@ class CollectionStore:
     def drop(self, collection: str) -> None:
         if self.exists(collection):
             shutil.rmtree(self._path(collection))
+
+    def delete_documents(self, spark: SparkSession, collection: str, doc_ids) -> int:
+        """Remove every chunk of the given documentids (the collection-
+        side right-to-be-forgotten). Atomic like compact(): the filtered
+        collection lands in a sibling temp dir first. Returns chunks
+        removed. Collections are not hive-partitioned by documentid
+        (values are unbounded), so this is a filtered rewrite — at scale
+        prefer the sharded export layout for deletion-heavy data."""
+        from pyspark.sql import functions as F
+
+        path = self._path(collection)
+        fmt = self._detect_fmt(path)
+        df = self.read(spark, collection)
+        before = df.count()
+        kept = df.filter(~F.col("documentid").isin(list(doc_ids)))
+        kept = kept.localCheckpoint(eager=True)  # sever lineage before rmtree
+        after = kept.count()
+        tmp = path + ".delete-tmp"
+        (
+            kept.repartition("documentid")
+            .write.option("compression", "zstd")
+            .mode("overwrite")
+            .format(fmt)
+            .save(tmp)
+        )
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return before - after

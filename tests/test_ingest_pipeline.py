@@ -388,3 +388,18 @@ def test_delete_from_export_touches_only_affected_shards(spark, tmp_path):
     for k, s in m1["shards"].items():
         n = spark.read.json(os.path.join(path, f"shard={k}")).count()
         assert n == s["rows"]
+
+
+def test_store_delete_documents(spark, md_elements, tmp_path):
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "del", max_tokens=32, overlap=0)
+    docs = [r.documentid for r in store.read(spark, "del").select("documentid").distinct().collect()]
+    victim = docs[0]
+    n_before = store.read(spark, "del").count()
+    removed = store.delete_documents(spark, "del", [victim])
+    assert removed > 0
+    rest = store.read(spark, "del")
+    assert rest.count() == n_before - removed
+    assert victim not in {r.documentid for r in rest.select("documentid").distinct().collect()}
+    # deleting an unknown id is a no-op
+    assert store.delete_documents(spark, "del", ["nope-nope"]) == 0
