@@ -192,3 +192,57 @@ def events_multilevel_rollup(spark, sf):
         .agg(F.sum("n").alias("n_events"), F.sum("v").cast("double").alias("total_value"))
     )
     return daily.select("day_start", "event_type", "n_events", "total_value")
+
+
+@register(
+    "events_attribution_windows",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_sec FROM events
+      WHERE event_type = 'click'
+    ), purch AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(MIN(c.c_sec) AS BIGINT) AS first_touch_sec,
+           CAST(MAX(c.c_sec) AS BIGINT) AS last_touch_sec,
+           CAST(coalesce(SUM(CASE WHEN c.c_sec IS NOT NULL THEN 1 END), 0) AS BIGINT)
+             AS n_touches
+    FROM purch p LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.c_sec <= p.p_sec AND c.c_sec >= p.p_sec - 86400
+    GROUP BY p.purchase_id, p.user_id
+    """,
+)
+def events_attribution_windows(spark, sf):
+    # Marketing attribution: for every purchase, the first- and
+    # last-touch click of the same user inside a 24 h lookback, plus the
+    # touch count (first/last/linear attribution all derive from these).
+    # Per-user equi-join with a time-range residual — the shuffle is on
+    # user_id, bounded by per-user activity; at heavier per-user volume
+    # the as-of join (operators/asof.py) is the last-touch fast path.
+    e = t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("c_sec")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("p_sec"),
+    )
+    j = purch.join(
+        clicks,
+        (purch.user_id == clicks.user_id)
+        & (clicks.c_sec <= purch.p_sec)
+        & (clicks.c_sec >= purch.p_sec - 86400),
+        "left",
+    ).select(purch.purchase_id, purch.user_id, clicks.c_sec)
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.min("c_sec").cast("long").alias("first_touch_sec"),
+        F.max("c_sec").cast("long").alias("last_touch_sec"),
+        F.coalesce(
+            F.sum(F.when(F.col("c_sec").isNotNull(), 1)), F.lit(0)
+        ).cast("long").alias("n_touches"),
+    )
