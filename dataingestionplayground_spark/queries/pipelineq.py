@@ -802,3 +802,67 @@ def sample_token_budget_bucketed(spark, sf):
     return scored.crossJoin(F.broadcast(thr)).select(
         "doc_id", "n_toks", "qbucket", (F.col("qbucket") > F.col("cut")).alias("keep")
     )
+
+
+@register(
+    "sample_contrastive_negatives",
+    oracle=f"""
+    WITH idx AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                  AS BIGINT) AS pos,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id, a.source, a.pos, a.n, u.j,
+             ((a.pos + (a.n // 3) * u.j) % a.n) AS neg_pos
+      FROM idx a CROSS JOIN (SELECT unnest([1, 2]) AS j) u
+    )
+    SELECT p.doc_id AS anchor_id, p.j AS neg_rank, b.doc_id AS negative_id,
+           (p.source = b.source) AS same_source
+    FROM pairs p JOIN idx b ON b.pos = p.neg_pos
+    """,
+)
+def sample_contrastive_negatives(spark, sf):
+    # Deterministic negative sampling for contrastive training: docs get
+    # a hash-shuffled global position; anchor i takes negatives at
+    # (i + n/3), (i + 2n/3) mod n — a fixed derangement-like pattern, so
+    # every doc serves as a negative exactly twice (balanced), pairs are
+    # reproducible with no RNG state, and no negative equals its anchor
+    # (n/3 and 2n/3 are nonzero mod n for n > 3). The demo uses one
+    # global hash rank; at 100 TB the same pattern runs per shard
+    # (sample_global_shuffle's shards) with shard-local positions.
+    d = t(spark, sf, "documents")
+    w = W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    idx = d.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    ).crossJoin(
+        F.broadcast(d.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    )
+    pairs = idx.crossJoin(
+        F.broadcast(
+            t(spark, sf, "documents")
+            .sparkSession.range(1, 3)
+            .select(F.col("id").cast("int").alias("j"))
+        )
+    ).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("a_source"),
+        "j",
+        ((F.col("pos") + (F.col("n") / 3).cast("long") * F.col("j")) % F.col("n")).alias(
+            "neg_pos"
+        ),
+    )
+    b = idx.select(
+        F.col("pos").alias("neg_pos"),
+        F.col("doc_id").alias("negative_id"),
+        F.col("source").alias("b_source"),
+    )
+    return pairs.join(b, "neg_pos").select(
+        "anchor_id",
+        F.col("j").alias("neg_rank"),
+        "negative_id",
+        (F.col("a_source") == F.col("b_source")).alias("same_source"),
+    )
