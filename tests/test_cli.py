@@ -222,3 +222,20 @@ def test_cli_sql_frontend(spark, capsys):
     assert rc == 0
     assert out.splitlines()[0] == "r_name\tn"
     assert "(2 row(s))" in out
+
+
+def test_cli_curate_without_eval_source(spark, tmp_path, capsys):
+    import json as _json
+
+    corpus = tmp_path / "c2.jsonl"
+    corpus.write_text(
+        _json.dumps({"doc_id": "x", "text": "one unique document with plenty of ordinary words"}) + "\n"
+        + _json.dumps({"doc_id": "y", "text": "another distinct document containing different words"}) + "\n"
+    )
+    out_dir = str(tmp_path / "curated2")
+    rc = cli.main(["curate", "--source", str(corpus), "--out", out_dir,
+                   "--quality-pct", "0", "--shards", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "after decontam:    2" in out  # stage skipped -> passthrough count
+    assert spark.read.json(out_dir).count() == 2
