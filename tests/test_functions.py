@@ -114,3 +114,29 @@ def test_approx_distinct_error_bound(spark):
         n_approx, p50_approx = got[flag]
         assert abs(n_approx - n_exact) <= 0.15 * n_exact, (flag, n_approx, n_exact)
         assert abs(p50_approx - p50_exact) <= 0.10 * p50_exact, (flag, p50_approx, p50_exact)
+
+
+def test_language_id_on_real_sentences(spark):
+    """The stopword classifier must identify genuine short sentences in
+    its supported European languages (zh is latinized-pinyin-profile
+    only — excluded from the golden set)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.queries.textq import _PRED_CASE, _lang_score_cols
+
+    samples = [
+        ("en", "the quick brown fox jumps over the lazy dog and runs away from the farm"),
+        ("en", "this is a simple sentence that should be classified as english with ease"),
+        ("es", "el perro corre por la calle y salta sobre la mesa porque quiere comer algo"),
+        ("es", "la casa es muy grande y tiene un jardin con flores de muchos colores"),
+        ("fr", "le chien court dans la rue et il saute sur la table pour manger quelque chose"),
+        ("fr", "la maison est tres grande et elle a un jardin avec des fleurs magnifiques"),
+        ("de", "der Hund läuft auf der Straße und er springt über den Tisch und das ist gut"),
+        ("de", "das Haus ist sehr groß und es hat einen Garten mit vielen schönen Blumen"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string").select(
+        "lang", "text", *_lang_score_cols()
+    )
+    rows = df.select("lang", F.expr(_PRED_CASE).alias("pred")).collect()
+    correct = sum(1 for r in rows if r.lang == r.pred)
+    assert correct == len(samples), [(r.lang, r.pred) for r in rows]
