@@ -140,3 +140,39 @@ def test_language_id_on_real_sentences(spark):
     rows = df.select("lang", F.expr(_PRED_CASE).alias("pred")).collect()
     correct = sum(1 for r in rows if r.lang == r.pred)
     assert correct == len(samples), [(r.lang, r.pred) for r in rows]
+
+
+def test_text_functions_survive_unicode_extremes(spark):
+    """Emoji, CJK, RTL, combining marks, and whitespace-only input must
+    flow through tokenization, fingerprinting, shingling, and the
+    quality expression without errors or NULL poisoning."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.functions import text as TX
+    from dataingestionplayground_spark.queries.textq import quality_scores
+
+    rows = [
+        (1, "Hello 👋 world 🌍 this has emoji", "en", "s", 31),
+        (2, "这是一个中文句子 没有空格的部分也在这里", "zh", "s", 20),
+        (3, "مرحبا بالعالم هذه جملة عربية", "ar", "s", 28),
+        (4, "étude française déjà vu", "fr", "s", 25),
+        (5, "   \t\n  ", "en", "s", 7),
+        (6, "", "en", "s", 0),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_toks"),
+        TX.fingerprint("text").alias("fp"),
+        F.size(TX.word_shingles("text", 2)).alias("n_shingles"),
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].n_toks == 7  # emoji are tokens, not errors
+    assert by_id[2].n_toks == 2  # CJK splits on spaces only
+    assert by_id[3].n_toks == 5
+    assert by_id[5].n_toks == 0 and by_id[5].n_shingles == 0
+    assert all(len(r.fp) == 32 for r in got)  # md5 always produced
+    # quality flows (docs with zero tokens are filtered, never divide-by-zero)
+    q = quality_scores(d).collect()
+    assert {r.doc_id for r in q} == {1, 2, 3, 4}
+    assert all(r.quality is not None for r in q)
