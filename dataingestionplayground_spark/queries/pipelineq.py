@@ -108,6 +108,7 @@ def text_repetition_filter(spark, sf):
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{4}-\d{4}\b"
 
 
 @register(
@@ -116,15 +117,17 @@ _IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
     WITH synth AS (
       SELECT doc_id,
              concat('contact user', CAST(doc_id AS VARCHAR), '@mail-', source,
-                    '.com or 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 re: ',
+                    '.com or 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 call 555-0100-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' re: ',
                     substr(text, 1, 40)) AS raw
       FROM documents
     )
     SELECT doc_id,
-           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{_IP_RE}', '<IP>', 'g') AS redacted,
+           regexp_replace(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_IP_RE}', '<IP>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
            CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}', 0)) AS INTEGER) AS n_emails,
-           CAST(len(regexp_extract_all(raw, '{_IP_RE}', 0)) AS INTEGER) AS n_ips
+           CAST(len(regexp_extract_all(raw, '{_IP_RE}', 0)) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}', 0)) AS INTEGER) AS n_phones
     FROM synth
     """,
 )
@@ -141,19 +144,26 @@ def text_pii_redaction(spark, sf):
         F.col("source"),
         F.lit(".com or 10.0."),
         (F.col("doc_id") % 256).cast("string"),
-        F.lit(".7 re: "),
+        F.lit(".7 call 555-0100-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
         F.substring("text", 1, 40),
     )
     synth = d.select("doc_id", raw.alias("raw"))
     return synth.select(
         "doc_id",
         F.regexp_replace(
-            F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+            F.regexp_replace(
+                F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+            ),
+            _PHONE_RE,
+            "<PHONE>",
         ).alias("redacted"),
         # group 0 = whole match: the email pattern has no capture group,
         # and DuckDB's extract_all is pinned to 0 for the same reason
         F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all("raw", F.lit(_IP_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PHONE_RE), 0)).alias("n_phones"),
     )
 
 
