@@ -129,3 +129,24 @@ def test_train_val_test_split_no_shuffle(spark, sf_dir):
     q = all_queries()["sample_train_val_test"]
     plan = physical_plan(q.fn(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_entry_wrapper_pins_timezone(spark, sf_dir):
+    """The driver's session TZ is unknown — queries() must produce
+    identical results under any ambient session timezone (the wrapper
+    pins UTC before running)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    q = E.queries()["date_functions"]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo = sorted(tuple(str(v) for v in r) for r in q(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = sorted(tuple(str(v) for v in r) for r in q(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert tokyo == ny and len(tokyo) > 0
