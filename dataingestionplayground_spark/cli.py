@@ -339,6 +339,9 @@ def cmd_curate(args, cfg) -> int:
     n4 = deduped.count()
 
     manifest = export_jsonl(deduped, args.out, n_shards=args.shards, id_col="doc_id")
+    from dataingestionplayground_spark.ingest.datacard import write_datacard
+
+    write_datacard(deduped, args.out)
     print(f"input docs:        {n0}")
     print(f"after exact dedup: {n1}")
     print(f"after boilerplate: {n2}")

@@ -403,3 +403,23 @@ def test_store_delete_documents(spark, md_elements, tmp_path):
     assert victim not in {r.documentid for r in rest.select("documentid").distinct().collect()}
     # deleting an unknown id is a no-op
     assert store.delete_documents(spark, "del", ["nope-nope"]) == 0
+
+
+def test_datacard_summarizes_corpus(spark, tmp_path):
+    from dataingestionplayground_spark.ingest.datacard import write_datacard
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    card = write_datacard(docs, str(tmp_path))
+    assert card["n_docs"] == 500
+    assert card["total_tokens"] > 0
+    assert card["tokens"]["min"] <= card["tokens"]["median"] <= card["tokens"]["max"]
+    q = card["quality_quartiles"]
+    assert q["q25"] <= q["q50"] <= q["q75"]
+    assert 0.0 <= card["exact_duplicate_rate"] < 1.0
+    assert sum(card["by_source"].values()) == 500
+    assert sum(card["by_lang"].values()) == 500
+    import json
+    import os
+
+    on_disk = json.load(open(os.path.join(tmp_path, "_DATACARD.json")))
+    assert on_disk == card
