@@ -69,6 +69,7 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures, passes, skipped = [], [], []
+    timings = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -122,9 +123,13 @@ def main():
             print(f"FAIL {name}: {'; '.join(p[:400] for p in problems)}")
         else:
             passes.append(name)
-            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            timings[name] = time.time() - t0
+            print(f"PASS {name} ({len(srows)} rows, {timings[name]:.1f}s)")
 
     print(f"\n=== {len(passes)} pass, {len(failures)} fail, {len(skipped)} rows-only ===")
+    if len(timings) > 10:
+        slow = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        print("slowest: " + ", ".join(f"{n} {t:.1f}s" for n, t in slow))
     if failures:
         for n, msg in failures:
             print(f"\n--- {n} ---\n{msg[:2000]}")
