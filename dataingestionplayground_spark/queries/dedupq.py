@@ -19,6 +19,7 @@ from dataingestionplayground_spark.operators.dedup import (
     simhash_oracle_sql,
 )
 from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.queries.textq import _QUALITY_SQL
 from dataingestionplayground_spark.session import load_table as t
 
 _TOKS = TX.tokens_sql("text")
@@ -336,4 +337,45 @@ def dedup_pipeline_stats(spark, sf):
         n_docs.crossJoin(F.broadcast(n_exact))
         .crossJoin(F.broadcast(n_pairs))
         .crossJoin(F.broadcast(n_kept))
+    )
+
+
+@register(
+    "dedup_exact_keep_best",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, {TX.fingerprint_sql('text')} AS fp,
+             n_chars,
+             CAST(len({TX.tokens_sql('text')}) AS INTEGER) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, fp, {_QUALITY_SQL} AS quality FROM feats WHERE n_toks > 0
+    )
+    SELECT doc_id, fp, quality, kept FROM (
+      SELECT doc_id, fp, quality,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY quality DESC, doc_id ASC) = 1 AS kept
+      FROM scored)
+    """,
+)
+def dedup_exact_keep_best(spark, sf):
+    # Exact-dup resolution with a QUALITY policy: inside each normalized-
+    # text fingerprint group, keep the highest-quality copy (ties to the
+    # lowest id) instead of blindly the lowest id — the policy real
+    # pipelines want when duplicates differ in cleanliness. One window
+    # over the fingerprint hash; same single-shuffle shape as exact
+    # dedup.
+    from pyspark.sql import Window as W2
+
+    from dataingestionplayground_spark.queries.textq import quality_scores
+
+    d = t(spark, sf, "documents")
+    scored = quality_scores(d).select("doc_id", "quality")
+    fps = d.select("doc_id", TX.fingerprint("text").alias("fp"))
+    j = fps.join(scored, "doc_id")
+    w = W2.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return j.select(
+        "doc_id", "fp", "quality", (F.row_number().over(w) == 1).alias("kept")
     )
