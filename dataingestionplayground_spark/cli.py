@@ -192,9 +192,8 @@ def cmd_dedup(args, cfg) -> int:
     are reassembled from chunks, run through the exact + MinHash-LSH +
     cluster pipeline, and the funnel is printed (optionally writing the
     per-document keep/drop table)."""
-    from pyspark.sql import functions as F
-
     from dataingestionplayground_spark.ingest import CollectionStore
+    from dataingestionplayground_spark.ingest.store import reassemble_documents
     from dataingestionplayground_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
     from dataingestionplayground_spark.operators.graph import dedup_clusters
     from dataingestionplayground_spark.session import get_spark
@@ -205,11 +204,7 @@ def cmd_dedup(args, cfg) -> int:
     if not store.exists(collection):
         print(f"error: collection {collection!r} not found", file=sys.stderr)
         return 2
-    docs = (
-        store.read(spark, collection)
-        .groupBy("documentid")
-        .agg(F.concat_ws(" ", F.collect_list("content")).alias("text"))
-    )
+    docs = reassemble_documents(store.read(spark, collection))
     n_docs = docs.count()
     n_exact = exact_dedup(docs, "documentid", "text").count()
     pairs = minhash_lsh_pairs(docs, "documentid", "text").localCheckpoint(eager=True)
@@ -230,10 +225,9 @@ def cmd_dedup(args, cfg) -> int:
 def cmd_export(args, cfg) -> int:
     """Export a collection's reassembled documents as sharded JSONL +
     manifest (the training-data delivery format)."""
-    from pyspark.sql import functions as F
-
     from dataingestionplayground_spark.ingest import CollectionStore
     from dataingestionplayground_spark.ingest.export import export_jsonl
+    from dataingestionplayground_spark.ingest.store import reassemble_documents
     from dataingestionplayground_spark.session import get_spark
 
     spark = get_spark("dip-export")
@@ -242,11 +236,7 @@ def cmd_export(args, cfg) -> int:
     if not store.exists(collection):
         print(f"error: collection {collection!r} not found", file=sys.stderr)
         return 2
-    docs = (
-        store.read(spark, collection)
-        .groupBy("documentid")
-        .agg(F.concat_ws(" ", F.collect_list("content")).alias("text"))
-    )
+    docs = reassemble_documents(store.read(spark, collection))
     manifest = export_jsonl(
         docs, args.out, n_shards=args.shards, id_col="documentid"
     )

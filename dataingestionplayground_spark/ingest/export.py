@@ -65,6 +65,11 @@ def export_jsonl(
         "compression": compression,
         "n_shards": n_shards,
         "id_col": id_col,
+        # the exported frame's schema (pre-shard column), recorded so
+        # shard rewrites (delete_from_export) can re-read a single shard
+        # WITHOUT schema inference — an all-null or numeric-looking
+        # column in one shard must not drift its type vs the others
+        "schema": json.loads(df.schema.json()),
         "total_rows": sum(s["rows"] for s in shards.values()),
         "shards": shards,
     }
@@ -103,6 +108,17 @@ def delete_from_export(
     def shard_of(v) -> int:
         return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % n_shards
 
+    # pin the rewrite schema: from the manifest when present (new
+    # exports), else inferred ONCE over the whole export so every
+    # rewritten shard agrees with the untouched ones even when some
+    # column is entirely null inside the affected shard
+    from pyspark.sql import types as T
+
+    if "schema" in manifest:
+        schema = T.StructType.fromJson(manifest["schema"])
+    else:
+        schema = spark.read.json(path).drop("shard").schema
+
     affected = sorted({shard_of(v) for v in ids})
     drop = {str(v) for v in ids}
     text_col = "text" if any("tokens" in s for s in manifest["shards"].values()) else None
@@ -112,7 +128,7 @@ def delete_from_export(
             continue  # no rows ever landed in this shard
         shard_dir = os.path.join(path, f"shard={sh}")
         kept = (
-            spark.read.json(shard_dir)
+            spark.read.schema(schema).json(shard_dir)
             .filter(~F.col(id_col).cast("string").isin(list(drop)))
         )
         kept = kept.localCheckpoint(eager=True)  # sever lineage from the dir we rewrite

@@ -45,6 +45,7 @@ def build_chunk_records(
         "content",
         "context",
         "documentid",
+        "chunk_idx",
     )
 
 

@@ -25,6 +25,30 @@ from dataingestionplayground_spark.sources.schemas import CHUNK_SCHEMA
 _FORMATS = ("parquet", "orc")
 
 
+def reassemble_documents(chunks: DataFrame, sep: str = " ") -> DataFrame:
+    """Rebuild ``(documentid, text)`` from chunk rows in chunk order.
+
+    ``collect_list`` order is partition-dependent, so the aggregate
+    collects ``(chunk_idx, key, content)`` structs and sorts them before
+    joining: ``chunk_idx`` is the true ordinal; ``key`` breaks ties and
+    orders legacy rows (collections written before ``chunk_idx`` existed
+    read the column as null — coalesced last, then by key, so the output
+    is still deterministic run-to-run).
+    """
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.coalesce(F.col("chunk_idx"), F.lit(2**31 - 1)).alias("chunk_idx"),
+                F.col("key").alias("key"),
+                F.col("content").alias("content"),
+            )
+        )
+    )
+    return chunks.groupBy("documentid").agg(
+        F.array_join(F.transform(ordered, lambda x: x["content"]), sep).alias("text")
+    )
+
+
 class CollectionStore:
     """``fmt`` picks the on-disk columnar format for NEW collections:
     ``parquet`` (default) or ``orc`` — both JVM-native writers, both
@@ -55,7 +79,44 @@ class CollectionStore:
         real = os.path.realpath(path)
         if os.path.commonpath([real, base]) != base:
             raise ValueError(f"collection escapes base path: {collection!r}")
+        self._recover(path)
         return path
+
+    @staticmethod
+    def _swap_in(path: str, tmp: str) -> None:
+        """Atomic-enough replace of ``path`` by ``tmp``: the old dir is
+        renamed aside BEFORE the new one moves in, so there is no window
+        where the collection's data exists only under a temp name. A crash
+        at any point is repaired by ``_recover``.
+        """
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
+    @staticmethod
+    def _recover(path: str) -> None:
+        """Repair a crash mid-``_swap_in``. Invariants: ``.old`` only
+        exists once the replacement dir is fully written; ``path`` missing
+        with ``.old`` present means the crash hit between the two renames,
+        so the completed replacement (whichever ``*-tmp`` dir exists) is
+        promoted — else ``.old`` is restored. Leftover dirs from a crash
+        BEFORE the swap (incomplete rewrites) are ignored; the next
+        compact/delete overwrites them.
+        """
+        old = path + ".old"
+        if not os.path.exists(old):
+            return
+        if not os.path.exists(path):
+            for suffix in (".compact-tmp", ".delete-tmp"):
+                tmp = path + suffix
+                if os.path.exists(tmp):
+                    os.rename(tmp, path)
+                    break
+            else:
+                os.rename(old, path)
+        if os.path.exists(old) and os.path.exists(path):
+            shutil.rmtree(old)
 
     def list_collections(self) -> list[str]:
         """S6: enumerate collection names (catalog listing)."""
@@ -138,8 +199,7 @@ class CollectionStore:
             .format(self.fmt)
             .save(tmp)
         )
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        self._swap_in(path, tmp)
         return sum(
             1
             for f in os.listdir(path)
@@ -174,6 +234,5 @@ class CollectionStore:
             .format(fmt)
             .save(tmp)
         )
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        self._swap_in(path, tmp)
         return before - after

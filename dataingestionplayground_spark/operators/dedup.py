@@ -293,8 +293,16 @@ def line_dedup(
     ``broadcast_boilerplate=False`` for a shuffle equi-join instead.
     Fingerprints are portable md5 (reproducible in the SQL oracle).
     """
+    # F.split takes a REGEX but the rebuild's array_join takes a literal:
+    # escape sep so a separator like '.' or '|' splits on the literal
+    # character (re.escape output is valid Java-regex escaping too)
+    import re as _re
+
     lines = (
-        docs.select(doc_id, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+        docs.select(
+            doc_id,
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+        )
         .filter(F.trim("line") != "")
         .withColumn("fp", F.md5(F.trim("line")))
     )

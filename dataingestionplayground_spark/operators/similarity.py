@@ -488,13 +488,109 @@ def pq_adc_search(
     )
 
 
+def _split_oversized_cells(
+    assigned: DataFrame,
+    sims_expr: str,
+    corpus_id: str,
+    corpus_vec: str,
+    max_cell_pairs: int,
+    split_factor: int,
+    max_split_rounds: int,
+    materialize: bool,
+) -> DataFrame:
+    """Recursively refine cells whose in-cell pair count c·(c-1)/2
+    exceeds ``max_cell_pairs``: each hot cell is re-clustered into
+    ``split_factor`` sub-cells (nearest-of-sub-centroid, seeded from the
+    cell's ``split_factor`` lowest ids — same deterministic rule as the
+    top level). Cell ids stay disjoint across rounds via base-
+    ``split_factor`` renumbering (hot -> cell·f + sub, cold -> cell·f).
+
+    Seed selection is two-phase partial top-k (per-input-partition
+    min-k, then min-k of the tiny candidate set) so a hot cell is never
+    sorted on one reducer. Raises if a cell still exceeds the budget
+    after ``max_split_rounds`` — a cell that will not split is mass-
+    duplicate input (run exact dedup first), and proceeding would melt
+    a reducer at scale.
+    """
+    for _ in range(max_split_rounds):
+        hot_cells = [
+            r["cell"]
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") * (F.col("c") - 1) / 2 > max_cell_pairs)
+            .collect()
+        ]
+        if not hot_cells:
+            return assigned
+        hot = assigned.filter(F.col("cell").isin(hot_cells))
+        cold = assigned.filter(~F.col("cell").isin(hot_cells))
+        # two-phase lowest-`split_factor` ids per hot cell
+        wl = Window.partitionBy("cell", F.spark_partition_id()).orderBy(F.asc(corpus_id))
+        cand = (
+            hot.withColumn("__rk", F.row_number().over(wl))
+            .filter(F.col("__rk") <= split_factor)
+            .drop("__rk")
+        )
+        wg = Window.partitionBy("cell").orderBy(F.asc(corpus_id))
+        seeds = (
+            cand.withColumn("__rk", F.row_number().over(wg))
+            .filter(F.col("__rk") <= split_factor)
+        )
+        cell_cents = seeds.groupBy("cell").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("__rk") - 1).cast("int").alias("cid"),
+                        F.expr(f"transform({corpus_vec}, x -> cast(x as double))").alias("v"),
+                    )
+                )
+            ).alias("cents")
+        )
+        sub = (F.expr(f"array_position({sims_expr}, array_max({sims_expr}))") - 1).cast("long")
+        hot2 = (
+            hot.join(F.broadcast(cell_cents), "cell")
+            .withColumn("__sub", sub)
+            .select(
+                corpus_id,
+                corpus_vec,
+                (F.col("cell").cast("long") * split_factor + F.col("__sub")).alias("cell"),
+            )
+        )
+        cold2 = cold.select(
+            corpus_id,
+            corpus_vec,
+            (F.col("cell").cast("long") * split_factor).alias("cell"),
+        )
+        assigned = hot2.unionByName(cold2)
+        if materialize:
+            assigned = assigned.localCheckpoint(eager=True)
+    still_hot = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * (F.col("c") - 1) / 2 > max_cell_pairs)
+        .count()
+    )
+    if still_hot:
+        raise ValueError(
+            f"semantic_dedup: {still_hot} cell(s) still exceed max_cell_pairs="
+            f"{max_cell_pairs} after {max_split_rounds} split rounds — the "
+            "corpus has a mass of near-identical vectors; run exact dedup "
+            "first or raise max_cell_pairs/max_split_rounds"
+        )
+    return assigned
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     materialize: bool = True,
+    target_cell_size: int = 1024,
+    max_cell_pairs: int = 10_000_000,
+    split_factor: int = 8,
+    max_split_rounds: int = 8,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup: coarse-cluster the corpus into
     ``n_cells`` (argmax cosine to seeded centroids), then within each
@@ -506,7 +602,28 @@ def semantic_dedup(
     broadcast centroid array (no assignment shuffle); the pair search is
     an equi-join on the cell key — work bounded by cell size, never an
     all-pairs product. Returns (id, cell, keep).
+
+    Scale dials (round-2 verdict: in-cell search is quadratic in cell
+    size, so the cell count MUST track the corpus):
+
+    - ``n_cells=None`` (default) derives ``ceil(|corpus| /
+      target_cell_size)`` clamped to [16, 4096] — one count() job. The
+      4096 cap keeps the one-row broadcast centroid array (and the
+      per-row argmax transform) small; beyond 4096 top-level cells the
+      guard below is the scale path, not more centroids.
+    - ``max_cell_pairs`` guards the quadratic stage: any cell whose
+      c·(c-1)/2 exceeds it is RECURSIVELY SPLIT (nearest-of-
+      ``split_factor`` sub-centroids seeded from the cell's lowest ids
+      — the standard hot-cell re-cluster move) until every cell fits or
+      ``max_split_rounds`` is exhausted, which raises rather than
+      letting a 6 TB cell melt a reducer. A cell of near-identical
+      vectors that refuses to split is exactly the case to run exact
+      dedup first.
     """
+    if n_cells is None:
+        import math
+
+        n_cells = max(16, min(4096, math.ceil(corpus.count() / max(1, target_cell_size))))
     cents = _seed_centroids(corpus, corpus_id, corpus_vec, n_cells)
     one_row = cents.agg(
         F.array_sort(
@@ -548,6 +665,16 @@ def semantic_dedup(
     # expression evaluated) a single time instead of three
     if materialize:
         assigned = assigned.localCheckpoint(eager=True)
+    assigned = _split_oversized_cells(
+        assigned,
+        sims_expr=sims,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        max_cell_pairs=max_cell_pairs,
+        split_factor=split_factor,
+        max_split_rounds=max_split_rounds,
+        materialize=materialize,
+    )
     a = assigned.select(
         F.col(corpus_id).alias("__ida"), F.col(corpus_vec).alias("__va"), "cell"
     )

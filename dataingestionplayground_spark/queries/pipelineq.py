@@ -817,60 +817,75 @@ def sample_token_budget_bucketed(spark, sf):
 @register(
     "sample_contrastive_negatives",
     oracle=f"""
-    WITH idx AS (
+    WITH sharded AS (
       SELECT doc_id, source,
-             CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
-                  AS BIGINT) AS pos,
-             CAST(COUNT(*) OVER () AS BIGINT) AS n
+             CAST(({_md5_mod_sql('CAST(doc_id AS VARCHAR)', 8)}) AS BIGINT) AS shard
       FROM documents
+    ), idx AS (
+      SELECT doc_id, source, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                  AS BIGINT) AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY shard) AS BIGINT) AS n
+      FROM sharded
     ), pairs AS (
-      SELECT a.doc_id, a.source, a.pos, a.n, u.j,
-             ((a.pos + (a.n // 3) * u.j) % a.n) AS neg_pos
+      SELECT a.doc_id, a.source, a.shard, a.pos, a.n, u.j,
+             ((a.pos + greatest(1, a.n // 3) * u.j) % a.n) AS neg_pos
       FROM idx a CROSS JOIN (SELECT unnest([1, 2]) AS j) u
     )
     SELECT p.doc_id AS anchor_id, p.j AS neg_rank, b.doc_id AS negative_id,
            (p.source = b.source) AS same_source
-    FROM pairs p JOIN idx b ON b.pos = p.neg_pos
+    FROM pairs p JOIN idx b ON b.shard = p.shard AND b.pos = p.neg_pos
+    WHERE p.neg_pos <> p.pos
     """,
 )
 def sample_contrastive_negatives(spark, sf):
-    # Deterministic negative sampling for contrastive training: docs get
-    # a hash-shuffled global position; anchor i takes negatives at
-    # (i + n/3), (i + 2n/3) mod n — a fixed derangement-like pattern, so
-    # every doc serves as a negative exactly twice (balanced), pairs are
-    # reproducible with no RNG state, and no negative equals its anchor
-    # (n/3 and 2n/3 are nonzero mod n for n > 3). The demo uses one
-    # global hash rank; at 100 TB the same pattern runs per shard
-    # (sample_global_shuffle's shards) with shard-local positions.
+    # Deterministic negative sampling for contrastive training, SHARD-
+    # LOCAL (round-2 verdict: the old global-window version put every row
+    # on one reducer). Docs hash into sample_global_shuffle's md5 shards;
+    # positions and counts come from windows PARTITIONED BY shard, so no
+    # reducer ever sees more than one shard. Anchor i in a shard of n
+    # takes negatives at (i + max(1,n/3)·j) mod n, j=1,2 — within a
+    # shard every doc serves as a negative exactly twice (balanced) and
+    # no negative equals its anchor for n > 3; degenerate tiny-shard
+    # self-pairs are filtered (only possible when a shard has ≤ 3 docs).
+    # The position join is keyed on (shard, pos): an equi-join that
+    # co-partitions with the windows. At 100 TB the shard count scales
+    # with the cluster; every stage stays shard-parallel.
     d = t(spark, sf, "documents")
-    w = W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    idx = d.select(
+    shard = F.expr(_md5_mod("cast(doc_id as string)", 8)).cast("long")
+    wp = W.partitionBy("shard")
+    w = wp.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    idx = d.select("doc_id", "source", shard.alias("shard")).select(
         "doc_id",
         "source",
+        "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
-    ).crossJoin(
-        F.broadcast(d.agg(F.count(F.lit(1)).cast("long").alias("n")))
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
     )
+    # two consumers below — materialize once (aliased self-join sides
+    # don't ReusedExchange)
+    idx = idx.localCheckpoint(eager=True)
+    step = F.greatest(F.lit(1).cast("long"), (F.col("n") / 3).cast("long"))
     pairs = idx.crossJoin(
         F.broadcast(
-            t(spark, sf, "documents")
-            .sparkSession.range(1, 3)
-            .select(F.col("id").cast("int").alias("j"))
+            spark.range(1, 3).select(F.col("id").cast("int").alias("j"))
         )
     ).select(
         F.col("doc_id").alias("anchor_id"),
         F.col("source").alias("a_source"),
+        "shard",
         "j",
-        ((F.col("pos") + (F.col("n") / 3).cast("long") * F.col("j")) % F.col("n")).alias(
-            "neg_pos"
-        ),
-    )
+        "pos",
+        ((F.col("pos") + step * F.col("j")) % F.col("n")).alias("neg_pos"),
+    ).filter(F.col("neg_pos") != F.col("pos"))
     b = idx.select(
+        "shard",
         F.col("pos").alias("neg_pos"),
         F.col("doc_id").alias("negative_id"),
         F.col("source").alias("b_source"),
     )
-    return pairs.join(b, "neg_pos").select(
+    return pairs.join(b, ["shard", "neg_pos"]).select(
         "anchor_id",
         F.col("j").alias("neg_rank"),
         "negative_id",

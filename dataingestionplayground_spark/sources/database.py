@@ -10,6 +10,13 @@ Spark-first: the row->document conversion is a pure *projection* — no
 Python stage needed until chunking (SURVEY.md §3 E2). The scan is a JDBC
 DataSourceV2 read when a driver jar is available, else any DataFrame with
 (Id, Title, Body) columns (e.g. a staged parquet of the table).
+
+The live JDBC path is exercised end-to-end against embedded Apache Derby
+(whose driver ships in Spark's own classpath): the reference's CMS.DB
+rows round-trip through a real database and ``read_jdbc_articles`` scan,
+with filter pushdown asserted in the executed plan
+(``tests/test_reference_corpus.py``). SQLite itself still needs the
+sqlite-jdbc jar (absent here); the scan code is driver-agnostic.
 """
 
 from __future__ import annotations

@@ -65,6 +65,12 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("content", T.StringType(), False),
         T.StructField("context", T.StringType(), True),
         T.StructField("documentid", T.StringType(), False),
+        # ordinal of the chunk within its document; the reassembly sort key
+        # (collect_list order is partition-dependent, so document text can
+        # only be rebuilt deterministically from an explicit ordinal).
+        # Nullable: collections written before this column existed read as
+        # null and reassembly falls back to (key, content) ordering.
+        T.StructField("chunk_idx", T.IntegerType(), True),
     ]
 )
 

@@ -15,6 +15,7 @@ from dataingestionplayground_spark.ingest import (
 from dataingestionplayground_spark.ingest.chunker import chunk_elements
 from dataingestionplayground_spark.ingest.embed import DIMS, hash_embed
 from dataingestionplayground_spark.sources.database import articles_to_elements
+from dataingestionplayground_spark.sources.schemas import CHUNK_SCHEMA
 from dataingestionplayground_spark.sources.markdown import parse_markdown_df, read_markdown_dir
 
 
@@ -423,3 +424,103 @@ def test_datacard_summarizes_corpus(spark, tmp_path):
 
     on_disk = json.load(open(os.path.join(tmp_path, "_DATACARD.json")))
     assert on_disk == card
+
+
+def test_reassemble_documents_chunk_order(spark, md_elements, tmp_path):
+    """Reassembled text follows chunk_idx, not partition arrival order
+    (ADVICE r2: collect_list order is partition-dependent)."""
+    from dataingestionplayground_spark.ingest.store import reassemble_documents
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "ra", max_tokens=16, overlap=0)
+    chunks = store.read(spark, "ra")
+    # adversarial partitioning: reverse order, many partitions
+    shuffled = chunks.orderBy(F.col("chunk_idx").desc()).repartition(13)
+    a = {r.documentid: r.text for r in reassemble_documents(chunks).collect()}
+    b = {r.documentid: r.text for r in reassemble_documents(shuffled).collect()}
+    assert a == b
+    # text order == chunk order: chunk 0's content is a prefix of the doc
+    first = chunks.filter("chunk_idx = 0").collect()
+    assert len(first) > 0
+    for r in first:
+        assert a[r.documentid].startswith(r.content)
+
+
+def test_reassemble_documents_legacy_null_chunk_idx(spark):
+    """Pre-chunk_idx collections (column reads as null) still reassemble
+    deterministically, ordered by key."""
+    from dataingestionplayground_spark.ingest.store import reassemble_documents
+
+    rows = [
+        ("k2", None, "beta", None, "d1", None),
+        ("k1", None, "alpha", None, "d1", None),
+        ("k3", None, "gamma", None, "d1", None),
+    ]
+    df = spark.createDataFrame(rows, schema=CHUNK_SCHEMA)
+    out = {r.documentid: r.text for r in reassemble_documents(df.repartition(7)).collect()}
+    assert out == {"d1": "alpha beta gamma"}
+
+
+def test_store_swap_crash_recovery(spark, md_elements, tmp_path):
+    """A crash between _swap_in's two renames never loses the collection
+    (ADVICE r2: rmtree-then-rename had a destructive window)."""
+    import os
+    import shutil
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "cr")
+    path = os.path.join(str(tmp_path), "cr")
+    n = store.read(spark, "cr").count()
+
+    # crash AFTER old moved aside, BEFORE tmp moved in (tmp is complete)
+    shutil.copytree(path, path + ".compact-tmp")
+    os.rename(path, path + ".old")
+    assert store.exists("cr")  # _recover promotes the finished tmp
+    assert store.read(spark, "cr").count() == n
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compact-tmp")
+
+    # crash where only .old survives (no completed tmp): restore it
+    os.rename(path, path + ".old")
+    assert store.exists("cr")
+    assert store.read(spark, "cr").count() == n
+    assert not os.path.exists(path + ".old")
+
+
+def test_export_manifest_pins_schema(spark, tmp_path):
+    """delete_from_export rewrites shards with the manifest's recorded
+    schema — no per-shard inference drift (ADVICE r2)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.ingest.export import (
+        MANIFEST_NAME,
+        delete_from_export,
+        export_jsonl,
+        read_export,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "alpha text", 1.5), ("b", "beta text", None), ("c", "gamma text", None)],
+        "doc_id string, text string, score double",
+    )
+    manifest = export_jsonl(df, str(tmp_path / "exp"), n_shards=4)
+    recorded = T.StructType.fromJson(manifest["schema"])
+    assert recorded == df.schema
+    # delete one doc; every remaining row in its shard may have score=null,
+    # yet the rewrite must keep score as a double column
+    m2 = delete_from_export(spark, str(tmp_path / "exp"), ["b"])
+    assert m2["total_rows"] == 2
+    back = read_export(spark, str(tmp_path / "exp"))
+    assert back.count() == 2
+    assert dict(back.dtypes)["score"] == "double"
+
+    # legacy manifest without a schema key still works (single full-read inference)
+    mpath = os.path.join(str(tmp_path / "exp"), MANIFEST_NAME)
+    legacy = json.load(open(mpath))
+    legacy.pop("schema")
+    json.dump(legacy, open(mpath, "w"))
+    m3 = delete_from_export(spark, str(tmp_path / "exp"), ["c"])
+    assert m3["total_rows"] == 1

@@ -524,3 +524,88 @@ def test_hll_sketch_merge_matches_global_estimate(spark):
     # sparse-exact mode) — both must land within HLL error of exact
     assert abs(merged - exact) / exact < 0.05
     assert abs(direct - exact) / exact < 0.05
+
+
+def test_line_dedup_literal_separator_with_regex_metachars(spark):
+    """``sep`` is treated as a LITERAL even when it contains regex
+    metacharacters (ADVICE r2: F.split takes a regex, array_join does not)."""
+    from dataingestionplayground_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [("d1", "keep me.shared line.also kept"), ("d2", "shared line.unique two")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, sep=".", min_df=2).collect()}
+    # '.'-as-regex would explode every char; literal '.' gives 3 + 2 lines
+    assert out["d1"].n_lines_total == 3 and out["d2"].n_lines_total == 2
+    assert out["d1"].clean_text == "keep me.also kept"
+    assert out["d2"].clean_text == "unique two"
+
+
+def _circle_vecs(spark, n, dims=4, step=0.1):
+    import math
+
+    rows = [
+        (f"v{i:03d}", [math.cos(i * step), math.sin(i * step)] + [0.0] * (dims - 2))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+
+def test_semantic_dedup_derives_n_cells(spark):
+    """n_cells=None sizes the cell count from the corpus (round-2 verdict:
+    a fixed default makes cells corpus/16-sized at scale)."""
+    from dataingestionplayground_spark.operators.similarity import semantic_dedup
+
+    corpus = _circle_vecs(spark, 40)
+    out = semantic_dedup(corpus, threshold=0.99999, target_cell_size=10)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r.keep for r in rows)  # all vectors distinct at this threshold
+
+
+def test_semantic_dedup_splits_dominant_cell(spark):
+    """One dominant cell is recursively split until every cell fits the
+    pair budget — no quadratic blowup survives to the join."""
+    from dataingestionplayground_spark.operators.similarity import semantic_dedup
+
+    corpus = _circle_vecs(spark, 20)
+    # n_cells=1: everything lands in one cell of 20 (190 pairs > 45)
+    out = semantic_dedup(
+        corpus, threshold=0.99999, n_cells=1, max_cell_pairs=45
+    ).localCheckpoint(eager=True)
+    assert out.count() == 20
+    assert out.filter(~F.col("keep")).count() == 0
+    sizes = [r["c"] for r in out.groupBy("cell").agg(F.count("*").alias("c")).collect()]
+    assert all(c * (c - 1) / 2 <= 45 for c in sizes)
+    assert len(sizes) > 1  # the dominant cell really was split
+
+
+def test_semantic_dedup_split_keeps_dedup_semantics(spark):
+    """Near-identical pairs still dedup after splitting (duplicates land
+    in the same sub-cell because argmax-cosine agrees for them)."""
+    from dataingestionplayground_spark.operators.similarity import semantic_dedup
+
+    base = _circle_vecs(spark, 20)
+    dup = base.selectExpr("concat(vec_id, '_dup') as vec_id", "embedding")
+    out = semantic_dedup(
+        base.unionByName(dup), threshold=0.999, n_cells=1, max_cell_pairs=45
+    )
+    dropped = {r.vec_id for r in out.filter(~F.col("keep")).collect()}
+    # every _dup has an identical lower-id twin in its (sub-)cell
+    assert dropped == {f"v{i:03d}_dup" for i in range(20)}
+
+
+def test_semantic_dedup_raises_on_unsplittable_mass(spark):
+    """A cell of identical vectors cannot split; the guard raises instead
+    of handing a quadratic cell to the join."""
+    import pytest as _pytest
+
+    from dataingestionplayground_spark.operators.similarity import semantic_dedup
+
+    rows = [(f"v{i:03d}", [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    with _pytest.raises(ValueError, match="max_cell_pairs"):
+        semantic_dedup(
+            corpus, threshold=0.9, n_cells=1, max_cell_pairs=10, max_split_rounds=2
+        )

@@ -136,3 +136,65 @@ def test_reference_three_format_search_parity(spark, ref_md_elements, ref_db_ele
     assert "ancient_egypt" in tops["md"]
     assert "ancient_egypt" in tops["pdf"]
     assert tops["db"].startswith("Article #")
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        return True
+    except Exception:
+        return False
+
+
+def test_live_jdbc_scan_matches_staged_path(spark, ref_db_elements, tmp_path):
+    """LIVE JDBC execution of S3 (round-2 verdict item 4): the reference's
+    CMS.DB rows are loaded into an embedded Derby database (the JDBC
+    engine that ships in Spark's classpath — no vendored jar needed),
+    then ``read_jdbc_articles`` runs a real ``spark.read.format("jdbc")``
+    scan against it and the element output must equal the staged-parquet
+    path row for row.
+    """
+    if not _derby_available(spark):
+        pytest.skip("Derby driver not on Spark classpath")
+    import pandas as pd
+
+    from dataingestionplayground_spark.sources.database import read_jdbc_articles
+
+    with sqlite3.connect(f"{REF_CONTENT}/Database/CMS.DB") as con:
+        pdf = pd.read_sql_query('SELECT Id, Title, Body FROM "Items"', con)
+    src = spark.createDataFrame(pdf)
+
+    url = f"jdbc:derby:{tmp_path}/cmsdb;create=true"
+    src.write.format("jdbc").option("url", url).option("dbtable", "Items").mode(
+        "overwrite"
+    ).save()
+
+    live = read_jdbc_articles(spark, url, "Items")
+    assert live.count() == 10
+    live_elements = articles_to_elements(live)
+
+    key_cols = ["doc_id", "block_idx", "kind", "markdown", "text", "level"]
+    a = sorted(map(tuple, live_elements.select(*key_cols).collect()))
+    b = sorted(map(tuple, ref_db_elements.select(*key_cols).collect()))
+    assert a == b
+
+
+def test_live_jdbc_filter_pushdown(spark, tmp_path):
+    """Predicates on the JDBC scan are pushed to the database, not
+    evaluated in Spark — the 100 TB behavior (the DB prunes; Spark
+    never sees filtered rows)."""
+    if not _derby_available(spark):
+        pytest.skip("Derby driver not on Spark classpath")
+    from dataingestionplayground_spark.sources.database import read_jdbc_articles
+
+    src = spark.createDataFrame(
+        [(i, f"T{i}", f"body {i}") for i in range(1, 21)], "Id long, Title string, Body string"
+    )
+    url = f"jdbc:derby:{tmp_path}/pushdb;create=true"
+    src.write.format("jdbc").option("url", url).option("dbtable", "Items").mode(
+        "overwrite"
+    ).save()
+    scan = read_jdbc_articles(spark, url, "Items").filter(F.col("Id") <= 5)
+    assert scan.count() == 5
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "Id" in plan.split("PushedFilters", 1)[1][:120]
