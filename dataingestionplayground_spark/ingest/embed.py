@@ -93,6 +93,32 @@ def embed_text_udf(dims: int = DIMS):
     return embed
 
 
+def numpy_transformer_udf(model_path: str):
+    """REAL transformer forward-pass embedding, executable in this
+    container: WordPiece -> BERT-style encoder stack -> masked mean
+    pool -> projection -> L2 norm, all numpy (``ingest/np_encoder.py``),
+    weights from an ``.npz`` checkpoint. Same iterator-pandas_udf
+    plumbing as ``onnx_model_udf`` — checkpoint loads ONCE per executor
+    python worker (process-level cache), batches stream through Arrow.
+
+    This is the D8 wiring proven end-to-end
+    (``tests/test_np_encoder.py`` ingests the reference's Content corpus
+    with it and asserts 3-format search parity); swapping the vendored
+    tiny checkpoint for an exported MiniLM one changes quality, not code.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from dataingestionplayground_spark.ingest.np_encoder import get_encoder
+
+        enc = get_encoder(model_path)
+        for s in batches:
+            vecs = enc.encode([t or "" for t in s])
+            yield pd.Series([v.tolist() for v in vecs])
+
+    return embed
+
+
 def onnx_model_udf(model_path: str, tokenizer_path: str, max_seq: int = 256):
     """ONNX-runtime embedding path — the closest analogue of the
     reference's in-process ONNX all-MiniLM-L6-v2 calls (``Program.cs:64-73``:

@@ -29,16 +29,19 @@ def build_chunk_records(
     max_tokens: int = 64,
     overlap: int = 8,
     strategy: str = "token_window",
+    embed_udf=None,
 ) -> DataFrame:
     """elements -> CHUNK_SCHEMA records: chunk, embed, key.
 
     Chunk key = md5(documentid:chunk_idx) — deterministic analogue of the
     reference's Guid key (``VectorStoreCommands.cs:95``); embedding is the
-    deterministic 384-d hash embedding unless a real model UDF is swapped
-    in (ingest.embed.real_model_udf).
+    deterministic 384-d hash embedding unless a model UDF is swapped in
+    via ``embed_udf`` (ingest.embed.numpy_transformer_udf /
+    onnx_model_udf / real_model_udf — all share the iterator-pandas_udf
+    contract: STRING column in, ARRAY<FLOAT> out).
     """
     chunks = chunk_elements(elements, max_tokens=max_tokens, overlap=overlap, strategy=strategy)
-    embed = embed_text_udf()
+    embed = embed_udf if embed_udf is not None else embed_text_udf()
     return chunks.select(
         F.md5(F.concat_ws(":", "documentid", "chunk_idx")).alias("key"),
         embed(F.col("content")).alias("embedding"),
