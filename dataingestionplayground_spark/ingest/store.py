@@ -119,12 +119,16 @@ class CollectionStore:
             shutil.rmtree(old)
 
     def list_collections(self) -> list[str]:
-        """S6: enumerate collection names (catalog listing)."""
+        """S6: enumerate collection names (catalog listing). Dot- and
+        underscore-prefixed dirs are store internals (e.g. ``_indexes``,
+        in-flight swap dirs), not collections — same convention as
+        Spark's ``_``-prefixed data files."""
         if not os.path.isdir(self.base_path):
             return []
         return sorted(
             d for d in os.listdir(self.base_path)
             if os.path.isdir(os.path.join(self.base_path, d))
+            and self._NAME_RE.match(d)
         )
 
     def exists(self, collection: str) -> bool:

@@ -362,8 +362,26 @@ def pq_encode_codes(
 ) -> DataFrame:
     """(id, code_0..code_{m-1}) for each vector — pure per-row expression
     over one broadcast of the codebook; zero corpus-side shuffles."""
-    dsub = dims // m
     codebook = _pq_codebook(corpus, m, k, dims, corpus_id, corpus_vec, codebook_mode)
+    return pq_encode_with_codebook(
+        corpus, codebook, m, dims, corpus_id, corpus_vec, keep_vec=keep_vec
+    )
+
+
+def pq_encode_with_codebook(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dims: int,
+    corpus_id: str,
+    corpus_vec: str,
+    keep_vec: bool = False,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode against a FIXED codebook (one-row ``cents`` frame) — the
+    incremental-index path: new vectors must quantize against the
+    centroids the existing codes used, or codes are incomparable."""
+    dsub = dims // m
     enc = corpus.crossJoin(F.broadcast(codebook))
     for s in range(m):
         # (x-y)*(x-y), not power(x-y, 2): multiplication is exact IEEE on
@@ -379,9 +397,12 @@ def pq_encode_codes(
             f"code_{s}",
             (F.expr(f"array_position({dists}, array_min({dists}))") - 1).cast("int"),
         )
-    cols = [corpus_id] + ([corpus_vec, "cents"] if keep_vec else []) + [
-        f"code_{s}" for s in range(m)
-    ]
+    cols = (
+        [corpus_id]
+        + list(extra_cols)
+        + ([corpus_vec, "cents"] if keep_vec else [])
+        + [f"code_{s}" for s in range(m)]
+    )
     return enc.select(*cols)
 
 
@@ -455,7 +476,6 @@ def pq_adc_search(
     """
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
-    dsub = dims // m
 
     enc = pq_encode_codes(
         corpus, m, n_centroids, dims, corpus_id, corpus_vec,
@@ -464,7 +484,29 @@ def pq_adc_search(
     codebook = _pq_codebook(
         corpus, m, n_centroids, dims, corpus_id, corpus_vec, codebook_mode
     )
+    return pq_adc_rank(
+        enc, codebook, queries, k, m, n_centroids, dims,
+        corpus_id=corpus_id, query_id=query_id, query_vec=query_vec,
+    )
 
+
+def pq_adc_rank(
+    enc: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int,
+    n_centroids: int,
+    dims: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k over an ALREADY-ENCODED code table — the scan a
+    store-backed index runs: ``enc`` carries only (id, code_0..code_m-1)
+    int columns (read from the persisted index, no vectors, no encode),
+    the codebook is the one-row broadcast the codes were built with."""
+    dsub = dims // m
     # LUT aligned with the (s, cid)-sorted codebook array: index s*K+cid+1
     diff = f"(cast(element_at({query_vec}, c.s * {dsub} + i) as double) - element_at(c.v, i))"
     lut_expr = (
