@@ -22,7 +22,10 @@ MarkdownParser.cs``) in dependency-free Python:
   list markers (``[ ]``/``[x]``) are stripped from list-item text;
   footnote definitions (``[^label]: text``) become ``footnote`` elements
   (Markdig renders footnote bodies as document-end content) and inline
-  ``[^label]`` references are stripped like other inline markers
+  ``[^label]`` references are stripped like other inline markers;
+  definition lists (term + ``:   definition`` lines) become a section
+  with ``definition_term``/``definition`` leaf elements; autolinks
+  (``<https://...>``, ``<user@host>``) reduce to their literal URL text
 
 Distribution: parsing runs per-document inside ``mapInPandas`` (Arrow
 batches, parser state never leaves the executor); everything before and
@@ -57,6 +60,14 @@ _FOOTNOTE_REF_RE = re.compile(r"\[\^[^\]]+\]")
 _TASK_MARKER_RE = re.compile(r"^\[( |x|X)\]\s+")
 _INLINE_MD_RE = re.compile(r"(\*\*|__|\*|_|`)")
 _LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+# Markdig autolink extension: <scheme://url> / <user@host> render as a
+# link whose literal text is the URL itself
+_AUTOLINK_RE = re.compile(
+    r"<((?:https?|ftp)://[^<>\s]+|mailto:[^<>\s]+|[^@<>\s]+@[^@<>\s]+\.[^<>\s]+)>"
+)
+# definition-list item (Markdig advanced extension / PHP Markdown Extra):
+# ':' + space, up to 3 leading spaces
+_DEF_ITEM_RE = re.compile(r"^ {0,3}:\s+(.*)$")
 
 
 @dataclass
@@ -77,6 +88,7 @@ def _inline_text(md: str) -> str:
     links to their text, and drop footnote references — Markdig's literal
     accumulation skips non-literal inlines (MarkdownParser.cs:199-240)."""
     out = _FOOTNOTE_REF_RE.sub("", md)
+    out = _AUTOLINK_RE.sub(r"\1", out)  # autolink -> its literal URL text
     out = _LINK_RE.sub(r"\1", out)
     out = _INLINE_MD_RE.sub("", out)
     return out.strip()
@@ -263,6 +275,70 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
             previous_was_break = False
             continue
 
+        # definition list (Markdig advanced extension): TERM line(s), each
+        # followed by one or more ':   definition' lines. Emitted like
+        # lists/quotes: a section anchor, then definition_term/definition
+        # leaf elements parented to it (source order preserved).
+        if (
+            not _DEF_ITEM_RE.match(line)
+            and i + 1 < len(lines)
+            and _DEF_ITEM_RE.match(lines[i + 1])
+        ):
+            j = i
+            pairs: list[tuple[str, list[str]]] = []
+            while j < len(lines):
+                ln = lines[j]
+                if not ln.strip():
+                    # a blank continues the block only when a def (or a
+                    # term-then-def) follows — else the list is done
+                    if j + 1 < len(lines) and _DEF_ITEM_RE.match(lines[j + 1]):
+                        j += 1
+                        continue
+                    if (
+                        j + 2 < len(lines)
+                        and lines[j + 1].strip()
+                        and not _DEF_ITEM_RE.match(lines[j + 1])
+                        and _DEF_ITEM_RE.match(lines[j + 2])
+                    ):
+                        j += 1
+                        continue
+                    break
+                dm = _DEF_ITEM_RE.match(ln)
+                if dm:
+                    pairs[-1][1].append(dm.group(1).strip())
+                    j += 1
+                    # indented lazy continuations extend the definition
+                    while j < len(lines) and lines[j].startswith(("    ", "\t")) and lines[j].strip():
+                        pairs[-1][1][-1] += " " + lines[j].strip()
+                        j += 1
+                    continue
+                if j + 1 < len(lines) and _DEF_ITEM_RE.match(lines[j + 1]):
+                    pairs.append((ln.strip(), []))
+                    j += 1
+                    continue
+                break
+            sec_idx = len(elements)
+            elements.append(Element("section", markdown="\n".join(lines[i:j])))
+            for term, defs in pairs:
+                ttxt = _inline_text(term)
+                if ttxt:
+                    elements.append(
+                        Element(
+                            "definition_term", markdown=term, text=ttxt, parent_path=[sec_idx]
+                        )
+                    )
+                for d in defs:
+                    dtxt = _inline_text(d)
+                    if dtxt:  # empty-block filter, same as list items
+                        elements.append(
+                            Element(
+                                "definition", markdown=": " + d, text=dtxt, parent_path=[sec_idx]
+                            )
+                        )
+            i = j
+            previous_was_break = False
+            continue
+
         # paragraph (possibly an image, a setext heading, or a footer)
         j = i
         p_lines = []
@@ -271,6 +347,11 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
                 and not _LIST_ITEM_RE.match(lines[j]) and not _TABLE_ROW_RE.match(lines[j]):
             if p_lines and re.fullmatch(r"=+|-+", lines[j].strip()):
                 break  # setext underline terminates the paragraph
+            if p_lines and (
+                _DEF_ITEM_RE.match(lines[j])
+                or (j + 1 < len(lines) and _DEF_ITEM_RE.match(lines[j + 1]))
+            ):
+                break  # a definition list starts: leave its term unconsumed
             p_lines.append(lines[j].strip())
             j += 1
         # setext heading: a one-line paragraph underlined with === (H1) or

@@ -121,24 +121,62 @@ def stream_stateful_running_max(events: DataFrame, watermark: str = "30 minutes"
     )
 
 
-def stream_running_stats_tws(events: DataFrame) -> DataFrame:
+def tws_available() -> bool:
+    """Can ``transformWithStateInPandas`` run here? Its state protocol
+    serializes through protobuf; stock Spark 4 installs without the
+    python protobuf package cannot drive it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _running_stats_apply_state(events: DataFrame) -> DataFrame:
+    """The ``applyInPandasWithState`` twin of ``stream_running_stats_tws``
+    — identical output schema and per-batch update semantics, driveable
+    on any Spark 3.4+ install (no protobuf state protocol)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        total, n, mx = state.get if state.exists else (0.0, 0, float("-inf"))
+        for pdf in pdfs:
+            if len(pdf):
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((total, n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total": [total], "n_seen": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, total double, n_seen long, max_value double",
+        stateStructType="total double, n bigint, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_running_stats_tws(events: DataFrame, force_fallback: bool = False) -> DataFrame:
     """Per-user running (sum, count, max) via ``transformWithStateInPandas``
     — Spark 4's arbitrary-state API (the successor to
     ``applyInPandasWithState``): explicit named value state on a handle,
     batch-iterated Arrow input, update-mode emission per key per batch.
 
-    The API's state protocol needs ``protobuf`` (absent from this
-    container) — gated like the other optional-dependency paths;
-    :func:`stream_stateful_running_max` is the always-available stateful
-    operator.
+    The API's state protocol needs ``protobuf``; where it is absent
+    (stock Spark 4, this container) the query ROUTES to the
+    ``applyInPandasWithState`` twin with the same output schema and
+    semantics instead of raising (round-2 verdict item 8) — callers get
+    a working stream either way, and the parity test pins the two
+    implementations together where both can run.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires the protobuf package; use "
-            "stream_stateful_running_max (applyInPandasWithState) instead"
-        ) from e
+    if force_fallback or not tws_available():
+        return _running_stats_apply_state(events)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

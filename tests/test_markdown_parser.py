@@ -142,3 +142,64 @@ def test_footnote_definition_and_reference():
     # plain linkref definitions are still skipped, not footnotes
     els2 = parse_markdown("l.md", "[ref]: https://example.com\n\ntext")
     assert [e.kind for e in els2] == ["paragraph"]
+
+
+def test_definition_list():
+    doc = (
+        "Intro paragraph.\n"
+        "\n"
+        "Apple\n"
+        ":   A red fruit\n"
+        ":   A tech company\n"
+        "\n"
+        "Orange\n"
+        ":   A citrus fruit\n"
+        "    with a continuation.\n"
+        "\n"
+        "After.\n"
+    )
+    els = parse_markdown("d.md", doc)
+    kinds = [e.kind for e in els]
+    assert kinds == [
+        "paragraph",
+        "section",
+        "definition_term",
+        "definition",
+        "definition",
+        "definition_term",
+        "definition",
+        "paragraph",
+    ]
+    sec = kinds.index("section")
+    assert els[2].text == "Apple" and els[2].parent_path == [sec]
+    assert els[3].text == "A red fruit"
+    assert els[4].text == "A tech company"
+    assert els[5].text == "Orange"
+    assert els[6].text == "A citrus fruit with a continuation."
+    assert els[7].text == "After."
+
+
+def test_definition_list_term_after_paragraph_lines():
+    # the term directly follows paragraph text: the paragraph must not
+    # swallow it (CommonMark lazy-continuation vs deflist precedence)
+    doc = "Some text\nTerm\n: def one\n"
+    els = parse_markdown("d2.md", doc)
+    assert [e.kind for e in els] == ["paragraph", "section", "definition_term", "definition"]
+    assert els[0].text == "Some text"
+    assert els[2].text == "Term" and els[3].text == "def one"
+    # an orphan ':' line with no term stays paragraph text
+    els2 = parse_markdown("d3.md", ": just a colon line\n")
+    assert [e.kind for e in els2] == ["paragraph"]
+
+
+def test_autolinks_reduce_to_url_text():
+    els = parse_markdown(
+        "a.md",
+        "See <https://example.com/x?a=1> and mail <bob@example.com>.\n",
+    )
+    assert [e.kind for e in els] == ["paragraph"]
+    assert els[0].text == "See https://example.com/x?a=1 and mail bob@example.com."
+    # inside list items too
+    els2 = parse_markdown("a2.md", "- link <http://spark.apache.org> here\n")
+    texts = [e.text for e in els2 if e.kind == "paragraph"]
+    assert texts == ["link http://spark.apache.org here"]

@@ -225,18 +225,39 @@ def test_stream_running_stats_transform_with_state(spark, stream_dir):
     assert rows[2].total == 9.0 and rows[2].n_seen == 1 and rows[2].max_value == 9.0
 
 
-def test_stream_tws_gates_cleanly_without_protobuf(spark, stream_dir):
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+def test_stream_running_stats_degrades_gracefully(spark, stream_dir):
+    """Without protobuf, stream_running_stats_tws must ROUTE to the
+    applyInPandasWithState twin and produce the same answers — never a
+    user-facing raise on stock Spark 4 (round-2 verdict item 8)."""
+    from dataingestionplayground_spark.streaming.windows import (
+        stream_running_stats_tws,
+        tws_available,
+    )
 
-        pytest.skip("protobuf installed: covered by the real test")
-    except ImportError:
-        pass
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    # force_fallback pins the twin even where protobuf exists; without
+    # protobuf the plain call takes the same path
+    q = stream_running_stats_tws(events) if not tws_available() else (
+        stream_running_stats_tws(events, force_fallback=True)
+    )
+    name = _run(q, "t_tws_fb", "update")
+    rows = {r.user_id: r for r in spark.sql(f"select * from {name}").collect()}
+    assert rows[1].total == 8.0 and rows[1].n_seen == 4 and rows[1].max_value == 3.0
+    assert rows[2].total == 9.0 and rows[2].n_seen == 1 and rows[2].max_value == 9.0
+
+
+def test_stream_tws_parity_with_fallback(spark, stream_dir):
+    """Where the Spark 4 state API CAN run, both implementations must
+    agree row-for-row (skipped without protobuf)."""
+    pytest.importorskip("google.protobuf")
     from dataingestionplayground_spark.streaming import stream_running_stats_tws
 
     events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
-    with pytest.raises(NotImplementedError, match="protobuf"):
-        stream_running_stats_tws(events)
+    a = _run(stream_running_stats_tws(events), "t_tws_real", "update")
+    b = _run(stream_running_stats_tws(events, force_fallback=True), "t_tws_twin", "update")
+    ra = sorted(map(tuple, spark.sql(f"select * from {a}").collect()))
+    rb = sorted(map(tuple, spark.sql(f"select * from {b}").collect()))
+    assert ra == rb
 
 DOCS_SCHEMA = T.StructType(
     [
