@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,6)"
 
 
+def epoch_seconds(col: Column | str) -> Column:
+    """Seconds since epoch (incl. fractional part) as DOUBLE, for both
+    TIMESTAMP and TIMESTAMP_NTZ inputs.
+
+    Parquet `timestamp[us]` without a UTC adjustment reads as TIMESTAMP_NTZ
+    on Spark 4, which refuses a direct numeric cast; routing through a
+    TIMESTAMP cast first (a no-op for LTZ inputs) interprets the wall clock
+    in the session timezone — pinned to UTC by the session factory — so the
+    value matches DuckDB's epoch(ts) on the same naive parquet timestamps.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 def dsum(col: Column | str) -> Column:
     """Order-independent SUM over doubles (exact via decimal), as DOUBLE."""
     c = F.col(col) if isinstance(col, str) else col

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dataingestionplayground_spark.functions import portable as PF
 from dataingestionplayground_spark.functions import text as TX
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
@@ -182,7 +183,7 @@ def events_cohort_retention(spark, sf):
     # Day-7 cohort retention: first-activity day per user (the cohort) vs
     # distinct activity days. Both sides integer epoch-days -> exact.
     e = t(spark, sf, "events")
-    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    day = F.floor(PF.epoch_seconds("ts") / 86400).cast("long")
     firsts = e.select("user_id", day.alias("day")).groupBy("user_id").agg(
         F.min("day").alias("first_day")
     )
@@ -275,7 +276,7 @@ def events_rolling_dau(spark, sf):
     # (tiny) day spine against per-day distinct activity — the join fans
     # each activity row to <= 7 spine days, then one distinct-count agg.
     e = t(spark, sf, "events")
-    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    day = F.floor(PF.epoch_seconds("ts") / 86400).cast("long")
     activity = e.select(day.alias("day"), "user_id").distinct()
     days = activity.select("day").distinct()
     return (
@@ -339,7 +340,7 @@ def events_activity_streaks(spark, sf):
     from pyspark.sql import Window as W
 
     e = t(spark, sf, "events")
-    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    day = F.floor(PF.epoch_seconds("ts") / 86400).cast("long")
     activity = e.select("user_id", day.alias("day")).distinct()
     w = W.partitionBy("user_id").orderBy("day")
     grp = activity.withColumn("island", F.col("day") - F.row_number().over(w))
