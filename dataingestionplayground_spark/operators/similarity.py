@@ -530,9 +530,83 @@ def pq_adc_rank(
     )
 
 
+def _cosine_argmax_np(E, C, cn=None):
+    """First-index-of-max cosine argmax, numpy-vectorized.
+
+    Matches the SQL semantics ``array_position(sims, array_max(sims)) - 1``
+    with null-propagating cosine: a zero-norm centroid's similarity is
+    null (never the max -> masked to -inf here); a row whose every
+    similarity is undefined gets -1 (caller maps to NULL cell). Ties
+    break to the lowest centroid id because ``np.argmax`` returns the
+    first occurrence of the maximum.
+    """
+    import numpy as np
+
+    if cn is None:
+        cn = np.sqrt((C * C).sum(axis=1))
+    en = np.sqrt((E * E).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (E @ C.T) / (en[:, None] * cn[None, :])
+    sims = np.where(np.isfinite(sims), sims, -np.inf)
+    cells = np.argmax(sims, axis=1).astype("int64")
+    cells[np.isneginf(sims).all(axis=1)] = -1
+    return cells
+
+
+def _vstack_f64(series):
+    """pandas Series of array<float> -> (n, d) float64 matrix."""
+    import numpy as np
+
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in series.to_numpy()])
+
+
+def _assign_cells_matmul(
+    corpus: DataFrame, cents: DataFrame, corpus_id: str, corpus_vec: str
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched numpy matmul
+    stage (``emb @ cents.T``): the centroid matrix (<= 4096 x d float64,
+    ~12 MB) is collected once and shipped via ``sc.broadcast``, so the
+    corpus never shuffles and the per-row cost is a vectorized BLAS
+    matmul instead of an interpreted Catalyst lambda — the round-5
+    verdict's N x n_cells x d scale-killer.
+
+    Returns (corpus_id, corpus_vec, cell:int) with cell NULL for rows
+    whose every similarity is undefined (zero-norm vector), matching
+    the expression path's null-propagation semantics.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = cents.orderBy("centroid_id").collect()
+    C = np.vstack([np.asarray(r["cent_vec"], dtype=np.float64) for r in rows])
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(C)
+    src = corpus.select(corpus_id, corpus_vec)
+    out_schema = T.StructType(
+        [src.schema[corpus_id], src.schema[corpus_vec], T.StructField("cell", T.IntegerType(), True)]
+    )
+
+    def assign(batches):
+        Cm = bc.value
+        cn = np.sqrt((Cm * Cm).sum(axis=1))
+        for pdf in batches:
+            out = pdf[[corpus_id, corpus_vec]].copy()
+            if len(pdf) == 0:
+                out["cell"] = pd.array([], dtype="Int32")
+                yield out
+                continue
+            cells = _cosine_argmax_np(_vstack_f64(pdf[corpus_vec]), Cm, cn)
+            col = pd.array(cells, dtype="Int32")
+            col[cells < 0] = pd.NA
+            out["cell"] = col
+            yield out
+
+    return src.mapInPandas(assign, schema=out_schema)
+
+
 def _split_oversized_cells(
     assigned: DataFrame,
-    sims_expr: str,
     corpus_id: str,
     corpus_vec: str,
     max_cell_pairs: int,
@@ -578,26 +652,51 @@ def _split_oversized_cells(
             cand.withColumn("__rk", F.row_number().over(wg))
             .filter(F.col("__rk") <= split_factor)
         )
-        cell_cents = seeds.groupBy("cell").agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (F.col("__rk") - 1).cast("int").alias("cid"),
-                        F.expr(f"transform({corpus_vec}, x -> cast(x as double))").alias("v"),
-                    )
-                )
-            ).alias("cents")
-        )
-        sub = (F.expr(f"array_position({sims_expr}, array_max({sims_expr}))") - 1).cast("long")
-        hot2 = (
-            hot.join(F.broadcast(cell_cents), "cell")
-            .withColumn("__sub", sub)
-            .select(
-                corpus_id,
-                corpus_vec,
-                (F.col("cell").cast("long") * split_factor + F.col("__sub")).alias("cell"),
+        # per-hot-cell sub-centroid matrices: tiny (n_hot x split_factor
+        # x d), collected once and broadcast; the sub-assignment is the
+        # same numpy matmul stage as the top level, keyed by cell
+        import numpy as _np
+        import pandas as _pd
+        from pyspark.sql import types as _T
+
+        seed_rows = seeds.select("cell", "__rk", corpus_vec).collect()
+        mats: dict = {}
+        for r in sorted(seed_rows, key=lambda r: (r["cell"], r["__rk"])):
+            mats.setdefault(r["cell"], []).append(
+                _np.asarray(r[corpus_vec], dtype=_np.float64)
             )
+        cell_mats = {c: _np.vstack(vs) for c, vs in mats.items()}
+        bc = assigned.sparkSession.sparkContext.broadcast(cell_mats)
+        hot_src = hot.select(corpus_id, corpus_vec, "cell")
+        out_schema = _T.StructType(
+            [
+                hot_src.schema[corpus_id],
+                hot_src.schema[corpus_vec],
+                _T.StructField("cell", _T.LongType(), True),
+            ]
         )
+        _f = split_factor
+
+        def sub_assign(batches, _vec=corpus_vec, _id=corpus_id):
+            cm = bc.value
+            for pdf in batches:
+                out = pdf[[_id, _vec]].copy()
+                if len(pdf) == 0:
+                    out["cell"] = _pd.array([], dtype="Int64")
+                    yield out
+                    continue
+                newcell = _pd.array([0] * len(pdf), dtype="Int64")
+                for cv, idx in pdf.groupby("cell").indices.items():
+                    sub = _cosine_argmax_np(
+                        _vstack_f64(pdf[_vec].iloc[idx]), cm[cv]
+                    )
+                    vals = int(cv) * _f + sub
+                    for j, pos in enumerate(idx):
+                        newcell[pos] = _pd.NA if sub[j] < 0 else int(vals[j])
+                out["cell"] = newcell
+                yield out
+
+        hot2 = hot_src.mapInPandas(sub_assign, schema=out_schema)
         cold2 = cold.select(
             corpus_id,
             corpus_vec,
@@ -640,8 +739,8 @@ def semantic_dedup(
     neighbor with a LOWER id (the kept one is each duplicate group's
     minimum id under this dominance rule).
 
-    Cell assignment is a pure per-row expression against a one-row
-    broadcast centroid array (no assignment shuffle); the pair search is
+    Cell assignment is one Arrow-batched numpy matmul stage against an
+    ``sc.broadcast`` centroid matrix (no assignment shuffle); the pair search is
     an equi-join on the cell key — work bounded by cell size, never an
     all-pairs product. Returns (id, cell, keep).
 
@@ -650,8 +749,8 @@ def semantic_dedup(
 
     - ``n_cells=None`` (default) derives ``ceil(|corpus| /
       target_cell_size)`` clamped to [16, 4096] — one count() job. The
-      4096 cap keeps the one-row broadcast centroid array (and the
-      per-row argmax transform) small; beyond 4096 top-level cells the
+      4096 cap keeps the broadcast centroid matrix (and the per-row
+      matmul width) small; beyond 4096 top-level cells the
       guard below is the scale path, not more centroids.
     - ``max_cell_pairs`` guards the quadratic stage: any cell whose
       c·(c-1)/2 exceeds it is RECURSIVELY SPLIT (nearest-of-
@@ -667,49 +766,19 @@ def semantic_dedup(
 
         n_cells = max(16, min(4096, math.ceil(corpus.count() / max(1, target_cell_size))))
     cents = _seed_centroids(corpus, corpus_id, corpus_vec, n_cells)
-    one_row = cents.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("centroid_id").alias("cid"),
-                    F.expr("transform(cent_vec, x -> cast(x as double))").alias("v"),
-                )
-            )
-        ).alias("cents")
-    )
-    # cosine(emb, c.v) per centroid; argmax via first-index-of-max so
-    # ties break to the lowest centroid id on every engine
-    dot = (
-        f"aggregate(sequence(1, size({corpus_vec})), cast(0.0 as double), "
-        f"(acc, i) -> acc + cast(element_at({corpus_vec}, i) as double) * element_at(c.v, i))"
-    )
-    nrm = (
-        f"sqrt(aggregate(sequence(1, size({corpus_vec})), cast(0.0 as double), "
-        f"(acc, i) -> acc + cast(element_at({corpus_vec}, i) as double) * "
-        f"cast(element_at({corpus_vec}, i) as double)))"
-    )
-    cnrm = (
-        "sqrt(aggregate(sequence(1, size(c.v)), cast(0.0 as double), "
-        "(acc, i) -> acc + element_at(c.v, i) * element_at(c.v, i)))"
-    )
-    sims = f"transform(cents, c -> ({dot}) / nullif(({nrm}) * ({cnrm}), 0.0))"
-    assigned = (
-        corpus.crossJoin(F.broadcast(one_row))
-        .withColumn(
-            "cell",
-            (F.expr(f"array_position({sims}, array_max({sims}))") - 1).cast("int"),
-        )
-        .select(corpus_id, corpus_vec, "cell")
-    )
+    # argmax-cosine assignment as one Arrow-batched numpy matmul stage
+    # (first-index-of-max tie-break, identical semantics to the SQL
+    # expression form) — the interpreted N x n_cells Catalyst lambda it
+    # replaces was super-linear in corpus size (round-5 verdict)
+    assigned = _assign_cells_matmul(corpus, cents, corpus_id, corpus_vec)
     # the assignment feeds BOTH self-join sides plus the output projection,
     # and Spark does not ReusedExchange across the differently-aliased
     # sides — materialize once so the corpus is scanned (and the argmax
-    # expression evaluated) a single time instead of three
+    # matmul evaluated) a single time instead of three
     if materialize:
         assigned = assigned.localCheckpoint(eager=True)
     assigned = _split_oversized_cells(
         assigned,
-        sims_expr=sims,
         corpus_id=corpus_id,
         corpus_vec=corpus_vec,
         max_cell_pairs=max_cell_pairs,
@@ -717,30 +786,56 @@ def semantic_dedup(
         max_split_rounds=max_split_rounds,
         materialize=materialize,
     )
-    a = assigned.select(
-        F.col(corpus_id).alias("__ida"), F.col(corpus_vec).alias("__va"), "cell"
+    # in-cell dominance as ONE applyInPandas stage: each cell (size
+    # bounded by the max_cell_pairs guard above, so it always fits an
+    # executor) computes its pairwise cosines as a chunked normalized
+    # matmul — replacing both the cell self-join (two shuffles of the
+    # vector column) and the interpreted per-pair aggregate lambda with
+    # a single shuffle and vectorized BLAS. keep[j] = no i<j in the
+    # cell with cos(i,j) >= threshold; zero-norm vectors have NULL
+    # cosine in the SQL form, so they neither dominate nor get dropped.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            assigned.schema[corpus_id],
+            assigned.schema["cell"],
+            T.StructField("keep", T.BooleanType(), False),
+        ]
     )
-    b = assigned.select(
-        F.col(corpus_id).alias("__idb"), F.col(corpus_vec).alias("__vb"), "cell"
-    )
-    pair_cos = V.cosine_similarity("__va", "__vb")
-    dominated = (
-        a.join(b, "cell")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .withColumn("__cos", pair_cos)
-        .filter(F.col("__cos") >= threshold)
-        .select(F.col("__idb").alias(corpus_id))
-        .distinct()
-        .withColumn("__dom", F.lit(True))
-    )
-    return (
-        assigned.join(dominated, corpus_id, "left")
-        .select(
-            corpus_id,
-            "cell",
-            F.col("__dom").isNull().alias("keep"),
-        )
-    )
+    thr = float(threshold)
+
+    def cell_keep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(corpus_id, kind="mergesort").reset_index(drop=True)
+        out = pdf[[corpus_id, "cell"]].copy()
+        n = len(pdf)
+        if n <= 1 or pdf["cell"].isna().all():
+            out["keep"] = True
+            return out
+        E = _vstack_f64(pdf[corpus_vec])
+        nrm = np.sqrt((E * E).sum(axis=1))
+        valid = nrm > 0
+        En = np.zeros_like(E)
+        En[valid] = E[valid] / nrm[valid, None]
+        dominated = np.zeros(n, dtype=bool)
+        idx = np.arange(n)
+        B = 2048  # column chunk: caps the transient sims block at n x B
+        for j0 in range(0, n, B):
+            j1 = min(n, j0 + B)
+            S = En @ En[j0:j1].T
+            hit = (
+                (S >= thr)
+                & (idx[:, None] < idx[None, j0:j1])
+                & valid[:, None]
+                & valid[None, j0:j1]
+            )
+            dominated[j0:j1] |= hit.any(axis=0)
+        out["keep"] = ~dominated
+        return out
+
+    return assigned.groupBy("cell").applyInPandas(cell_keep, schema=out_schema)
 
 
 def pq_adc_rerank(
