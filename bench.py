@@ -91,6 +91,59 @@ def main():
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # store-backed PQ index search (round-5 verdict item 4): the
+    # adc_rerank row re-derives codes per call; this row measures the
+    # amortized path — search straight off the persisted code table.
+    # Index BUILD is excluded (one-time, cached under .benchdata);
+    # incremental refresh (the steady-state maintenance cost: anti-join
+    # staleness check against an up-to-date index) is timed once.
+    pq_index = None
+    if os.environ.get("SPARK_GRAFT_INDEX_BENCH", "1") != "0":
+        from pyspark.sql import functions as F
+
+        from dataingestionplayground_spark.ingest.ann_index import (
+            build_pq_index,
+            pq_search_indexed,
+            refresh_pq_index,
+        )
+        from dataingestionplayground_spark.ingest.store import CollectionStore
+
+        sf_name = os.path.basename(sf_dir.rstrip("/"))
+        idx_base = str(Path(__file__).resolve().parent / ".benchdata" / f"pqidx-{sf_name}")
+        store = CollectionStore(idx_base)
+        emb = load_table(spark, sf_dir, "embeddings")
+        if not store.exists("embeddings"):
+            chunks = emb.select(
+                F.col("vec_id").cast("string").alias("key"),
+                "embedding",
+                F.lit("").alias("content"),
+                F.lit(None).cast("string").alias("context"),
+                F.col("vec_id").cast("string").alias("documentid"),
+                F.lit(0).cast("int").alias("chunk_idx"),
+            )
+            store.write(chunks, "embeddings")
+        if not os.path.exists(
+            os.path.join(idx_base, "_indexes", "embeddings", "pq", "pq.json")
+        ):
+            build_pq_index(spark, store, "embeddings", m=4, n_centroids=8, dims=64)
+        t0 = time.perf_counter()
+        refreshed = refresh_pq_index(spark, store, "embeddings")
+        refresh_sec = round(time.perf_counter() - t0, 3)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").cast("string").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        best = float("inf")
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pq_search_indexed(spark, store, "embeddings", q, k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["vector_pq_index_search"] = round(best, 3)
+        pq_index = {"refresh_sec": refresh_sec, **refreshed}
+
     total = round(sum(timings.values()), 3)
 
     # larger-SF block: min-of-2 over the heaviest shapes at 5x. Opt out
@@ -128,6 +181,8 @@ def main():
         "queries": timings,
         "sf": sf,
     }
+    if pq_index is not None:
+        out["pq_index"] = pq_index
     if big is not None:
         out["big"] = big
     print(json.dumps(out))

@@ -43,6 +43,41 @@ def connected_components(
         .select(F.col("src").alias("id"), "component")
         .localCheckpoint(eager=True)
     )
+
+    def _jump(df: DataFrame) -> DataFrame:
+        # pointer jump (path halving): component := component's component.
+        # Labels are node ids, so the lookup is a self-join; chains of
+        # stale labels collapse geometrically -> O(log diameter) rounds.
+        parent = df.select(
+            F.col("id").alias("component"), F.col("component").alias("g_comp")
+        )
+        return df.join(parent, "component", "left").select(
+            "id", F.least("component", F.coalesce("g_comp", "component")).alias("component")
+        )
+
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
+
+    def _label_sum(df: DataFrame):
+        # labels only ever DECREASE (every update is a least(...)), so an
+        # unchanged sum across rounds <=> an unchanged label vector — a
+        # join-free convergence check, decimal so 63-bit ids cannot
+        # overflow the running total at cluster scale. Non-numeric ids
+        # fall back to the join-based changed-count below.
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    def _changed(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     converged = False
     for _ in range(max_iter):
         # propagate: node label := min(own label, neighbors' labels)
@@ -58,25 +93,18 @@ def connected_components(
                 F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
             ).alias("component"),
         )
-        # pointer jump (path halving): component := component's component.
-        # Labels are node ids, so the lookup is a self-join; chains of
-        # stale labels collapse geometrically -> O(log diameter) rounds.
-        parent = hopped.select(
-            F.col("id").alias("component"), F.col("component").alias("g_comp")
-        )
-        new_labels = (
-            hopped.join(parent, "component", "left")
-            .select("id", F.least("component", F.coalesce("g_comp", "component")).alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # one jump per round: near-dup graphs have tiny diameter, so a
+        # second jump per round costs a full self-join shuffle without
+        # saving a round (measured slower at sf0.1-0.5)
+        new_labels = _jump(hopped).localCheckpoint(eager=True)
+        if numeric_ids:
+            cur_sum = _label_sum(new_labels)  # tiny agg over checkpointed blocks
+            done = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            done = _changed(new_labels, labels) == 0
         labels = new_labels
-        if changed == 0:
+        if done:
             converged = True
             break
     edges.unpersist()

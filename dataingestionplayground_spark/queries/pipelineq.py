@@ -725,28 +725,71 @@ def sample_train_val_test(spark, sf):
 def sample_token_budget(spark, sf):
     # Budgeted subset selection: take the highest-quality documents until
     # the token budget is spent (greedy by quality, the standard "best
-    # data under B tokens" curation step). One global sort-window at this
-    # demo scale; at 100 TB, first histogram quality into buckets, pick
-    # the threshold bucket from the (tiny) histogram, and only sort the
-    # boundary bucket — the keep set is identical.
+    # data under B tokens" curation step). The exact global running sum
+    # is SHARDED (textbook two-pass distributed prefix sum) instead of a
+    # single-reducer window: repartitionByRange on the order key makes
+    # partition id == rank-range, per-shard totals are aggregated and
+    # cumsum'd driver-side (n_shards rows), and the final pass adds each
+    # shard's broadcast offset to its LOCAL running sum — no
+    # unpartitioned WindowExec, no extra shuffle after the range
+    # exchange (the shards arrive sorted, so the prefix pass is a
+    # narrow Arrow cumsum). See sample_token_budget_bucketed for the
+    # histogram-threshold variant that also avoids the full sort.
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from dataingestionplayground_spark.queries.textq import quality_scores
 
     scored = quality_scores(t(spark, sf, "documents")).select(
         "doc_id", "n_toks", "quality"
     )
-    w = W.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
-        W.unboundedPreceding, -1
+    n_shards = max(2, scored.sparkSession.sparkContext.defaultParallelism)
+    ranged = (
+        scored.repartitionByRange(n_shards, F.desc("quality"), F.asc("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions(F.desc("quality"), F.asc("doc_id"))
+        .localCheckpoint(eager=True)
     )
-    ranked = scored.withColumn(
-        "toks_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long")
+    totals = {
+        r["__pid"]: r["t"] or 0
+        for r in ranged.groupBy("__pid").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    out_schema = T.StructType(
+        [
+            ranged.schema["doc_id"],
+            T.StructField("n_toks", T.IntegerType(), True),
+            ranged.schema["quality"],
+            T.StructField("toks_before", T.LongType(), True),
+            T.StructField("keep", T.BooleanType(), True),
+        ]
     )
-    return ranked.select(
-        "doc_id",
-        F.col("n_toks").cast("int").alias("n_toks"),
-        "quality",
-        "toks_before",
-        (F.col("toks_before") + F.col("n_toks") <= 4096).alias("keep"),
-    )
+
+    def local_prefix(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            nt = pdf["n_toks"].to_numpy(dtype="int64")
+            csum = nt.cumsum()
+            before = run + csum - nt
+            run = int(run + csum[-1]) if len(csum) else run
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_toks": nt.astype("int32"),
+                    "quality": pdf["quality"],
+                    "toks_before": before,
+                    "keep": (before + nt) <= 4096,
+                }
+            )
+
+    return ranged.mapInPandas(local_prefix, schema=out_schema)
 
 
 @register(
@@ -783,15 +826,14 @@ def sample_token_budget(spark, sf):
 def sample_token_budget_bucketed(spark, sf):
     # The 100 TB twin of sample_token_budget: no global sort. Quality is
     # floored into integer permille buckets; per-bucket token sums are
-    # ONE hash agg (map-side partial); the running sum that finds the
-    # threshold bucket runs over <= 1000 rows on a single reducer; the
-    # keep decision joins ONE broadcast scalar back over the corpus.
-    # Bucket-granular semantics: strictly-above-threshold buckets are
-    # kept in full ("cut" is the best bucket whose predecessors already
-    # fit the budget — the boundary bucket itself is dropped, a bounded
-    # under-fill never an over-fill).
-    from pyspark.sql import Window as W2
-
+    # ONE hash agg (map-side partial); the threshold bucket is picked
+    # from the collected <= 1000-row histogram driver-side (an
+    # already-aggregated tiny frame — no single-reducer window at all);
+    # the keep decision is a pure per-row comparison against the
+    # literal cut. Bucket-granular semantics: strictly-above-threshold
+    # buckets are kept in full ("cut" is the best bucket whose
+    # predecessors already fit the budget — the boundary bucket itself
+    # is dropped, a bounded under-fill never an over-fill).
     from dataingestionplayground_spark.queries.textq import quality_scores
 
     scored = quality_scores(t(spark, sf, "documents")).select(
@@ -802,15 +844,13 @@ def sample_token_budget_bucketed(spark, sf):
     hist = scored.groupBy("qbucket").agg(
         F.sum("n_toks").cast("long").alias("bucket_toks")
     )
-    w = W2.orderBy(F.desc("qbucket")).rowsBetween(W2.unboundedPreceding, -1)
-    ranked = hist.withColumn(
-        "toks_above", F.coalesce(F.sum("bucket_toks").over(w), F.lit(0)).cast("long")
-    )
-    thr = ranked.filter(F.col("toks_above") <= 4096).agg(
-        F.coalesce(F.min("qbucket"), F.lit(9223372036854775807)).alias("cut")
-    )
-    return scored.crossJoin(F.broadcast(thr)).select(
-        "doc_id", "n_toks", "qbucket", (F.col("qbucket") > F.col("cut")).alias("keep")
+    acc, cut = 0, 9223372036854775807
+    for r in sorted(hist.collect(), key=lambda r: -r["qbucket"]):
+        if acc <= 4096:  # toks_above (exclusive prefix) still fits
+            cut = r["qbucket"]
+        acc += r["bucket_toks"]
+    return scored.select(
+        "doc_id", "n_toks", "qbucket", (F.col("qbucket") > F.lit(cut)).alias("keep")
     )
 
 
