@@ -30,8 +30,11 @@ def epoch_seconds(col: Column | str) -> Column:
     Parquet `timestamp[us]` without a UTC adjustment reads as TIMESTAMP_NTZ
     on Spark 4, which refuses a direct numeric cast; routing through a
     TIMESTAMP cast first (a no-op for LTZ inputs) interprets the wall clock
-    in the session timezone — pinned to UTC by the session factory — so the
-    value matches DuckDB's epoch(ts) on the same naive parquet timestamps.
+    in the session timezone. ``load_table`` removes the NTZ case at the
+    source (``spark.sql.parquet.inferTimestampNTZ.enabled=false``: naive
+    micros read as LTZ-as-UTC, matching DuckDB's epoch(ts) on ANY session
+    timezone); an NTZ column reaching this helper from elsewhere is only
+    correct under a UTC session timezone — pinned by the session factory.
     """
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("timestamp").cast("double")

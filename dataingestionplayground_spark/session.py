@@ -106,6 +106,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable; required even on sessions not built by get_spark
         # (e.g. the driver's own session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamp[us] (isAdjustedToUTC=false) must read as
+        # LTZ with the stored micros treated as UTC — NOT as TIMESTAMP_NTZ,
+        # whose later casts would re-interpret the wall clock in the
+        # SESSION timezone and diverge from DuckDB's epoch(ts) on any
+        # non-UTC session (e.g. the driver's own)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -25,7 +25,10 @@ MarkdownParser.cs``) in dependency-free Python:
   ``[^label]`` references are stripped like other inline markers;
   definition lists (term + ``:   definition`` lines) become a section
   with ``definition_term``/``definition`` leaf elements; autolinks
-  (``<https://...>``, ``<user@host>``) reduce to their literal URL text
+  (``<https://...>``, ``<user@host>``) reduce to their literal URL text;
+  grid tables (``+---+`` rules, ``+===+`` header rule, multi-line cells)
+  land in the same ``table`` element as pipe tables; math blocks
+  (``$$`` fences) become ``math`` elements carrying the LaTeX body
 
 Distribution: parsing runs per-document inside ``mapInPandas`` (Arrow
 batches, parser state never leaves the executor); everything before and
@@ -68,6 +71,11 @@ _AUTOLINK_RE = re.compile(
 # definition-list item (Markdig advanced extension / PHP Markdown Extra):
 # ':' + space, up to 3 leading spaces
 _DEF_ITEM_RE = re.compile(r"^ {0,3}:\s+(.*)$")
+# grid-table separator (Markdig GridTableExtension): +---+---+ rows
+# between cell rows; '=' marks the header separator
+_GRID_SEP_RE = re.compile(r"^\s*\+([-=]+\+)+\s*$")
+# math block (Markdig MathExtension): $$ fence on its own line
+_MATH_FENCE_RE = re.compile(r"^\s*\$\$\s*$")
 
 
 @dataclass
@@ -135,6 +143,41 @@ def _parse_table(lines: list[str]) -> list[list[str]] | None:
     # separator is bogus — drop it (MarkdownParser.cs:278-296).
     header_rows = [r for r in header_rows if any(c.strip() for c in r)]
     return _expand_colspan(header_rows + body_rows)
+
+
+def _parse_grid_table(lines: list[str]) -> list[list[str]] | None:
+    """Markdig grid table -> 2-D cell grid: ``+---+``/``+===+`` rules
+    separate logical rows; consecutive ``|`` lines between two rules are
+    ONE row whose multi-line cells join with spaces (the '=' rule marks
+    the header row exactly like a pipe table's ``---`` separator, so the
+    grid lands in the same table element as pipe tables — the reference's
+    Markdig pipeline maps both block types to IngestionDocumentTable,
+    MarkdownParser.cs:87)."""
+    groups: list[list[list[str]]] = []
+    cur: list[list[str]] = []
+    for ln in lines:
+        if _GRID_SEP_RE.match(ln.strip()):
+            if cur:
+                groups.append(cur)
+                cur = []
+        elif _TABLE_ROW_RE.match(ln):
+            cur.append(_split_table_row(ln))
+        else:
+            return None
+    if cur:
+        groups.append(cur)
+    if not groups:
+        return None
+    rows = []
+    for g in groups:
+        width = max(len(r) for r in g)
+        rows.append(
+            [
+                " ".join(r[c] for r in g if c < len(r) and r[c]).strip()
+                for c in range(width)
+            ]
+        )
+    return _expand_colspan(rows)
 
 
 def parse_markdown(doc_id: str, text: str) -> list[Element]:
@@ -212,6 +255,44 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
             previous_was_break = False
             i += 1
             continue
+
+        # math block (Markdig MathExtension, enabled by the reference's
+        # UseAdvancedExtensions pipeline): '$$' fences -> a 'math' element
+        # carrying the LaTeX body as text (the same generalization 'code'
+        # makes for fenced code blocks)
+        if _MATH_FENCE_RE.match(stripped):
+            j = i + 1
+            body = []
+            while j < len(lines) and not _MATH_FENCE_RE.match(lines[j].strip()):
+                body.append(lines[j])
+                j += 1
+            latex = "\n".join(body).strip()
+            if latex:
+                elements.append(
+                    Element("math", markdown="\n".join(lines[i : j + 1]), text=latex)
+                )
+            i = j + 1
+            previous_was_break = False
+            continue
+
+        # grid table (Markdig GridTableExtension): starts with a +---+ rule
+        if _GRID_SEP_RE.match(stripped):
+            j = i
+            g_lines = []
+            while j < len(lines) and (
+                _GRID_SEP_RE.match(lines[j].strip()) or _TABLE_ROW_RE.match(lines[j])
+            ):
+                g_lines.append(lines[j])
+                j += 1
+            cells = _parse_grid_table(g_lines) if len(g_lines) >= 2 else None
+            if cells:
+                elements.append(
+                    Element("table", markdown="\n".join(g_lines), table_cells=cells)
+                )
+                i = j
+                previous_was_break = False
+                continue
+            # a lone '+---+' line is not a table: fall through to paragraph
 
         # pipe table
         if _TABLE_ROW_RE.match(line):

@@ -83,6 +83,46 @@ def pil_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
     return w, h, [round(float(x), 6) for x in feat]
 
 
+def bmp_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
+    """REAL image decode with zero dependencies: uncompressed BI_RGB
+    24/32-bit BMP parsed with struct+numpy, so a genuine decode path
+    executes in CI instead of only the deterministic fake. Feature is
+    the same 8-d recipe as ``pil_decoder`` (per-channel mean + std,
+    aspect ratio, mean luminance) — the two agree on the same image.
+    Handles bottom-up (positive height) and top-down rows and the
+    4-byte row stride padding."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (compression={comp}, bpp={bpp})")
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    nch = bpp // 8
+    stride = ((bpp * w + 31) // 32) * 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = raw.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if h_raw > 0:
+        rows = rows[::-1]  # bottom-up storage -> top-down
+    px = rows[:, :, :3][:, :, ::-1].astype(np.float64) / 255.0  # BGR(A) -> RGB
+    means = px.mean(axis=(0, 1))
+    stds = px.std(axis=(0, 1))
+    lum = float(0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2])
+    feat = [*means.tolist(), *stds.tolist(), w / h if h else 0.0, lum]
+    return w, h, [round(float(x), 6) for x in feat]
+
+
 def fake_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
     """Deterministic fake: dimensions and an 8-d feature derived from the
     sha256 of the payload — stable plumbing tests without codecs."""

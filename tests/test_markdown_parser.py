@@ -203,3 +203,54 @@ def test_autolinks_reduce_to_url_text():
     els2 = parse_markdown("a2.md", "- link <http://spark.apache.org> here\n")
     texts = [e.text for e in els2 if e.kind == "paragraph"]
     assert texts == ["link http://spark.apache.org here"]
+
+
+def test_grid_table_golden():
+    """Markdig GridTableExtension: +---+ rules delimit rows, '=' rule
+    marks the header, multi-line cells join with spaces — same table
+    element as pipe tables (MarkdownParser.cs:87 maps both to
+    IngestionDocumentTable)."""
+    md = "\n".join(
+        [
+            "+---------+---------+",
+            "| Name    | Role    |",
+            "+=========+=========+",
+            "| Ada     | Eng     |",
+            "+---------+---------+",
+            "| Grace   | Admiral |",
+            "| (ret.)  |         |",
+            "+---------+---------+",
+        ]
+    )
+    els = parse_markdown("g.md", md)
+    assert [e.kind for e in els] == ["table"]
+    assert els[0].table_cells == [
+        ["Name", "Role"],
+        ["Ada", "Eng"],
+        ["Grace (ret.)", "Admiral"],
+    ]
+
+
+def test_grid_table_between_paragraphs_and_lone_rule_is_not_a_table():
+    md = "before\n\n+-----+-----+\n| a   | b   |\n+-----+-----+\n\nafter"
+    els = parse_markdown("g2.md", md)
+    assert [e.kind for e in els] == ["paragraph", "table", "paragraph"]
+    assert els[1].table_cells == [["a", "b"]]
+    # a bare horizontal +---+ with no cell rows falls through to paragraph
+    lone = parse_markdown("g3.md", "+---+---+\n")
+    assert [e.kind for e in lone] == ["paragraph"]
+
+
+def test_math_block_golden():
+    """Markdig MathExtension ($$ fences): the LaTeX body becomes a 'math'
+    element, inline $x$ stays paragraph text."""
+    md = "intro\n\n$$\nE = mc^2 \\\\\n\\int_0^1 x\\,dx\n$$\n\nuses $x$ inline"
+    els = parse_markdown("m.md", md)
+    assert [e.kind for e in els] == ["paragraph", "math", "paragraph"]
+    assert els[1].text == "E = mc^2 \\\\\n\\int_0^1 x\\,dx"
+    assert els[1].markdown.startswith("$$") and els[1].markdown.endswith("$$")
+    assert els[2].text == "uses $x$ inline"
+    # unclosed fence: body still captured, parser does not loop
+    els2 = parse_markdown("m2.md", "$$\nx+y\n")
+    assert [e.kind for e in els2] == ["math"]
+    assert els2[0].text == "x+y"

@@ -139,3 +139,130 @@ def test_numpy_udf_matches_driver_side_encoder(spark):
     want = {t: encode_texts(FIXTURE, [t])[0] for t in texts}
     for t in texts:
         np.testing.assert_allclose(got[t], want[t], atol=1e-6)
+
+
+def _write_safetensors(path, tensors):
+    """Minimal safetensors WRITER (mirror of the reader in
+    scripts/export_minilm_npz.py) so the export path is testable without
+    real weights on disk."""
+    import struct
+
+    index, blobs, off = {}, [], 0
+    for name, arr in tensors.items():
+        raw = np.ascontiguousarray(arr).tobytes()
+        dt = {"float32": "F32", "float16": "F16", "int64": "I64"}[str(arr.dtype)]
+        index[name] = {
+            "dtype": dt,
+            "shape": list(arr.shape),
+            "data_offsets": [off, off + len(raw)],
+        }
+        blobs.append(raw)
+        off += len(raw)
+    header = json.dumps(index).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(header)))
+        f.write(header)
+        for b in blobs:
+            f.write(b)
+
+
+def test_export_minilm_npz_roundtrip(tmp_path):
+    """export_minilm_npz maps a HuggingFace-layout BERT checkpoint onto
+    the np_encoder array names: Linear weights transposed to x@W
+    orientation, token-type row 0 folded into pos_emb, identity proj.
+    Verified by constructing a tiny random HF checkpoint, exporting, and
+    running the full forward pass on the result."""
+    from scripts.export_minilm_npz import export, load_safetensors
+
+    rng = np.random.default_rng(7)
+    H, FF, V, S, LAYERS, HEADS = 8, 16, 30, 12, 2, 2
+    hf = {
+        "embeddings.word_embeddings.weight": rng.normal(size=(V, H)).astype(np.float32),
+        "embeddings.position_embeddings.weight": rng.normal(size=(S, H)).astype(np.float32),
+        "embeddings.token_type_embeddings.weight": rng.normal(size=(2, H)).astype(np.float32),
+        "embeddings.LayerNorm.weight": rng.normal(size=H).astype(np.float32),
+        "embeddings.LayerNorm.bias": rng.normal(size=H).astype(np.float32),
+    }
+    for i in range(LAYERS):
+        p = f"encoder.layer.{i}."
+        for nm, shape in [
+            ("attention.self.query", (H, H)),
+            ("attention.self.key", (H, H)),
+            ("attention.self.value", (H, H)),
+            ("attention.output.dense", (H, H)),
+            ("intermediate.dense", (FF, H)),
+            ("output.dense", (H, FF)),
+        ]:
+            hf[p + nm + ".weight"] = rng.normal(size=shape).astype(np.float32)
+            hf[p + nm + ".bias"] = rng.normal(size=shape[0]).astype(np.float32)
+        for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+            hf[p + ln + ".weight"] = rng.normal(size=H).astype(np.float32)
+            hf[p + ln + ".bias"] = rng.normal(size=H).astype(np.float32)
+
+    src = tmp_path / "model"
+    src.mkdir()
+    _write_safetensors(str(src / "model.safetensors"), hf)
+    back = load_safetensors(str(src / "model.safetensors"))
+    assert set(back) == set(hf)
+    assert all(np.array_equal(back[k], hf[k]) for k in hf)
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + [f"tok{i}" for i in range(V - 4)]
+    (src / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    (src / "config.json").write_text(
+        json.dumps(
+            {
+                "num_hidden_layers": LAYERS,
+                "num_attention_heads": HEADS,
+                "max_position_embeddings": S,
+                "hidden_size": H,
+            }
+        )
+    )
+    out = str(tmp_path / "mini.npz")
+    info = export(str(src), out)
+    assert info == {"layers": LAYERS, "heads": HEADS, "max_seq": S, "hidden": H, "vocab": V}
+
+    z = np.load(out, allow_pickle=False)
+    assert np.allclose(
+        z["l0_Wq"], hf["encoder.layer.0.attention.self.query.weight"].T
+    )
+    assert np.allclose(
+        z["pos_emb"],
+        hf["embeddings.position_embeddings.weight"]
+        + hf["embeddings.token_type_embeddings.weight"][0][None, :],
+    )
+    assert np.allclose(z["proj_W"], np.eye(H))
+
+    enc = NumpyEncoder(out)
+    vecs = enc.encode(["tok0 tok1 tok2", "tok5", ""])
+    assert vecs.shape == (3, H)
+    assert np.allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5)
+
+
+MINILM_DIR = os.environ.get("MINILM_DIR", "/root/models/all-MiniLM-L6-v2")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(MINILM_DIR),
+    reason="real all-MiniLM-L6-v2 weights not present (set MINILM_DIR)",
+)
+def test_real_minilm_export_and_semantic_ranking(tmp_path):
+    """When real weights exist, one export makes the offline encoder run
+    the reference's actual model: 384-d unit vectors whose similarity
+    ranking reflects meaning."""
+    from scripts.export_minilm_npz import export
+
+    out = str(tmp_path / "minilm.npz")
+    info = export(MINILM_DIR, out)
+    assert info["hidden"] == 384
+    enc = NumpyEncoder(out)
+    v = enc.encode(
+        [
+            "the cat sat on the mat",
+            "a kitten rested on the rug",
+            "quarterly corporate revenue fell sharply",
+        ]
+    )
+    assert v.shape == (3, 384)
+    assert np.allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-4)
+    assert float(v[0] @ v[1]) > float(v[0] @ v[2])

@@ -161,3 +161,75 @@ def test_pil_decoder_raises_not_implemented_when_absent():
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         pil_decoder("image/png", b"\x89PNG")
+
+
+def _make_bmp(pixels, bpp=24, top_down=False):
+    """Build an uncompressed BI_RGB BMP from a row-major [[(r,g,b)..]..]
+    grid — pure struct, so the decoder test carries its own fixture."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    nch = bpp // 8
+    stride = ((bpp * w + 31) // 32) * 4
+    rows = pixels if top_down else pixels[::-1]
+    body = b""
+    for row in rows:
+        line = b""
+        for (r, g, b) in row:
+            line += bytes([b, g, r] + ([0] if nch == 4 else []))
+        body += line + b"\x00" * (stride - len(line))
+    pix_off = 14 + 40
+    size = pix_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def test_bmp_decoder_exact_values():
+    from dataingestionplayground_spark.sources.multimodal import bmp_decoder
+
+    # 2x2: red, green / blue, white — exact channel means are known
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    for bpp in (24, 32):
+        for td in (False, True):
+            w, h, feat = bmp_decoder("image/bmp", _make_bmp(px, bpp=bpp, top_down=td))
+            assert (w, h) == (2, 2)
+            assert feat[0] == feat[1] == feat[2] == 0.5  # each channel on in 2/4 px
+            assert feat[6] == 1.0  # aspect
+    # odd width exercises the 4-byte stride padding
+    px3 = [[(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    w, h, feat = bmp_decoder("image/bmp", _make_bmp(px3))
+    assert (w, h) == (3, 1)
+    assert feat[0] == round((10 + 40 + 70) / 3 / 255.0, 6)
+
+
+def test_bmp_decoder_runs_ungated_through_extract_features(spark):
+    """The REAL (zero-dependency) decode path executes in CI: BMP decode
+    through the same mapInPandas stage, bad payloads isolated per item."""
+    from dataingestionplayground_spark.sources.multimodal import bmp_decoder
+
+    bmp = _make_bmp([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    media = binary_with_metadata(
+        spark.createDataFrame(
+            [("m1", "image/bmp", bmp), ("m2", "image/bmp", b"not a bmp")],
+            "id string, mt string, data binary",
+        ),
+        "id",
+        "mt",
+        "data",
+    )
+    rows = {r.media_id: r for r in extract_features(media, decoder=bmp_decoder).collect()}
+    assert rows["m1"].width == 2 and rows["m1"].height == 2
+    assert rows["m1"].feature[0] == pytest.approx(0.5)
+    assert rows["m2"].width is None and rows["m2"].feature is None  # isolation
+
+
+def test_bmp_decoder_matches_pil_when_available():
+    pytest.importorskip("PIL")
+    from dataingestionplayground_spark.sources.multimodal import bmp_decoder, pil_decoder
+
+    bmp = _make_bmp([[(12, 200, 7), (0, 9, 255), (128, 128, 128)]])
+    assert bmp_decoder("image/bmp", bmp) == pil_decoder("image/bmp", bmp)
