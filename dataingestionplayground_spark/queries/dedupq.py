@@ -259,25 +259,32 @@ def dedup_lsh_verified_pairs(spark, sf):
     ids = cand.select(F.col("id_a").alias("doc_id")).union(
         cand.select(F.col("id_b").alias("doc_id"))
     ).distinct()
-    from dataingestionplayground_spark.operators.dedup import _shingle_rows
-
-    sh = _shingle_rows(
-        d.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3
-    ).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    x = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    y = sh.select(F.col("doc_id").alias("__yid"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cand.join(x, "id_a")
-        .join(y, (F.col("id_b") == F.col("__yid")) & (F.col("shingle") == F.col("shingle_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # shingle SETS stay packed per doc (array_distinct is a per-row JVM
+    # dedup, same trick as _shingle_rows) — the intersection count is a
+    # per-pair array_intersect, so the verify stage shuffles only the
+    # candidate PAIRS (plus each side's packed set), never the exploded
+    # (candidate x shingle) rows the previous shape group-counted: that
+    # intermediate was the largest shuffle of the whole pipeline at sf0.5.
+    docsets = (
+        d.join(ids, "doc_id", "left_semi")
+        .select(F.col("doc_id"), TX.tokens("text").alias("__w"))
+        .select(
+            "doc_id",
+            F.array_distinct(TX.shingles_from_tokens("__w", 3)).alias("sset"),
+        )
+        .withColumn("sz", F.size("sset"))
+        .localCheckpoint(eager=True)  # consumed by both pair sides
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    sa = docsets.select(
+        F.col("doc_id").alias("id_a"), F.col("sset").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("id_b"), F.col("sset").alias("set_b"), F.col("sz").alias("sz_b")
+    )
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

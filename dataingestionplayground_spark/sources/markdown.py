@@ -28,7 +28,11 @@ MarkdownParser.cs``) in dependency-free Python:
   (``<https://...>``, ``<user@host>``) reduce to their literal URL text;
   grid tables (``+---+`` rules, ``+===+`` header rule, multi-line cells)
   land in the same ``table`` element as pipe tables; math blocks
-  (``$$`` fences) become ``math`` elements carrying the LaTeX body
+  (``$$`` fences) become ``math`` elements carrying the LaTeX body;
+  figures (``^^^`` fences) become a section with their content as
+  children plus a ``figure_caption`` leaf; mermaid/nomnoml fences are
+  ``diagram`` elements; inline citations (``""text""``) reduce to the
+  cited text — the full UseAdvancedExtensions long tail
 
 Distribution: parsing runs per-document inside ``mapInPandas`` (Arrow
 batches, parser state never leaves the executor); everything before and
@@ -76,6 +80,14 @@ _DEF_ITEM_RE = re.compile(r"^ {0,3}:\s+(.*)$")
 _GRID_SEP_RE = re.compile(r"^\s*\+([-=]+\+)+\s*$")
 # math block (Markdig MathExtension): $$ fence on its own line
 _MATH_FENCE_RE = re.compile(r"^\s*\$\$\s*$")
+# figure fence (Markdig FigureExtension): ^^^ opens/closes; the closing
+# line may carry the caption
+_FIGURE_FENCE_RE = re.compile(r"^\s*\^{3,}\s*(.*)$")
+# inline citation (Markdig CitationExtension): ""cited text"" -> <cite>
+_CITE_RE = re.compile(r'""(.+?)""')
+# fence info strings Markdig's DiagramExtension claims (rendered as a
+# diagram div, not code)
+_DIAGRAM_LANGS = {"mermaid", "nomnoml"}
 
 
 @dataclass
@@ -98,6 +110,7 @@ def _inline_text(md: str) -> str:
     out = _FOOTNOTE_REF_RE.sub("", md)
     out = _AUTOLINK_RE.sub(r"\1", out)  # autolink -> its literal URL text
     out = _LINK_RE.sub(r"\1", out)
+    out = _CITE_RE.sub(r"\1", out)  # citation -> its literal cited text
     out = _INLINE_MD_RE.sub("", out)
     return out.strip()
 
@@ -199,8 +212,10 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
             i += 1
             continue
 
-        # fenced code block
+        # fenced code block; a mermaid/nomnoml info string is Markdig's
+        # DiagramExtension (rendered as a diagram, not code) -> 'diagram'
         if stripped.startswith("```"):
+            lang = stripped[3:].strip().lower()
             j = i + 1
             body = []
             while j < len(lines) and not lines[j].strip().startswith("```"):
@@ -208,7 +223,8 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
                 j += 1
             code = "\n".join(body)
             if code.strip():
-                elements.append(Element("code", markdown="\n".join(lines[i : j + 1]), text=code))
+                kind = "diagram" if lang in _DIAGRAM_LANGS else "code"
+                elements.append(Element(kind, markdown="\n".join(lines[i : j + 1]), text=code))
             i = j + 1
             previous_was_break = False
             continue
@@ -254,6 +270,42 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
                 )
             previous_was_break = False
             i += 1
+            continue
+
+        # figure (Markdig FigureExtension): ^^^ fences wrap arbitrary
+        # content; either fence line may carry the caption. Emitted like
+        # quotes: a section anchor, the recursively-parsed content as
+        # children, and a 'figure_caption' leaf when a caption exists.
+        fig = _FIGURE_FENCE_RE.match(stripped)
+        if fig is not None:
+            j = i + 1
+            body: list[str] = []
+            caption = fig.group(1).strip()
+            while j < len(lines):
+                cm = _FIGURE_FENCE_RE.match(lines[j].strip())
+                if cm:
+                    caption = cm.group(1).strip() or caption
+                    j += 1
+                    break
+                body.append(lines[j])
+                j += 1
+            sec_idx = len(elements)
+            elements.append(Element("section", markdown="\n".join(lines[i:j])))
+            for sub in parse_markdown(doc_id, "\n".join(body)):
+                sub.parent_path = [sec_idx] + sub.parent_path
+                elements.append(sub)
+            cap_txt = _inline_text(caption) if caption else ""
+            if cap_txt:
+                elements.append(
+                    Element(
+                        "figure_caption",
+                        markdown=caption,
+                        text=cap_txt,
+                        parent_path=[sec_idx],
+                    )
+                )
+            i = j
+            previous_was_break = False
             continue
 
         # math block (Markdig MathExtension, enabled by the reference's

@@ -254,3 +254,36 @@ def test_math_block_golden():
     els2 = parse_markdown("m2.md", "$$\nx+y\n")
     assert [e.kind for e in els2] == ["math"]
     assert els2[0].text == "x+y"
+
+
+def test_figure_block_with_caption():
+    """Markdig FigureExtension: ^^^ fences -> section + children +
+    figure_caption leaf (caption on the closing fence)."""
+    md = "^^^\n![alt](data:text/plain;base64,aGk=)\n\nnote text\n^^^ The **caption**\n\nafter"
+    els = parse_markdown("f.md", md)
+    kinds = [e.kind for e in els]
+    assert kinds == ["section", "image", "paragraph", "figure_caption", "paragraph"]
+    assert els[3].text == "The caption"
+    assert els[3].parent_path == [0]
+    assert els[1].parent_path == [0] and els[2].parent_path == [0]
+    assert els[4].parent_path == []  # 'after' is top-level
+
+
+def test_figure_unclosed_and_caption_on_open_fence():
+    els = parse_markdown("f2.md", "^^^ open caption\ncontent line\n")
+    assert [e.kind for e in els] == ["section", "paragraph", "figure_caption"]
+    assert els[2].text == "open caption"
+
+
+def test_diagram_fence_kind():
+    """Markdig DiagramExtension claims mermaid/nomnoml fences."""
+    md = "```mermaid\ngraph TD; A-->B;\n```\n\n```python\nx = 1\n```"
+    els = parse_markdown("d.md", md)
+    assert [e.kind for e in els] == ["diagram", "code"]
+    assert els[0].text == "graph TD; A-->B;"
+
+
+def test_inline_citation_reduces_to_cited_text():
+    els = parse_markdown("c.md", 'He said ""to be or not"" loudly.\n')
+    assert [e.kind for e in els] == ["paragraph"]
+    assert els[0].text == "He said to be or not loudly."
