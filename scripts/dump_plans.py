@@ -29,10 +29,11 @@ SHOW = [
     ("text_fingerprint", "min rolling-hash inside the projection — no explode, no shuffle"),
     ("tpch_q6_forecast_revenue", "all predicates pushed to the scan, 4-column pruned read, no join"),
     ("dedup_decontaminate", "eval grams broadcast (benchmark-sized); one per-doc overlap hash agg"),
+    ("dedup_lsh_verified_pairs", "two-stage near-dup: band candidates, then packed-set array_intersect verify (no exploded shingle shuffle)"),
     ("vector_int8_quantize", "quantization as pure per-row projection — no exchange anywhere"),
     ("vector_pq_adc_search", "ADC: per-query LUT broadcast; corpus scored via int-code lookups"),
-    ("vector_semdedup", "cell-blocked dedup: materialized assignment, bounded cell equi-join"),
-    ("sample_token_budget_bucketed", "budget selection without a global sort: histogram + broadcast threshold"),
+    ("vector_semdedup", "cell-blocked dedup: Arrow matmul assignment (checkpointed), ONE cell shuffle into a grouped-pandas dominance stage"),
+    ("sample_token_budget_bucketed", "budget selection without a global sort or window: histogram agg + literal threshold"),
     ("tpch_q21_suppliers_kept_waiting", "the most shuffle-heavy TPC-H shape: fact self-joins + exists/not-exists"),
     ("sample_stratified_by_source", "md5-permille stratified sampling — zero Exchange at any scale"),
     ("ingest_pack_sequences", "sequence packing: one running-sum window, integer-only"),
@@ -41,7 +42,7 @@ SHOW = [
 
 INTERESTING = re.compile(
     r"Exchange|Join|HashAggregate|SortAggregate|Window|Sort |TakeOrdered|"
-    r"FileScan|PushedFilters|PartitionFilters|ReadSchema|mapInPandas|Broadcast"
+    r"FileScan|PushedFilters|PartitionFilters|ReadSchema|InPandas|ArrowEval|Broadcast"
 )
 
 
