@@ -150,3 +150,33 @@ def test_entry_wrapper_pins_timezone(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert tokyo == ny and len(tokyo) > 0
+
+
+def test_semdedup_single_shuffle_into_grouped_pandas(spark, sf_dir):
+    """r6 shape pin: SemDeDup's only shuffle over the corpus is the cell
+    Exchange feeding the grouped-pandas dominance stage; the assignment
+    (checkpointed, so upstream of this plan) never shuffles and no
+    interpreted higher-order lambda scores pairs."""
+    q = all_queries()["vector_semdedup"]
+    plan = physical_plan(q.fn(spark, "/root/testdata/sf0.001"), "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1
+    assert "aggregate(sequence" not in plan  # the old interpreted cosine
+
+
+def test_token_budget_has_no_single_reducer_window(spark, sf_dir):
+    """r6 shape pin: both token-budget variants avoid the unpartitioned
+    WindowExec (exact: sharded prefix sum; bucketed: driver-side
+    threshold from the histogram)."""
+    for name in ("sample_token_budget", "sample_token_budget_bucketed"):
+        plan = physical_plan(all_queries()[name].fn(spark, "/root/testdata/sf0.001"), "simple")
+        assert "Window" not in plan, name
+
+
+def test_lsh_verify_keeps_shingle_sets_packed(spark, sf_dir):
+    """r6 shape pin: the Jaccard verify joins candidate pairs against
+    per-doc PACKED sets (array_intersect) — no exploded candidate x
+    shingle generator feeds a group-count."""
+    q = all_queries()["dedup_lsh_verified_pairs"]
+    plan = physical_plan(q.fn(spark, "/root/testdata/sf0.001"), "simple")
+    assert "array_intersect" in plan
