@@ -77,7 +77,11 @@ def connected_components(
             .count()
         )
 
-    prev_sum = _label_sum(labels) if numeric_ids else None
+    # prev_sum starts None (no extra job): round 1 then never reads as
+    # converged, which only costs one cheap confirmation round in the
+    # rare already-converged-input case and saves an action on every
+    # other run
+    prev_sum = None
     converged = False
     for _ in range(max_iter):
         # propagate: node label := min(own label, neighbors' labels)
