@@ -15,7 +15,11 @@ from dataingestionplayground_spark.ingest.chunker import semantic_splits, token_
 from dataingestionplayground_spark.ingest.embed import hash_embed
 from dataingestionplayground_spark.sources.markdown import parse_markdown
 
-KINDS = {"header", "paragraph", "footer", "image", "table", "section", "code"}
+KINDS = {
+    "header", "paragraph", "footer", "image", "table", "section", "code",
+    "footnote", "definition_term", "definition",  # advanced extensions (r3)
+    "math", "diagram", "figure_caption",  # advanced extensions (r6)
+}
 
 texts = st.text(alphabet=string.printable, max_size=2000)
 tokens = st.lists(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8), max_size=200)
@@ -80,3 +84,42 @@ def test_hash_embed_deterministic_unit_norm(text):
     assert len(v) == 384
     n = math.sqrt(sum(x * x for x in v))
     assert n == 0.0 or abs(n - 1.0) < 1e-3
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(  # corpus rows
+        st.lists(st.integers(-8, 8), min_size=4, max_size=4), min_size=1, max_size=8
+    ),
+    st.lists(  # centroids (duplicates allowed -> exact ties exercised)
+        st.lists(st.integers(-8, 8), min_size=4, max_size=4), min_size=1, max_size=6
+    ),
+)
+def test_cosine_argmax_matches_sql_semantics(rows, cents):
+    """The numpy argmax stage must reproduce the SQL form
+    array_position(sims, array_max(sims)) - 1 exactly: first-index-of-max
+    tie-break, zero-norm centroids never selected (null cosine), all-null
+    rows -> -1. Integer-valued vectors keep every dot product exact in
+    float64, so the python reference and the BLAS matmul agree bitwise."""
+    import math
+
+    import numpy as np
+
+    from dataingestionplayground_spark.operators.similarity import _cosine_argmax_np
+
+    E = np.asarray(rows, dtype=np.float64)
+    C = np.asarray(cents, dtype=np.float64)
+    got = _cosine_argmax_np(E, C)
+    for r, e in enumerate(rows):
+        en = math.sqrt(sum(x * x for x in e))
+        sims = []
+        for c in cents:
+            cn = math.sqrt(sum(x * x for x in c))
+            dot = float(sum(a * b for a, b in zip(e, c)))
+            sims.append(None if en * cn == 0.0 else dot / (en * cn))
+        non_null = [s for s in sims if s is not None]
+        if not non_null:
+            want = -1
+        else:
+            want = sims.index(max(non_null))  # first index of the max
+        assert got[r] == want, (e, cents, sims, got[r], want)
