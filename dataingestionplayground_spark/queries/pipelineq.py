@@ -743,7 +743,13 @@ def sample_token_budget(spark, sf):
     scored = quality_scores(t(spark, sf, "documents")).select(
         "doc_id", "n_toks", "quality"
     )
-    n_shards = max(2, scored.sparkSession.sparkContext.defaultParallelism)
+    # shard count tracks the scan's own parallelism: tiny inputs (one
+    # parquet split) get 2 shards instead of paying 32 range buckets of
+    # fixed overhead; big inputs scale with the cluster
+    n_shards = min(
+        max(2, scored.sparkSession.sparkContext.defaultParallelism),
+        max(2, scored.rdd.getNumPartitions()),
+    )
     ranged = (
         scored.repartitionByRange(n_shards, F.desc("quality"), F.asc("doc_id"))
         .withColumn("__pid", F.spark_partition_id())
