@@ -202,3 +202,211 @@ def pq_search_indexed(
         query_id=query_id,
         query_vec=query_vec,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index: the second member of the store-backed index family. Where the
+# PQ index persists compressed CODES (scan cost), the IVF index persists
+# the coarse CELL ASSIGNMENT, partitioned by cell — so a search with
+# n_probe cells triggers parquet PARTITION PRUNING and never reads the
+# other cells' files at all: the index turns top-k from a corpus scan
+# into a probed-cells scan. Same lifecycle as PQ: centroids FROZEN at
+# build time (ivf.json), refresh encodes only new chunks (anti-join),
+# deletion rewrites only the affected cell partitions.
+# ---------------------------------------------------------------------------
+
+_IVF_META = "ivf.json"
+
+
+def _ivf_dir(store: CollectionStore, collection: str) -> str:
+    store._path(collection)
+    return os.path.join(store.base_path, "_indexes", collection, "ivf")
+
+
+def _ivf_cents_df(spark: SparkSession, meta: dict) -> DataFrame:
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(meta["cents"])]
+    return spark.createDataFrame(rows, "centroid_id int, cent_vec array<float>")
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    n_cells: int = 8,
+) -> dict:
+    """Seed ``n_cells`` centroids (lowest-key chunks — deterministic, the
+    same rule every seeded stage uses), assign every chunk to its argmax-
+    cosine cell with the Arrow matmul stage, and persist the assignment
+    partitioned BY CELL. One corpus scan + one partitioned write."""
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+        _seed_centroids,
+    )
+
+    chunks = store.read(spark, collection).select("key", "documentid", "embedding")
+    cents = _seed_centroids(chunks, "key", "embedding", n_cells)
+    meta = {
+        "n_cells": cents.count(),
+        "cents": [
+            [float(x) for x in r["cent_vec"]]
+            for r in cents.orderBy("centroid_id").collect()
+        ],
+    }
+    assigned = _assign_cells_matmul(
+        chunks, _ivf_cents_df(spark, meta), "key", "embedding", extra_cols=("documentid",)
+    ).select("key", "documentid", "cell")
+    idx = _ivf_dir(store, collection)
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(os.path.join(idx, "cells"))
+    )
+    os.makedirs(idx, exist_ok=True)
+    with open(os.path.join(idx, _IVF_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _load_ivf_meta(store: CollectionStore, collection: str) -> dict:
+    path = os.path.join(_ivf_dir(store, collection), _IVF_META)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no IVF index for collection {collection!r}; run build_ivf_index first"
+        )
+    return json.load(open(path))
+
+
+def read_ivf_assignments(
+    spark: SparkSession, store: CollectionStore, collection: str
+) -> DataFrame:
+    return spark.read.parquet(os.path.join(_ivf_dir(store, collection), "cells"))
+
+
+def refresh_ivf_index(spark: SparkSession, store: CollectionStore, collection: str) -> dict:
+    """Incremental maintenance against the FROZEN centroids: assign only
+    chunks without an assignment row (anti-join on key) and append into
+    their cell partitions; drop rows for deleted chunks by rewriting only
+    the cell partitions that contained them."""
+    from dataingestionplayground_spark.operators.similarity import _assign_cells_matmul
+
+    meta = _load_ivf_meta(store, collection)
+    idx = _ivf_dir(store, collection)
+    cells_path = os.path.join(idx, "cells")
+    chunks = store.read(spark, collection).select("key", "documentid", "embedding")
+    assigned = spark.read.parquet(cells_path)
+
+    new = chunks.join(assigned.select("key"), "key", "left_anti")
+    appended = new.count()
+    if appended:
+        (
+            _assign_cells_matmul(
+                new, _ivf_cents_df(spark, meta), "key", "embedding",
+                extra_cols=("documentid",),
+            )
+            .select("key", "documentid", "cell")
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .option("compression", "zstd")
+            .parquet(cells_path)
+        )
+        assigned = spark.read.parquet(cells_path)
+
+    orphans = assigned.join(chunks.select("key"), "key", "left_anti")
+    removed = orphans.count()
+    if removed:
+        # dynamic partition overwrite: ONLY the cells that lost a chunk
+        # are rewritten — the untouched partitions' files stay in place
+        hot_cells = [r["cell"] for r in orphans.select("cell").distinct().collect()]
+        kept = (
+            assigned.filter(F.col("cell").isin(hot_cells))
+            .join(chunks.select("key"), "key", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        (
+            kept.repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .option("compression", "zstd")
+            .parquet(cells_path)
+        )
+    return {"appended": appended, "removed": removed}
+
+
+def ivf_search_indexed(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k over only the ``n_probe`` nearest cells per
+    query. Probe cells are computed driver-side from the (tiny) query set
+    against the frozen centroid matrix, so the assignment scan carries a
+    LITERAL cell filter — static parquet partition pruning, visible as
+    PartitionFilters in the plan; full-precision vectors are then read
+    for candidate keys only (semi-join into the collection).
+    Returns (query_id, key, score, rank)."""
+    import numpy as np
+
+    from dataingestionplayground_spark.functions import vector as V
+
+    meta = _load_ivf_meta(store, collection)
+    C = np.asarray(meta["cents"], dtype=np.float64)
+    from pyspark.sql import types as T
+
+    qid_field = queries.schema[query_id]
+    q_rows = queries.select(query_id, query_vec).collect()  # query set: tiny by contract
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    qid_field,
+                    T.StructField("key", T.StringType(), True),
+                    T.StructField("score", T.DoubleType(), True),
+                    T.StructField("rank", T.IntegerType(), True),
+                ]
+            ),
+        )
+    E = np.vstack([np.asarray(r[query_vec], dtype=np.float64) for r in q_rows])
+    cn = np.sqrt((C * C).sum(axis=1))
+    en = np.sqrt((E * E).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (E @ C.T) / (en[:, None] * cn[None, :])
+    sims = np.where(np.isfinite(sims), sims, -np.inf)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]  # ties -> lowest cell
+    probes = [
+        (r[query_id], [int(c) for c in order[i]]) for i, r in enumerate(q_rows)
+    ]
+    all_cells = sorted({c for _, cs in probes for c in cs})
+    assigned = read_ivf_assignments(spark, store, collection).filter(
+        F.col("cell").isin(all_cells)  # literal -> static partition pruning
+    )
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [(qid, c) for qid, cs in probes for c in cs],
+            T.StructType([qid_field, T.StructField("cell", T.IntegerType(), False)]),
+        )
+    )
+    cand = assigned.join(probe_df, "cell").select(query_id, "key")
+    vecs = store.read(spark, collection).select("key", "embedding")
+    scored = (
+        vecs.join(F.broadcast(cand), "key")
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("score", V.cosine_similarity("embedding", query_vec))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("score"), F.asc("key"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "key", "score", "rank")
+    )

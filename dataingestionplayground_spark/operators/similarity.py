@@ -561,7 +561,11 @@ def _vstack_f64(series):
 
 
 def _assign_cells_matmul(
-    corpus: DataFrame, cents: DataFrame, corpus_id: str, corpus_vec: str
+    corpus: DataFrame,
+    cents: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow-batched numpy matmul
     stage (``emb @ cents.T``): the centroid matrix (<= 4096 x d float64,
@@ -582,16 +586,17 @@ def _assign_cells_matmul(
     C = np.vstack([np.asarray(r["cent_vec"], dtype=np.float64) for r in rows])
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(C)
-    src = corpus.select(corpus_id, corpus_vec)
+    keep = [corpus_id, corpus_vec, *extra_cols]
+    src = corpus.select(*keep)
     out_schema = T.StructType(
-        [src.schema[corpus_id], src.schema[corpus_vec], T.StructField("cell", T.IntegerType(), True)]
+        [*(src.schema[c] for c in keep), T.StructField("cell", T.IntegerType(), True)]
     )
 
     def assign(batches):
         Cm = bc.value
         cn = np.sqrt((Cm * Cm).sum(axis=1))
         for pdf in batches:
-            out = pdf[[corpus_id, corpus_vec]].copy()
+            out = pdf[keep].copy()
             if len(pdf) == 0:
                 out["cell"] = pd.array([], dtype="Int32")
                 yield out

@@ -125,3 +125,118 @@ def test_index_scan_reads_codes_not_vectors(spark, md_elements, tmp_path):
     assert "parquet" in plan.lower()
     files = pq_search_indexed(spark, store, "scan", q, k=2).inputFiles()
     assert files and all(os.path.join("pq", "codes") in f for f in files)
+
+
+# --- IVF index (round 6): partition-pruned probed-cells search ----------
+
+
+def _ivf_fixture(spark, md_elements, tmp_path, coll="ivf"):
+    from dataingestionplayground_spark.ingest.ann_index import build_ivf_index
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, coll, max_tokens=8, overlap=0)
+    meta = build_ivf_index(spark, store, coll, n_cells=4)
+    return store, meta
+
+
+def test_ivf_search_matches_probed_cells_bruteforce(spark, md_elements, tmp_path):
+    """Index search == exact cosine top-k restricted to the probed cells
+    of the PERSISTED assignment (the index is a pruning structure, not an
+    approximation beyond cell probing)."""
+    import numpy as np
+
+    from dataingestionplayground_spark.functions import vector as V
+    from dataingestionplayground_spark.ingest.ann_index import (
+        ivf_search_indexed,
+        read_ivf_assignments,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    store, meta = _ivf_fixture(spark, md_elements, tmp_path)
+    q = _queries_df(spark, ["machine learning algorithms", "the roman empire"])
+    got = ivf_search_indexed(spark, store, "ivf", q, k=5, n_probe=2).collect()
+
+    # expected: per query, numpy-probe the 2 nearest frozen centroids,
+    # then exact cosine over assignment rows in those cells only
+    C = np.asarray(meta["cents"], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    rows = []
+    for r in q.collect():
+        e = np.asarray(r["query_vec"], dtype=np.float64)
+        sims = (e @ C.T) / (np.sqrt(e @ e) * cn)
+        cells = [int(c) for c in np.argsort(-sims, kind="stable")[:2]]
+        rows.extend((r["query_id"], c) for c in cells)
+    probe = spark.createDataFrame(rows, "query_id string, cell int")
+    cand = read_ivf_assignments(spark, store, "ivf").join(probe, "cell").select("query_id", "key")
+    scored = (
+        store.read(spark, "ivf")
+        .select("key", "embedding")
+        .join(cand, "key")
+        .join(q, "query_id")
+        .withColumn("score", V.cosine_similarity("embedding", "query_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("score"), F.asc("key"))
+    want = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "key", "score", "rank")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_ivf_search_scan_is_partition_pruned(spark, md_elements, tmp_path):
+    """The probed-cells filter must reach the assignment scan as a
+    PartitionFilter (literal isin over the partition column) and the
+    assignment scan must not read embeddings."""
+    from dataingestionplayground_spark.ingest.ann_index import ivf_search_indexed
+    from dataingestionplayground_spark.plans import physical_plan
+
+    store, _ = _ivf_fixture(spark, md_elements, tmp_path)
+    q = _queries_df(spark, ["machine learning algorithms"])
+    plan = physical_plan(ivf_search_indexed(spark, store, "ivf", q, k=3, n_probe=1), "formatted")
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace("  ", " ") or (
+        "PartitionFilters" in plan and "cell" in plan
+    )
+
+
+def test_ivf_refresh_appends_only_new_and_drops_orphans(spark, md_elements, tmp_path):
+    from dataingestionplayground_spark.ingest.ann_index import (
+        ivf_search_indexed,
+        read_ivf_assignments,
+        refresh_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    store, _ = _ivf_fixture(spark, md_elements, tmp_path)
+    n0 = read_ivf_assignments(spark, store, "ivf").count()
+    # no-op refresh
+    assert refresh_ivf_index(spark, store, "ivf") == {"appended": 0, "removed": 0}
+
+    # ingest one more document incrementally -> refresh appends only it
+    extra = md_elements.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("-copy2")))
+    ingest_corpus(extra, store, "ivf", max_tokens=8, overlap=0, incremental=True)
+    r = refresh_ivf_index(spark, store, "ivf")
+    assert r["appended"] > 0 and r["removed"] == 0
+    n1 = read_ivf_assignments(spark, store, "ivf").count()
+    assert n1 == n0 + r["appended"]
+
+    # delete the new document -> refresh rewrites only affected cells
+    gone = [
+        r["documentid"]
+        for r in store.read(spark, "ivf")
+        .select("documentid")
+        .filter(F.col("documentid").endswith("-copy2"))
+        .distinct()
+        .collect()
+    ]
+    store.delete_documents(spark, "ivf", gone)
+    r2 = refresh_ivf_index(spark, store, "ivf")
+    assert r2["removed"] > 0
+    assigned = read_ivf_assignments(spark, store, "ivf")
+    assert assigned.count() == n0
+    # index-backed search still healthy after the churn
+    q = _queries_df(spark, ["machine learning algorithms"])
+    assert ivf_search_indexed(spark, store, "ivf", q, k=3).count() > 0
