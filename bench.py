@@ -144,6 +144,32 @@ def main():
         timings["vector_pq_index_search"] = round(best, 3)
         pq_index = {"refresh_sec": refresh_sec, **refreshed}
 
+        # IVF sibling: partition-pruned probed-cells search off the same
+        # collection (build excluded and cached like PQ)
+        from dataingestionplayground_spark.ingest.ann_index import (
+            build_ivf_index,
+            ivf_search_indexed,
+            refresh_ivf_index,
+        )
+
+        if not os.path.exists(
+            os.path.join(idx_base, "_indexes", "embeddings", "ivf", "ivf.json")
+        ):
+            build_ivf_index(spark, store, "embeddings", n_cells=8)
+        t0 = time.perf_counter()
+        ivf_refreshed = refresh_ivf_index(spark, store, "embeddings")
+        ivf_refresh_sec = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            ivf_search_indexed(spark, store, "embeddings", q, k=10, n_probe=2).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["vector_ivf_index_search"] = round(best, 3)
+        pq_index["ivf"] = {"refresh_sec": ivf_refresh_sec, **ivf_refreshed}
+
     total = round(sum(timings.values()), 3)
 
     # larger-SF block: min-of-2 over the heaviest shapes at 5x. Opt out
