@@ -1,0 +1,163 @@
+"""Sharded exact rank / ntile — distributed prefix counts without a
+single-reducer (or low-cardinality-skewed) WindowExec.
+
+The textbook two-pass distributed prefix pattern already used by
+``sample_token_budget`` / ``ingest_pack_sequences`` (queries/pipelineq.py),
+factored for rank-style windows:
+
+1. ``repartitionByRange`` on (partition_cols + order spec) makes the
+   physical partition id a contiguous key range — rows of one logical
+   group may span several shards, but each shard holds a contiguous
+   rank range of it.
+2. Per-(shard, group) row counts are collected driver-side (n_shards x
+   n_groups rows — bounded and tiny) and cumulative offsets computed.
+3. A narrow ``mapInPandas`` pass over the already-sorted shards adds the
+   broadcast offset to a local running count: exact 1-based rank, and
+   from it the SQL-standard ntile bucket, with zero skewed reducers.
+
+The reference has no windows at all (SURVEY.md §2.5); this is the
+100 TB-shaped realization of the rank/ntile surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ntile_buckets(rank, n: int, k: int):
+    """Vectorized SQL-standard ntile: the first ``n % k`` buckets get
+    ``n // k + 1`` rows, the rest ``n // k`` (rank is 1-based)."""
+    import numpy as np
+
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    return np.where(
+        rank <= big,
+        (rank - 1) // (q + 1) + 1,
+        r + (rank - big - 1) // max(q, 1) + 1,
+    ).astype("int32")
+
+
+def bounded_rank(
+    df: DataFrame,
+    order_spec: Sequence[tuple[str, bool]],
+    out_col: str = "rk",
+) -> DataFrame:
+    """``row_number()`` over a PROVABLY BOUNDED input (a post-``limit``
+    top-k, a <=n-row seed table) without any WindowExec.
+
+    An unpartitioned window prints Spark's single-partition warning even
+    when the input is 10 rows, and a constant partition key is stripped
+    by the optimizer (EliminateWindowPartitions) — so for bounded inputs
+    the rank is attached explicitly: coalesce to the one partition the
+    input already occupies, sort within it, arange in a narrow Arrow
+    pass. NEVER use on unbounded input; for that see ``sharded_ntile``'s
+    prefix-count pattern.
+    """
+    from pyspark.sql import types as T
+
+    spec = [F.asc(c) if asc else F.desc(c) for c, asc in order_spec]
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(out_col, T.IntegerType(), False)]
+    )
+
+    def add_rank(batches):
+        import numpy as np
+
+        base = 0
+        for pdf in batches:
+            res = pdf.copy()
+            res[out_col] = np.arange(base + 1, base + len(pdf) + 1, dtype="int32")
+            base += len(pdf)
+            yield res
+
+    return df.coalesce(1).sortWithinPartitions(*spec).mapInPandas(add_rank, out_schema)
+
+
+def sharded_ntile(
+    df: DataFrame,
+    k: int,
+    order_spec: Sequence[tuple[str, bool]],
+    partition_cols: Sequence[str] = (),
+    out_col: str = "ntile",
+) -> DataFrame:
+    """``ntile(k) OVER (PARTITION BY partition_cols ORDER BY order_spec)``
+    as a sharded two-pass prefix count.
+
+    ``order_spec`` is ``[(col, ascending), ...]`` and must be a total
+    order within each group (include a unique tie-break column) for the
+    result to be deterministic. Partition-column values must be
+    hashable scalars (strings / ints); they become driver-side dict
+    keys. Output column is IntegerType, matching built-in ``ntile``.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas batches
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_shards = min(
+        max(2, spark.sparkContext.defaultParallelism),
+        max(2, df.rdd.getNumPartitions()),
+    )
+    pcols = list(partition_cols)
+    spec = [F.col(c) for c in pcols] + [
+        F.asc(c) if asc else F.desc(c) for c, asc in order_spec
+    ]
+    ranged = (
+        df.repartitionByRange(n_shards, *spec)
+        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions(*spec)
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("__pid", *pcols).count().collect()
+    by_group = defaultdict(list)
+    for r in totals:
+        by_group[tuple(r[c] for c in pcols)].append((r["__pid"], r["count"]))
+    offsets, n_by_group = {}, {}
+    for g, shard_counts in by_group.items():
+        acc = 0
+        for pid, c in sorted(shard_counts):
+            offsets[(pid, g)] = acc
+            acc += c
+        n_by_group[g] = acc
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(out_col, T.IntegerType(), False)]
+    )
+
+    def compute(batches):
+        import numpy as np
+
+        run, pid = {}, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            out = np.empty(len(pdf), dtype="int32")
+            if pcols:
+                # contiguous group segments (rows arrive sorted by
+                # pcols); a false boundary (e.g. None != None) is
+                # harmless — `run` carries the count across segments
+                change = pdf[pcols].ne(pdf[pcols].shift()).any(axis=1).to_numpy()
+                change[0] = True
+                starts = np.flatnonzero(change)
+            else:
+                starts = np.array([0])
+            bounds = np.append(starts, len(pdf))
+            for i, s in enumerate(starts):
+                e = bounds[i + 1]
+                g = tuple(pdf[c].iloc[s] for c in pcols)
+                base = run.get(g, offsets.get((pid, g), 0))
+                ranks = base + np.arange(1, e - s + 1, dtype="int64")
+                run[g] = base + (e - s)
+                out[s:e] = _ntile_buckets(ranks, n_by_group[g], k)
+            res = pdf.drop(columns=["__pid"]).copy()
+            res[out_col] = out
+            yield res
+
+    return ranged.mapInPandas(compute, schema=out_schema)

@@ -88,8 +88,14 @@ def _seed_centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str, n: int) 
             F.col(corpus_id).alias("__cent_src"), F.col(corpus_vec).alias("cent_vec")
         )
     )
-    w_rank = Window.orderBy(F.asc("__cent_src"))
-    return cents.withColumn("centroid_id", F.row_number().over(w_rank) - 1).drop("__cent_src")
+    # bounded by the limit(n) above (n centroids, never corpus-sized) —
+    # ranked window-free so no unpartitioned WindowExec appears anywhere
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
+
+    ranked = bounded_rank(cents, [("__cent_src", True)], "__rk")
+    return ranked.withColumn("centroid_id", F.col("__rk") - 1).drop(
+        "__cent_src", "__rk"
+    )
 
 
 def _assign_cells(df: DataFrame, cents: DataFrame, vec: str, id_col: str, keep: int) -> DataFrame:

@@ -248,13 +248,17 @@ def events_anomaly_zscore(spark, sf):
 )
 def events_heavy_hitters(spark, sf):
     # exact heavy hitters (top users by event volume); at 100 TB swap the
-    # exact count for approx_count_distinct / count-min sketches.
-    from pyspark.sql import Window as W
+    # exact count for approx_count_distinct / count-min sketches. The
+    # top-10 is taken with orderBy+limit (TakeOrderedAndProject: partial
+    # top-k per partition, no global sort, no single-reducer window over
+    # |users| rows); only the surviving <=10 rows are ranked, window-free
+    # (operators/prefix.py bounded_rank).
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
 
     e = t(spark, sf, "events")
     counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    w = W.orderBy(F.desc("n_events"), F.asc("user_id"))
-    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    top = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
+    return bounded_rank(top, [("n_events", False), ("user_id", True)], "rk")
 
 
 @register(

@@ -218,27 +218,83 @@ def sample_stratified_by_source(spark, sf):
 def ingest_pack_sequences(spark, sf):
     # Sequence packing for pretraining: concat docs per shard (source) in
     # stable doc_id order, split into capacity-256 token bins; a doc's bin
-    # and offset come from the running token count before it. One window
-    # (sort-shuffle on source) — integer arithmetic only, portable. The
-    # concat-and-split policy is what streaming tokenized datasets do;
-    # documents may straddle a boundary by design.
+    # and offset come from the running token count before it. The concat-
+    # and-split policy is what streaming tokenized datasets do; documents
+    # may straddle a boundary by design.
+    #
+    # `source` is a handful of values, so a window partitioned by it
+    # carries ~|corpus|/n_sources rows per reducer — the exact skewed
+    # shape sample_token_budget eliminated. Same sharded two-pass prefix
+    # sum here, keyed WITHIN each source: repartitionByRange on
+    # (source, doc_id) makes partition id == contiguous key range,
+    # per-(shard, source) totals are cumsum'd driver-side (n_shards x
+    # n_sources rows), and the final pass adds each (shard, source)
+    # offset to a LOCAL groupwise cumsum — no skewed WindowExec, and the
+    # prefix pass is a narrow Arrow stage over already-sorted shards.
+    import pandas as pd
+    from pyspark.sql import types as T
+
     d = t(spark, sf, "documents")
     sized = d.select("doc_id", "source", TX.token_count("text").alias("n_toks"))
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
+    n_shards = min(
+        max(2, sized.sparkSession.sparkContext.defaultParallelism),
+        max(2, sized.rdd.getNumPartitions()),
     )
-    packed = sized.withColumn(
-        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long")
+    ranged = (
+        sized.repartitionByRange(n_shards, F.asc("source"), F.asc("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions("source", "doc_id")
+        .localCheckpoint(eager=True)
     )
-    return packed.select(
-        "doc_id",
-        "source",
-        "n_toks",
-        (F.col("cum_before") / 256).cast("long").alias("bin_id"),
-        (F.col("cum_before") % 256).cast("long").alias("bin_offset"),
+    # (shard, source) totals: n_shards x n_sources rows driver-side
+    totals = ranged.groupBy("__pid", "source").agg(F.sum("n_toks").alias("t")).collect()
+    offsets, acc_by_source = {}, {}
+    for r in sorted(totals, key=lambda r: (r["source"], r["__pid"])):
+        offsets[(r["__pid"], r["source"])] = acc_by_source.get(r["source"], 0)
+        acc_by_source[r["source"]] = acc_by_source.get(r["source"], 0) + (r["t"] or 0)
+    out_schema = T.StructType(
+        [
+            ranged.schema["doc_id"],
+            ranged.schema["source"],
+            ranged.schema["n_toks"],
+            T.StructField("bin_id", T.LongType(), True),
+            T.StructField("bin_offset", T.LongType(), True),
+        ]
     )
+
+    def local_prefix(batches):
+        run, pid = {}, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            nt = pdf["n_toks"].to_numpy(dtype="int64")
+            # groupwise local cumsum — source groups arrive contiguous
+            local_before = (
+                pdf.groupby("source", sort=False)["n_toks"]
+                .cumsum()
+                .to_numpy(dtype="int64")
+                - nt
+            )
+            bases = {
+                s: run.get(s, offsets.get((pid, s), 0))
+                for s in pdf["source"].unique()
+            }
+            before = pdf["source"].map(bases).to_numpy(dtype="int64") + local_before
+            for s, tot in pdf.groupby("source", sort=False)["n_toks"].sum().items():
+                run[s] = bases[s] + int(tot)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_toks": pdf["n_toks"],
+                    "bin_id": before // 256,
+                    "bin_offset": before % 256,
+                }
+            )
+
+    return ranged.mapInPandas(local_prefix, schema=out_schema)
 
 
 @register(
@@ -851,7 +907,11 @@ def sample_token_budget_bucketed(spark, sf):
         F.sum("n_toks").cast("long").alias("bucket_toks")
     )
     acc, cut = 0, 9223372036854775807
-    for r in sorted(hist.collect(), key=lambda r: -r["qbucket"]):
+    # a null quality row yields qbucket NULL — it can never be kept
+    # (NULL > cut is NULL -> false) and must not break the driver-side
+    # sort (-None raises TypeError)
+    rows = [r for r in hist.collect() if r["qbucket"] is not None]
+    for r in sorted(rows, key=lambda r: -r["qbucket"]):
         if acc <= 4096:  # toks_above (exclusive prefix) still fits
             cut = r["qbucket"]
         acc += r["bucket_toks"]

@@ -378,17 +378,100 @@ def window_analytic_suite(spark, sf):
     """,
 )
 def window_range_frame(spark, sf):
-    # RANGE frame over a value column (not rows): peers within $1000 below.
-    # (SQL form: PySpark's rangeBetween only takes integer offsets.)
-    t(spark, sf, "orders").createOrReplaceTempView("v_ord_range")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice,
-               COUNT(*) OVER (ORDER BY o_totalprice
-                              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k
-        FROM v_ord_range
-        """
+    # RANGE frame over a value column: COUNT(*) of peers within $1000
+    # below, i.e. |{rows : price in [x-1000, x]}| for every row.
+    #
+    # The SQL frame (`COUNT(*) OVER (ORDER BY price RANGE 1000
+    # PRECEDING)`) is a GLOBAL unpartitioned window — every orders row
+    # on one reducer, corpus-sized output: a scale-killer, so the Spark
+    # plan computes the same value shuffle-free-after-one-range-exchange:
+    # range-partition by price, replicate ONLY the <=$1000-wide boundary
+    # slice of each shard into the groups whose windows can reach it,
+    # then per-group sorted-array searchsorted counts (O(n log n) local,
+    # no quadratic self-join, no single-partition stage).
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    n_shards = min(
+        max(2, o.sparkSession.sparkContext.defaultParallelism),
+        max(2, o.rdd.getNumPartitions()),
     )
+    ranged = (
+        o.repartitionByRange(n_shards, F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    span = ranged.groupBy("__pid").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    # a row (pid p, price v) is context for shard q != p when v falls in
+    # [lo_q - 1000, hi_q]: below-boundary window reach, plus boundary
+    # ties that the range partitioner may split across shards
+    bounds = [
+        (int(r["__pid"]), float(r["lo"]), float(r["hi"])) for r in span.collect()
+    ]
+    bdf = spark.createDataFrame(bounds, "q int, lo double, hi double")
+    ctx = (
+        ranged.join(
+            F.broadcast(bdf),
+            (F.col("q") != F.col("__pid"))
+            & (F.col("o_totalprice") >= F.col("lo") - 1000.0)
+            & (F.col("o_totalprice") <= F.col("hi")),
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("q").alias("__grp"),
+            F.lit(False).alias("__emit"),
+        )
+    )
+    main = ranged.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("__pid").alias("__grp"),
+        F.lit(True).alias("__emit"),
+    )
+    grouped = (
+        main.unionByName(ctx)
+        .repartition(n_shards, "__grp")
+        .sortWithinPartitions("__grp", "o_totalprice", "o_orderkey")
+    )
+    out_schema = T.StructType(
+        [
+            o.schema["o_orderkey"],
+            o.schema["o_totalprice"],
+            T.StructField("n_within_1k", T.LongType(), False),
+        ]
+    )
+
+    def count_in_range(batches):
+        import numpy as np
+
+        # a hash partition may hold several groups, and one group may
+        # span batches — accumulate per partition, flush per group
+        acc = []
+        for pdf in batches:
+            acc.append(pdf)
+        if not acc:
+            return
+        pdf = pd.concat(acc, ignore_index=True)
+        for _, g in pdf.groupby("__grp", sort=False):
+            prices = g["o_totalprice"].to_numpy(dtype="float64")  # sorted
+            emit = g[g["__emit"]]
+            x = emit["o_totalprice"].to_numpy(dtype="float64")
+            n = np.searchsorted(prices, x, side="right") - np.searchsorted(
+                prices, x - 1000.0, side="left"
+            )
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": emit["o_orderkey"],
+                    "o_totalprice": emit["o_totalprice"],
+                    "n_within_1k": n.astype("int64"),
+                }
+            )
+
+    return grouped.mapInPandas(count_in_range, schema=out_schema)
 
 
 @register(
@@ -548,11 +631,19 @@ def tpch_q19_disjunctive(spark, sf):
 def window_ntile_buckets(spark, sf):
     # ntile bucketing (equi-depth partitioning) — global and per-group;
     # unique tie-break column makes the assignment deterministic.
-    o = t(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(W.orderBy("o_totalprice", "o_orderkey")).alias("quartile"),
-        F.ntile(10)
-        .over(W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey"))
-        .alias("decile_in_status"),
-    )
+    #
+    # NOT expressed as window functions on the Spark side: the global
+    # ntile(4) would move every orders row to one reducer, and the
+    # per-status ntile(10) partitions on a 3-value key (~|orders|/3 per
+    # reducer) — both corpus-sized single/skewed-partition WindowExecs
+    # at 100x scale. Both buckets instead come from the sharded exact
+    # prefix-count (operators/prefix.py): range-partition on the sort
+    # key, per-(shard, group) counts collected (tiny), local cumcount +
+    # broadcast offset = exact rank, ntile arithmetic from rank.
+    from dataingestionplayground_spark.operators.prefix import sharded_ntile
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    order = [("o_totalprice", True), ("o_orderkey", True)]
+    with_q = sharded_ntile(o, 4, order, (), "quartile")
+    with_d = sharded_ntile(with_q, 10, order, ("o_orderstatus",), "decile_in_status")
+    return with_d.select("o_orderkey", "quartile", "decile_in_status")

@@ -159,10 +159,24 @@ def text_fingerprint(spark, sf):
     """,
 )
 def text_topk_per_source(spark, sf):
+    # Two-phase partial top-k (the operators/similarity.py pattern):
+    # `source` has a handful of values, so a single row_number window
+    # partitioned by it would sort each source's ENTIRE row set on one
+    # reducer to keep 5 rows. Phase 1 ranks within (source, hash shard)
+    # — every reducer sees at most 1/32 of a source — and keeps 5 per
+    # shard; phase 2 re-ranks the <= 5*32 survivors per source. Shards
+    # are a deterministic doc_id hash (stable under task retries).
     d = t(spark, sf, "documents")
-    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    sharded = d.withColumn("__shard", F.pmod(F.xxhash64("doc_id"), F.lit(32)))
+    w1 = W.partitionBy("source", "__shard").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    partial = (
+        sharded.withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
+    w2 = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
-        d.withColumn("rk", F.row_number().over(w))
+        partial.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", "n_chars", "rk")
     )
@@ -320,12 +334,13 @@ def text_bpe_pair_merge(spark, sf):
             F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
         ).alias("pair")
     )
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
+
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    w = W.orderBy(F.desc("n"), F.asc("pair"))
-    return (
-        counted.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 20)
-        .select("pair", "n", "rk")
+    top = counted.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+    # bounded by the limit above — rank the 20 survivors window-free
+    return bounded_rank(top, [("n", False), ("pair", True)], "rk").select(
+        "pair", "n", "rk"
     )
 
 

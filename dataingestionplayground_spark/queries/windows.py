@@ -150,18 +150,31 @@ def window_sliding_frame(spark, sf):
     """,
 )
 def window_ratio_to_total(spark, sf):
-    # Ratio-to-report: decimal-exact window denominators cast to double
-    # once, double division, rounded — decimal DIVISION scale rules differ
+    # Ratio-to-report: decimal-exact denominators cast to double once,
+    # double division, rounded — decimal DIVISION scale rules differ
     # across engines, so never divide decimals directly.
-    t(spark, sf, "orders").createOrReplaceTempView("v_ord_ratio")
-    return spark.sql(
-        """
-        SELECT o_orderkey,
-               round(o_totalprice
-                     / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE), 10) AS pct_of_total,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                          OVER (PARTITION BY o_orderpriority) AS DOUBLE)
-                     / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER () AS DOUBLE), 10) AS priority_share
-        FROM v_ord_ratio
-        """
+    #
+    # The oracle states this with SUM() OVER () frames; the Spark plan
+    # must NOT: an empty-partition window sends every orders row to one
+    # reducer and the output is corpus-sized, so at 100x scale that
+    # single WindowExec IS the job. Same answer, scale-safe shape:
+    # ordinary aggregates for the global and per-priority denominators,
+    # broadcast back onto the stream (one hash agg + two broadcast
+    # joins, zero single-partition stages).
+    o = t(spark, sf, "orders")
+    dec = F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+    grand = o.agg(dec.cast("double").alias("grand_total"))
+    per_pri = o.groupBy("o_orderpriority").agg(dec.cast("double").alias("pri_total"))
+    return (
+        o.join(F.broadcast(per_pri), "o_orderpriority")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") / F.col("grand_total"), 10).alias(
+                "pct_of_total"
+            ),
+            F.round(F.col("pri_total") / F.col("grand_total"), 10).alias(
+                "priority_share"
+            ),
+        )
     )
