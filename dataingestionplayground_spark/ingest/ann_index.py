@@ -320,19 +320,38 @@ def refresh_ivf_index(spark: SparkSession, store: CollectionStore, collection: s
         # dynamic partition overwrite: ONLY the cells that lost a chunk
         # are rewritten — the untouched partitions' files stay in place
         hot_cells = [r["cell"] for r in orphans.select("cell").distinct().collect()]
+        non_null = [c for c in hot_cells if c is not None]
+        cond = F.col("cell").isin(non_null)
+        if len(non_null) < len(hot_cells):  # null cell: isin never matches it
+            cond = cond | F.col("cell").isNull()
         kept = (
-            assigned.filter(F.col("cell").isin(hot_cells))
+            assigned.filter(cond)
             .join(chunks.select("key"), "key", "left_semi")
             .localCheckpoint(eager=True)
         )
-        (
-            kept.repartition("cell")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell")
-            .option("compression", "zstd")
-            .parquet(cells_path)
-        )
+        survivors = {r["cell"] for r in kept.select("cell").distinct().collect()}
+        if survivors:
+            (
+                kept.repartition("cell")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell")
+                .option("compression", "zstd")
+                .parquet(cells_path)
+            )
+        # dynamic overwrite only rewrites partitions PRESENT in `kept`:
+        # a cell whose every chunk was deleted has zero surviving rows,
+        # so its partition would never be rewritten and the stale rows
+        # would be re-reported as `removed` on every refresh — drop the
+        # emptied partition directories explicitly
+        for c in hot_cells:
+            if c not in survivors:
+                part = (
+                    "cell=__HIVE_DEFAULT_PARTITION__"
+                    if c is None
+                    else f"cell={c}"
+                )
+                shutil.rmtree(os.path.join(cells_path, part), ignore_errors=True)
     return {"appended": appended, "removed": removed}
 
 
@@ -397,8 +416,12 @@ def ivf_search_indexed(
     )
     cand = assigned.join(probe_df, "cell").select(query_id, "key")
     vecs = store.read(spark, collection).select("key", "embedding")
+    # `cand` is ~n_probe/n_cells of the whole corpus — distributed-sized,
+    # NEVER broadcast it; only probe_df and the query frame are tiny by
+    # contract. AQE still picks a broadcast join at runtime when the
+    # probed cells happen to be small.
     scored = (
-        vecs.join(F.broadcast(cand), "key")
+        vecs.join(cand, "key")
         .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
         .withColumn("score", V.cosine_similarity("embedding", query_vec))
     )

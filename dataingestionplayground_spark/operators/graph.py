@@ -55,15 +55,19 @@ def connected_components(
             "id", F.least("component", F.coalesce("g_comp", "component")).alias("component")
         )
 
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import IntegralType
 
-    numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
+    # integral only: casting fractional ids to decimal(38,0) ROUNDS, so a
+    # round of sub-unit label decreases could leave the rounded sum
+    # unchanged and declare convergence prematurely — float/double/
+    # decimal ids take the join-based changed-count path instead
+    numeric_ids = isinstance(labels.schema["component"].dataType, IntegralType)
 
     def _label_sum(df: DataFrame):
         # labels only ever DECREASE (every update is a least(...)), so an
         # unchanged sum across rounds <=> an unchanged label vector — a
         # join-free convergence check, decimal so 63-bit ids cannot
-        # overflow the running total at cluster scale. Non-numeric ids
+        # overflow the running total at cluster scale. Non-integral ids
         # fall back to the join-based changed-count below.
         return df.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")

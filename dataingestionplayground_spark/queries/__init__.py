@@ -56,4 +56,23 @@ def all_queries() -> dict[str, Query]:
         pipelineq,
     )
 
-    return REGISTRY
+    # Round-robin interleave across name families (the prefix before the
+    # first "_"): the driver's correctness gate samples the FIRST 50
+    # registry entries, and plain registration order front-loads the
+    # relational modules — the dedup_*/vector_*/text_*/sample_* families
+    # were never driver-checked (round-6 verdict item 5). Interleaving
+    # puts ~50/n_families of EVERY family inside any prefix sample while
+    # keeping within-family registration order (deterministic).
+    from collections import defaultdict
+
+    families: dict[str, list[Query]] = defaultdict(list)
+    for name, q in REGISTRY.items():
+        families[name.split("_", 1)[0]].append(q)
+    queues = list(families.values())
+    interleaved: dict[str, Query] = {}
+    while any(queues):
+        for qlist in queues:
+            if qlist:
+                q = qlist.pop(0)
+                interleaved[q.name] = q
+    return interleaved

@@ -336,6 +336,17 @@ def parse_markdown(doc_id: str, text: str) -> list[Element]:
             ):
                 g_lines.append(lines[j])
                 j += 1
+            # a grid table ENDS at its last +---+ rule: '|' rows after it
+            # (e.g. a pipe table with no blank line between) are a
+            # separate element, not extra grid body rows
+            last_sep = max(
+                idx
+                for idx, gl in enumerate(g_lines)
+                if _GRID_SEP_RE.match(gl.strip())
+            )
+            if last_sep + 1 < len(g_lines):
+                g_lines = g_lines[: last_sep + 1]
+                j = i + last_sep + 1
             cells = _parse_grid_table(g_lines) if len(g_lines) >= 2 else None
             if cells:
                 elements.append(

@@ -240,3 +240,51 @@ def test_ivf_refresh_appends_only_new_and_drops_orphans(spark, md_elements, tmp_
     # index-backed search still healthy after the churn
     q = _queries_df(spark, ["machine learning algorithms"])
     assert ivf_search_indexed(spark, store, "ivf", q, k=3).count() > 0
+
+
+def test_ivf_refresh_drops_fully_emptied_cell(spark, md_elements, tmp_path):
+    """Deleting EVERY chunk of a cell must drop the cell's partition:
+    dynamic partition overwrite only rewrites partitions present in the
+    surviving rows, so an emptied cell would otherwise keep its stale
+    assignment rows forever (`removed` re-reported on every refresh, and
+    a deleted-then-re-ingested key pinned to its old-embedding cell)."""
+    from dataingestionplayground_spark.ingest.ann_index import (
+        ivf_search_indexed,
+        read_ivf_assignments,
+        refresh_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    store, _ = _ivf_fixture(spark, md_elements, tmp_path)
+    assigned = read_ivf_assignments(spark, store, "ivf")
+    # pick the smallest cell and delete every document with a chunk in it
+    cell = assigned.groupBy("cell").count().orderBy("count", "cell").first()["cell"]
+    victims = [
+        r["documentid"]
+        for r in assigned.filter(F.col("cell") == cell)
+        .select("documentid")
+        .distinct()
+        .collect()
+    ]
+    store.delete_documents(spark, "ivf", victims)
+    r1 = refresh_ivf_index(spark, store, "ivf")
+    assert r1["removed"] > 0
+    after = read_ivf_assignments(spark, store, "ivf")
+    assert after.filter(F.col("cell") == cell).count() == 0
+    # the stale partition is truly gone: a second refresh is a no-op
+    assert refresh_ivf_index(spark, store, "ivf") == {"appended": 0, "removed": 0}
+    # re-ingest a victim -> its chunks get FRESH assignments via the
+    # anti-join (no stale rows shadowing them)
+    back = md_elements.filter(F.col("doc_id").isin(victims))
+    if back.take(1):
+        ingest_corpus(back, store, "ivf", max_tokens=8, overlap=0, incremental=True)
+        r2 = refresh_ivf_index(spark, store, "ivf")
+        assert r2["appended"] > 0 and r2["removed"] == 0
+        keys = {r["key"] for r in store.read(spark, "ivf").select("key").collect()}
+        idx_keys = {
+            r["key"]
+            for r in read_ivf_assignments(spark, store, "ivf").select("key").collect()
+        }
+        assert keys == idx_keys
+    q = _queries_df(spark, ["machine learning algorithms"])
+    assert ivf_search_indexed(spark, store, "ivf", q, k=3).count() > 0

@@ -241,6 +241,26 @@ def test_grid_table_between_paragraphs_and_lone_rule_is_not_a_table():
     assert [e.kind for e in lone] == ["paragraph"]
 
 
+def test_pipe_table_immediately_after_grid_table_stays_separate():
+    """The grid scan ends at the LAST +---+ rule: a pipe table directly
+    below (no blank line) must parse as its own table, not be swallowed
+    as extra grid body rows."""
+    md = "\n".join(
+        [
+            "+-----+-----+",
+            "| a   | b   |",
+            "+-----+-----+",
+            "| x | y |",
+            "|---|---|",
+            "| 1 | 2 |",
+        ]
+    )
+    els = parse_markdown("g4.md", md)
+    assert [e.kind for e in els] == ["table", "table"]
+    assert els[0].table_cells == [["a", "b"]]
+    assert els[1].table_cells == [["x", "y"], ["1", "2"]]
+
+
 def test_math_block_golden():
     """Markdig MathExtension ($$ fences): the LaTeX body becomes a 'math'
     element, inline $x$ stays paragraph text."""

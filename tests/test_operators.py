@@ -215,6 +215,23 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     assert set(comp.values()) == {0} and len(comp) == 61
 
 
+def test_connected_components_fractional_ids_use_exact_path(spark):
+    """Float ids must NOT take the decimal-sum convergence shortcut:
+    decimal(38,0) rounds sub-unit label decreases, which could declare
+    convergence prematurely. The join-based changed-count path must
+    still produce exact components for fractional ids."""
+    from dataingestionplayground_spark.operators.graph import connected_components
+
+    # sub-unit-spaced ids: every label decrease is fractional, so a
+    # rounded sum would be blind to progress
+    pairs = spark.createDataFrame(
+        [(0.1, 0.2), (0.2, 0.3), (0.3, 0.4), (7.5, 7.6)],
+        "id_a double, id_b double",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {0.1: 0.1, 0.2: 0.1, 0.3: 0.1, 0.4: 0.1, 7.5: 7.5, 7.6: 7.5}
+
+
 def test_connected_components_raises_when_budget_exhausted(spark):
     import pytest
 
