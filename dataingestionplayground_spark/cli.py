@@ -2,7 +2,7 @@
 (``/root/reference/DataIngestionPlayground/Program.cs:18-57``):
 
     ingest --reader markdown|pdf|database --collection C --source PATH
-    search --collection C [--query Q] [--top-k K]
+    search --collection C [--query Q] [--top-k K] [--index pq|ivf] [--n-probe N]
     list
 
 Defaults mirror ``VectorStoreOptions``/appsettings binding
@@ -126,7 +126,11 @@ def cmd_ingest(args, cfg) -> int:
 
 
 def cmd_search(args, cfg) -> int:
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.functions.vector import cosine_similarity
     from dataingestionplayground_spark.ingest import CollectionStore, search_collection
+    from dataingestionplayground_spark.ingest.embed import hash_embed
     from dataingestionplayground_spark.session import get_spark
 
     spark = get_spark("dip-search")
@@ -139,9 +143,58 @@ def cmd_search(args, cfg) -> int:
             file=sys.stderr,
         )
         return 2
+    index = getattr(args, "index", "none")
+    if index != "none":
+        # build-if-absent / refresh-if-stale, then every query in this
+        # session searches off the persisted index artifact
+        from dataingestionplayground_spark.ingest.ann_index import ensure_index
+
+        status = ensure_index(spark, store, collection, index)
+        if status["built"]:
+            print(f"[{index} index built]", file=sys.stderr)
+        elif status["appended"] or status["removed"]:
+            print(
+                f"[{index} index refreshed: +{status['appended']} "
+                f"-{status['removed']}]",
+                file=sys.stderr,
+            )
 
     def run_one(query: str) -> None:
-        for row in search_collection(spark, store, collection, query, k=args.top_k).collect():
+        if index == "none":
+            res = search_collection(spark, store, collection, query, k=args.top_k)
+        else:
+            from dataingestionplayground_spark.ingest.ann_index import (
+                ivf_search_indexed,
+                pq_search_indexed,
+            )
+
+            qvec = [float(x) for x in hash_embed(query)]
+            q = spark.createDataFrame(
+                [("q", qvec)], "query_id string, query_vec array<float>"
+            )
+            if index == "ivf":
+                # exact cosine over the probed cells' partitions only
+                hits = ivf_search_indexed(
+                    spark, store, collection, q, k=args.top_k, n_probe=args.n_probe
+                )
+            else:
+                # ADC shortlist off the code table, exact rerank below
+                hits = pq_search_indexed(
+                    spark, store, collection, q, k=args.top_k * 4
+                )
+            cand = hits.select("key")
+            res = (
+                store.read(spark, collection)
+                .join(F.broadcast(cand), "key")
+                .withColumn(
+                    "query_vec", F.array(*[F.lit(x).cast("float") for x in qvec])
+                )
+                .withColumn("score", cosine_similarity("embedding", "query_vec"))
+                .orderBy(F.desc("score"), F.asc("key"))
+                .select("key", "content", "context", "documentid", "score")
+                .limit(args.top_k)
+            )
+        for row in res.collect():
             print(f"score={row.score:.4f} documentid={row.documentid}")
             print(f"  context: {row.context}")
             print(f"  content: {row.content[:200]}")
@@ -386,6 +439,16 @@ def main(argv: list[str] | None = None) -> int:
     p_se.add_argument("--store")
     p_se.add_argument("--query", help="one-shot query (omit for REPL)")
     p_se.add_argument("--top-k", type=int, default=1)
+    p_se.add_argument(
+        "--index",
+        choices=["none", "pq", "ivf"],
+        default="none",
+        help="search off a store-backed ANN index (built/refreshed on demand) "
+        "instead of the brute-force corpus scan",
+    )
+    p_se.add_argument(
+        "--n-probe", type=int, default=2, help="IVF cells probed per query"
+    )
     p_se.set_defaults(fn=cmd_search)
 
     p_in = sub.add_parser("info", help="collection statistics")

@@ -284,6 +284,52 @@ def read_ivf_assignments(
     return spark.read.parquet(os.path.join(_ivf_dir(store, collection), "cells"))
 
 
+def ivf_index_staleness(
+    spark: SparkSession, store: CollectionStore, collection: str
+) -> dict:
+    """(missing, orphaned) chunk-key counts for the IVF assignment table
+    — the IVF twin of ``index_staleness``."""
+    keys = store.read(spark, collection).select("key")
+    assigned = read_ivf_assignments(spark, store, collection).select("key")
+    return {
+        "missing": keys.join(assigned, "key", "left_anti").count(),
+        "orphaned": assigned.join(keys, "key", "left_anti").count(),
+    }
+
+
+def ensure_index(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    kind: str,
+    **build_kwargs,
+) -> dict:
+    """Front door for index-backed search (the CLI path): build the
+    ``kind`` index if absent, refresh it if stale, no-op if current.
+    Returns {"built": bool, "appended": n, "removed": n}."""
+    if kind not in ("pq", "ivf"):
+        raise ValueError(f"unknown index kind {kind!r} (expected 'pq' or 'ivf')")
+    load = _load_meta if kind == "pq" else _load_ivf_meta
+    try:
+        load(store, collection)
+    except FileNotFoundError:
+        if kind == "pq":
+            first = store.read(spark, collection).select("embedding").first()
+            dims = len(first["embedding"]) if first else 384
+            build_kwargs.setdefault("dims", dims)
+            build_pq_index(spark, store, collection, **build_kwargs)
+        else:
+            build_ivf_index(spark, store, collection, **build_kwargs)
+        return {"built": True, "appended": 0, "removed": 0}
+    stale = (index_staleness if kind == "pq" else ivf_index_staleness)(
+        spark, store, collection
+    )
+    if stale["missing"] or stale["orphaned"]:
+        refresh = refresh_pq_index if kind == "pq" else refresh_ivf_index
+        return {"built": False, **refresh(spark, store, collection)}
+    return {"built": False, "appended": 0, "removed": 0}
+
+
 def refresh_ivf_index(spark: SparkSession, store: CollectionStore, collection: str) -> dict:
     """Incremental maintenance against the FROZEN centroids: assign only
     chunks without an assignment row (anti-join on key) and append into

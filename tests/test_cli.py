@@ -239,3 +239,51 @@ def test_cli_curate_without_eval_source(spark, tmp_path, capsys):
     assert rc == 0
     assert "after decontam:    2" in out  # stage skipped -> passthrough count
     assert spark.read.json(out_dir).count() == 2
+
+
+def test_cli_indexed_search_matches_bruteforce(spark, md_fixture_dir, tmp_path, capsys):
+    """`search --index pq|ivf` must return the brute-force top-k on the
+    fixture corpus (verdict r6 item 6): IVF probing every cell is exact
+    by construction; the PQ path's ADC shortlist + exact rerank recovers
+    the exact ranking on a corpus this size. The ensure_index front door
+    builds on first use and is silent/current on the second."""
+    store = str(tmp_path / "store")
+    rc = cli.main(
+        ["ingest", "--reader", "markdown", "--source", md_fixture_dir,
+         "--collection", "docs", "--store", store]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    def hits(extra):
+        args = ["search", "--collection", "docs", "--store", store,
+                "--query", "machine learning algorithms", "--top-k", "3"] + extra
+        assert cli.main(args) == 0
+        cap = capsys.readouterr()
+        lines = [l for l in cap.out.splitlines() if l.startswith("score=")]
+        return [l.split("documentid=")[1] for l in lines], cap.err
+
+    brute, _ = hits([])
+    ivf, err1 = hits(["--index", "ivf", "--n-probe", "8"])  # all cells -> exact
+    assert ivf == brute
+    assert "ivf index built" in err1
+    ivf2, err2 = hits(["--index", "ivf", "--n-probe", "8"])
+    assert ivf2 == brute and "built" not in err2 and "refreshed" not in err2
+
+    pq, perr = hits(["--index", "pq"])
+    assert pq == brute
+    assert "pq index built" in perr
+
+    # incremental ingest makes the index stale -> next search refreshes
+    extra_dir = tmp_path / "extra_md"
+    extra_dir.mkdir()
+    src = sorted(__import__("pathlib").Path(md_fixture_dir).glob("*.md"))[0]
+    (extra_dir / "zz-extra.md").write_text(src.read_text())
+    rc = cli.main(
+        ["ingest", "--reader", "markdown", "--source", str(extra_dir),
+         "--collection", "docs", "--store", store, "--incremental"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    _, err3 = hits(["--index", "ivf", "--n-probe", "8"])
+    assert "ivf index refreshed" in err3
