@@ -79,21 +79,26 @@ def bounded_rank(
     return df.coalesce(1).sortWithinPartitions(*spec).mapInPandas(add_rank, out_schema)
 
 
-def sharded_ntile(
+def _sharded_rank_apply(
     df: DataFrame,
-    k: int,
     order_spec: Sequence[tuple[str, bool]],
-    partition_cols: Sequence[str] = (),
-    out_col: str = "ntile",
+    partition_cols: Sequence[str],
+    out_col: str,
+    out_type,
+    np_dtype: str,
+    rank_fn,
 ) -> DataFrame:
-    """``ntile(k) OVER (PARTITION BY partition_cols ORDER BY order_spec)``
-    as a sharded two-pass prefix count.
+    """Shared machinery for rank-derived window stats: range-partition on
+    (partition_cols + order_spec), collect per-(shard, group) counts
+    (n_shards x n_groups rows — tiny), then a narrow Arrow pass turns
+    local cumcounts + broadcast offsets into exact 1-based ranks and
+    applies ``rank_fn(ranks, n_group) -> np.ndarray`` per segment.
 
     ``order_spec`` is ``[(col, ascending), ...]`` and must be a total
     order within each group (include a unique tie-break column) for the
     result to be deterministic. Partition-column values must be
     hashable scalars (strings / ints); they become driver-side dict
-    keys. Output column is IntegerType, matching built-in ``ntile``.
+    keys.
     """
     import pandas as pd  # noqa: F401 — mapInPandas batches
     from pyspark.sql import types as T
@@ -125,8 +130,7 @@ def sharded_ntile(
             acc += c
         n_by_group[g] = acc
     out_schema = T.StructType(
-        [f for f in df.schema.fields]
-        + [T.StructField(out_col, T.IntegerType(), False)]
+        [f for f in df.schema.fields] + [T.StructField(out_col, out_type, False)]
     )
 
     def compute(batches):
@@ -138,7 +142,7 @@ def sharded_ntile(
                 continue
             if pid is None:
                 pid = int(pdf["__pid"].iloc[0])
-            out = np.empty(len(pdf), dtype="int32")
+            out = np.empty(len(pdf), dtype=np_dtype)
             if pcols:
                 # contiguous group segments (rows arrive sorted by
                 # pcols); a false boundary (e.g. None != None) is
@@ -155,9 +159,54 @@ def sharded_ntile(
                 base = run.get(g, offsets.get((pid, g), 0))
                 ranks = base + np.arange(1, e - s + 1, dtype="int64")
                 run[g] = base + (e - s)
-                out[s:e] = _ntile_buckets(ranks, n_by_group[g], k)
+                out[s:e] = rank_fn(ranks, n_by_group[g])
             res = pdf.drop(columns=["__pid"]).copy()
             res[out_col] = out
             yield res
 
     return ranged.mapInPandas(compute, schema=out_schema)
+
+
+def sharded_ntile(
+    df: DataFrame,
+    k: int,
+    order_spec: Sequence[tuple[str, bool]],
+    partition_cols: Sequence[str] = (),
+    out_col: str = "ntile",
+) -> DataFrame:
+    """``ntile(k) OVER (PARTITION BY partition_cols ORDER BY order_spec)``
+    as a sharded two-pass prefix count. Output is IntegerType, matching
+    built-in ``ntile``; see :func:`_sharded_rank_apply` for contract."""
+    from pyspark.sql import types as T
+
+    return _sharded_rank_apply(
+        df,
+        order_spec,
+        partition_cols,
+        out_col,
+        T.IntegerType(),
+        "int32",
+        lambda ranks, n: _ntile_buckets(ranks, n, k),
+    )
+
+
+def sharded_row_number(
+    df: DataFrame,
+    order_spec: Sequence[tuple[str, bool]],
+    partition_cols: Sequence[str] = (),
+    out_col: str = "rn",
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY partition_cols ORDER BY
+    order_spec)`` as a sharded two-pass prefix count (exact 1-based,
+    IntegerType like the built-in); see :func:`_sharded_rank_apply`."""
+    from pyspark.sql import types as T
+
+    return _sharded_rank_apply(
+        df,
+        order_spec,
+        partition_cols,
+        out_col,
+        T.IntegerType(),
+        "int32",
+        lambda ranks, n: ranks.astype("int32"),
+    )

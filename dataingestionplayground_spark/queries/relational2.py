@@ -355,16 +355,44 @@ def tpch_q22_cntrycode(spark, sf):
     """,
 )
 def window_analytic_suite(spark, sf):
-    p = t(spark, sf, "part")
-    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
-    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return p.select(
-        "p_partkey",
-        "p_brand",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-        F.first("p_partkey").over(w).alias("cheapest"),
-        F.nth_value("p_partkey", 2).over(wfull).alias("second_cheapest"),
+    # percent_rank / cume_dist / first / nth over a 25-value partition
+    # key (p_brand): the window form puts |part|/25 rows on each reducer
+    # at scale. Exact equivalents from the sharded prefix rank instead:
+    # the order (p_retailprice, p_partkey) is unique, so
+    # percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and the first/
+    # second keys per brand are a tiny broadcast (25 x 2).
+    from dataingestionplayground_spark.operators.prefix import sharded_row_number
+
+    p = t(spark, sf, "part").select("p_partkey", "p_brand", "p_retailprice")
+    ranked = sharded_row_number(
+        p, [("p_retailprice", True), ("p_partkey", True)], ("p_brand",), "__rn"
+    )
+    nd = ranked.groupBy("p_brand").agg(F.count(F.lit(1)).alias("__n"))
+    top2 = (
+        ranked.filter(F.col("__rn") <= 2)
+        .groupBy("p_brand")
+        .agg(
+            F.min(F.when(F.col("__rn") == 1, F.col("p_partkey"))).alias("cheapest"),
+            F.min(F.when(F.col("__rn") == 2, F.col("p_partkey"))).alias(
+                "second_cheapest"
+            ),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(nd), "p_brand")
+        .join(F.broadcast(top2), "p_brand")
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.when(
+                F.col("__n") > 1, (F.col("__rn") - 1) / (F.col("__n") - 1)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+            (F.col("__rn") / F.col("__n")).alias("cd"),
+            "cheapest",
+            "second_cheapest",
+        )
     )
 
 

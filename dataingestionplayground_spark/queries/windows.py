@@ -29,10 +29,25 @@ from dataingestionplayground_spark.session import load_table as t
 def window_topk_per_group(spark, sf):
     # Top-3 parts per brand — the batched generalization of the reference's
     # top-1 search (VectorStoreCommands.cs:113).
+    #
+    # p_brand has a FIXED 25 values, so a single window partitioned by it
+    # sorts |part|/25 rows per reducer to keep 3 — the low-cardinality
+    # skew shape. Two-phase partial top-k instead: phase 1 ranks within
+    # (brand, deterministic hash shard) and keeps 3 per shard; phase 2
+    # re-ranks the <= 3*32 survivors per brand.
     p = t(spark, sf, "part")
-    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    sharded = p.withColumn("__shard", F.pmod(F.xxhash64("p_partkey"), F.lit(32)))
+    w1 = W.partitionBy("p_brand", "__shard").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    partial = (
+        sharded.withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+    w2 = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        p.withColumn("rk", F.row_number().over(w))
+        partial.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice", "rk")
     )
@@ -49,15 +64,31 @@ def window_topk_per_group(spark, sf):
     """,
 )
 def window_rank_dense(spark, sf):
-    p = t(spark, sf, "part")
-    wb = W.partitionBy("p_brand").orderBy("p_size")
-    wn = W.partitionBy("p_brand").orderBy("p_size", "p_partkey")
-    return p.select(
-        "p_brand",
-        "p_size",
-        F.rank().over(wb).alias("size_rank"),
-        F.dense_rank().over(wb).alias("size_dense"),
-        F.ntile(4).over(wn).alias("quartile"),
+    # rank/dense_rank over a BOUNDED-DOMAIN order key: p_size has ~50
+    # values and p_brand 25, so instead of a skewed per-brand window
+    # (|part|/25 rows per reducer), both ranks derive from the tiny
+    # (brand, size) count table — one hash agg, driver-side cumsum over
+    # <= 25*50 rows, broadcast join back. rank = 1 + count of rows with
+    # a smaller size in the brand; dense_rank = # distinct smaller
+    # sizes + 1. The quartile keeps exact per-row ntile semantics via
+    # the sharded prefix count (operators/prefix.py).
+    from dataingestionplayground_spark.operators.prefix import sharded_ntile
+
+    p = t(spark, sf, "part").select("p_brand", "p_size", "p_partkey")
+    counts = p.groupBy("p_brand", "p_size").count().collect()
+    rows, acc = [], {}
+    for r in sorted(counts, key=lambda r: (r["p_brand"], r["p_size"])):
+        start, dense = acc.get(r["p_brand"], (1, 1))
+        rows.append((r["p_brand"], r["p_size"], start, dense))
+        acc[r["p_brand"]] = (start + r["count"], dense + 1)
+    ranks = spark.createDataFrame(
+        rows, "p_brand string, p_size int, size_rank int, size_dense int"
+    )
+    with_q = sharded_ntile(
+        p, 4, [("p_size", True), ("p_partkey", True)], ("p_brand",), "quartile"
+    )
+    return with_q.join(F.broadcast(ranks), ["p_brand", "p_size"]).select(
+        "p_brand", "p_size", "size_rank", "size_dense", "quartile"
     )
 
 
