@@ -1,0 +1,116 @@
+"""operators/prefix.py — sharded rank-family stats must equal the
+window-function semantics they replace, including the edge cases the
+sharding could get wrong: ties spanning range-partition boundaries,
+groups spanning shards, groups smaller than the tile count, and
+single-row groups."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.operators.prefix import (
+    bounded_rank,
+    sharded_ntile,
+    sharded_row_number,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    # 3 groups of very different sizes, heavy value ties (v = i % 7) so
+    # range-partition boundaries fall INSIDE tie runs, unique tie-break
+    rows = [
+        (f"g{i % 3 if i < 90 else 0}", i % 7, i)  # g0 dominates
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "g string, v int, id long").repartition(13)
+
+
+def test_sharded_ntile_matches_window(spark, skewed_df):
+    got = sharded_ntile(
+        skewed_df, 4, [("v", True), ("id", True)], ("g",), "nt"
+    )
+    w = W.partitionBy("g").orderBy("v", "id")
+    want = skewed_df.withColumn("nt", F.ntile(4).over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sharded_ntile_global_and_small_groups(spark):
+    # n < k: every row is its own bucket (SQL-standard distribution)
+    df = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    got = {r["id"]: r["nt"] for r in sharded_ntile(df, 10, [("id", True)], (), "nt").collect()}
+    assert got == {0: 1, 1: 2, 2: 3}
+
+
+def test_sharded_row_number_matches_window(spark, skewed_df):
+    got = sharded_row_number(
+        skewed_df, [("v", False), ("id", True)], ("g",), "rn"
+    )
+    w = W.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = skewed_df.withColumn("rn", F.row_number().over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sharded_row_number_global(spark, skewed_df):
+    got = sharded_row_number(skewed_df, [("v", True), ("id", True)], (), "rn")
+    ranks = [r["rn"] for r in got.collect()]
+    assert sorted(ranks) == list(range(1, 301))
+    # exact order: rank follows (v, id)
+    by_rank = {r["rn"]: (r["v"], r["id"]) for r in got.collect()}
+    keys = [by_rank[i] for i in range(1, 301)]
+    assert keys == sorted(keys)
+
+
+def test_bounded_rank_after_limit(spark):
+    df = (
+        spark.range(1000)
+        .withColumn("v", (F.col("id") * 37) % 100)
+        .orderBy(F.desc("v"), F.asc("id"))
+        .limit(7)
+    )
+    got = bounded_rank(df, [("v", False), ("id", True)], "rk").collect()
+    assert [r["rk"] for r in sorted(got, key=lambda r: (-r["v"], r["id"]))] == list(
+        range(1, 8)
+    )
+
+
+def test_no_windowexec_in_sharded_plans(spark, skewed_df):
+    plan = (
+        sharded_row_number(skewed_df, [("v", True), ("id", True)], ("g",), "rn")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_window_range_frame_exact_on_boundary_ties(spark, tmp_path):
+    """The sharded value-range frame (queries/relational2.py
+    window_range_frame) must equal the SQL window even when tie runs
+    and window edges land exactly on range-partition boundaries — the
+    boundary-slice replication covers ties the partitioner splits
+    across shards."""
+    import __spark_entry__ as E
+
+    # 2000 rows over just 5 distinct prices spaced exactly 500 apart:
+    # every shard boundary falls inside a tie run, and x-1000 edges hit
+    # other tie runs exactly
+    df = spark.createDataFrame(
+        [(i, float((i % 5) * 500)) for i in range(2000)],
+        "o_orderkey long, o_totalprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = E.queries()["window_range_frame"](spark, str(tmp_path)).collect()
+    df.createOrReplaceTempView("v_rf_expected")
+    want = spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               COUNT(*) OVER (ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k
+        FROM v_rf_expected
+        """
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
