@@ -46,6 +46,10 @@ HEADLINE = [
     "vector_semdedup",
     "dedup_clusters",
     "vector_pq_adc_rerank",
+    # r7: the de-skewed window rewrites (sharded prefix counts) — track
+    # their cost so the scale-safe shapes stay cheap locally too
+    "window_ntile_buckets",
+    "window_ratio_to_total",
 ]
 
 # round-2 verdict item 7: one larger scale point (5x sf0.1 replicas,

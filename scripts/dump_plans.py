@@ -36,8 +36,11 @@ SHOW = [
     ("sample_token_budget_bucketed", "budget selection without a global sort or window: histogram agg + literal threshold"),
     ("tpch_q21_suppliers_kept_waiting", "the most shuffle-heavy TPC-H shape: fact self-joins + exists/not-exists"),
     ("sample_stratified_by_source", "md5-permille stratified sampling — zero Exchange at any scale"),
-    ("ingest_pack_sequences", "sequence packing: one running-sum window, integer-only"),
+    ("ingest_pack_sequences", "sequence packing: sharded per-source prefix sum — range exchange + narrow Arrow pass, no skewed window (r7)"),
     ("text_repetition_filter", "two cascaded hash aggs (doc,gram)->(doc), both map-side partial"),
+    ("window_ntile_buckets", "global + per-status ntile via sharded prefix count — zero WindowExec (r7)"),
+    ("window_ratio_to_total", "ratio-to-report as broadcast-aggregate denominators — no OVER () (r7)"),
+    ("events_heavy_hitters", "top-k heavy hitters: TakeOrderedAndProject then window-free bounded rank (r7)"),
 ]
 
 INTERESTING = re.compile(
