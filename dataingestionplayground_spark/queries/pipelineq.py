@@ -660,12 +660,23 @@ def sample_global_shuffle(spark, sf):
     # by shard so no reducer sees more than a shard's worth of ids; at
     # 100 TB, n_shards scales with the cluster and each output shard
     # writes independently.
+    # r7: the md5 shard count is a FIXED 8 (part of the permutation's
+    # definition), so a window partitioned by it carries |docs|/8 rows
+    # per reducer — positions come from the sharded prefix count
+    # instead, which spreads every md5-shard across the cluster's range
+    # shards.
+    from dataingestionplayground_spark.operators.prefix import sharded_row_number
+
     d = t(spark, sf, "documents")
     shard = F.expr(_md5_mod("cast(doc_id as string)", 8)).cast("long")
-    w = W.partitionBy("shard").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    return (
-        d.select("doc_id", shard.alias("shard"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
+    base = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    ranked = sharded_row_number(base, [("__h", True), ("doc_id", True)], ("shard",), "__rn")
+    return ranked.select(
+        "doc_id", "shard", F.col("__rn").cast("long").alias("pos")
     )
 
 
@@ -958,16 +969,27 @@ def sample_contrastive_negatives(spark, sf):
     # The position join is keyed on (shard, pos): an equi-join that
     # co-partitions with the windows. At 100 TB the shard count scales
     # with the cluster; every stage stays shard-parallel.
+    # r7: positions via the sharded prefix count (the fixed-8 md5 shard
+    # key would otherwise put |docs|/8 rows on each window reducer);
+    # per-shard totals are an 8-row broadcast.
+    from dataingestionplayground_spark.operators.prefix import sharded_row_number
+
     d = t(spark, sf, "documents")
     shard = F.expr(_md5_mod("cast(doc_id as string)", 8)).cast("long")
-    wp = W.partitionBy("shard")
-    w = wp.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    idx = d.select("doc_id", "source", shard.alias("shard")).select(
+    base = d.select(
+        "doc_id",
+        "source",
+        shard.alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    ranked = sharded_row_number(base, [("__h", True), ("doc_id", True)], ("shard",), "__rn")
+    ns = ranked.groupBy("shard").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    idx = ranked.join(F.broadcast(ns), "shard").select(
         "doc_id",
         "source",
         "shard",
-        (F.row_number().over(w) - 1).cast("long").alias("pos"),
-        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        (F.col("__rn") - 1).cast("long").alias("pos"),
+        "n",
     )
     # two consumers below — materialize once (aliased self-join sides
     # don't ReusedExchange)
