@@ -123,3 +123,24 @@ def test_cosine_argmax_matches_sql_semantics(rows, cents):
         else:
             want = sims.index(max(non_null))  # first index of the max
         assert got[r] == want, (e, cents, sims, got[r], want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, 500), st.integers(1, 24))
+def test_ntile_buckets_match_sql_standard_distribution(n, k):
+    """operators/prefix._ntile_buckets vs the SQL-standard definition:
+    the first n%k buckets get n//k+1 rows, the rest n//k — built
+    independently here row by row. This is the arithmetic every sharded
+    ntile rewrite rests on."""
+    import numpy as np
+
+    from dataingestionplayground_spark.operators.prefix import _ntile_buckets
+
+    ranks = np.arange(1, n + 1, dtype="int64")
+    got = list(_ntile_buckets(ranks, n, k))
+    q, r = divmod(n, k)
+    expect = []
+    for bucket in range(1, k + 1):
+        expect.extend([bucket] * (q + (1 if bucket <= r else 0)))
+    assert got == expect
+    assert len(set(got)) == min(n, k)  # every bucket used (when n >= k)
