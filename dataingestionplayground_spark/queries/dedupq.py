@@ -386,3 +386,75 @@ def dedup_exact_keep_best(spark, sf):
     return j.select(
         "doc_id", "fp", "quality", (F.row_number().over(w) == 1).alias("kept")
     )
+
+
+@register(
+    "dedup_exact_substring_signal",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TX.tokens_sql('lower(text)')} AS tk FROM documents
+      WHERE len({TX.tokens_sql('lower(text)')}) >= 8
+    ), wins AS (
+      SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS w
+      FROM base, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+    ), dfreq AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS shared_ratio,
+           round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) <= 0.5 AS keep
+    FROM wins JOIN dfreq USING (w)
+    GROUP BY doc_id
+    """,
+)
+def dedup_exact_substring_signal(spark, sf):
+    # Cross-document EXACT-SUBSTRING duplication signal (the Lee et al.
+    # "Deduplicating Training Data" exact-substring criterion, at token-
+    # 8-gram granularity): for every sliding 8-token window, how many
+    # documents contain that exact window; a document whose text is
+    # mostly windows shared with OTHER documents is a near-copy even
+    # when no single line or full fingerprint matches. Distinct from
+    # text_repetition_filter (within-doc) and dedup_line_boilerplate
+    # (line-granular): this catches verbatim spans at arbitrary offsets.
+    #
+    # Plan: explode windows (hashed to fixed-width md5, never the raw
+    # 8-gram text) -> one hash agg for document frequency -> equi-join
+    # back -> per-doc agg. Two shuffles on the window hash + one on
+    # doc_id, all map-side partial; no window functions, no driver
+    # state. Hot windows (boilerplate shared by thousands of docs) are
+    # just large count groups — AQE splits the skewed join keys.
+    d = t(spark, sf, "documents")
+    tk = TX.tokens("lower(text)")
+    base = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 8)
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 7),"
+                " i -> md5(array_join(slice(tk, i, 8), ' ')))"
+            )
+        ).alias("w"),
+    )
+    dfreq = wins.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        wins.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_shared",
+        F.round(F.col("n_shared").cast("double") / F.col("n_windows"), 6).alias(
+            "shared_ratio"
+        ),
+    ).withColumn("keep", F.col("shared_ratio") <= 0.5)

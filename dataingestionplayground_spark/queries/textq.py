@@ -401,3 +401,65 @@ def text_unigram_perplexity(spark, sf):
     return scored.select(
         "doc_id", "n_toks", "ppl", (F.col("ppl") <= 30.25).alias("keep")
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(lower(text), 1, 512) AS cs FROM documents
+      WHERE length(substr(lower(text), 1, 512)) > 0
+    ), dist AS (
+      SELECT doc_id, cs, CAST(length(cs) AS DOUBLE) AS n,
+             unnest(list_distinct(list_transform(generate_series(1, length(cs)),
+                                                 i -> substr(cs, i, 1)))) AS c
+      FROM s
+    ), terms AS (
+      SELECT doc_id, n,
+             round(-((length(cs) - length(replace(cs, c, ''))) / n)
+                   * log2((length(cs) - length(replace(cs, c, ''))) / n), 6) AS term
+      FROM dist
+    ), ent AS (
+      SELECT doc_id, CAST(n AS INTEGER) AS n_chars_sampled,
+             round(CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) AS entropy
+      FROM terms GROUP BY doc_id, n
+    )
+    SELECT doc_id, n_chars_sampled, entropy,
+           entropy BETWEEN 2.0 AND 5.5 AS keep
+    FROM ent
+    """,
+)
+def text_char_entropy(spark, sf):
+    # Character-level Shannon entropy gate (the classic gibberish /
+    # binary-spill / repeated-char filter in C4/RefinedWeb-style
+    # pipelines): natural language sits ~3.5-4.8 bits/char; encrypted or
+    # base64 blobs push toward 6, "aaaa..." runs toward 0. Sampled on
+    # the first 512 chars (standard practice — entropy stabilizes fast
+    # and the cost stays bounded per row).
+    #
+    # Entirely IN-ROW Catalyst expressions — per-char counts via the
+    # replace() length-delta trick over the distinct-char array, the
+    # term sum folded as decimal(38,6) (order-exact, kills the -0.0 of
+    # single-char docs) — so the whole query is a narrow projection:
+    # ZERO shuffles at any scale. Each log2 term rounds to 6 dp before
+    # the fold (the perplexity query's cross-engine libm convention).
+    d = t(spark, sf, "documents")
+    s = d.select(
+        "doc_id", F.expr("substr(lower(text), 1, 512)").alias("cs")
+    ).filter(F.length("cs") > 0)
+    p = "((length(cs) - length(replace(cs, c, ''))) / cast(length(cs) as double))"
+    ent = (
+        "round(cast(aggregate("
+        "  transform("
+        "    array_distinct(transform(sequence(1, length(cs)), i -> substr(cs, i, 1))),"
+        f"    c -> cast(round(-{p} * log2({p}), 6) as decimal(38,6))"
+        "  ),"
+        "  cast(0 as decimal(38,6)),"
+        "  (acc, t) -> cast(acc + t as decimal(38,6))"
+        ") as double), 6)"
+    )
+    return s.select(
+        "doc_id",
+        F.length("cs").cast("int").alias("n_chars_sampled"),
+        F.expr(ent).alias("entropy"),
+    ).withColumn("keep", F.col("entropy").between(2.0, 5.5))
