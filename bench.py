@@ -50,6 +50,9 @@ HEADLINE = [
     # their cost so the scale-safe shapes stay cheap locally too
     "window_ntile_buckets",
     "window_ratio_to_total",
+    # r7: cross-doc exact-substring dedup — the heaviest new shape
+    # (explode + two hash aggs + equi-join on the window hash)
+    "dedup_exact_substring_signal",
 ]
 
 # round-2 verdict item 7: one larger scale point (5x sf0.1 replicas,
