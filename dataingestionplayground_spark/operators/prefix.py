@@ -27,6 +27,34 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Hard cap on the driver-collected (shard, group) count table. The
+# pattern's contract is a BOUNDED partition-key domain (25 brands, a few
+# sources, n_shards ~ cores); a high-cardinality key would collect
+# n_shards x n_groups rows driver-side and OOM it — fail fast instead.
+MAX_COLLECTED_GROUPS = 200_000
+
+
+def _norm_key(v):
+    """Canonicalize one partition-key value so the driver side (py4j Row
+    scalars) and the Arrow side (pandas batch scalars) agree as dict keys:
+    nulls (None / NaN / NaT) -> None, numpy scalars -> Python scalars,
+    integral floats -> int (pandas promotes an int column containing
+    nulls to float64, so driver-side ``2`` must match Arrow-side ``2.0``).
+    Symmetric on both sides, so genuinely-float keys cannot collide with
+    int keys (a column has one type; both sides normalize identically)."""
+    if v is None:
+        return None
+    try:
+        if v != v:  # NaN / NaT — the only values unequal to themselves
+            return None
+    except (TypeError, ValueError):
+        pass
+    if hasattr(v, "item"):  # numpy scalar -> Python scalar
+        v = v.item()
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
 
 def _ntile_buckets(rank, n: int, k: int):
     """Vectorized SQL-standard ntile: the first ``n % k`` buckets get
@@ -96,9 +124,13 @@ def _sharded_rank_apply(
 
     ``order_spec`` is ``[(col, ascending), ...]`` and must be a total
     order within each group (include a unique tie-break column) for the
-    result to be deterministic. Partition-column values must be
-    hashable scalars (strings / ints); they become driver-side dict
-    keys.
+    result to be deterministic. Partition-column values must be hashable
+    scalars (strings / ints / null); they become driver-side dict keys,
+    canonicalized by :func:`_norm_key` on both sides of the Arrow
+    boundary. The key domain must be BOUNDED: the collected count table
+    is capped at :data:`MAX_COLLECTED_GROUPS` rows and the call raises
+    past it (a high-cardinality key needs a different pattern — e.g. an
+    ordinary partitioned window, which is skew-free when keys are many).
     """
     import pandas as pd  # noqa: F401 — mapInPandas batches
     from pyspark.sql import types as T
@@ -118,10 +150,19 @@ def _sharded_rank_apply(
         .sortWithinPartitions(*spec)
         .localCheckpoint(eager=True)
     )
-    totals = ranged.groupBy("__pid", *pcols).count().collect()
+    totals = (
+        ranged.groupBy("__pid", *pcols).count().limit(MAX_COLLECTED_GROUPS + 1).collect()
+    )
+    if len(totals) > MAX_COLLECTED_GROUPS:
+        raise ValueError(
+            f"sharded prefix rank over {pcols}: more than "
+            f"{MAX_COLLECTED_GROUPS} (shard, group) combinations — the "
+            "partition key is not bounded-cardinality; use an ordinary "
+            "partitioned window instead (many keys => no reducer skew)"
+        )
     by_group = defaultdict(list)
     for r in totals:
-        by_group[tuple(r[c] for c in pcols)].append((r["__pid"], r["count"]))
+        by_group[tuple(_norm_key(r[c]) for c in pcols)].append((r["__pid"], r["count"]))
     offsets, n_by_group = {}, {}
     for g, shard_counts in by_group.items():
         acc = 0
@@ -155,7 +196,7 @@ def _sharded_rank_apply(
             bounds = np.append(starts, len(pdf))
             for i, s in enumerate(starts):
                 e = bounds[i + 1]
-                g = tuple(pdf[c].iloc[s] for c in pcols)
+                g = tuple(_norm_key(pdf[c].iloc[s]) for c in pcols)
                 base = run.get(g, offsets.get((pid, g), 0))
                 ranks = base + np.arange(1, e - s + 1, dtype="int64")
                 run[g] = base + (e - s)
