@@ -278,10 +278,24 @@ def _load_ivf_meta(store: CollectionStore, collection: str) -> dict:
     return json.load(open(path))
 
 
+# assignment-table schema, used to synthesize an EMPTY frame when every
+# cell partition has been deleted (refresh rmtree's emptied partitions;
+# a dir with no data files would otherwise fail schema inference)
+_IVF_ASSIGN_SCHEMA = "key string, documentid string, cell int"
+
+
 def read_ivf_assignments(
     spark: SparkSession, store: CollectionStore, collection: str
 ) -> DataFrame:
-    return spark.read.parquet(os.path.join(_ivf_dir(store, collection), "cells"))
+    cells = os.path.join(_ivf_dir(store, collection), "cells")
+    has_data = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(cells)
+        for f in files
+    )
+    if not has_data:
+        return spark.createDataFrame([], _IVF_ASSIGN_SCHEMA)
+    return spark.read.parquet(cells)
 
 
 def ivf_index_staleness(
@@ -341,7 +355,7 @@ def refresh_ivf_index(spark: SparkSession, store: CollectionStore, collection: s
     idx = _ivf_dir(store, collection)
     cells_path = os.path.join(idx, "cells")
     chunks = store.read(spark, collection).select("key", "documentid", "embedding")
-    assigned = spark.read.parquet(cells_path)
+    assigned = read_ivf_assignments(spark, store, collection)
 
     new = chunks.join(assigned.select("key"), "key", "left_anti")
     appended = new.count()
@@ -358,7 +372,7 @@ def refresh_ivf_index(spark: SparkSession, store: CollectionStore, collection: s
             .option("compression", "zstd")
             .parquet(cells_path)
         )
-        assigned = spark.read.parquet(cells_path)
+        assigned = read_ivf_assignments(spark, store, collection)
 
     orphans = assigned.join(chunks.select("key"), "key", "left_anti")
     removed = orphans.count()

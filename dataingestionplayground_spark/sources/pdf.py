@@ -52,7 +52,10 @@ _TOK_RE = re.compile(
     rb"|(?P<tstar>T\*)"
     rb"|(?P<tl>(" + _NUM + rb")\s+TL)"
     rb"|(?P<tf>/\w+\s+(" + _NUM + rb")\s+Tf)"
-    rb"|(?P<tj>\[[^\]]*\]\s*TJ)"
+    # TJ array elements are literal strings (escapes allowed — a raw or
+    # escaped ']' inside one must not end the array), hex strings, and
+    # numbers/whitespace; match them balanced instead of [^\]]*
+    rb"|(?P<tj>\[(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\]()<])*\]\s*TJ)"
     rb"|(?P<hexshow><[0-9A-Fa-f]+>\s*Tj)"
     rb"|(?P<lit>\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'))",
     re.DOTALL,
@@ -76,7 +79,7 @@ def _parse_cmaps(streams: list[bytes]) -> dict[int, str]:
     return g2u
 
 
-_ESC_RE = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
+_ESC_RE = re.compile(rb"\\([0-7]{1,3}|.)", re.DOTALL)
 _ESC_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f"}
 _SHOW_STR_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\(((?:[^()\\]|\\.)*)\)")
 
@@ -88,7 +91,7 @@ def _unescape(lit: bytes) -> bytes:
             return _ESC_MAP[e]
         if e.isdigit():
             return bytes([int(e, 8) & 0xFF])
-        return e  # \( \) \\
+        return e  # \( \) \\ and, per spec, any other char: backslash dropped
 
     return _ESC_RE.sub(sub, lit)
 
@@ -107,9 +110,14 @@ def _decode_show(seg: bytes, g2u: dict[int, str]) -> str:
     return "".join(parts)
 
 
-def _interpret_text_ops(raw: bytes, g2u: dict[int, str]) -> list[dict]:
+def _interpret_text_ops(
+    raw: bytes, g2u: dict[int, str]
+) -> tuple[list[dict], float | None]:
     """Run the text-positioning operators of one content stream and emit
-    positioned text runs {x, y, fs, text, seq}.
+    ``(runs, flip_hint)``: positioned text runs {x, y, fs, text, seq},
+    plus the page-orientation hint derived from the Tm matrices' d sign
+    (None when no Tm was seen — caller falls back to stream-order
+    inference).
 
     Tracks Tm (line matrix origin), Td/TD (relative line moves, TD also
     sets the leading), T*/' (advance one leading), TL and Tf — the

@@ -288,3 +288,41 @@ def test_ivf_refresh_drops_fully_emptied_cell(spark, md_elements, tmp_path):
         assert keys == idx_keys
     q = _queries_df(spark, ["machine learning algorithms"])
     assert ivf_search_indexed(spark, store, "ivf", q, k=3).count() > 0
+
+
+def test_ivf_refresh_survives_total_deletion(spark, md_elements, tmp_path):
+    """ADVICE r7: deleting EVERY chunk rmtree's every cell partition,
+    leaving cells/ with no data files — the next read (staleness, search,
+    refresh) must behave as an empty index, not fail schema inference;
+    and re-ingesting afterwards must rebuild assignments from scratch."""
+    from dataingestionplayground_spark.ingest.ann_index import (
+        ivf_index_staleness,
+        ivf_search_indexed,
+        read_ivf_assignments,
+        refresh_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    store, _ = _ivf_fixture(spark, md_elements, tmp_path)
+    victims = [
+        r["documentid"]
+        for r in store.read(spark, "ivf").select("documentid").distinct().collect()
+    ]
+    store.delete_documents(spark, "ivf", victims)
+    r1 = refresh_ivf_index(spark, store, "ivf")
+    assert r1["removed"] > 0
+    # every reader path behaves as an EMPTY index
+    assert read_ivf_assignments(spark, store, "ivf").count() == 0
+    assert ivf_index_staleness(spark, store, "ivf") == {"missing": 0, "orphaned": 0}
+    q = _queries_df(spark, ["machine learning algorithms"])
+    assert ivf_search_indexed(spark, store, "ivf", q, k=3).count() == 0
+    assert refresh_ivf_index(spark, store, "ivf") == {"appended": 0, "removed": 0}
+    # re-ingest -> assignments come back through the normal refresh path
+    ingest_corpus(md_elements, store, "ivf", max_tokens=8, overlap=0, incremental=True)
+    r2 = refresh_ivf_index(spark, store, "ivf")
+    assert r2["appended"] > 0 and r2["removed"] == 0
+    assert ivf_search_indexed(spark, store, "ivf", q, k=3).count() > 0
+    assert (
+        read_ivf_assignments(spark, store, "ivf").filter(F.col("cell").isNull()).count()
+        == 0
+    )

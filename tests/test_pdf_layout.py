@@ -138,6 +138,21 @@ ET"""
     assert stdlib_extract(doc) == [["kerning"]]
 
 
+def test_tj_array_with_bracket_inside_literal():
+    # ADVICE r7: a ']' inside a TJ literal string (escaped or raw) must
+    # not terminate the array match and drop or mangle the text
+    doc = _pdf(
+        r"""BT
+/F1 12 Tf
+1 0 0 1 72 500 Tm
+[(a\]b) -120 (c]d)] TJ
+0 -14 Td
+(next line) Tj
+ET"""
+    )
+    assert stdlib_extract(doc) == [["a]bc]d next line"]]
+
+
 def test_flipped_matrix_orientation():
     # exporter style of the reference corpus: cm-flipped page, Tm with
     # d=-1 and y growing DOWN the page — reading order must not invert
