@@ -21,39 +21,47 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b) undirected edges -> (id, component) with component =
     min node id in the component. Nodes appearing only as singletons are
-    absent (callers union them back with component = own id)."""
+    absent (callers union them back with component = own id). When
+    ``stats`` is passed, ``stats["rounds"]`` records the iteration count
+    (including the final confirmation round)."""
+    spark = pairs.sparkSession
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = half.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    # SELF-LOOPS fold "least(own label, neighbor min)" into the one
+    # neighbor-min aggregation: with (u, u) present, min over the
+    # neighborhood already includes u's own label, so each round is ONE
+    # join + groupBy instead of join + groupBy + a second labels join.
+    # Pre-partitioning the persisted edge table on the per-round join key
+    # (dst) lets every round's join reuse the cached partitioning — the
+    # big (2|E|+|V|) side is shuffled once, not once per round.
+    n_part = spark.sparkContext.defaultParallelism
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        sym.union(sym.select(F.col("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(n_part, "dst")
         .persist()
     )
-    # initial label: min neighbor (including self). Each iteration's result
-    # is localCheckpoint-ed: the pointer-jump references `labels` three
-    # times per round, so without lineage truncation the logical plan grows
-    # ~4^n and Catalyst itself OOMs long before the data does (persist
-    # caches blocks but does NOT shrink the analyzed plan).
+    # initial label: min over self + neighbors. Each iteration's result
+    # is localCheckpoint-ed: the pointer-jump references `labels` twice
+    # per round, so without lineage truncation the logical plan grows
+    # geometrically and Catalyst itself OOMs long before the data does
+    # (persist caches blocks but does NOT shrink the analyzed plan).
     labels = (
         edges.groupBy("src")
-        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
+        .agg(F.min("dst").alias("component"))
         .select(F.col("src").alias("id"), "component")
         .localCheckpoint(eager=True)
     )
-
-    def _jump(df: DataFrame) -> DataFrame:
-        # pointer jump (path halving): component := component's component.
-        # Labels are node ids, so the lookup is a self-join; chains of
-        # stale labels collapse geometrically -> O(log diameter) rounds.
-        parent = df.select(
-            F.col("id").alias("component"), F.col("component").alias("g_comp")
-        )
-        return df.join(parent, "component", "left").select(
-            "id", F.least("component", F.coalesce("g_comp", "component")).alias("component")
-        )
 
     from pyspark.sql.types import IntegralType
 
@@ -87,24 +95,42 @@ def connected_components(
     # other run
     prev_sum = None
     converged = False
+    rounds = 0
     for _ in range(max_iter):
-        # propagate: node label := min(own label, neighbors' labels)
-        neigh = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        rounds += 1
+        # propagate: node label := min over (self + neighbors)' labels —
+        # the self-loops make the single aggregation cover the least()
+        # with the node's own label
+        hopped = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("d_comp")
+                ),
+                "dst",
+            )
             .groupBy("src")
-            .agg(F.min("component").alias("n_comp"))
-            .select(F.col("src").alias("id"), "n_comp")
+            .agg(F.min("d_comp").alias("component"))
+            .select(F.col("src").alias("id"), "component")
         )
-        hopped = labels.join(neigh, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-            ).alias("component"),
-        )
-        # one jump per round: near-dup graphs have tiny diameter, so a
+        # pointer jump (path halving): component := component's component.
+        # Labels are node ids, so the lookup is a self-join; chains of
+        # stale labels collapse geometrically -> O(log diameter) rounds.
+        # One jump per round: near-dup graphs have tiny diameter, so a
         # second jump per round costs a full self-join shuffle without
-        # saving a round (measured slower at sf0.1-0.5)
-        new_labels = _jump(hopped).localCheckpoint(eager=True)
+        # saving a round (measured slower at sf0.1-0.5).
+        parent = hopped.select(
+            F.col("id").alias("component"), F.col("component").alias("g_comp")
+        )
+        new_labels = (
+            hopped.join(parent, "component", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("g_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
         if numeric_ids:
             cur_sum = _label_sum(new_labels)  # tiny agg over checkpointed blocks
             done = cur_sum == prev_sum
@@ -116,6 +142,8 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations; "

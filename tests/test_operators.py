@@ -215,6 +215,30 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     assert set(comp.values()) == {0} and len(comp) == 61
 
 
+def test_connected_components_round_counts(spark):
+    """r7 verdict item 5: the per-round cost cut must not come at the
+    price of MORE rounds. The min-neighbor init + hop + path-halving
+    structure resolves a 16-hop chain in <=5 rounds (one-hop propagation
+    alone would need 16), and an LSH-style clique union in 2 (one real
+    round + the unavoidable confirmation round)."""
+    from dataingestionplayground_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a long, id_b long"
+    )
+    st = {}
+    comp = {r.id: r.component for r in connected_components(chain, stats=st).collect()}
+    assert set(comp.values()) == {0} and st["rounds"] <= 5
+
+    # two overlapping band-bucket cliques (the shape LSH pairs produce):
+    # init alone labels everything 0 -> round 1 is pure confirmation
+    cliques = [(a, b) for grp in ([0, 1, 2, 3], [3, 4, 5, 6]) for a in grp for b in grp if a < b]
+    pairs = spark.createDataFrame(cliques, "id_a long, id_b long")
+    st = {}
+    comp = {r.id: r.component for r in connected_components(pairs, stats=st).collect()}
+    assert set(comp.values()) == {0} and st["rounds"] <= 2
+
+
 def test_connected_components_fractional_ids_use_exact_path(spark):
     """Float ids must NOT take the decimal-sum convergence shortcut:
     decimal(38,0) rounds sub-unit label decreases, which could declare
