@@ -421,14 +421,15 @@ def window_range_frame(spark, sf):
     from pyspark.sql import types as T
 
     o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    n_shards = min(
-        max(2, o.sparkSession.sparkContext.defaultParallelism),
-        max(2, o.rdd.getNumPartitions()),
-    )
+    # r7 verdict item 4 (constant factor): one persist materialized by
+    # the span collect replaces the eager localCheckpoint + separate
+    # span job, and the physical-planning-only .rdd partition probe is
+    # gone — shard count comes straight from the scheduler
+    n_shards = max(2, o.sparkSession.sparkContext.defaultParallelism)
     ranged = (
         o.repartitionByRange(n_shards, F.asc("o_totalprice"), F.asc("o_orderkey"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist()
     )
     span = ranged.groupBy("__pid").agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
@@ -439,32 +440,37 @@ def window_range_frame(spark, sf):
     bounds = [
         (int(r["__pid"]), float(r["lo"]), float(r["hi"])) for r in span.collect()
     ]
-    bdf = spark.createDataFrame(bounds, "q int, lo double, hi double")
-    ctx = (
-        ranged.join(
-            F.broadcast(bdf),
-            (F.col("q") != F.col("__pid"))
-            & (F.col("o_totalprice") >= F.col("lo") - 1000.0)
-            & (F.col("o_totalprice") <= F.col("hi")),
-        )
-        .select(
-            "o_orderkey",
-            "o_totalprice",
-            F.col("q").alias("__grp"),
-            F.lit(False).alias("__emit"),
-        )
-    )
     main = ranged.select(
         "o_orderkey",
         "o_totalprice",
         F.col("__pid").alias("__grp"),
         F.lit(True).alias("__emit"),
     )
-    grouped = (
-        main.unionByName(ctx)
-        .repartition(n_shards, "__grp")
-        .sortWithinPartitions("__grp", "o_totalprice", "o_orderkey")
-    )
+    if len(bounds) <= 1:
+        # one non-empty shard: every row is already co-located — no
+        # boundary replication, no second shuffle
+        grouped = main.sortWithinPartitions("__grp", "o_totalprice", "o_orderkey")
+    else:
+        bdf = spark.createDataFrame(bounds, "q int, lo double, hi double")
+        ctx = (
+            ranged.join(
+                F.broadcast(bdf),
+                (F.col("q") != F.col("__pid"))
+                & (F.col("o_totalprice") >= F.col("lo") - 1000.0)
+                & (F.col("o_totalprice") <= F.col("hi")),
+            )
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.col("q").alias("__grp"),
+                F.lit(False).alias("__emit"),
+            )
+        )
+        grouped = (
+            main.unionByName(ctx)
+            .repartition(n_shards, "__grp")
+            .sortWithinPartitions("__grp", "o_totalprice", "o_orderkey")
+        )
     out_schema = T.StructType(
         [
             o.schema["o_orderkey"],
