@@ -1,5 +1,5 @@
 """Registry-wide plan lint: no unpartitioned WindowExec over unbounded
-input, anywhere.
+input, anywhere — and no window whose partition key skews at scale.
 
 Round-6 verdict: the one remaining class of scale-killers was
 single-partition window shapes in secondary queries (`WARN WindowExec:
@@ -9,12 +9,24 @@ ranks, broadcast-aggregate twins for ratio-to-report, sharded prefix
 counts for ntile/packing/range frames); this lint turns that class
 into a regression guard.
 
-Rule: a logical `Window` node with an EMPTY partitionSpec is forbidden
-unless its subtree contains a GlobalLimit (the input is provably
-bounded, e.g. rank-the-top-k-after-limit). There is deliberately no
-name-based allow-list — a new unpartitioned window over unbounded
-input should fail here, loudly, at test time rather than on a
-1000-executor cluster.
+Rule 1: a logical `Window` node with an EMPTY partitionSpec is
+forbidden unless its subtree contains a GlobalLimit (the input is
+provably bounded, e.g. rank-the-top-k-after-limit). There is
+deliberately no name-based allow-list — a new unpartitioned window
+over unbounded input should fail here, loudly, at test time rather
+than on a 1000-executor cluster.
+
+Rule 2 (round-7 verdict item 2): a PARTITIONED window whose key is
+fixed-cardinality (25 brands, 7 linenumbers) is the same scale-killer
+in disguise — rows-per-key grows linearly with the data. Measured, not
+convention: for every remaining Window node, the max rows-per-key of
+its input is evaluated at sf0.001 AND sf0.01; a key whose hot-key load
+grows super-linearly between the two scale points (and is already
+non-trivial) fails. Scale-SAFE keys pass automatically: key domains
+that grow with the data (doc_id, user_id, o_custkey) keep rows-per-key
+flat, and the two-phase rewrites' reduced inputs (shards x k rows per
+brand/source, partial top-k per query_id) are constant-bounded by
+construction.
 """
 
 from __future__ import annotations
@@ -23,7 +35,18 @@ import json
 
 import pytest
 
+from pyspark.sql import functions as F
+from pyspark.sql.dataframe import DataFrame as PyDF
+
 SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_BIG = "/root/testdata/sf0.01"
+
+# rows-per-key may grow this factor between sf0.001 and sf0.01 (a 10x
+# data growth): safe keys stay ~flat, a fixed-cardinality key grows
+# ~10x. The floor ignores keys whose hot-key load is still trivial at
+# sf0.01 (a 100-row hot key is noise, not a reducer bottleneck signal).
+GROWTH_BOUND = 4.0
+ABS_FLOOR = 256
 
 WINDOW_CLS = "org.apache.spark.sql.catalyst.plans.logical.Window"
 BOUNDED_CLS = ("GlobalLimit",)
@@ -84,3 +107,103 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, name, fn):
         "bounded_rank (operators/prefix.py), a broadcast-aggregate twin, "
         "or the sharded prefix-count pattern instead."
     )
+
+
+def _jvm_window_nodes(df):
+    """Logical Window nodes of ``df``'s optimized plan, via the JVM tree
+    (we need live nodes, not JSON, to re-wrap them as DataFrames)."""
+    out = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window":
+            out.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def _window_key_loads(spark, df) -> dict[tuple[str, ...], int]:
+    """{partition-key-sql-tuple: max rows per key} for every partitioned
+    Window node in ``df``'s optimized plan. A Window emits exactly its
+    input rows, so measuring on the node's own output measures the load
+    its reducers would see."""
+    loads: dict[tuple[str, ...], int] = {}
+    for node in _jvm_window_nodes(df):
+        spec = node.partitionSpec()
+        keys = tuple(
+            spec.apply(i).sql().strip("`") for i in range(spec.size())
+        )
+        if not keys:  # rule-1 territory (GlobalLimit-bounded)
+            continue
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, node
+        )
+        pdf = PyDF(jdf, spark)
+        try:
+            mx = (
+                pdf.groupBy(*[F.expr(k) for k in keys])
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+        except Exception:
+            # ambiguous/duplicate names: fall back to mean rows-per-key
+            n = pdf.count()
+            d = pdf.select(*[F.expr(k) for k in keys]).distinct().count()
+            mx = (n + d - 1) // d if d else 0
+        mx = int(mx or 0)
+        loads[keys] = max(loads.get(keys, 0), mx)
+    return loads
+
+
+def _skewed_window_keys(spark, fn) -> list[str]:
+    """Partition-key tuples whose hot-key load grows super-linearly
+    from sf0.001 to sf0.01 (and is non-trivial at sf0.01)."""
+    big = _window_key_loads(spark, fn(spark, SF_DIR_BIG))
+    if not any(v > ABS_FLOOR for v in big.values()):
+        return []  # every hot key trivial — skip the small-SF pass
+    small = _window_key_loads(spark, fn(spark, SF_DIR))
+    bad = []
+    for keys, load_big in big.items():
+        if load_big <= ABS_FLOOR:
+            continue
+        load_small = small.get(keys, 0)
+        if load_small == 0 or load_big > GROWTH_BOUND * load_small:
+            bad.append(f"{keys}: {load_small} -> {load_big} rows/key")
+    return bad
+
+
+@pytest.mark.parametrize("name,fn", _registry(), ids=[n for n, _ in _registry()])
+def test_no_fixed_cardinality_window_keys(spark, name, fn):
+    # cheap fast path: most queries have no partitioned Window at all
+    df = fn(spark, SF_DIR)
+    if not any(
+        n.partitionSpec().size() > 0 for n in _jvm_window_nodes(df)
+    ):
+        return
+    bad = _skewed_window_keys(spark, fn)
+    assert not bad, (
+        f"{name}: window partition key(s) with super-linear rows-per-key "
+        f"growth between sf0.001 and sf0.01 — {bad}. A fixed-cardinality "
+        "key puts |input|/|keys| rows on each reducer at scale; use the "
+        "two-phase top-k, sharded prefix-count, or broadcast-aggregate "
+        "patterns instead."
+    )
+
+
+def test_skewed_window_lint_catches_fixed_key(spark):
+    """The rule-2 lint must go RED on a deliberately skewed fixture: a
+    window partitioned by l_linenumber (7 values at every scale)."""
+    from pyspark.sql import Window as W
+
+    def naive(spark_, sf_dir):
+        li = spark_.read.parquet(f"{sf_dir}/lineitem.parquet")
+        w = W.partitionBy("l_linenumber").orderBy("l_extendedprice")
+        return li.select(
+            "l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn")
+        )
+
+    assert _skewed_window_keys(spark, naive)
