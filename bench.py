@@ -4,12 +4,21 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query executes its full physical plan via the noop sink (no driver
 collect — measures engine throughput, not py4j transfer).
+
+Measurement protocol (round-7 verdict item 1): every timed query gets
+ONE untimed warm-up pass (codegen compilation, page cache, Python
+worker pool) and then N timed runs; the JSON reports the per-query MIN
+(the stable round-over-round signal — local[32] scheduler noise only
+ever ADDS time) and the MEDIAN alongside it (`queries_median`), so a
+noisy archived run can be told apart from a plan regression without
+re-running.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -55,24 +64,66 @@ HEADLINE = [
     "dedup_exact_substring_signal",
 ]
 
-# round-2 verdict item 7: one larger scale point (5x sf0.1 replicas,
+# round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,
 # built lazily under .benchdata/ by scripts/make_bench_scale.py) for the
-# 5 heaviest shapes — big enough for shuffle regressions to show.
+# heaviest shapes — big enough for shuffle regressions to show.
 BIG_HEADLINE = [
     "agg_pricing_summary",
     "tpch_q21_suppliers_kept_waiting",
     "dedup_lsh_verified_pairs",
     "dedup_clusters",
     "vector_semdedup",
+    "dedup_exact_substring_signal",
+]
+
+# r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
+# scaling curves (candidate-blocked dedup and amortized index search
+# should scale ~linearly from sf0.5, i.e. ratio <= ~2.5x for 2x rows)
+BIG2_HEADLINE = [
+    "dedup_lsh_verified_pairs",
+    "dedup_clusters",
+    "dedup_exact_substring_signal",
+    "vector_semdedup",
 ]
 
 
-def _bench_index_paths(spark, data_dir: str, timings: dict) -> dict:
+def _timed_runs(spark, run, n_runs: int) -> tuple[float, float]:
+    """One untimed warm-up + ``n_runs`` timed executions of ``run()``.
+    Returns (min, median) seconds; cache cleared before every pass so no
+    run feeds the next."""
+    spark.catalog.clearCache()
+    run()  # warm-up: codegen compile, parquet footer cache, worker pool
+    samples = []
+    for _ in range(n_runs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3), round(statistics.median(samples), 3)
+
+
+def _topk_sets(rows, id_col: str) -> dict:
+    out: dict = {}
+    for r in rows:
+        out.setdefault(str(r["query_id"]), set()).add(str(r[id_col]))
+    return out
+
+
+def _recall_at_10(exact: dict, approx: dict):
+    if not exact:
+        return None
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    return round(hits / (10 * len(exact)), 4)
+
+
+def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> dict:
     """Time the PQ and IVF index-backed search paths over ``data_dir``'s
     embeddings table (store + indexes built lazily, cached under
     .benchdata keyed by the data dir's basename). Adds
     vector_pq_index_search / vector_ivf_index_search rows to
-    ``timings`` and returns the refresh metadata."""
+    ``timings``/``medians`` and returns refresh metadata + recall@10 of
+    each index path against the exact brute-force top-k (r7 verdict
+    item 6: latency without quality is half a benchmark)."""
     from pyspark.sql import functions as F
 
     from dataingestionplayground_spark.ingest.ann_index import (
@@ -84,6 +135,7 @@ def _bench_index_paths(spark, data_dir: str, timings: dict) -> dict:
         refresh_pq_index,
     )
     from dataingestionplayground_spark.ingest.store import CollectionStore
+    from dataingestionplayground_spark.operators.similarity import knn_brute_force
 
     sf_name = os.path.basename(data_dir.rstrip("/"))
     idx_base = str(Path(__file__).resolve().parent / ".benchdata" / f"pqidx-{sf_name}")
@@ -110,15 +162,15 @@ def _bench_index_paths(spark, data_dir: str, timings: dict) -> dict:
         F.col("vec_id").cast("string").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    best = float("inf")
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
+
+    def run_pq():
         pq_search_indexed(spark, store, "embeddings", q, k=10).write.format(
             "noop"
         ).mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    timings["vector_pq_index_search"] = round(best, 3)
+
+    timings["vector_pq_index_search"], medians["vector_pq_index_search"] = _timed_runs(
+        spark, run_pq, 3
+    )
     meta = {"refresh_sec": refresh_sec, **refreshed}
 
     if not os.path.exists(
@@ -128,17 +180,57 @@ def _bench_index_paths(spark, data_dir: str, timings: dict) -> dict:
     t0 = time.perf_counter()
     ivf_refreshed = refresh_ivf_index(spark, store, "embeddings")
     ivf_refresh_sec = round(time.perf_counter() - t0, 3)
-    best = float("inf")
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
+
+    def run_ivf():
         ivf_search_indexed(spark, store, "embeddings", q, k=10, n_probe=2).write.format(
             "noop"
         ).mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    timings["vector_ivf_index_search"] = round(best, 3)
+
+    timings["vector_ivf_index_search"], medians["vector_ivf_index_search"] = (
+        _timed_runs(spark, run_ivf, 3)
+    )
     meta["ivf"] = {"refresh_sec": ivf_refresh_sec, **ivf_refreshed}
+
+    # recall@10 on the SAME corpus/queries, each index graded against
+    # the exact top-k in ITS OWN metric: IVF searches full-precision
+    # cosine (vs knn_brute_force), the PQ index ranks by ADC L2 distance
+    # with no rerank (vs exact L2 — grading it against cosine would
+    # conflate metric mismatch with quantization loss)
+    from scripts.ann_recall import exact_l2_topk
+
+    exact_cos = _topk_sets(
+        knn_brute_force(emb, q, k=10).filter(F.col("rank") <= 10).collect(), "vec_id"
+    )
+    exact_l2 = _topk_sets(exact_l2_topk(emb, q, 10).collect(), "vec_id")
+    pq_top = _topk_sets(
+        pq_search_indexed(spark, store, "embeddings", q, k=10).collect(), "key"
+    )
+    ivf_top = _topk_sets(
+        ivf_search_indexed(spark, store, "embeddings", q, k=10, n_probe=2).collect(),
+        "key",
+    )
+    meta["recall_at_10_vs_l2"] = _recall_at_10(exact_l2, pq_top)
+    meta["ivf"]["recall_at_10"] = _recall_at_10(exact_cos, ivf_top)
     return meta
+
+
+def _bench_block(spark, registry, names, data_dir: str, n_runs: int):
+    timings, medians = {}, {}
+    for name in names:
+        fn = registry[name].fn
+
+        def run(fn=fn):
+            fn(spark, data_dir).write.format("noop").mode("overwrite").save()
+
+        # iterative queries localCheckpoint per round and the async
+        # ContextCleaner can lag, inflating the next query's first run —
+        # nudge a GC so freed checkpoint blocks are actually dropped
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        timings[name], medians[name] = _timed_runs(spark, run, n_runs)
+    return timings, medians
 
 
 def main():
@@ -157,20 +249,7 @@ def main():
         "noop"
     ).mode("overwrite").save()
 
-    # min of three runs per query: the steady-state number (first run can
-    # be polluted by codegen compilation / page-cache warmup / GC, and
-    # local[32] timings carry ~30% scheduler noise — the min is the
-    # stable round-over-round signal).
-    timings = {}
-    for name in HEADLINE:
-        fn = registry[name].fn
-        best = float("inf")
-        for _ in range(3):
-            spark.catalog.clearCache()  # no cross-run cache reuse: honest timings
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    timings, medians = _bench_block(spark, registry, HEADLINE, sf_dir, n_runs=5)
 
     # store-backed index search rows (round-5 item 4 / round-6 item 7):
     # the adc_rerank row re-derives codes per call; these rows measure
@@ -180,64 +259,84 @@ def main():
     # maintenance cost) is timed once per run.
     pq_index = None
     if os.environ.get("SPARK_GRAFT_INDEX_BENCH", "1") != "0":
-        pq_index = _bench_index_paths(spark, sf_dir, timings)
+        pq_index = _bench_index_paths(spark, sf_dir, timings, medians)
 
     total = round(sum(timings.values()), 3)
 
-    # larger-SF block: min-of-2 over the heaviest shapes at 5x. Opt out
-    # with SPARK_GRAFT_BIG_BENCH=0 (e.g. disk-constrained runs).
+    # larger-SF blocks over the heaviest shapes: sf0.5 (5x) and sf1.0
+    # (10x — r7 item 7: the dedup/vector scaling curves). Opt out with
+    # SPARK_GRAFT_BIG_BENCH=0 (e.g. disk-constrained runs).
     big = None
+    big2 = None
     if os.environ.get("SPARK_GRAFT_BIG_BENCH", "1") != "0":
+        from scripts.make_bench_scale import build
+
         big_dir = os.environ.get(
             "SPARK_GRAFT_BIG_DIR",
             str(Path(__file__).resolve().parent / ".benchdata" / "sf0.5"),
         )
         if not os.path.isdir(os.path.join(big_dir, "lineitem.parquet")):
-            from scripts.make_bench_scale import build
-
             build(spark, sf_dir, big_dir, copies=5)
-        big_timings = {}
-        for name in BIG_HEADLINE:
-            fn = registry[name].fn
-            best = float("inf")
-            # min-of-3 (was 2): the iterative queries localCheckpoint
-            # per round and the async ContextCleaner can lag behind,
-            # inflating a later query's first run — nudge a GC so freed
-            # checkpoint blocks are actually dropped, then take the min
-            import gc
-
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            for _ in range(3):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, big_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            big_timings[name] = round(best, 3)
-        # round-6 verdict item 7: the amortized index paths at the
-        # larger scale point too (store/index build cached, like sf0.1)
+        big_timings, big_medians = _bench_block(
+            spark, registry, BIG_HEADLINE, big_dir, n_runs=3
+        )
         big_index = None
         if os.environ.get("SPARK_GRAFT_INDEX_BENCH", "1") != "0":
-            big_index = _bench_index_paths(spark, big_dir, big_timings)
+            big_index = _bench_index_paths(spark, big_dir, big_timings, big_medians)
         big = {
             "sf": round(sf * 5, 3),
             "total": round(sum(big_timings.values()), 3),
             "queries": big_timings,
+            "queries_median": big_medians,
         }
         if big_index is not None:
             big["pq_index"] = big_index
+
+        if os.environ.get("SPARK_GRAFT_BIG2_BENCH", "1") != "0":
+            big2_dir = str(Path(__file__).resolve().parent / ".benchdata" / "sf1.0")
+            if not os.path.isdir(os.path.join(big2_dir, "lineitem.parquet")):
+                build(spark, sf_dir, big2_dir, copies=10)
+            big2_timings, big2_medians = _bench_block(
+                spark, registry, BIG2_HEADLINE, big2_dir, n_runs=2
+            )
+            big2_index = None
+            if os.environ.get("SPARK_GRAFT_INDEX_BENCH", "1") != "0":
+                big2_index = _bench_index_paths(
+                    spark, big2_dir, big2_timings, big2_medians
+                )
+            # the scaling curve the 100 TB story rests on: 2x the rows
+            # should cost <= ~2.5x for the linear-shaped ops, and the
+            # index searches should stay ~flat
+            ratios = {
+                q: round(big2_timings[q] / big["queries"][q], 2)
+                for q in big2_timings
+                if big["queries"].get(q)
+            }
+            big2 = {
+                "sf": round(sf * 10, 3),
+                "total": round(sum(big2_timings.values()), 3),
+                "queries": big2_timings,
+                "queries_median": big2_medians,
+                "ratio_vs_sf0.5": ratios,
+            }
+            if big2_index is not None:
+                big2["pq_index"] = big2_index
 
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "protocol": {"warmup_runs": 1, "timed_runs": 5, "reported": "min"},
         "sf": sf,
     }
     if pq_index is not None:
         out["pq_index"] = pq_index
     if big is not None:
         out["big"] = big
+    if big2 is not None:
+        out["big2"] = big2
     print(json.dumps(out))
 
 
