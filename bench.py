@@ -171,6 +171,15 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
     timings["vector_pq_index_search"], medians["vector_pq_index_search"] = _timed_runs(
         spark, run_pq, 3
     )
+
+    def run_pq_rr():
+        pq_search_indexed(
+            spark, store, "embeddings", q, k=10, rerank=50
+        ).write.format("noop").mode("overwrite").save()
+
+    timings["vector_pq_index_rerank"], medians["vector_pq_index_rerank"] = _timed_runs(
+        spark, run_pq_rr, 3
+    )
     meta = {"refresh_sec": refresh_sec, **refreshed}
 
     if not os.path.exists(
@@ -209,7 +218,12 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
         ivf_search_indexed(spark, store, "embeddings", q, k=10, n_probe=2).collect(),
         "key",
     )
+    pq_rr_top = _topk_sets(
+        pq_search_indexed(spark, store, "embeddings", q, k=10, rerank=50).collect(),
+        "key",
+    )
     meta["recall_at_10_vs_l2"] = _recall_at_10(exact_l2, pq_top)
+    meta["rerank_recall_at_10"] = _recall_at_10(exact_cos, pq_rr_top)
     meta["ivf"]["recall_at_10"] = _recall_at_10(exact_cos, ivf_top)
     return meta
 

@@ -56,6 +56,17 @@ def test_build_and_search_matches_direct_adc(spark, md_elements, tmp_path):
     # collection listing is not polluted by the index artifact
     assert store.list_collections() == ["docs"]
 
+    # rerank mode: ADC prunes, exact cosine over only the shortlisted
+    # keys decides — must equal the non-indexed pq_adc_rerank operator
+    from dataingestionplayground_spark.operators.similarity import pq_adc_rerank
+
+    got_rr = pq_search_indexed(spark, store, "docs", q, k=3, rerank=10).collect()
+    want_rr = pq_adc_rerank(
+        chunks, q, k=3, shortlist=10, m=M, n_centroids=K, dims=DIMS, corpus_id="key"
+    ).collect()
+    assert sorted(map(tuple, got_rr)) == sorted(map(tuple, want_rr))
+    assert {r["rank"] for r in got_rr} <= {1, 2, 3}
+
 
 def test_incremental_refresh_appends_only_new(spark, md_elements, tmp_path):
     store = CollectionStore(str(tmp_path))

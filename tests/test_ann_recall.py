@@ -157,3 +157,9 @@ def test_indexed_search_recall_floors(spark, corpus, queries, exact, tmp_path):
     exact_l2_str = {str(q): v for q, v in exact_l2.items()}
     pq = keysets(pq_search_indexed(spark, store, "emb", qs, k=K))
     assert recall_at_k(exact_l2_str, pq, K) >= 0.08
+    # exact-cosine rerank over the ADC shortlist recovers most of the
+    # quantization loss — graded against the COSINE truth
+    pq_rr = keysets(pq_search_indexed(spark, store, "emb", qs, k=K, rerank=50))
+    r_rr = recall_at_k(exact_str, pq_rr, K)
+    assert r_rr >= 0.25
+    assert r_rr >= recall_at_k(exact_str, pq, K)  # rerank can only help
