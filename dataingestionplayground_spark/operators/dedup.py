@@ -56,24 +56,23 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
-def _lane_expr(i: int) -> str:
+def _lane_expr(i: int, col: str = "shingle") -> str:
     """Spark SQL for minhash lane i (0..7): the 8-hex-char (32-bit) slice
-    of md5(shingle) (lanes 0-3) or md5('x'||shingle) (4-7), decoded to a
-    BIGINT.
+    of md5(col) (lanes 0-3) or md5('x'||col) (4-7), decoded to a BIGINT.
 
     Two md5 evaluations yield 8 independent 32-bit hash lanes — 4x less
     hashing than one md5 per lane. Lanes are *integers* so min() gets a
     fixed-width mutable agg buffer -> HashAggregate (a string min would
     force SortAggregate: per-partition sorts and spill risk at scale).
     """
-    src = "md5(shingle)" if i < 4 else "md5(concat('x', shingle))"
+    src = f"md5({col})" if i < 4 else f"md5(concat('x', {col}))"
     return f"cast(conv(substring({src}, {(i % 4) * 8 + 1}, 8), 16, 10) as bigint)"
 
 
-def _lane_expr_duck(i: int) -> str:
+def _lane_expr_duck(i: int, col: str = "shingle") -> str:
     """DuckDB oracle twin of :func:`_lane_expr` (no conv(); polynomial
     expansion of the 8 hex nibbles)."""
-    src = "md5(shingle)" if i < 4 else "md5(concat('x', shingle))"
+    src = f"md5({col})" if i < 4 else f"md5(concat('x', {col}))"
     start = (i % 4) * 8 + 1
     terms = [
         f"CAST(instr('0123456789abcdef', substr({src}, {start + j}, 1)) - 1 AS BIGINT) * {16 ** (7 - j)}"

@@ -1019,3 +1019,80 @@ def sample_contrastive_negatives(spark, sf):
         "negative_id",
         (F.col("a_source") == F.col("b_source")).alias("same_source"),
     )
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_md5_mod_sql('tok', 256)} AS bucket
+      FROM (SELECT doc_id, source, unnest({TX.tokens_sql('text')}) AS tok
+            FROM documents)
+    ), dist AS (
+      SELECT bucket, COUNT(*) AS cs,
+             COUNT(*) FILTER (source IN ('src0', 'src1', 'src2')) AS ct
+      FROM toks GROUP BY bucket
+    ), scored AS (
+      SELECT t.doc_id, COUNT(*) AS n_toks,
+             SUM((d.ct + 1) * 1000000 // (d.cs + 1)) AS importance
+      FROM toks t JOIN dist d ON d.bucket = t.bucket
+      GROUP BY t.doc_id
+    ), tot AS (
+      SELECT CAST(SUM(importance) AS DECIMAL(38,0)) AS s,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(importance AS BIGINT) AS importance,
+           CAST(importance AS DECIMAL(38,0)) * n >= s AS keep
+    FROM scored CROSS JOIN tot
+    """,
+)
+def sample_dsir_importance(spark, sf):
+    # DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    # Language Models via Importance Resampling"): hashed unigram
+    # features, per-document importance = sum over tokens of the
+    # target/source bucket frequency ratio; keep = above corpus mean.
+    # The in-dataset "target" is sources src0-src2 (a stand-in for the
+    # high-quality reference corpus DSIR samples toward).
+    #
+    # ALL-INTEGER arithmetic for cross-engine portability: the per-token
+    # score is (ct+1)*SCALE div (cs+1) (Laplace-smoothed ratio; the
+    # corpus-constant (Ns+B)/(Nt+B) factor is dropped — it rescales
+    # every score identically and the keep threshold is scale-
+    # invariant), and the mean comparison cross-multiplies as
+    # decimal(38,0) instead of dividing. Plan shape at 100 TB: explode
+    # -> ONE 256-key hash agg (map-side partial collapses each
+    # partition to <=256 rows), broadcast the 256-row distribution
+    # table back onto the token stream, one per-doc agg — no windows,
+    # no skewed reducers, no floating point.
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(TX.tokens("text")).alias("tok"),
+    ).select("doc_id", "source", F.expr(_md5_mod("tok", 256)).alias("bucket"))
+    dist = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count_if(F.col("source").isin("src0", "src1", "src2")).alias("ct"),
+    )
+    scored = (
+        toks.join(F.broadcast(dist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum(F.expr("(ct + 1) * 1000000L div (cs + 1)")).alias("importance"),
+        )
+    )
+    tot = scored.agg(
+        F.sum("importance").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_toks",
+        F.col("importance").cast("long").alias("importance"),
+        (F.col("importance").cast("decimal(38,0)") * F.col("n") >= F.col("s")).alias(
+            "keep"
+        ),
+    )

@@ -463,3 +463,100 @@ def text_char_entropy(spark, sf):
         F.length("cs").cast("int").alias("n_chars_sampled"),
         F.expr(ent).alias("entropy"),
     ).withColumn("keep", F.col("entropy").between(2.0, 5.5))
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             {TX.tokens_sql('text')} AS tk,
+             regexp_split_to_array(text, '\n') AS ln,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+               AS n_sym
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS INTEGER) AS n_words,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE) AS alpha_word_ratio,
+             CAST(n_sym AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS symbol_to_word,
+             CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]')))
+                  AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS bullet_line_frac,
+             CAST(len(list_filter(ln, l -> ends_with(trim(l), '...'))) AS DOUBLE)
+               / CAST(len(ln) AS DOUBLE) AS ellipsis_line_frac
+      FROM feats WHERE len(tk) > 0
+    )
+    SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+           round(alpha_word_ratio, 6) AS alpha_word_ratio,
+           round(symbol_to_word, 6) AS symbol_to_word,
+           round(bullet_line_frac, 6) AS bullet_line_frac,
+           round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+           (n_words BETWEEN 10 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND alpha_word_ratio >= 0.8
+             AND symbol_to_word <= 0.1
+             AND bullet_line_frac <= 0.9
+             AND ellipsis_line_frac <= 0.3 AS keep
+    FROM m
+    """,
+)
+def text_gopher_quality_rules(spark, sf):
+    # Gopher-style (Rae et al. 2021, "Scaling Language Models") document
+    # quality rules: word-count bounds, mean word length in [3, 10],
+    # >=80% words with an alphabetic char, symbol-to-word ratio (# and
+    # ellipses), bullet-started and ellipsis-ended line fractions. Like
+    # text_char_entropy this is ENTIRELY in-row Catalyst arithmetic over
+    # the token/line arrays — a narrow projection, ZERO shuffles at any
+    # scale. Ratios use IEEE double division only (+ - * /), which is
+    # bit-portable across engines (no libm calls).
+    d = t(spark, sf, "documents")
+    feats = d.select(
+        "doc_id",
+        TX.tokens("text").alias("tk"),
+        F.expr("split(text, '\n')").alias("ln"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+            + (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
+        ).cast("bigint").alias("n_sym"),
+    ).filter(F.expr("size(tk) > 0"))
+    nw = F.expr("cast(size(tk) as double)")
+    m = feats.select(
+        "doc_id",
+        F.expr("cast(size(tk) as int)").alias("n_words"),
+        (F.expr("cast(aggregate(tk, 0L, (a, x) -> a + length(x)) as double)") / nw).alias(
+            "mean_word_len"
+        ),
+        (F.expr("cast(size(filter(tk, x -> x rlike '[a-zA-Z]')) as double)") / nw).alias(
+            "alpha_word_ratio"
+        ),
+        (F.col("n_sym").cast("double") / nw).alias("symbol_to_word"),
+        (
+            F.expr("cast(size(filter(ln, l -> trim(l) rlike '^[-*•]')) as double)")
+            / F.expr("cast(size(ln) as double)")
+        ).alias("bullet_line_frac"),
+        (
+            F.expr("cast(size(filter(ln, l -> endswith(trim(l), '...'))) as double)")
+            / F.expr("cast(size(ln) as double)")
+        ).alias("ellipsis_line_frac"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_ratio", 6).alias("alpha_word_ratio"),
+        F.round("symbol_to_word", 6).alias("symbol_to_word"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        (
+            F.col("n_words").between(10, 100000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("alpha_word_ratio") >= 0.8)
+            & (F.col("symbol_to_word") <= 0.1)
+            & (F.col("bullet_line_frac") <= 0.9)
+            & (F.col("ellipsis_line_frac") <= 0.3)
+        ).alias("keep"),
+    )
