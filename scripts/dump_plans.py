@@ -41,6 +41,8 @@ SHOW = [
     ("window_ntile_buckets", "global + per-status ntile via sharded prefix count — zero WindowExec (r7)"),
     ("window_ratio_to_total", "ratio-to-report as broadcast-aggregate denominators — no OVER () (r7)"),
     ("events_heavy_hitters", "top-k heavy hitters: TakeOrderedAndProject then window-free bounded rank (r7)"),
+    ("text_gopher_quality_rules", "Gopher document filters as one narrow projection — zero Exchange at any scale (r8)"),
+    ("sample_dsir_importance", "DSIR importance: one 256-key partial hash agg, broadcast dist table, per-doc agg — no windows (r8)"),
 ]
 
 INTERESTING = re.compile(
