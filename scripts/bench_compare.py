@@ -1,0 +1,92 @@
+"""Compare two bench JSON artifacts per query and separate real plan
+regressions from scheduler noise, using the r8 measurement protocol:
+a row is flagged only when BOTH its min and its median worsened past
+the threshold (noise inflates individual samples — it moves the min or
+the median, rarely both, while a plan regression moves every sample).
+
+Usage:
+    python scripts/bench_compare.py OLD.json NEW.json [threshold]
+
+threshold: fractional worsening that counts (default 0.10 = +10%).
+Exit code 1 when any row is flagged. Rows present in only one artifact
+(added/removed queries) are listed but never flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _blocks(doc: dict):
+    """Yield (block_name, queries_min, queries_median) for every scale
+    block in a bench artifact. Pre-r8 artifacts have no medians — an
+    empty dict makes the median test vacuously pass and the comparison
+    falls back to min-only (reported as 'min-only')."""
+    yield "headline", doc.get("queries", {}), doc.get("queries_median", {})
+    for name in ("big", "big2"):
+        blk = doc.get(name)
+        if blk:
+            yield name, blk.get("queries", {}), blk.get("queries_median", {})
+
+
+def compare(old: dict, new: dict, threshold: float = 0.10):
+    flagged, noise, improved, added, removed = [], [], [], [], []
+    old_blocks = {n: (q, m) for n, q, m in _blocks(old)}
+    for name, nq, nm in _blocks(new):
+        oq, om = old_blocks.get(name, ({}, {}))
+        for q in sorted(nq):
+            if q not in oq:
+                added.append(f"{name}/{q}")
+                continue
+            o, n = oq[q], nq[q]
+            delta = (n - o) / o if o else 0.0
+            row = f"{name}/{q}: {o:.3f} -> {n:.3f} ({delta:+.0%})"
+            if n > (1 + threshold) * o:
+                o_med, n_med = om.get(q), nm.get(q)
+                med_worse = (
+                    o_med is None  # pre-r8 artifact: min-only evidence
+                    or n_med is None
+                    or n_med > (1 + threshold) * o_med
+                )
+                if med_worse:
+                    tag = " [min-only evidence]" if o_med is None or n_med is None else ""
+                    flagged.append(row + tag)
+                else:
+                    noise.append(row + f" (median {o_med:.3f} -> {n_med:.3f}: noise)")
+            elif n < (1 - threshold) * o:
+                improved.append(row)
+        for q in sorted(oq):
+            if q not in nq:
+                removed.append(f"{name}/{q}")
+    return flagged, noise, improved, added, removed
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old = json.load(open(sys.argv[1]))
+    new = json.load(open(sys.argv[2]))
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 0.10
+    flagged, noise, improved, added, removed = compare(old, new, threshold)
+    for title, rows in (
+        ("REGRESSED (min AND median past threshold)", flagged),
+        ("noisy (min worsened, median held)", noise),
+        ("improved", improved),
+        ("added", added),
+        ("removed", removed),
+    ):
+        if rows:
+            print(f"== {title} ==")
+            for r in rows:
+                print("  " + r)
+    print(
+        f"== {len(flagged)} regressed, {len(noise)} noisy, "
+        f"{len(improved)} improved, {len(added)} added, {len(removed)} removed =="
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

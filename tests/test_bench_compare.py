@@ -1,0 +1,48 @@
+"""scripts/bench_compare.py — the regression-vs-noise classifier the
+r8 measurement protocol rests on (a row regresses only when min AND
+median both worsen; a noisy sample moves one but not both)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from bench_compare import compare  # noqa: E402
+
+
+def _doc(mins, meds=None, big=None):
+    d = {"queries": mins, "queries_median": meds or {}}
+    if big:
+        d["big"] = big
+    return d
+
+
+def test_flags_only_min_and_median_regressions():
+    old = _doc({"a": 1.0, "b": 1.0, "c": 1.0}, {"a": 1.1, "b": 1.1, "c": 1.1})
+    new = _doc(
+        {"a": 1.5, "b": 1.5, "c": 0.8},  # a+b min regressed, c improved
+        {"a": 1.6, "b": 1.12, "c": 0.9},  # only a's median regressed too
+    )
+    flagged, noise, improved, added, removed = compare(old, new)
+    assert any("headline/a" in r for r in flagged) and len(flagged) == 1
+    assert any("headline/b" in r for r in noise) and len(noise) == 1
+    assert any("headline/c" in r for r in improved)
+    assert not added and not removed
+
+
+def test_pre_r8_artifact_falls_back_to_min_only():
+    old = _doc({"a": 1.0})  # no medians (pre-r8 bench format)
+    new = _doc({"a": 1.5}, {"a": 1.5})
+    flagged, noise, *_ = compare(old, new)
+    assert len(flagged) == 1 and "min-only" in flagged[0]
+    assert not noise
+
+
+def test_added_removed_and_big_blocks():
+    old = _doc({"a": 1.0}, {"a": 1.0}, big={"queries": {"x": 2.0}, "queries_median": {"x": 2.0}})
+    new = _doc({"a": 1.0, "n": 0.5}, {"a": 1.0, "n": 0.5}, big={"queries": {}, "queries_median": {}})
+    flagged, noise, improved, added, removed = compare(old, new)
+    assert added == ["headline/n"] and removed == ["big/x"]
+    assert not flagged and not noise and not improved

@@ -176,3 +176,73 @@ def test_text_functions_survive_unicode_extremes(spark):
     q = quality_scores(d).collect()
     assert {r.doc_id for r in q} == {1, 2, 3, 4}
     assert all(r.quality is not None for r in q)
+
+
+def test_gopher_quality_rules_crafted_docs(spark, tmp_path):
+    """Exercise every Gopher-rule branch the synthetic corpus never
+    hits: bullet-started lines, ellipsis-ended lines, symbol-heavy
+    text, short docs, and long-word gibberish — with hand-computed
+    expected values (the oracle gate only proves Spark==DuckDB; this
+    pins Spark==intent)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    docs = [
+        # 11 clean words, 47 chars total -> mean len 47/11 ~ 4.27 -> keep
+        (1, "good clean prose text here that reads fine and looks real", "en", "s", 0),
+        # every line is a bullet -> bullet_line_frac = 1.0 -> drop
+        (2, "- one two three\n- four five six\n- seven eight nine ten eleven", "en", "s", 0),
+        # both lines end with '...' -> ellipsis_line_frac = 1.0 -> drop
+        (3, "this trails off into nothing at all...\nand so does this line too...", "en", "s", 0),
+        # '#'-spam: 12 words, 13 hashes -> symbol_to_word > 1 -> drop
+        (4, "### ## heading spam ## ### with many markdown hash marks all over here", "en", "s", 0),
+        # 5 words -> below the 10-word floor -> drop
+        (5, "way too short to keep", "en", "s", 0),
+        # 11 'words' of length 22 -> mean_word_len > 10 -> drop
+        (6, " ".join(["a" * 22] * 11), "en", "s", 0),
+        # numeric tokens: 12 words, only 2 alphabetic -> alpha ratio < 0.8 -> drop
+        (7, "1 2 3 4 5 6 7 8 9 10 eleven twelve", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in E.queries()["text_gopher_quality_rules"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[1]["mean_word_len"] == round(47 / 11, 6)
+    assert rows[2]["keep"] is False and rows[2]["bullet_line_frac"] == 1.0
+    assert rows[3]["keep"] is False and rows[3]["ellipsis_line_frac"] == 1.0
+    assert rows[4]["keep"] is False and rows[4]["symbol_to_word"] > 0.1
+    assert rows[5]["keep"] is False and rows[5]["n_words"] == 5
+    assert rows[6]["keep"] is False and rows[6]["mean_word_len"] == 22.0
+    assert rows[7]["keep"] is False and rows[7]["alpha_word_ratio"] < 0.8
+
+
+def test_dsir_importance_prefers_target_tokens(spark, tmp_path):
+    """Docs made of target-corpus-only tokens must out-rank docs made
+    of source-only tokens (the entire point of importance resampling),
+    and the integer scores must be identical for identical docs."""
+    import __spark_entry__ as E
+
+    target = [(i, "alpha beta gamma delta epsilon", "en", f"src{i % 3}", 0) for i in range(30)]
+    other = [(100 + i, "zeta eta theta iota kappa", "en", f"src{3 + i % 3}", 0) for i in range(30)]
+    probe = [
+        (900, "alpha beta gamma delta epsilon", "en", "src9", 0),  # target-like
+        (901, "zeta eta theta iota kappa", "en", "src9", 0),  # source-like
+    ]
+    df = spark.createDataFrame(
+        target + other + probe,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in E.queries()["sample_dsir_importance"](spark, str(tmp_path)).collect()
+    }
+    assert rows[900]["importance"] > rows[901]["importance"]
+    assert rows[900]["keep"] is True and rows[901]["keep"] is False
+    # identical text -> identical integer score (pure function of corpus)
+    assert rows[900]["importance"] == rows[0]["importance"]
