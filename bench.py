@@ -62,6 +62,9 @@ HEADLINE = [
     # r7: cross-doc exact-substring dedup — the heaviest new shape
     # (explode + two hash aggs + equi-join on the window hash)
     "dedup_exact_substring_signal",
+    # r8: DSIR importance weights — token explode + 256-key dist agg +
+    # broadcast + per-doc agg (sf0.1 ~1.3 s at introduction)
+    "sample_dsir_importance",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,

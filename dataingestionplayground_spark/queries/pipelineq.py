@@ -1096,3 +1096,83 @@ def sample_dsir_importance(spark, sf):
             "keep"
         ),
     )
+
+
+def _funnel_oracle() -> str:
+    # reuse the registered gates' own oracle SQL as CTEs so the funnel
+    # can never drift from the filters it reports on
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH ent AS ({_R['text_char_entropy'].oracle}),
+         gop AS ({_R['text_gopher_quality_rules'].oracle}),
+         rep AS ({_R['text_repetition_filter'].oracle}),
+    flags AS (
+      SELECT d.doc_id,
+             (d.lang = 'en') AS f1,
+             coalesce(e.keep, FALSE) AS f2,
+             coalesce(g.keep, FALSE) AS f3,
+             coalesce(r.keep, FALSE) AS f4
+      FROM documents d
+      LEFT JOIN ent e USING (doc_id)
+      LEFT JOIN gop g USING (doc_id)
+      LEFT JOIN rep r USING (doc_id)
+    )
+    SELECT 0 AS stage_idx, 'total' AS stage, COUNT(*) AS n_docs FROM flags
+    UNION ALL SELECT 1, 'lang_en', COUNT(*) FILTER (f1) FROM flags
+    UNION ALL SELECT 2, '+entropy', COUNT(*) FILTER (f1 AND f2) FROM flags
+    UNION ALL SELECT 3, '+gopher', COUNT(*) FILTER (f1 AND f2 AND f3) FROM flags
+    UNION ALL SELECT 4, '+repetition', COUNT(*) FILTER (f1 AND f2 AND f3 AND f4)
+      FROM flags
+    """
+
+
+@register("pipeline_filter_funnel", oracle=_funnel_oracle())
+def pipeline_filter_funnel(spark, sf):
+    # The Dolma/RefinedWeb-style filter CASCADE as an observability
+    # query: per-stage survivor counts through lang-ID -> char-entropy
+    # gate -> Gopher rules -> repetition filter, each stage applied
+    # cumulatively. COMPOSES the registered gate queries (their Spark
+    # frames here, their oracle SQL as CTEs above) so the funnel can
+    # never disagree with the filters themselves. Plan shape: three
+    # per-doc-keyed left joins, then ONE conditional-count agg row
+    # unpivoted via stack — counts shuffle nothing but partial agg
+    # buffers at any scale.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    ent = _R["text_char_entropy"].fn(spark, sf).select(
+        "doc_id", F.col("keep").alias("k2")
+    )
+    gop = _R["text_gopher_quality_rules"].fn(spark, sf).select(
+        "doc_id", F.col("keep").alias("k3")
+    )
+    rep = _R["text_repetition_filter"].fn(spark, sf).select(
+        "doc_id", F.col("keep").alias("k4")
+    )
+    flags = (
+        d.join(ent, "doc_id", "left")
+        .join(gop, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select(
+            (F.col("lang") == "en").alias("f1"),
+            F.coalesce("k2", F.lit(False)).alias("f2"),
+            F.coalesce("k3", F.lit(False)).alias("f3"),
+            F.coalesce("k4", F.lit(False)).alias("f4"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(F.col("f1")).alias("n1"),
+        F.count_if(F.col("f1") & F.col("f2")).alias("n2"),
+        F.count_if(F.col("f1") & F.col("f2") & F.col("f3")).alias("n3"),
+        F.count_if(
+            F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")
+        ).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'total', n0, 1, 'lang_en', n1, 2, '+entropy', n2, "
+            "3, '+gopher', n3, 4, '+repetition', n4) AS (stage_idx, stage, n_docs)"
+        )
+    )
