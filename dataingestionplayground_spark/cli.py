@@ -128,7 +128,6 @@ def cmd_ingest(args, cfg) -> int:
 def cmd_search(args, cfg) -> int:
     from pyspark.sql import functions as F
 
-    from dataingestionplayground_spark.functions.vector import cosine_similarity
     from dataingestionplayground_spark.ingest import CollectionStore, search_collection
     from dataingestionplayground_spark.ingest.embed import hash_embed
     from dataingestionplayground_spark.session import get_spark
@@ -178,18 +177,17 @@ def cmd_search(args, cfg) -> int:
                     spark, store, collection, q, k=args.top_k, n_probe=args.n_probe
                 )
             else:
-                # ADC shortlist off the code table, exact rerank below
+                # ADC shortlist off the code table + exact-cosine rerank
+                # (the index's built-in rerank mode — already returns the
+                # final exact-scored top-k)
                 hits = pq_search_indexed(
-                    spark, store, collection, q, k=args.top_k * 4
+                    spark, store, collection, q, k=args.top_k, rerank=args.top_k * 4
                 )
-            cand = hits.select("key")
+            # both paths return exact cosine scores; join the store only
+            # to fetch display fields for the chosen keys
             res = (
                 store.read(spark, collection)
-                .join(F.broadcast(cand), "key")
-                .withColumn(
-                    "query_vec", F.array(*[F.lit(x).cast("float") for x in qvec])
-                )
-                .withColumn("score", cosine_similarity("embedding", "query_vec"))
+                .join(F.broadcast(hits.select("key", "score")), "key")
                 .orderBy(F.desc("score"), F.asc("key"))
                 .select("key", "content", "context", "documentid", "score")
                 .limit(args.top_k)
