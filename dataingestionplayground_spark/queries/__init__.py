@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         vectorq,
         ingestq,
         pipelineq,
+        retrievalq,
     )
 
     # Round-robin interleave across name families (the prefix before the

@@ -1,0 +1,354 @@
+"""Retrieval-pipeline query surface: BM25 lexical ranking, corpus-wide
+first-occurrence segment dedup (the Lee-et-al "remove later copies"
+semantic, vs the df>=2 boilerplate drop and the intra-doc variant in
+pipelineq), containment-verified near-dup pairs (catches subset
+duplicates whose Jaccard stays low), and MMR diversified vector search.
+
+Reference parity: the reference's search surface is embedding-only
+(``VectorStoreCommands.cs:83-139``); BM25/MMR extend it with the lexical
+and diversity legs a production retrieval stack pairs with it, per the
+LLM-pipeline mandate. All hot paths are Catalyst built-ins; the only
+driver-side state is MMR's k-bounded candidate table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.operators.prefix import bounded_rank
+from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import load_table as t
+
+# Fixed query for the BM25 demo — frequent corpus words so every scale
+# factor produces a dense result. Part of the query's definition (like
+# vec_id < 5 for the vector queries), identical on both engines.
+_BM25_TERMS = ("spark", "merge", "vector")
+_K1 = 1.2
+_B = 0.75
+
+
+def _bm25_term_score(tf, dl):
+    """BM25 per-(doc,term) partial: idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    idf is the robust ln(1 + (N-df+0.5)/(df+0.5)) variant (always > 0).
+    Expects columns tf, df, n_docs, avgdl in scope.
+    """
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = tf + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * dl / F.col("avgdl"))
+    return idf * tf * F.lit(_K1 + 1.0) / norm
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), toks AS (
+      SELECT b.doc_id, u.term FROM base b, unnest(b.tk) AS u(term)
+      WHERE u.term IN {str(tuple(_BM25_TERMS))}
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), parts AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * {_K1 + 1.0}
+               / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * l.dl / s.avgdl)) AS part
+      FROM tf
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dl l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id,
+             round(  coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[0]}' THEN part END), 0)
+                   + coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[1]}' THEN part END), 0)
+                   + coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[2]}' THEN part END), 0), 6)
+               AS score
+      FROM parts GROUP BY doc_id
+    )
+    SELECT doc_id, score, rk FROM (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+)
+def text_bm25_topk(spark, sf):
+    # Distributed BM25 for a fixed 3-term query. Shuffle shape at any
+    # corpus scale: the posting rows are filtered to the query terms
+    # BEFORE the tf aggregation (the only corpus-sized shuffle is keyed
+    # by doc_id — high-cardinality, no skew), df and the corpus stats
+    # are 3-row / 1-row broadcasts, and the final top-10 is
+    # TakeOrderedAndProject (partial top-k per partition, no global
+    # sort). Per-doc summation runs in FIXED term order (one conditional
+    # sum per query term, each over <= 1 row) so double addition is
+    # order-deterministic and hash-matches the sequential oracle.
+    d = t(spark, sf, "documents").select("doc_id", TX.tokens("text").alias("tk"))
+    dl = d.select("doc_id", F.size("tk").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = d.select(
+        "doc_id",
+        F.size("tk").cast("double").alias("dl"),
+        F.explode("tk").alias("term"),
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    parts = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            _bm25_term_score(F.col("tf"), F.col("dl")).alias("part"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == term, F.col("part"))), F.lit(0.0)
+        )
+        for term in _BM25_TERMS
+    ]
+    total = per_term[0]
+    for p in per_term[1:]:
+        total = total + p
+    scored = parts.groupBy("doc_id").agg(F.round(total, 6).alias("score"))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    return bounded_rank(top, [("score", False), ("doc_id", True)], "rk")
+
+
+_SEG = 12  # tokens per synthetic "line", same stand-in as pipelineq
+
+
+@register(
+    "dedup_global_first_segment",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+      WHERE len({TX.tokens_sql('text')}) > 0
+    ), segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tk[(i-1)*{_SEG}+1:i*{_SEG}], ' ') AS line
+      FROM base, unnest(generate_series(1, CAST(ceil(len(tk)/{_SEG}.0) AS INTEGER))) AS u(i)
+    ), nz AS (
+      SELECT doc_id, pos, line,
+             CAST(row_number() OVER (PARTITION BY md5(trim(line))
+                                     ORDER BY doc_id, pos) AS BIGINT) AS occurrence
+      FROM segs WHERE trim(line) <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs_total,
+           CAST(SUM(CASE WHEN occurrence = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_segs_kept,
+           coalesce(string_agg(CASE WHEN occurrence = 1 THEN line END, chr(10) ORDER BY pos), '')
+             AS clean_text
+    FROM nz GROUP BY doc_id
+    """,
+)
+def dedup_global_first_segment(spark, sf):
+    # Corpus-wide duplicate-segment REMOVAL, keep-first semantics (Lee et
+    # al., "Deduplicating Training Data Makes Language Models Better"):
+    # exactly ONE copy of every repeated segment survives, at its first
+    # (doc_id, pos) occurrence — distinct from dedup_line_boilerplate
+    # (drops ALL copies once df >= 2) and dedup_intra_doc_lines (first
+    # per doc, cross-doc copies untouched). Scale shape: the occurrence
+    # window partitions by the segment HASH — a high-cardinality key
+    # (most segments are unique, dup groups are small), so no reducer
+    # hot-spots — then one per-doc rebuild agg. Two shuffles total.
+    d = t(spark, sf, "documents").withColumn("tk", TX.tokens("text"))
+    d = d.filter(F.size("tk") > 0)
+    seg = lambda i: F.array_join(F.slice(F.col("tk"), (i - 1) * _SEG + 1, _SEG), " ")
+    lines = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.ceil(F.size("tk") / float(_SEG)).cast("int")),
+                    seg,
+                )
+            ).alias("pos0", "line"),
+        )
+        .filter(F.trim("line") != "")
+        .withColumn("pos", F.col("pos0") + 1)
+    )
+    w = W.partitionBy(F.md5(F.trim("line"))).orderBy("doc_id", "pos")
+    flagged = lines.withColumn("occurrence", F.row_number().over(w).cast("long"))
+    first = F.col("occurrence") == 1
+    ordered = F.array_sort(F.collect_list(F.when(first, F.struct("pos", "line"))))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs_total"),
+        F.sum(first.cast("long")).cast("long").alias("n_segs_kept"),
+        F.array_join(F.transform(ordered, lambda x: x["line"]), "\n").alias("clean_text"),
+    )
+
+
+def _containment_oracle() -> str:
+    # Reuses dedupq's minhash/banding SQL fragments so the candidate set
+    # is definitionally identical to dedup_minhash_lsh_pairs.
+    from dataingestionplayground_spark.queries.dedupq import _BANDS, _SHINGLES, _WIDE_SIG
+
+    return f"""
+    WITH {_WIDE_SIG}, bands AS ({_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), csh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+      WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN csh x ON x.doc_id = c.id_a
+      JOIN csh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment,
+           CAST(i.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.3
+    """
+
+
+@register("dedup_containment_pairs", oracle=_containment_oracle())
+def dedup_containment_pairs(spark, sf):
+    # Containment-verified near-dup pairs: |A n B| / min(|A|, |B|).
+    # Jaccard under-scores subset duplicates (a doc embedded inside a
+    # much longer one scores |A|/|B| -> 0 even when A is fully
+    # contained); containment is the standard fix (Broder's resemblance
+    # vs containment split). Same two-stage shape as
+    # dedup_lsh_verified_pairs: LSH banding proposes candidates, packed
+    # shingle sets verify with one array_intersect per PAIR — the verify
+    # stage never shuffles exploded (pair x shingle) rows, and shingle
+    # sets are built only for candidate docs (a vanishing corpus
+    # fraction at scale).
+    from dataingestionplayground_spark.operators.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf, "documents")
+    cand = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, rows_per_band=2
+    ).localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    docsets = (
+        d.join(ids, "doc_id", "left_semi")
+        .select(F.col("doc_id"), TX.tokens("text").alias("__w"))
+        .select(
+            "doc_id",
+            F.array_distinct(TX.shingles_from_tokens("__w", 3)).alias("sset"),
+        )
+        .withColumn("sz", F.size("sset"))
+        .localCheckpoint(eager=True)
+    )
+    sa = docsets.select(
+        F.col("doc_id").alias("id_a"), F.col("sset").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("id_b"), F.col("sset").alias("set_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least("sz_a", "sz_b").cast("double"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("containment") >= 0.3)
+        .select("id_a", "id_b", "n_common", "containment", "jaccard")
+    )
+
+
+# Iterative greedy selection — genuinely non-SQL-expressible, so rows-only
+# at the driver gate; exact parity vs an independent NumPy reference is
+# pinned in tests/test_retrieval_ops.py instead.
+@register("vector_mmr_diversify", oracle=None)
+def vector_mmr_diversify(spark, sf, n_candidates: int = 32, k: int = 10, lam: float = 0.7):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of the brute-force top-``n_candidates`` for query vec_id=0.
+
+    MMR_i = lam * cos(q, d_i) - (1 - lam) * max_{s in S} cos(d_s, d_i),
+    greedily picking argmax (ties -> lowest vec_id) until k selections.
+
+    Scale split: candidate generation is the DISTRIBUTED part (two-phase
+    partial top-k over the full corpus — knn_brute_force, shuffle bounded
+    by k x n_partitions); the greedy selection is inherently sequential
+    but only ever touches the k-bounded candidate table, so it runs
+    driver-side on n_candidates rows regardless of corpus size — the
+    same bounded-collect contract as the centroid/codebook tables.
+    """
+    from dataingestionplayground_spark.operators.similarity import knn_brute_force
+
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = knn_brute_force(e, q, k=n_candidates)
+    # bounded collect: n_candidates rows x dim floats
+    cand = (
+        top.join(e.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "score", "embedding")
+        .collect()
+    )
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in cand])
+    rel = np.array([r["score"] for r in cand], dtype=np.float64)
+    mat = np.array([r["embedding"] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    sim = unit @ unit.T  # candidate-candidate cosine, n_candidates^2
+
+    order = np.argsort(ids)  # deterministic scan order for ties
+    selected: list[int] = []
+    rows = []
+    for step in range(min(k, len(ids))):
+        best_j, best_score = -1, -np.inf
+        for j in order:
+            if j in selected:
+                continue
+            penalty = max(sim[j][s] for s in selected) if selected else 0.0
+            score = lam * rel[j] - (1.0 - lam) * penalty
+            if score > best_score + 1e-12:
+                best_j, best_score = j, score
+        selected.append(best_j)
+        rows.append(
+            (
+                step + 1,
+                int(ids[best_j]),
+                round(float(rel[best_j]), 6),
+                round(float(best_score), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "select_rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )

@@ -17,6 +17,9 @@ from dataingestionplayground_spark.queries import all_queries
 
 
 def first_comment(fn) -> str:
+    doc = inspect.getdoc(fn)
+    if doc:
+        return doc.splitlines()[0].strip()
     src = inspect.getsource(fn)
     m = re.search(r"^\s*#\s*(.+)$", src, re.MULTILINE)
     return m.group(1).strip() if m else ""
