@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         ingestq,
         pipelineq,
         retrievalq,
+        layoutq,
     )
 
     # Round-robin interleave across name families (the prefix before the
