@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         pipelineq,
         retrievalq,
         layoutq,
+        sketchq,
     )
 
     # Round-robin interleave across name families (the prefix before the

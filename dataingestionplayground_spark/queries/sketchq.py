@@ -1,0 +1,126 @@
+"""Mergeable-sketch query surface (Apache DataSketches built-ins new in
+Spark 4: theta / KLL / approx_top_k) — the sub-linear-state scale path
+for distinct-set algebra, quantiles, and heavy hitters at 100 TB.
+
+Every sketch aggregate here is algebraic: partial sketches build
+map-side per partition and merge associatively, so the shuffle carries
+one small binary per partition instead of the raw keys — the property
+that makes these THE replacements for exact distinct/percentile/top-k
+when key cardinality outgrows executor memory.
+
+Determinism notes drive the gating:
+* theta sketches are EXACT (and integer-valued) while the number of
+  distinct keys stays under the nominal-entries capacity — at the
+  oracle/bench scale factors (150 / 1.5k / 15k users << 2^14) the
+  estimates equal the true counts, so ``agg_theta_set_algebra``
+  carries a full DuckDB oracle; past capacity it degrades gracefully
+  into the designed approximate mode.
+* KLL compaction is randomized (verified: three same-input runs give
+  three near-identical-but-different quantiles), so the KLL query is
+  rows-only with a rank-error-bound pytest.
+* approx_top_k counts are exact while distinct keys fit in
+  maxItemsTracked, but boundary ties may resolve differently than a
+  SQL ORDER BY — rows-only with an exact-match pytest away from ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import load_table as t
+
+_LG_K = 14  # 2^14 nominal entries: exact far beyond every test/bench SF
+
+
+@register(
+    "agg_theta_set_algebra",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT)
+             AS n_view,
+           CAST(COUNT(DISTINCT CASE WHEN event_type IN ('view', 'click') THEN user_id END) AS BIGINT)
+             AS n_view_or_click,
+           CAST((SELECT COUNT(*) FROM
+                  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+                   INTERSECT
+                   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT)
+             AS n_view_and_purchase,
+           CAST((SELECT COUNT(*) FROM
+                  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+                   EXCEPT
+                   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT)
+             AS n_view_not_purchase
+    FROM events
+    """,
+)
+def agg_theta_set_algebra(spark, sf):
+    # Distinct-user set algebra WITHOUT any exact-distinct shuffle: one
+    # pass builds three conditional theta sketches (map-side partial,
+    # associative merge — per-partition state is a <=2^14-entry sketch,
+    # independent of |users|), then union / intersection / difference
+    # and estimation are in-row expression calls on the one merged row.
+    # The exact formulation needs either COUNT(DISTINCT) shuffles keyed
+    # by user or an INTERSECT/EXCEPT pair of distincts; the sketch form
+    # ships KB per partition and composes incrementally (a daily sketch
+    # per partition date rolls up for free). Estimates are exact below
+    # sketch capacity — pinned by the oracle at gate scale.
+    e = t(spark, sf, "events")
+    sk = lambda typ: f"theta_sketch_agg(CASE WHEN event_type = '{typ}' THEN user_id END, {_LG_K})"
+    merged = e.agg(
+        F.expr(sk("view")).alias("sv"),
+        F.expr(sk("click")).alias("sc"),
+        F.expr(sk("purchase")).alias("sp"),
+    )
+    return merged.select(
+        F.expr("theta_sketch_estimate(sv)").cast("long").alias("n_view"),
+        F.expr("theta_sketch_estimate(theta_union(sv, sc))")
+        .cast("long")
+        .alias("n_view_or_click"),
+        F.expr("theta_sketch_estimate(theta_intersection(sv, sp))")
+        .cast("long")
+        .alias("n_view_and_purchase"),
+        F.expr("theta_sketch_estimate(theta_difference(sv, sp))")
+        .cast("long")
+        .alias("n_view_not_purchase"),
+    )
+
+
+# Heavy hitters via the ApproxTopK sketch (frequent-items): rows-only —
+# counts are exact while distinct users <= maxItemsTracked, but which
+# item wins a COUNT TIE at the k boundary is insertion-order-dependent,
+# so a SQL oracle would flap; tests/test_sketches.py pins exactness
+# against the exact top-k with tie-aware comparison instead.
+@register("agg_approx_top_users", oracle=None)
+def agg_approx_top_users(spark, sf):
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
+
+    e = t(spark, sf, "events")
+    tk = e.agg(F.expr("approx_top_k(user_id, 10, 100000)").alias("tk"))
+    flat = tk.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").cast("long").alias("user_id"),
+        F.col("s.count").cast("long").alias("est_n"),
+    )
+    # re-rank deterministically (est_n desc, user_id asc) — the sketch's
+    # own tie order is not a contract
+    top = flat.orderBy(F.desc("est_n"), F.asc("user_id")).limit(10)
+    return bounded_rank(top, [("est_n", False), ("user_id", True)], "rk")
+
+
+# KLL quantiles: rows-only — compaction is randomized above the sketch's
+# retained capacity, so two runs legitimately differ inside the rank
+# error bound; tests/test_sketches.py asserts the bound, not the value.
+@register("agg_kll_quantiles", oracle=None)
+def agg_kll_quantiles(spark, sf):
+    li = t(spark, sf, "lineitem")
+    sk = li.agg(
+        F.expr("kll_sketch_agg_double(cast(l_extendedprice as double))").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return sk.select(
+        "n",
+        *[
+            F.expr(f"kll_sketch_get_quantile_double(sk, {frac})").alias(name)
+            for name, frac in qs.items()
+        ],
+    )
