@@ -56,3 +56,75 @@ def refresh_rollup(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(days)
+
+
+# ------------------------------------------- sketch-backed distinct rollup
+
+# Counts and sums re-aggregate across partitions for free, but DISTINCT
+# counts do NOT (union of per-day distincts != sum of per-day distincts)
+# — the classic reason "daily uniques" tables can't answer weekly/monthly
+# uniques. Theta sketches fix exactly this: a per-(day, type) sketch
+# column merges associatively, so any day-range / any type-subset
+# distinct-user question is one theta_union_agg over the rollup — no
+# raw-event rescan, ever. Incremental maintenance is the same dynamic
+# partition overwrite as the exact rollup above.
+
+_THETA_LG_K = 14  # exact below 2^14 distinct keys per (day, type) cell
+
+
+def daily_distinct_sketch_rollup(events: DataFrame) -> DataFrame:
+    """Per (day, event_type) theta sketch of user_id (binary column)."""
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(F.expr(f"theta_sketch_agg(user_id, {_THETA_LG_K})").alias("user_sketch"))
+    )
+
+
+def build_distinct_rollup(events: DataFrame, path: str) -> None:
+    daily_distinct_sketch_rollup(events).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+
+
+def refresh_distinct_rollup(
+    spark: SparkSession, events: DataFrame, path: str, changed_days: Sequence[str]
+) -> int:
+    """Recompute only ``changed_days``' sketches (day filter pushes to
+    the event scan) and dynamically overwrite those partitions."""
+    if not changed_days:
+        return 0
+    days = [str(d) for d in changed_days]
+    fresh = daily_distinct_sketch_rollup(
+        events.filter(F.to_date("ts").isin(days))
+    ).filter(F.col("day").isin(days))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fresh.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(days)
+
+
+def distinct_users_over(
+    spark: SparkSession,
+    path: str,
+    day_from: str,
+    day_to: str,
+    event_types: Sequence[str] | None = None,
+) -> int:
+    """Distinct users in [day_from, day_to] (optionally restricted to
+    ``event_types``) answered FROM THE ROLLUP ALONE: partition pruning
+    keeps the scan to the requested days, then one associative
+    theta_union_agg merge. Cost is O(days x types) sketch rows at any
+    event volume."""
+    rollup = spark.read.parquet(path).filter(
+        (F.col("day") >= F.lit(day_from)) & (F.col("day") <= F.lit(day_to))
+    )
+    if event_types is not None:
+        rollup = rollup.filter(F.col("event_type").isin(list(event_types)))
+    row = rollup.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(user_sketch))").alias("n")
+    ).collect()[0]
+    return int(row["n"] or 0)

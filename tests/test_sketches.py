@@ -88,6 +88,97 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
     assert row["p25"] <= row["p50"] <= row["p75"] <= row["p95"]
 
 
+def _mk_events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_distinct_rollup_answers_range_queries_without_raw_events(spark, tmp_path):
+    """Per-day theta sketches merge into ANY day-range distinct count —
+    the question daily exact-unique tables cannot answer."""
+    from dataingestionplayground_spark.operators.incremental import (
+        build_distinct_rollup,
+        distinct_users_over,
+    )
+
+    base = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 11:00:00", 2, "view", 1.0),
+            (3, "2024-01-02 09:00:00", 1, "view", 1.0),  # same user, day 2
+            (4, "2024-01-02 09:30:00", 3, "click", 1.0),
+            (5, "2024-01-03 09:00:00", 4, "view", 1.0),
+        ],
+    )
+    path = str(tmp_path / "droll")
+    build_distinct_rollup(base, path)
+    # day-1..2 uniques = {1,2,3} — NOT 2+2=4 (user 1 repeats): the merge
+    # dedups across partitions, which a summable count can't
+    assert distinct_users_over(spark, path, "2024-01-01", "2024-01-02") == 3
+    assert distinct_users_over(spark, path, "2024-01-01", "2024-01-03") == 4
+    assert distinct_users_over(spark, path, "2024-01-02", "2024-01-02") == 2
+    assert (
+        distinct_users_over(spark, path, "2024-01-01", "2024-01-03", ["view"]) == 3
+    )
+    assert distinct_users_over(spark, path, "2024-02-01", "2024-02-28") == 0
+
+
+def test_distinct_rollup_incremental_refresh(spark, tmp_path):
+    import os
+
+    from dataingestionplayground_spark.operators.incremental import (
+        build_distinct_rollup,
+        distinct_users_over,
+        refresh_distinct_rollup,
+    )
+
+    base = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-02 10:00:00", 2, "view", 1.0),
+        ],
+    )
+    path = str(tmp_path / "droll2")
+    build_distinct_rollup(base, path)
+
+    def mtimes(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    day1_before = mtimes("2024-01-01")
+    extra = _mk_events(spark, [(3, "2024-01-02 11:00:00", 5, "view", 1.0)])
+    n = refresh_distinct_rollup(
+        spark, base.unionByName(extra), path, ["2024-01-02"]
+    )
+    assert n == 1
+    assert distinct_users_over(spark, path, "2024-01-01", "2024-01-02") == 3
+    # untouched partition not rewritten
+    assert mtimes("2024-01-01") == day1_before
+
+
+def test_distinct_rollup_matches_exact_on_real_events(spark, sf_dir, tmp_path):
+    from dataingestionplayground_spark.operators.incremental import (
+        build_distinct_rollup,
+        distinct_users_over,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "droll3")
+    build_distinct_rollup(e, path)
+    days = [r["d"] for r in e.select(F.to_date("ts").alias("d")).distinct().collect()]
+    lo, hi = str(min(days)), str(max(days))
+    exact = e.select("user_id").distinct().count()
+    assert distinct_users_over(spark, path, lo, hi) == exact
+
+
 def test_sketch_aggs_are_partial(spark, sf_dir):
     """The physical plan must show two-phase (partial + final) hash
     aggregation — the map-side-combine property the scale story cites."""
