@@ -107,6 +107,55 @@ def refresh_distinct_rollup(
     return len(days)
 
 
+def merge_distinct_rollup(spark: SparkSession, batch: DataFrame, path: str) -> int:
+    """Fold a bounded batch of events INTO the stored rollup by sketch
+    union — no raw-event rescan of the affected days.
+
+    This is the streaming-native maintenance path (vs
+    :func:`refresh_distinct_rollup`, which recomputes a day from all of
+    its raw events): existing day-partitions for the batch's days are
+    read back (partition-pruned), outer-merged with the batch's
+    sketches via ``theta_union``, and dynamically overwritten. Because
+    a theta sketch is a SET summary, re-merging the same events is a
+    no-op — foreachBatch retries are idempotent for free, with no
+    dedup bookkeeping. Returns the number of day partitions touched.
+    """
+    import os
+
+    fresh = daily_distinct_sketch_rollup(batch)
+    days = [str(r["day"]) for r in fresh.select("day").distinct().collect()]
+    if not days:
+        return 0
+    if os.path.isdir(path) and any(
+        e.startswith("day=") for e in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path).filter(F.col("day").isin(days))
+        merged = (
+            fresh.alias("f")
+            .join(existing.alias("e"), ["day", "event_type"], "full_outer")
+            .select(
+                "day",
+                "event_type",
+                F.when(
+                    F.col("f.user_sketch").isNotNull()
+                    & F.col("e.user_sketch").isNotNull(),
+                    F.expr("theta_union(f.user_sketch, e.user_sketch)"),
+                )
+                .otherwise(F.coalesce("f.user_sketch", "e.user_sketch"))
+                .alias("user_sketch"),
+            )
+        )
+    else:
+        merged = fresh
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(days)
+
+
 def distinct_users_over(
     spark: SparkSession,
     path: str,

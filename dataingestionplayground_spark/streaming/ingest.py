@@ -55,3 +55,50 @@ def stream_ingest_markdown(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_maintain_distinct_rollup(
+    spark: SparkSession,
+    watch_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+):
+    """Continuously maintain the theta-sketch distinct rollup from a
+    stream of event JSON-lines files. Returns the StreamingQuery.
+
+    Each micro-batch folds into the stored per-(day, type) sketches via
+    ``operators.incremental.merge_distinct_rollup`` — a sketch UNION,
+    not a recompute, so the maintenance cost is O(batch) regardless of
+    how much history a day already holds. Retry semantics come free:
+    a theta sketch is a set summary, so replaying a batch after a
+    foreachBatch failure re-unions the same hashes and changes nothing
+    — exactly-once OUTPUT without any dedup bookkeeping, a property
+    summable counters do not have.
+    """
+    from dataingestionplayground_spark.operators.incremental import (
+        merge_distinct_rollup,
+    )
+
+    raw = spark.readStream.schema(EVENT_SCHEMA).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_distinct_rollup(spark, batch_df, rollup_path)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -164,6 +164,93 @@ def test_distinct_rollup_incremental_refresh(spark, tmp_path):
     assert mtimes("2024-01-01") == day1_before
 
 
+def test_merge_distinct_rollup_idempotent_and_incremental(spark, tmp_path):
+    """Batch-merge maintenance: sketch union folds new events in without
+    rescanning the day's history, and REPLAYING a batch changes nothing
+    (set-summary idempotence — the retry-safety foreachBatch leans on)."""
+    from dataingestionplayground_spark.operators.incremental import (
+        distinct_users_over,
+        merge_distinct_rollup,
+    )
+
+    path = str(tmp_path / "mroll")
+    b1 = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 11:00:00", 2, "view", 1.0),
+        ],
+    )
+    assert merge_distinct_rollup(spark, b1, path) == 1
+    assert distinct_users_over(spark, path, "2024-01-01", "2024-01-01") == 2
+    # new users land on an EXISTING day: union, not overwrite-with-batch
+    b2 = _mk_events(
+        spark,
+        [
+            (3, "2024-01-01 12:00:00", 3, "view", 1.0),
+            (4, "2024-01-02 09:00:00", 1, "click", 1.0),
+        ],
+    )
+    assert merge_distinct_rollup(spark, b2, path) == 2
+    assert distinct_users_over(spark, path, "2024-01-01", "2024-01-01") == 3
+    assert distinct_users_over(spark, path, "2024-01-01", "2024-01-02") == 3
+    # replay the same batch: no change (idempotent union)
+    merge_distinct_rollup(spark, b2, path)
+    assert distinct_users_over(spark, path, "2024-01-01", "2024-01-02") == 3
+    assert merge_distinct_rollup(spark, b1.limit(0), path) == 0
+
+
+def test_stream_maintains_distinct_rollup(spark, tmp_path):
+    """End-to-end streaming maintenance: two file drops -> two
+    availableNow passes -> rollup answers range queries across both."""
+    import json as _json
+    import os
+
+    from dataingestionplayground_spark.operators.incremental import (
+        distinct_users_over,
+    )
+    from dataingestionplayground_spark.streaming.ingest import (
+        stream_maintain_distinct_rollup,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    roll = str(tmp_path / "sroll")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        with open(watch / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    drop(
+        "a.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "view", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T11:00:00", "user_id": 2, "event_type": "view", "value": 1.0},
+        ],
+    )
+    q = stream_maintain_distinct_rollup(spark, str(watch), roll, ckpt)
+    q.awaitTermination(60)
+    assert distinct_users_over(spark, roll, "2024-01-01", "2024-01-01") == 2
+
+    drop(
+        "b.json",
+        [
+            {"event_id": 3, "ts": "2024-01-01T12:00:00", "user_id": 3, "event_type": "view", "value": 1.0},
+            {"event_id": 4, "ts": "2024-01-02T09:00:00", "user_id": 2, "event_type": "purchase", "value": 1.0},
+        ],
+    )
+    q2 = stream_maintain_distinct_rollup(spark, str(watch), roll, ckpt)
+    q2.awaitTermination(60)
+    # checkpoint replays only the NEW file; day-1 unions to 3 users,
+    # the range query dedups user 2 across the two days
+    assert distinct_users_over(spark, roll, "2024-01-01", "2024-01-01") == 3
+    assert distinct_users_over(spark, roll, "2024-01-01", "2024-01-02") == 3
+    assert distinct_users_over(spark, roll, "2024-01-01", "2024-01-02", ["purchase"]) == 1
+    assert os.path.isdir(os.path.join(roll, "day=2024-01-02"))
+
+
 def test_distinct_rollup_matches_exact_on_real_events(spark, sf_dir, tmp_path):
     from dataingestionplayground_spark.operators.incremental import (
         build_distinct_rollup,
