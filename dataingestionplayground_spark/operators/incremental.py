@@ -107,6 +107,82 @@ def refresh_distinct_rollup(
     return len(days)
 
 
+_TOPK_MAX_ITEMS = 10000
+
+
+def daily_topk_sketch_rollup(events: DataFrame) -> DataFrame:
+    """Per-day ApproxTopK accumulator of user_id (struct column with the
+    sketch binary) — the heavy-hitter companion of the distinct rollup:
+    per-day exact top-k lists cannot answer "top users over March"
+    (a user just below k every day can be #1 for the month), but the
+    accumulators combine."""
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(
+            F.expr(f"approx_top_k_accumulate(user_id, {_TOPK_MAX_ITEMS})").alias(
+                "topk_sketch"
+            )
+        )
+    )
+
+
+def build_topk_rollup(events: DataFrame, path: str) -> None:
+    daily_topk_sketch_rollup(events).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+
+
+def refresh_topk_rollup(
+    spark: SparkSession, events: DataFrame, path: str, changed_days: Sequence[str]
+) -> int:
+    """Recompute only ``changed_days`` from their raw events and
+    dynamically overwrite those partitions. NOTE the contrast with the
+    theta rollup's union maintenance: ApproxTopK combine SUMS counts, so
+    re-merging a replayed batch would double them — day-recompute is the
+    idempotent maintenance path for frequency sketches."""
+    if not changed_days:
+        return 0
+    days = [str(d) for d in changed_days]
+    fresh = daily_topk_sketch_rollup(
+        events.filter(F.to_date("ts").isin(days))
+    ).filter(F.col("day").isin(days))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fresh.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(days)
+
+
+def top_users_over(
+    spark: SparkSession, path: str, day_from: str, day_to: str, k: int = 10
+) -> list[tuple[int, int]]:
+    """Top-k users by event count over [day_from, day_to], answered from
+    the rollup alone: partition-pruned scan, one associative combine,
+    one estimate call. Returns [(user_id, est_count)] ranked
+    deterministically (count desc, user_id asc); counts are exact while
+    distinct users fit in the accumulators' maxItemsTracked."""
+    rollup = spark.read.parquet(path).filter(
+        (F.col("day") >= F.lit(day_from)) & (F.col("day") <= F.lit(day_to))
+    )
+    # ApproxTopKCombine throws (MatchError on the null sketch row) over
+    # an empty input — an empty pruned range is a cheap check, not an
+    # error (the theta path handles this with its `or 0` coalesce)
+    if rollup.isEmpty():
+        return []
+    rows = rollup.agg(
+        F.expr(
+            f"approx_top_k_estimate(approx_top_k_combine(topk_sketch, {_TOPK_MAX_ITEMS}), {k})"
+        ).alias("top")
+    ).collect()
+    if not rows or rows[0]["top"] is None:
+        return []
+    items = [(int(s["item"]), int(s["count"])) for s in rows[0]["top"]]
+    return sorted(items, key=lambda t: (-t[1], t[0]))[:k]
+
+
 def merge_distinct_rollup(spark: SparkSession, batch: DataFrame, path: str) -> int:
     """Fold a bounded batch of events INTO the stored rollup by sketch
     union — no raw-event rescan of the affected days.

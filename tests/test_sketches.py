@@ -266,6 +266,42 @@ def test_distinct_rollup_matches_exact_on_real_events(spark, sf_dir, tmp_path):
     assert distinct_users_over(spark, path, lo, hi) == exact
 
 
+def test_topk_rollup_answers_range_heavy_hitters(spark, tmp_path):
+    """Per-day top-k lists can't answer range top-k (a user just below k
+    daily can lead the range); combined accumulators can. User 9 is 2nd
+    each day but 1st over the range."""
+    from dataingestionplayground_spark.operators.incremental import (
+        build_topk_rollup,
+        refresh_topk_rollup,
+        top_users_over,
+    )
+
+    rows = []
+    eid = 0
+    for day, leader in (("2024-01-01", 1), ("2024-01-02", 2)):
+        for _ in range(5):  # daily leader: 5 events
+            eid += 1
+            rows.append((eid, f"{day} 10:00:00", leader, "view", 1.0))
+        for _ in range(4):  # user 9: 4 events EVERY day -> 8 total
+            eid += 1
+            rows.append((eid, f"{day} 11:00:00", 9, "view", 1.0))
+    base = _mk_events(spark, rows)
+    path = str(tmp_path / "topk")
+    build_topk_rollup(base, path)
+    top = top_users_over(spark, path, "2024-01-01", "2024-01-02", k=3)
+    assert top[0] == (9, 8)  # range leader despite never leading a day
+    assert set(top[1:]) == {(1, 5), (2, 5)}
+    # single-day range: that day's leader wins
+    assert top_users_over(spark, path, "2024-01-01", "2024-01-01", k=1) == [(1, 5)]
+    assert top_users_over(spark, path, "2025-01-01", "2025-01-02") == []
+
+    # incremental refresh: new events on day 2 only
+    extra = _mk_events(spark, [(99, "2024-01-02 12:00:00", 2, "view", 1.0)] * 1)
+    assert refresh_topk_rollup(spark, base.unionByName(extra), path, ["2024-01-02"]) == 1
+    top2 = top_users_over(spark, path, "2024-01-01", "2024-01-02", k=3)
+    assert top2[0] == (9, 8) and (2, 6) in top2
+
+
 def test_sketch_aggs_are_partial(spark, sf_dir):
     """The physical plan must show two-phase (partial + final) hash
     aggregation — the map-side-combine property the scale story cites."""
