@@ -43,6 +43,11 @@ SHOW = [
     ("events_heavy_hitters", "top-k heavy hitters: TakeOrderedAndProject then window-free bounded rank (r7)"),
     ("text_gopher_quality_rules", "Gopher document filters as one narrow projection — zero Exchange at any scale (r8)"),
     ("sample_dsir_importance", "DSIR importance: one 256-key partial hash agg, broadcast dist table, per-doc agg — no windows (r8)"),
+    ("text_bm25_topk", "BM25: postings filtered to query terms BEFORE the tf agg; df + stats broadcast; TakeOrdered top-10 (r8)"),
+    ("dedup_global_first_segment", "keep-first segment dedup: occurrence window on the high-cardinality segment hash + per-doc rebuild agg (r8)"),
+    ("dedup_containment_pairs", "containment verify: band candidates then packed-set intersect — pair-only shuffle (r8)"),
+    ("layout_zorder_codes", "Morton z-codes as in-row BIGINT shift/mask — zero Exchange (r8)"),
+    ("agg_theta_set_algebra", "theta set algebra: ObjectHashAggregate partial+final sketch merge, in-row union/intersect/difference (r8)"),
 ]
 
 INTERESTING = re.compile(
