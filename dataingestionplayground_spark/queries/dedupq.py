@@ -458,3 +458,67 @@ def dedup_exact_substring_signal(spark, sf):
             "shared_ratio"
         ),
     ).withColumn("keep", F.col("shared_ratio") <= 0.5)
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_WIDE_SIG.strip().rstrip(')')}
+    ), bands AS ({_BANDS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+    ), comp AS (
+      SELECT id, min(comp) AS component FROM walk GROUP BY id
+    ), feats AS (
+      SELECT doc_id, n_chars,
+             CAST(len({_TOKS}) AS INTEGER) AS n_toks,
+             {{stop}} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM feats WHERE n_toks > 0
+    )
+    SELECT s.doc_id,
+           coalesce(c.component, s.doc_id) AS cluster_id,
+           s.quality,
+           row_number() OVER (PARTITION BY coalesce(c.component, s.doc_id)
+                              ORDER BY s.quality DESC, s.doc_id ASC) = 1 AS kept
+    FROM scored s LEFT JOIN comp c ON c.id = s.doc_id
+    """.replace("{stop}", TX.stopword_hits_sql("text", "en")),
+)
+def dedup_cluster_keep_best(spark, sf):
+    # NEAR-dup cluster resolution with a quality policy: connected
+    # components over the LSH pair graph pick the cluster, then the
+    # highest-quality member (ties -> lowest id) survives — vs
+    # dedup_clusters' min-id representative (arbitrary) and
+    # dedup_exact_keep_best (exact fingerprint groups only). The window
+    # partitions by cluster_id: high-cardinality (almost every doc is a
+    # singleton cluster, near-dup groups are small by construction), so
+    # no reducer hot-spots at any scale; a pathological mass-duplicate
+    # cluster is one AQE-splittable group.
+    from dataingestionplayground_spark.operators.graph import dedup_clusters as dc
+    from dataingestionplayground_spark.queries.textq import quality_scores
+
+    d = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    clusters = dc(d, pairs, "doc_id").select("doc_id", "cluster_id")
+    scored = quality_scores(d).select("doc_id", "quality")
+    from pyspark.sql import Window as W2
+
+    j = clusters.join(scored, "doc_id")
+    w = W2.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

@@ -144,6 +144,29 @@ def test_containment_at_least_jaccard_everywhere(spark, sf_dir):
         assert 0.3 - 1e-12 <= r["containment"] <= 1.0 + 1e-12
 
 
+# ------------------------------------------- cluster keep-best policy
+
+
+def test_cluster_keep_best_picks_max_quality_per_cluster(spark, sf_dir):
+    """Exactly one survivor per cluster, and in every multi-member
+    cluster the survivor is the (quality desc, doc_id asc) argmax —
+    i.e. the policy actually differs from dedup_clusters' min-id pick
+    whenever qualities differ."""
+    rows = QS["dedup_cluster_keep_best"].fn(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(1 for r in rows if r["kept"]) == len(by_cluster)
+    multi = 0
+    for members in by_cluster.values():
+        best = sorted(members, key=lambda r: (-r["quality"], r["doc_id"]))[0]
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1 and kept[0]["doc_id"] == best["doc_id"]
+        if len(members) > 1:
+            multi += 1
+    assert multi > 0  # the corpus contains real near-dup clusters
+
+
 # ------------------------------------------------------------------ MMR
 
 
