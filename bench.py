@@ -65,6 +65,13 @@ HEADLINE = [
     # r8: DSIR importance weights — token explode + 256-key dist agg +
     # broadcast + per-doc agg (sf0.1 ~1.3 s at introduction)
     "sample_dsir_importance",
+    # r8: scale-infrastructure shapes — the Bloom-pruned fact join
+    # (bitmap build + pre-Exchange probe), binary-sign Hamming ANN
+    # (bit_count shortlist + exact rerank), and the bigram-LM
+    # perplexity gate (token explode + three hash aggs + two equi-joins)
+    "join_bloom_prefilter",
+    "vector_hamming_ann",
+    "text_bigram_perplexity",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,

@@ -887,3 +887,104 @@ def pq_adc_rerank(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "score", "rank")
     )
+
+
+def _sign_word_expr(vec_col: str, offset: int, width: int = 32) -> F.Column:
+    """Pack ``width`` sign bits of a float-array column (1-based ``offset``)
+    into one BIGINT: bit j set iff vec[offset+j] > 0. Pure Catalyst
+    higher-order functions — codegen-friendly, no Python."""
+    return F.expr(
+        f"aggregate(transform(slice({vec_col}, {offset}, {width}), "
+        f"(x, i) -> IF(cast(x as double) > 0.0D, shiftleft(1L, i), 0L)), "
+        f"0L, (a, b) -> a | b)"
+    )
+
+
+def hamming_sign_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Binary (sign) quantization ANN: 1-bit-per-dimension codes with a
+    Hamming-distance shortlist and an exact cosine rerank.
+
+    The classic 32x-compression retrieval trick: sign-quantize every
+    vector into ``dim`` bits (two BIGINT words for 64-d), shortlist by
+    ``bit_count(xor(...))`` — integer ops the JIT turns into POPCNT, no
+    float math per candidate — then fetch the shortlist's float vectors
+    and rerank exactly. At 100 TB the Hamming pass scans 8 bytes/vector
+    instead of 256 and the rerank touches ``shortlist x |queries|`` rows.
+
+    Same scale shape as :func:`knn_brute_force`: the shortlist is a
+    per-partition partial top-k (bounded state, no corpus-sized window),
+    the rerank joins the tiny survivor set back to the corpus by id
+    (broadcast hash join, one more corpus scan — the "gather" step every
+    ANN index performs).
+    """
+    import pandas as pd
+
+    n_words = (dim + 31) // 32
+    c = corpus.select(
+        corpus_id,
+        *[
+            _sign_word_expr(corpus_vec, 1 + 32 * w).alias(f"__c{w}")
+            for w in range(n_words)
+        ],
+    )
+    q = queries.select(
+        query_id,
+        *[
+            _sign_word_expr(query_vec, 1 + 32 * w).alias(f"__q{w}")
+            for w in range(n_words)
+        ],
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"__c{w}").bitwiseXOR(F.col(f"__q{w}")))
+        ham = term if ham is None else ham + term
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("hamming", ham.cast("int"))
+        .select(query_id, corpus_id, "hamming")
+    )
+
+    def partial_shortlist(batches):
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf], ignore_index=True) if best is not None else pdf
+            cur = cur.sort_values([query_id, "hamming", corpus_id])
+            best = cur.groupby(query_id, sort=False).head(shortlist)
+        if best is not None and len(best):
+            yield best
+
+    survivors = scored.mapInPandas(partial_shortlist, schema=scored.schema)
+    w_sl = Window.partitionBy(query_id).orderBy(F.asc("hamming"), F.asc(corpus_id))
+    short = (
+        survivors.withColumn("__rk", F.row_number().over(w_sl))
+        .filter(F.col("__rk") <= shortlist)
+        .drop("__rk")
+    )
+    # Gather + exact rerank: the survivor set is k-bounded, so both joins
+    # broadcast it / the query table — no corpus-sized shuffle.
+    gathered = (
+        corpus.join(F.broadcast(short), on=corpus_id)
+        .join(F.broadcast(queries), on=query_id)
+        .withColumn("score", V.cosine_similarity(corpus_vec, query_vec))
+        .withColumn(
+            "score", F.when(F.isnan("score"), F.lit(None)).otherwise(F.col("score"))
+        )
+    )
+    w_f = Window.partitionBy(query_id).orderBy(
+        F.desc_nulls_last("score"), F.asc(corpus_id)
+    )
+    return (
+        gathered.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "hamming", "score", "rank")
+    )

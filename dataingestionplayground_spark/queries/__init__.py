@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         retrievalq,
         layoutq,
         sketchq,
+        scaleq,
     )
 
     # Round-robin interleave across name families (the prefix before the

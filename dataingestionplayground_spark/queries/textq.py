@@ -560,3 +560,92 @@ def text_gopher_quality_rules(spark, sf):
             & (F.col("ellipsis_line_frac") <= 0.3)
         ).alias("keep"),
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {TX.tokens_sql('lower(text)')} AS tk FROM documents
+      WHERE len({TX.tokens_sql('lower(text)')}) >= 2
+    ), idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM docs
+    ), bigr AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM idx
+    ), ctx AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bigr GROUP BY w1
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bigr GROUP BY w1, w2
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT unnest(tk) AS w FROM docs)
+    ), scored AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(exp(CAST(SUM(CAST(round(
+                     ln(CAST(c.c1 + v.v AS DOUBLE))
+                     - ln(CAST(k.c12 + 1 AS DOUBLE)), 6) AS DECIMAL(38,6)))
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS ppl
+      FROM bigr b
+      JOIN ctx c ON b.w1 = c.w1
+      JOIN bc k ON b.w1 = k.w1 AND b.w2 = k.w2
+      CROSS JOIN vocab v
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl, ppl <= 31.25 AS keep FROM scored
+    """,
+)
+def text_bigram_perplexity(spark, sf):
+    # Bigram upgrade of text_unigram_perplexity: add-one-smoothed
+    # p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) from the corpus's own LM, ppl =
+    # exp(-mean log p). A sharper fluency/gibberish gate than unigram —
+    # scrambled word order scores high here but identically under the
+    # unigram model. Shapes: one token explode feeds three hash aggs
+    # (context, bigram, vocab counts — all map-side partial); the bigram
+    # stream then equi-joins its two count tables ((w1), (w1,w2) keys —
+    # hot function words are AQE-splittable join keys, never window
+    # partitions) and one per-doc agg. log terms round to 6 dp and sum
+    # as DECIMAL(38,6), the module's cross-engine determinism rule.
+    d = t(spark, sf, "documents")
+    docs = d.select("doc_id", TX.tokens("lower(text)").alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    bigr = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    ctx = bigr.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    vocab = (
+        docs.select(F.explode("tk").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    scored = (
+        bigr.join(ctx, "w1")
+        .join(bc, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.round(
+                            F.log((F.col("c1") + F.col("v")).cast("double"))
+                            - F.log((F.col("c12") + 1).cast("double")),
+                            6,
+                        ).cast("decimal(38,6)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "ppl", (F.col("ppl") <= 31.25).alias("keep")
+    )

@@ -13,6 +13,7 @@ from dataingestionplayground_spark.functions.portable import davg_expr
 from dataingestionplayground_spark.functions import vector as V
 from dataingestionplayground_spark.functions.vector import cosine_sql, l2_norm, l2_norm_sql
 from dataingestionplayground_spark.operators.similarity import (
+    hamming_sign_ann,
     ivf_ann,
     knn_brute_force,
     lsh_bucket_ann,
@@ -679,4 +680,63 @@ def vector_pq_kmeans_encode(spark, sf):
         k=_PQ_K,
         dims=_PQ_D,
         codebook_mode="kmeans",
+    )
+
+
+def _pack_sql(col: str, lo: int, hi: int) -> str:
+    """DuckDB twin of operators.similarity._sign_word_expr — pack the
+    sign bits of ``col[lo..hi]`` into one BIGINT (bit j = lo+j > 0)."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series({lo}, {hi}), "
+        f"i -> CASE WHEN CAST({col}[i] AS DOUBLE) > 0.0 "
+        f"THEN (CAST(1 AS BIGINT) << (i - {lo})) ELSE CAST(0 AS BIGINT) END)) "
+        f"AS BIGINT)"
+    )
+
+
+@register(
+    "vector_hamming_ann",
+    oracle=f"""
+    WITH packed AS (
+      SELECT vec_id, embedding,
+             {_pack_sql('embedding', 1, 32)} AS c0,
+             {_pack_sql('embedding', 33, 64)} AS c1
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec, c0 AS q0, c1 AS q1
+      FROM packed WHERE vec_id < 5
+    ), ham AS (
+      SELECT q.query_id, p.vec_id,
+             CAST(bit_count(xor(p.c0, q.q0)) + bit_count(xor(p.c1, q.q1))
+                  AS INTEGER) AS hamming
+      FROM packed p CROSS JOIN q
+    ), short AS (
+      SELECT query_id, vec_id, hamming FROM (
+        SELECT query_id, vec_id, hamming,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, vec_id ASC) AS rk
+        FROM ham) WHERE rk <= 50
+    ), rer AS (
+      SELECT s.query_id, s.vec_id, s.hamming,
+             {cosine_sql('e.embedding', 'qq.query_vec')} AS score
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN q qq ON qq.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, hamming, score, "rank" FROM (
+      SELECT query_id, vec_id, hamming, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS INTEGER)
+               AS "rank"
+      FROM rer) WHERE "rank" <= 10
+    """,
+)
+def vector_hamming_ann(spark, sf):
+    # Binary sign-quantization ANN (1 bit/dim, 32x compression): Hamming
+    # shortlist over two packed BIGINT words per vector — integer
+    # xor+POPCNT per candidate instead of 64 float multiplies — then an
+    # exact cosine rerank of the 50-deep shortlist. The oracle replicates
+    # the packing bit-for-bit, so shortlist AND rerank hash-match.
+    return hamming_sign_ann(
+        t(spark, sf, "embeddings"), _queries_df(spark, sf), k=10, shortlist=50
     )

@@ -28,6 +28,8 @@ SHOW = [
     ("vector_ivf_ann", "IVF: broadcast centroid assignment, bucket equi-join, rerank"),
     ("text_fingerprint", "min rolling-hash inside the projection — no explode, no shuffle"),
     ("tpch_q6_forecast_revenue", "all predicates pushed to the scan, 4-column pruned read, no join"),
+    ("join_bloom_prefilter", "Bloom bitmap build + in-row membership probe BEFORE the join exchange"),
+    ("vector_hamming_ann", "sign-packed Hamming shortlist (bit_count/xor) below the exact-cosine rerank"),
     ("dedup_decontaminate", "eval grams broadcast (benchmark-sized); one per-doc overlap hash agg"),
     ("dedup_lsh_verified_pairs", "two-stage near-dup: band candidates, then packed-set array_intersect verify (no exploded shingle shuffle)"),
     ("vector_int8_quantize", "quantization as pure per-row projection — no exchange anywhere"),
