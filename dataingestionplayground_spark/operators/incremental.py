@@ -253,3 +253,115 @@ def distinct_users_over(
         F.expr("theta_sketch_estimate(theta_union_agg(user_sketch))").alias("n")
     ).collect()[0]
     return int(row["n"] or 0)
+
+
+# ------------------------------------------- key-bucketed upsert (MERGE)
+
+# The table-maintenance counterpart of the rollup refreshes above: keep a
+# BASE table (not an aggregate) up to date under upserts and deletes
+# without a table format. Layout convention: hash-bucket the key into a
+# partition column, so a MERGE batch touches (reads AND rewrites) only
+# the bucket directories its keys land in — partition pruning on the
+# read, dynamic partition overwrite on the write, every other bucket
+# byte-identical. This is Delta/Iceberg MERGE INTO re-expressed as plain
+# Spark + a layout convention; at 100 TB raise n_buckets so a bucket is
+# a few GB and a small MERGE batch rewrites a small fraction of the
+# table.
+
+UPSERT_BUCKETS = 32
+
+
+def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def build_keyed_table(
+    df: DataFrame, path: str, key: str, n_buckets: int = UPSERT_BUCKETS
+) -> None:
+    """Initial build: hash-bucketed by ``key`` into ``n_buckets``
+    partition directories."""
+    _with_bucket(df, key, n_buckets).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: str,
+    n_buckets: int = UPSERT_BUCKETS,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE ``updates`` into the keyed table at ``path``: matching keys
+    are replaced, new keys inserted, and rows with ``delete_col`` true
+    removed. Returns the number of bucket directories rewritten.
+
+    Only the buckets containing update keys are scanned (the bucket
+    IN-list prunes partitions) and rewritten (dynamic partition
+    overwrite). The update-key anti-join broadcasts the batch's keys —
+    MERGE batches are small relative to the base by design; for a
+    batch too large to broadcast, drop the hint: both sides already
+    share the bucket column, so the join co-partitions.
+
+    A bucket whose rows are ALL deleted still gets rewritten (as an
+    empty-but-readable partition) rather than left stale — the same
+    emptied-partition hazard ``refresh_ivf_index`` guards against.
+    """
+    import os
+
+    if not os.path.isdir(path):
+        # first batch bootstraps the table (deletes of nonexistent keys
+        # are no-ops by definition)
+        first = updates
+        if delete_col is not None:
+            first = first.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        build_keyed_table(first, path, key, n_buckets)
+        return n_buckets
+    up = _with_bucket(updates, key, n_buckets)
+    touched = sorted(
+        r.bucket for r in up.select("bucket").distinct().collect()
+    )  # bounded by n_buckets — never data-sized
+    if not touched:
+        return 0
+    base = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
+    keys = up.select(key).distinct()
+    survivors = base.join(F.broadcast(keys), key, "left_anti")
+    if delete_col is not None:
+        up = up.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    # materialize BEFORE overwriting: the survivors plan reads the very
+    # files the dynamic overwrite is about to replace — writing lazily
+    # would read-through deleted inputs (FAILED_READ_FILE). The merged
+    # set is touched-buckets-sized, not table-sized.
+    merged = survivors.unionByName(up.select(*survivors.columns)).localCheckpoint(
+        eager=True
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # output: a bucket emptied by deletes would keep its stale
+        # directory. Overwrite those explicitly with a 0-row file so
+        # readers see the deletion (and the dir stays schema-readable).
+        present = {
+            r.bucket for r in merged.select("bucket").distinct().collect()
+        }
+        for b in touched:
+            if b not in present:
+                merged.drop("bucket").limit(0).write.mode("overwrite").parquet(
+                    f"{path}/bucket={b}"
+                )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(touched)
+
+
+def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read the keyed table back (bucket column dropped)."""
+    return spark.read.parquet(path).drop("bucket")

@@ -649,3 +649,116 @@ def text_bigram_perplexity(spark, sf):
     return scored.select(
         "doc_id", "n_bigrams", "ppl", (F.col("ppl") <= 31.25).alias("keep")
     )
+
+
+# RAKE stoplist — a compact fixed English function-word set; part of the
+# query's definition on both engines (like the BM25 terms).
+_RAKE_STOP = (
+    "a an and are as at be but by for from has he in is it its of on or "
+    "that the to was were will with this they their not have had i you "
+    "we she his her them our your all can"
+).split()
+
+
+def _rake_stop_sql() -> str:
+    return ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH segs AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(array_to_string(
+               list_transform({TX.tokens_sql('lower(text)')},
+                 w -> CASE WHEN regexp_matches(w, '[^a-z]')
+                            OR w IN ({_rake_stop_sql()})
+                           THEN '|' ELSE w END), ' '), '|'),
+               s -> trim(s)), s -> s <> '') AS ps
+      FROM documents
+    ), cands AS (
+      SELECT doc_id, unnest(ps) AS phrase FROM segs
+    ), cands2 AS (
+      SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS plen
+      FROM cands WHERE len(string_split(phrase, ' ')) <= 3
+    ), words_all AS (
+      SELECT doc_id, plen, unnest(string_split(phrase, ' ')) AS w FROM cands2
+    ), stats AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM words_all GROUP BY doc_id, w
+    ), dphr AS (
+      SELECT DISTINCT doc_id, phrase FROM cands2
+    ), pw AS (
+      SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w FROM dphr
+    ), scored AS (
+      SELECT p.doc_id, p.phrase,
+             round(CAST(SUM(CAST(round(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE), 6)
+                   AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+      FROM pw p JOIN stats s ON p.doc_id = s.doc_id AND p.w = s.w
+      GROUP BY p.doc_id, p.phrase
+    )
+    SELECT doc_id, phrase, score, "rank" FROM (
+      SELECT doc_id, phrase, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, phrase ASC) AS INTEGER)
+               AS "rank"
+      FROM scored) WHERE "rank" <= 3
+    """,
+)
+def text_rake_keywords(spark, sf):
+    # RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    # maximal runs of content words (stopwords and non-alphabetic tokens
+    # delimit), each word scores degree/frequency over the doc's own
+    # phrase co-occurrence graph, a phrase scores the sum of its words,
+    # top-3 per doc. Phrase extraction is pure in-row array algebra
+    # (mark-delimiters -> join -> split, no UDF); the two stats aggs and
+    # the score join key on (doc_id, word) — high-cardinality,
+    # skew-free; the final window partitions by doc_id with
+    # doc-length-bounded rows per key. Word scores round to 6 dp and
+    # sum as DECIMAL(38,6) (module determinism rule).
+    stop_arr = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    d = t(spark, sf, "documents")
+    segs = d.select(
+        "doc_id",
+        F.expr(
+            f"filter(transform(split(array_join(transform("
+            f"filter(split(lower(text), '{TX.WS}'), x -> x != ''), "
+            f"w -> CASE WHEN w rlike '[^a-z]' OR w IN ({stop_arr}) "
+            f"THEN '|' ELSE w END), ' '), '\\\\|'), s -> trim(s)), s -> s != '')"
+        ).alias("ps"),
+    )
+    cands = (
+        segs.select("doc_id", F.explode("ps").alias("phrase"))
+        .withColumn("plen", F.size(F.split("phrase", " ")))
+        .where(F.col("plen") <= 3)
+    )
+    words_all = cands.select(
+        "doc_id", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    stats = words_all.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    dphr = cands.select("doc_id", "phrase").distinct()
+    pw = dphr.select("doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    scored = (
+        pw.join(stats, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("deg").cast("double") / F.col("freq").cast("double"), 6
+                    ).cast("decimal(38,6)")
+                ).cast("double"),
+                6,
+            ).alias("score")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "phrase", "score", "rank")
+    )

@@ -102,3 +102,49 @@ def stream_maintain_distinct_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_maintain_keyed_table(
+    spark: SparkSession,
+    watch_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str = "event_id",
+    n_buckets: int = 8,
+):
+    """Continuously maintain a key-bucketed BASE table from a stream of
+    JSON-lines change batches (CDC tail). Returns the StreamingQuery.
+
+    Each micro-batch MERGEs via ``operators.incremental.merge_upsert``:
+    matching keys replaced, new keys inserted, rows with ``deleted=true``
+    removed — touching only the bucket partitions the batch's keys hash
+    into, so maintenance cost tracks batch size, not table size.
+    Replaying a batch after a failure re-applies the same by-key
+    replacements (last-writer-wins per key), so the table converges to
+    the same state — idempotent like the sketch rollup, by upsert
+    semantics instead of set-union ones.
+    """
+    from dataingestionplayground_spark.operators.incremental import merge_upsert
+
+    schema = T.StructType(
+        EVENT_SCHEMA.fields + [T.StructField("deleted", T.BooleanType())]
+    )
+    raw = spark.readStream.schema(schema).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_upsert(
+                spark,
+                batch_df,
+                table_path,
+                key,
+                n_buckets=n_buckets,
+                delete_col="deleted",
+            )
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

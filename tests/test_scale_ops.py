@@ -187,3 +187,166 @@ def test_bigram_perplexity_flags_gibberish(spark):
     scores = {r.doc_id: r.ppl for r in ppl.collect()}
     # the gibberish doc's bigrams are all unseen-once: far higher ppl
     assert scores[99] > 2 * max(v for k, v in scores.items() if k != 99)
+
+
+# --------------------------------------------------------------------------
+# Keyed-table MERGE upsert
+# --------------------------------------------------------------------------
+
+def _keyed_fixture(spark):
+    return spark.createDataFrame(
+        [Row(k=i, v=float(i), tag="base") for i in range(100)]
+    )
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    from dataingestionplayground_spark.operators.incremental import (
+        build_keyed_table,
+        merge_upsert,
+        read_keyed_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    build_keyed_table(_keyed_fixture(spark), path, "k", n_buckets=8)
+
+    updates = spark.createDataFrame(
+        [Row(k=5, v=500.0, tag="upd", deleted=False)]       # replace
+        + [Row(k=200, v=200.0, tag="new", deleted=False)]   # insert
+        + [Row(k=7, v=0.0, tag="x", deleted=True)]          # delete
+    )
+    n = merge_upsert(spark, updates, path, "k", n_buckets=8, delete_col="deleted")
+    assert 1 <= n <= 3  # at most one bucket per update key
+
+    got = {r.k: r for r in read_keyed_table(spark, path).collect()}
+    assert got[5].v == 500.0 and got[5].tag == "upd"
+    assert got[200].tag == "new"
+    assert 7 not in got
+    assert len(got) == 100  # 100 - 1 delete + 1 insert
+    assert got[6].tag == "base"  # untouched keys intact
+
+
+def test_merge_upsert_leaves_untouched_buckets_alone(spark, tmp_path):
+    import glob
+    import os
+
+    from dataingestionplayground_spark.operators.incremental import (
+        build_keyed_table,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "tbl2")
+    build_keyed_table(_keyed_fixture(spark), path, "k", n_buckets=8)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/bucket=*/*.parquet")
+    }
+    updates = spark.createDataFrame([Row(k=5, v=1.0, tag="u", deleted=False)])
+    merge_upsert(spark, updates, path, "k", n_buckets=8, delete_col="deleted")
+    # every bucket except k=5's is byte-untouched (same files, same mtime)
+    from pyspark.sql import functions as FF
+
+    target = (
+        spark.range(1)
+        .select(FF.pmod(FF.xxhash64(FF.lit(5).cast("long")), FF.lit(8)).cast("int").alias("b"))
+        .collect()[0]
+        .b
+    )
+    untouched = {
+        f: m for f, m in before.items() if f"bucket={target}/" not in f
+    }
+    after = {f: os.path.getmtime(f) for f in untouched}
+    assert untouched == after
+
+
+def test_merge_upsert_empties_bucket_readably(spark, tmp_path):
+    from dataingestionplayground_spark.operators.incremental import (
+        build_keyed_table,
+        merge_upsert,
+        read_keyed_table,
+    )
+
+    # two keys that land in the same bucket, alone in it
+    path = str(tmp_path / "tbl3")
+    base = spark.createDataFrame([Row(k=1, v=1.0, tag="a"), Row(k=2, v=2.0, tag="b")])
+    build_keyed_table(base, path, "k", n_buckets=1)
+    updates = spark.createDataFrame(
+        [Row(k=1, v=0.0, tag="x", deleted=True), Row(k=2, v=0.0, tag="x", deleted=True)]
+    )
+    merge_upsert(spark, updates, path, "k", n_buckets=1, delete_col="deleted")
+    # the fully-deleted table still reads (0 rows), never
+    # unable-to-infer-schema
+    assert read_keyed_table(spark, path).count() == 0
+
+
+def test_merge_upsert_matches_full_recompute(spark, tmp_path):
+    from dataingestionplayground_spark.operators.incremental import (
+        build_keyed_table,
+        merge_upsert,
+        read_keyed_table,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "ord")
+    build_keyed_table(orders, path, "o_orderkey", n_buckets=8)
+    updates = orders.limit(50).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        (F.col("o_orderkey") % 5 == 0).alias("deleted"),
+    )
+    merge_upsert(
+        spark, updates, path, "o_orderkey", n_buckets=8, delete_col="deleted"
+    )
+    got = read_keyed_table(spark, path)
+    upd = updates.collect()
+    expect_deleted = {r.o_orderkey for r in upd if r.deleted}
+    expect_updated = {r.o_orderkey: r.o_totalprice for r in upd if not r.deleted}
+    rows = {r.o_orderkey: r.o_totalprice for r in got.collect()}
+    assert not (expect_deleted & set(rows))
+    for k, v in expect_updated.items():
+        assert rows[k] == v
+    assert len(rows) == orders.count() - len(expect_deleted)
+
+
+def test_stream_maintains_keyed_table(spark, tmp_path):
+    import json as _json
+
+    from dataingestionplayground_spark.operators.incremental import read_keyed_table
+    from dataingestionplayground_spark.streaming.ingest import (
+        stream_maintain_keyed_table,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        with open(watch / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def ev(i, v, deleted=False):
+        return {
+            "event_id": i,
+            "ts": "2024-01-01T10:00:00",
+            "user_id": i,
+            "event_type": "view",
+            "value": v,
+            "deleted": deleted,
+        }
+
+    drop("a.json", [ev(1, 1.0), ev(2, 2.0)])
+    q = stream_maintain_keyed_table(spark, str(watch), tbl, ckpt)
+    q.awaitTermination(60)
+    got = {r.event_id: r.value for r in read_keyed_table(spark, tbl).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+    # second drop: update 1, delete 2, insert 3 — checkpoint replays
+    # only the new file
+    drop("b.json", [ev(1, 10.0), ev(2, 0.0, True), ev(3, 3.0)])
+    q2 = stream_maintain_keyed_table(spark, str(watch), tbl, ckpt)
+    q2.awaitTermination(60)
+    got = {r.event_id: r.value for r in read_keyed_table(spark, tbl).collect()}
+    assert got == {1: 10.0, 3: 3.0}
