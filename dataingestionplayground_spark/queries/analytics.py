@@ -351,3 +351,204 @@ def events_activity_streaks(spark, sf):
     return grp.groupBy("user_id", "island").agg(
         F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("streak_start")
     ).drop("island")
+
+
+@register(
+    "events_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             {PF.dsum_expr('value')} AS day_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span
+    )
+    SELECT g.user_id, g.day,
+           coalesce(d.n_events, 0) AS n_events,
+           d.day_value AS day_value,
+           last_value(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           d.n_events IS NULL AS is_gap
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def events_gap_fill(spark, sf):
+    # Time-series gap fill + forward fill (densify): per user, build the
+    # complete daily grid between first and last activity, left-join the
+    # real daily aggregates, and carry the last observed value across
+    # gaps with last(ignorenulls) — the standard resample/ffill shape
+    # for dashboards and feature windows. Scale: one hash agg to daily
+    # grain, a tiny per-user span table, sequence-explode (bounded by
+    # the calendar span, NOT row count — rows-per-user stays constant as
+    # the corpus grows since more data means more users, not longer
+    # days), one keyed left join, one per-user ordered window. All
+    # shuffles are on (user_id[, day]) — high-cardinality, unskewed.
+    e = t(spark, sf, "events")
+    day = F.floor(PF.epoch_seconds("ts") / 86400).cast("long")
+    daily = e.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        PF.dsum("value").alias("day_value"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("n_events").isNull().alias("is_gap"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    ).select("user_id", "day", "n_events", "day_value", "filled_value", "is_gap")
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_type AS status, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, status, sec AS valid_from, event_id
+      FROM obs WHERE prev IS NULL OR prev <> status
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(valid_from) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def events_scd2_history(spark, sf):
+    # Slowly-changing-dimension type-2 history build: treat each event as
+    # an observation of the user's current status (event_type), keep only
+    # change points (lag differs), and close each version with the next
+    # change's timestamp — (valid_from, valid_to, version, is_current)
+    # per row, the warehouse-standard SCD2 shape that MERGE-based
+    # dimension maintenance (operators/merge.py) consumes. Two window
+    # passes over user_id ordered by (ts, event_id); rows-per-user is
+    # bounded (events per user stays ~constant as the corpus grows), so
+    # no skewed reducer at any scale.
+    e = t(spark, sf, "events")
+    w_obs = W.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "event_id",
+        F.floor(PF.epoch_seconds("ts")).cast("long").alias("sec"),
+        F.lag("event_type").over(w_obs).alias("prev"),
+    )
+    changes = obs.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("status"))
+    ).select("user_id", "status", F.col("sec").alias("valid_from"), "event_id")
+    w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+      WINDOW wp AS (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island, min(s) AS i0, max(e) AS i1,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i1 - i0) AS BIGINT) AS covered_seconds,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark, sf):
+    # Interval union (gaps-and-islands over real intervals): each event
+    # spans [ts, ts + floor(value) seconds]; overlapping/adjacent spans
+    # per user merge into islands via the running-max-of-end trick, then
+    # per-user coverage = sum of island lengths. The classic
+    # uptime/occupancy/utilization operator. Two windows + two hash aggs,
+    # all partitioned by user_id (high-cardinality, bounded rows-per-key);
+    # integer-seconds arithmetic end to end for cross-engine parity.
+    e = t(spark, sf, "events")
+    sec = F.floor(PF.epoch_seconds("ts")).cast("long")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        sec.alias("s"),
+        (sec + F.floor("value").cast("long")).alias("e"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(wp).isNull() | (F.col("s") > F.max("e").over(wp)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    wr = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("is_new").over(wr).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("i0"),
+        F.max("e").alias("i1"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("i1") - F.col("i0")).cast("long").alias("covered_seconds"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )

@@ -1176,3 +1176,128 @@ def pipeline_filter_funnel(spark, sf):
             "3, '+gopher', n3, 4, '+repetition', n4) AS (stage_idx, stage, n_docs)"
         )
     )
+
+
+def _nb_oracle() -> str:
+    # reuse the registered perplexity gate's oracle as the training-label
+    # CTE (same composition pattern as pipeline_filter_funnel) so the
+    # classifier's labels can never drift from the gate it distills
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, keep AS pos
+      FROM ({_R['text_unigram_perplexity'].oracle})
+    ), toks AS (
+      SELECT tk.doc_id, l.pos, {_md5_mod_sql('tok', 256)} AS bucket
+      FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok
+            FROM documents) tk
+      JOIN lab l ON l.doc_id = tk.doc_id
+    ), dist AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (pos) AS BIGINT) AS cp,
+             CAST(COUNT(*) FILTER (NOT pos) AS BIGINT) AS cn
+      FROM toks GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn,
+             (SELECT CAST(COUNT(*) FILTER (pos) AS BIGINT) FROM lab) AS np,
+             (SELECT CAST(COUNT(*) FILTER (NOT pos) AS BIGINT) FROM lab) AS nn
+      FROM dist
+    ), wb AS (
+      SELECT bucket,
+             CAST(round(ln(CAST(cp + 1 AS DOUBLE)) - ln(CAST(tp + 256 AS DOUBLE))
+                        - ln(CAST(cn + 1 AS DOUBLE)) + ln(CAST(tn + 256 AS DOUBLE)),
+                        6) AS DECIMAL(38,6)) AS w,
+             CAST(round(ln(CAST(np + 1 AS DOUBLE)) - ln(CAST(nn + 1 AS DOUBLE)),
+                        6) AS DECIMAL(38,6)) AS prior
+      FROM dist CROSS JOIN tot
+    ), scored AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(w) + min(prior) AS DOUBLE) AS log_odds,
+             bool_or(t.pos) AS pos
+      FROM toks t JOIN wb USING (bucket)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_toks, log_odds,
+           log_odds >= 0.0 AS pred_pos,
+           (log_odds >= 0.0) = pos AS is_match
+    FROM scored
+    """
+
+
+@register("text_nb_quality_classifier", oracle=_nb_oracle())
+def text_nb_quality_classifier(spark, sf):
+    # Trainable quality classifier, fastText/CCNet-style: a multinomial
+    # naive-Bayes model over hashed-unigram features (256 buckets) is
+    # TRAINED inside the query against the unigram-perplexity gate's
+    # labels — distilling the (expensive) LM filter into a cheap bag-of-
+    # hashed-words classifier, the CCNet/GPT-3/LLaMA data-quality
+    # setup — then scores every document with its
+    # Laplace-smoothed log-odds. Cross-engine portability uses the
+    # perplexity trick: each per-bucket log term is rounded to 6 dp and
+    # summed as DECIMAL(38,6), so the sum is order-independent and
+    # bit-identical in DuckDB. Plan shape at 100 TB: in-row label
+    # expressions + one doc-keyed join, token explode -> ONE 256-key
+    # hash agg (map-side partial collapses each partition to <=256
+    # rows), broadcast the 256-row weight table back onto the token
+    # stream, one per-doc agg — no windows, no skewed reducers, no
+    # driver-side state.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    d = t(spark, sf, "documents")
+    lab = (
+        _R["text_unigram_perplexity"]
+        .fn(spark, sf)
+        .select("doc_id", F.col("keep").alias("pos"))
+    )
+    toks = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .join(lab, "doc_id")
+        .select("doc_id", "pos", F.expr(_md5_mod("tok", 256)).alias("bucket"))
+    )
+    dist = toks.groupBy("bucket").agg(
+        F.count_if(F.col("pos")).cast("long").alias("cp"),
+        F.count_if(~F.col("pos")).cast("long").alias("cn"),
+    )
+    priors = lab.agg(
+        F.count_if(F.col("pos")).cast("long").alias("np"),
+        F.count_if(~F.col("pos")).cast("long").alias("nn"),
+    )
+    tot = dist.agg(
+        F.sum("cp").cast("long").alias("tp"), F.sum("cn").cast("long").alias("tn")
+    ).crossJoin(F.broadcast(priors))
+    wb = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(F.expr("cast(cp + 1 as double)"))
+            - F.log(F.expr("cast(tp + 256 as double)"))
+            - F.log(F.expr("cast(cn + 1 as double)"))
+            + F.log(F.expr("cast(tn + 256 as double)")),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("w"),
+        F.round(
+            F.log(F.expr("cast(np + 1 as double)"))
+            - F.log(F.expr("cast(nn + 1 as double)")),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("prior"),
+    )
+    scored = (
+        toks.join(F.broadcast(wb), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            (F.sum("w") + F.min("prior")).cast("double").alias("log_odds"),
+            F.bool_or("pos").alias("pos"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        "log_odds",
+        (F.col("log_odds") >= 0.0).alias("pred_pos"),
+        ((F.col("log_odds") >= 0.0) == F.col("pos")).alias("is_match"),
+    )

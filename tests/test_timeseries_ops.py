@@ -1,0 +1,170 @@
+"""Semantics tests for the time-series / classifier queries added in
+round 8: daily gap fill + forward fill, SCD2 history build, interval
+union coverage, and the trained naive-Bayes quality classifier. Each is
+re-derived independently in plain Python from the raw parquet rows and
+compared exactly (the DuckDB oracle already checks SQL parity; these
+check the MEANING against a non-SQL reference implementation).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from dataingestionplayground_spark.queries import all_queries
+
+QS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def raw_events(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    # floor-epoch seconds exactly as functions.portable.epoch_seconds
+    return [
+        (
+            r["user_id"],
+            r["event_id"],
+            int(math.floor(r["ts"].timestamp())),
+            r["event_type"],
+            r["value"],
+        )
+        for r in rows
+    ]
+
+
+# ------------------------------------------------------------- gap fill
+
+
+def test_gap_fill_grid_is_dense_and_ffilled(spark, sf_dir, raw_events):
+    got = {
+        (r["user_id"], r["day"]): r
+        for r in QS["events_gap_fill"].fn(spark, sf_dir).collect()
+    }
+    # independent reference: daily sums, dense grid, forward fill
+    daily = defaultdict(lambda: [0, 0.0])
+    for uid, _eid, sec, _et, val in raw_events:
+        d = daily[(uid, sec // 86400)]
+        d[0] += 1
+        d[1] += val
+    users = defaultdict(list)
+    for (uid, day) in daily:
+        users[uid].append(day)
+    expect_rows = 0
+    for uid, days in users.items():
+        d0, d1 = min(days), max(days)
+        last_seen = None
+        for day in range(d0, d1 + 1):
+            expect_rows += 1
+            r = got[(uid, day)]
+            if (uid, day) in daily:
+                n, v = daily[(uid, day)]
+                last_seen = v
+                assert r["n_events"] == n and r["is_gap"] is False
+                assert r["day_value"] == pytest.approx(v, abs=1e-6)
+            else:
+                assert r["n_events"] == 0 and r["is_gap"] is True
+                assert r["day_value"] is None
+            assert r["filled_value"] == pytest.approx(last_seen, abs=1e-6)
+    assert len(got) == expect_rows  # no rows outside any user's span
+
+
+# ------------------------------------------------------------------ SCD2
+
+
+def test_scd2_matches_change_point_replay(spark, sf_dir, raw_events):
+    got = defaultdict(list)
+    for r in QS["events_scd2_history"].fn(spark, sf_dir).collect():
+        got[r["user_id"]].append(r)
+    per_user = defaultdict(list)
+    for uid, eid, sec, et, _v in raw_events:
+        per_user[uid].append((sec, eid, et))
+    assert set(got) == set(per_user)
+    for uid, evs in per_user.items():
+        evs.sort()
+        expected = []  # (status, valid_from) change points
+        prev = None
+        for sec, _eid, et in evs:
+            if prev is None or et != prev:
+                expected.append((et, sec))
+            prev = et
+        rows = sorted(got[uid], key=lambda r: r["version"])
+        assert [(r["status"], r["valid_from"]) for r in rows] == expected
+        assert [r["version"] for r in rows] == list(range(1, len(expected) + 1))
+        # each version closes exactly at the next one's start; last open
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"] and a["is_current"] is False
+        assert rows[-1]["valid_to"] is None and rows[-1]["is_current"] is True
+
+
+# ------------------------------------------------------- interval union
+
+
+def test_interval_coverage_matches_sweep(spark, sf_dir, raw_events):
+    got = {
+        r["user_id"]: r
+        for r in QS["events_interval_coverage"].fn(spark, sf_dir).collect()
+    }
+    per_user = defaultdict(list)
+    for uid, eid, sec, _et, val in raw_events:
+        per_user[uid].append((sec, sec + int(math.floor(val))))
+    for uid, ivs in per_user.items():
+        ivs.sort()
+        islands, cur_s, cur_e = 0, None, None
+        covered = 0
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                islands, cur_s, cur_e = islands + 1, s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        r = got[uid]
+        assert r["n_islands"] == islands
+        assert r["covered_seconds"] == covered
+        assert r["n_events"] == len(ivs)
+
+
+# ------------------------------------------------- naive-Bayes classifier
+
+
+def test_nb_classifier_beats_majority_baseline(spark, sf_dir):
+    rows = QS["text_nb_quality_classifier"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert math.isfinite(r["log_odds"])
+        assert r["pred_pos"] == (r["log_odds"] >= 0.0)
+    # self-distillation on the training corpus must beat predicting the
+    # majority class everywhere — otherwise the "trained" model learned
+    # nothing from the hashed-unigram features
+    acc = sum(r["is_match"] for r in rows) / len(rows)
+    labels = QS["text_unigram_perplexity"].fn(spark, sf_dir).collect()
+    pos_rate = sum(r["keep"] for r in labels) / len(labels)
+    majority = max(pos_rate, 1.0 - pos_rate)
+    assert 0.0 < pos_rate < 1.0  # the label gate must be two-class here
+    assert acc > majority, (acc, majority)
+
+
+def test_nb_classifier_separates_crafted_vocab(spark, tmp_path):
+    """Disjoint-vocabulary corpus: 30 docs of common repeated text (low
+    perplexity -> label keep) vs 10 docs of document-unique rare tokens
+    (high perplexity -> label drop). NB trained on those labels must
+    split the corpus perfectly."""
+    clean = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [(i, clean) for i in range(30)] + [
+        (30 + j, " ".join(f"zq{30 + j}x{k}" for k in range(12))) for j in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(i, tx, "en", f"src{i % 3}", len(tx)) for i, tx in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in QS["text_nb_quality_classifier"].fn(spark, str(tmp_path)).collect()
+    }
+    for i, _tx in docs:
+        assert out[i]["pred_pos"] is (i < 30)
+        assert out[i]["is_match"] is True
