@@ -522,3 +522,47 @@ def dedup_cluster_keep_best(spark, sf):
         "quality",
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+def _soft_weights_oracle() -> str:
+    # compose the registered clusters query's own oracle so the weights
+    # can never drift from the clustering they downweight
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH cl AS ({_R['dedup_clusters'].oracle}),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM cl GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           round(1.0 / s.cluster_size, 6) AS weight
+    FROM cl c JOIN sizes s USING (cluster_id)
+    """
+
+
+@register("dedup_soft_weights", oracle=_soft_weights_oracle())
+def dedup_soft_weights(spark, sf):
+    # SoftDeDup: instead of DROPPING near-duplicates (dedup_clusters'
+    # is_kept), keep every document but downweight duplicated content by
+    # 1/cluster_size — the training loader then samples by weight, so a
+    # 40-way duplicate contributes one document's worth of gradient
+    # signal without discarding any unique spans. Composes the
+    # registered clustering (its Spark frame here, its recursive-CTE
+    # oracle above). Plan shape: the CC labeling is materialized ONCE
+    # (localCheckpoint) and feeds both the size agg and the final join;
+    # both are keyed on cluster_id — high-cardinality (most docs are
+    # singleton clusters), no skewed reducer, no window.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    cl = _R["dedup_clusters"].fn(spark, sf).select("doc_id", "cluster_id")
+    cl = cl.localCheckpoint(eager=True)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cl.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )

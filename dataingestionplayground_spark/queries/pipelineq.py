@@ -12,6 +12,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.functions.portable import (
+    davg,
+    davg_expr,
+    dsum,
+    dsum_expr,
+)
 from dataingestionplayground_spark.queries.textq import _QUALITY_SQL
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
@@ -1300,4 +1306,69 @@ def text_nb_quality_classifier(spark, sf):
         "log_odds",
         (F.col("log_odds") >= 0.0).alias("pred_pos"),
         ((F.col("log_odds") >= 0.0) == F.col("pos")).alias("is_match"),
+    )
+
+
+@register(
+    "pipeline_feature_scaling",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {davg_expr('value')} AS mean,
+             {dsum_expr('value * value')} AS sumsq,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99,
+             CAST(min(value) AS DOUBLE) AS vmin,
+             CAST(max(value) AS DOUBLE) AS vmax
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, s.p01), s.p99) AS winsorized,
+           round((e.value - s.mean)
+                 / sqrt(s.sumsq / s.n - s.mean * s.mean), 6) AS zscore,
+           round((e.value - s.vmin) / nullif(s.vmax - s.vmin, 0.0), 6)
+             AS minmax
+    FROM events e JOIN stats s USING (event_type)
+    """,
+)
+def pipeline_feature_scaling(spark, sf):
+    # Feature scaling for ML prep, three standard normalizations in one
+    # pass: winsorize to the per-group [p01, p99] band (outlier clamp),
+    # population z-score, and min-max to [0, 1] — each computed within
+    # event_type so heterogeneous metrics normalize on their own scale.
+    # Portability: sums/squares ride the decimal(38,6) helpers,
+    # percentiles are the exact interpolated definition both engines
+    # share, and the derived doubles are rounded to 6 dp. Plan shape:
+    # ONE map-side-partial agg to a tiny per-group stats table,
+    # broadcast back over a single corpus scan — the group count is the
+    # event-type vocabulary (bounded), the join is broadcast, zero
+    # corpus shuffles.
+    e = t(spark, sf, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        davg("value").alias("mean"),
+        dsum(F.col("value") * F.col("value")).alias("sumsq"),
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "winsorized"
+        ),
+        F.round(
+            (F.col("value") - F.col("mean"))
+            / F.sqrt(F.col("sumsq") / F.col("n") - F.col("mean") * F.col("mean")),
+            6,
+        ).alias("zscore"),
+        F.round(
+            (F.col("value") - F.col("vmin"))
+            / F.expr("nullif(vmax - vmin, 0.0d)"),
+            6,
+        ).alias("minmax"),
     )

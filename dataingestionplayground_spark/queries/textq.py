@@ -762,3 +762,106 @@ def text_rake_keywords(spark, sf):
         .where(F.col("rank") <= 3)
         .select("doc_id", "phrase", "score", "rank")
     )
+
+
+_BPE_N_MERGES = 8
+
+
+@register(
+    "text_bpe_segment",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest({TX.tokens_sql('lower(text)')}) AS w FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM toks WHERE len(w) >= 2
+    ), merges AS (
+      SELECT pair,
+             CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair ASC)
+                  AS INTEGER) AS rk
+      FROM pairs GROUP BY pair
+      QUALIFY rk <= {_BPE_N_MERGES}
+    ), n_merges AS (
+      SELECT CAST(COUNT(*) AS INTEGER) AS k FROM merges
+    ), vocab AS (
+      SELECT DISTINCT w FROM toks
+    ), seed AS (
+      SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS seq
+      FROM vocab
+    ), appl(w, seq, step) AS (
+      SELECT w, seq, 0 FROM seed
+      UNION ALL
+      SELECT a.w,
+             replace(a.seq,
+                     ' ' || substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1) || ' ',
+                     ' ' || m.pair || ' '),
+             a.step + 1
+      FROM appl a JOIN merges m ON m.rk = a.step + 1
+    ), seg AS (
+      SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS pieces
+      FROM appl CROSS JOIN n_merges WHERE step = k
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.pieces) AS BIGINT) AS n_pieces,
+           round(CAST(SUM(s.pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS pieces_per_word
+    FROM toks t JOIN seg s ON s.w = t.w
+    GROUP BY t.doc_id
+    """,
+)
+def text_bpe_segment(spark, sf):
+    # Tokenizer TRAIN + APPLY in-engine: learn the top-8 BPE merges from
+    # corpus char-bigram counts (the text_bpe_pair_merge trainer), then
+    # segment every vocabulary word by applying the merges in rank order
+    # as space-delimited literal replacements (one left-to-right
+    # non-overlapping pass per merge — the greedy variant; both engines
+    # share replace() semantics exactly, and the DuckDB oracle replays
+    # the same algorithm with a recursive CTE). Scale shape: merge
+    # learning is one hash agg over the token stream; the SEGMENTATION
+    # runs over DISTINCT words only (tokenizer cost ∝ vocabulary, not
+    # corpus), with the bounded merge table (<=8 rows, like a PQ
+    # codebook) collected driver-side to unroll the replace chain; one
+    # equi-join fans the per-word piece counts back onto the stream.
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("lower(text)")).alias("w"))
+    pairs = toks.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_N_MERGES)
+    )
+    # bounded driver-side state: <= 8 merge rows, the tokenizer "model"
+    merges = [r["pair"] for r in ranked.collect()]
+    vocab = toks.select("w").distinct()
+    seq = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" ")
+    )
+    for p in merges:
+        seq = F.replace(
+            seq, F.lit(f" {p[0]} {p[1]} "), F.lit(f" {p} ")
+        )
+    seg = vocab.select("w", seq.alias("seq")).select(
+        "w", F.size(F.split(F.trim("seq"), " ")).cast("long").alias("pieces")
+    )
+    return (
+        toks.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces").cast("double") / F.col("n_words").cast("double"), 6
+            ).alias("pieces_per_word"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Semantics tests for the round-8 pipeline extras: soft-dedup
+importance weights, per-group feature scaling, and the BPE train+apply
+segmenter. Each is checked against an independent plain-Python replay
+(the DuckDB oracle already guarantees SQL parity)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from dataingestionplayground_spark.queries import all_queries
+
+QS = all_queries()
+
+
+# ------------------------------------------------------ soft dedup weights
+
+
+def test_soft_weights_partition_unity(spark, sf_dir):
+    rows = QS["dedup_soft_weights"].fn(spark, sf_dir).collect()
+    clusters = QS["dedup_clusters"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(clusters)  # every doc keeps a row
+    label = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    by_cluster = defaultdict(list)
+    for r in rows:
+        assert r["cluster_id"] == label[r["doc_id"]]
+        by_cluster[r["cluster_id"]].append(r)
+    for cid, members in by_cluster.items():
+        n = len(members)
+        for m in members:
+            assert m["cluster_size"] == n
+            assert m["weight"] == pytest.approx(round(1.0 / n, 6), abs=1e-9)
+        # each cluster contributes ~one document's worth of weight
+        assert sum(m["weight"] for m in members) == pytest.approx(1.0, abs=n * 1e-6)
+
+
+# -------------------------------------------------------- feature scaling
+
+
+def test_feature_scaling_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = QS["pipeline_feature_scaling"].fn(spark, sf_dir).collect()
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    vals = defaultdict(list)
+    for r in raw:
+        vals[r["event_type"]].append(r["value"])
+    stats = {}
+    for et, v in vals.items():
+        a = np.array(v)
+        stats[et] = (
+            a.mean(),
+            a.std(),  # population
+            np.quantile(a, 0.01),
+            np.quantile(a, 0.99),
+            a.min(),
+            a.max(),
+        )
+    assert len(rows) == len(raw)
+    for r in rows:
+        mean, std, p01, p99, vmin, vmax = stats[r["event_type"]]
+        assert r["winsorized"] == pytest.approx(
+            min(max(r["value"], p01), p99), abs=1e-6
+        )
+        assert r["zscore"] == pytest.approx((r["value"] - mean) / std, abs=1e-4)
+        assert r["minmax"] == pytest.approx(
+            (r["value"] - vmin) / (vmax - vmin), abs=1e-6
+        )
+        assert 0.0 <= r["minmax"] <= 1.0
+
+
+# ----------------------------------------------------------- BPE segment
+
+
+def _bpe_replay(doc_texts, n_merges=8):
+    """Plain-Python replay of the engine's algorithm: learn top-k char
+    bigrams over the token stream, apply them in rank order as
+    space-delimited literal replacements over the distinct vocab."""
+    toks = []
+    for tx in doc_texts.values():
+        toks.extend([w for w in re.split(r"\s+", tx.lower()) if w])
+    pairs = Counter()
+    for w in toks:
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += 1
+    merges = [p for p, _ in sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))][
+        :n_merges
+    ]
+    seg = {}
+    for w in set(toks):
+        seq = " " + " ".join(w) + " "
+        for p in merges:
+            seq = seq.replace(f" {p[0]} {p[1]} ", f" {p} ")
+        seg[w] = len(seq.split())
+    out = {}
+    for doc_id, tx in doc_texts.items():
+        ws = [w for w in re.split(r"\s+", tx.lower()) if w]
+        if ws:
+            out[doc_id] = (len(ws), sum(seg[w] for w in ws))
+    return out
+
+
+def test_bpe_segment_matches_python_replay(spark, sf_dir):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    expect = _bpe_replay(texts)
+    got = {
+        r["doc_id"]: r for r in QS["text_bpe_segment"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for doc_id, (n_words, n_pieces) in expect.items():
+        r = got[doc_id]
+        assert (r["n_words"], r["n_pieces"]) == (n_words, n_pieces)
+        assert r["pieces_per_word"] == pytest.approx(n_pieces / n_words, abs=1e-6)
+        # merging can only shrink: pieces per word within [1, len(word)]
+        assert n_words <= n_pieces
+
+
+def test_bpe_segment_merges_compress_repeats(spark, tmp_path):
+    """A corpus dominated by 'ababab' must learn 'ab' as merge #1 and
+    segment those words into strictly fewer pieces than characters."""
+    docs = [(i, "ababab ababab cdcd xy") for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, tx, "en", "src0", len(tx)) for i, tx in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QS["text_bpe_segment"].fn(spark, str(tmp_path)).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] == 4
+        # 'ababab'(6 chars) -> <=3 pieces after the 'ab' merge; 'cdcd' -> 2
+        # pieces; 'xy' merges to 1 -> well under the 16-char total
+        assert r["n_pieces"] < 16
+        assert math.isclose(
+            r["pieces_per_word"], r["n_pieces"] / 4, abs_tol=1e-6
+        )
