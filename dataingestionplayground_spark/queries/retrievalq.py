@@ -352,3 +352,74 @@ def vector_mmr_diversify(spark, sf, n_candidates: int = 32, k: int = 10, lam: fl
     return spark.createDataFrame(
         rows, "select_rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
     )
+
+
+def _rrf_oracle() -> str:
+    # compose the registered BM25 oracle so the fusion can never drift
+    # from the lexical ranking it consumes
+    from dataingestionplayground_spark.functions.vector import cosine_sql
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH bm AS ({_R['text_bm25_topk'].oracle}),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec
+      FROM embeddings WHERE vec_id < 1
+    ), vs AS (
+      SELECT vec_id, v_rank FROM (
+        SELECT e.vec_id,
+               CAST(row_number() OVER (
+                 ORDER BY {cosine_sql('e.embedding', 'q.query_vec')} DESC,
+                          e.vec_id ASC) AS INTEGER) AS v_rank
+        FROM embeddings e CROSS JOIN q) WHERE v_rank <= 10
+    ), fused AS (
+      SELECT coalesce(b.doc_id, v.vec_id) AS doc_id,
+             round(coalesce(1.0 / (60 + b.rk), 0.0)
+                   + coalesce(1.0 / (60 + v.v_rank), 0.0), 6) AS rrf
+      FROM bm b FULL OUTER JOIN vs v ON v.vec_id = b.doc_id
+    )
+    SELECT doc_id, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                AS INTEGER) AS rk
+    FROM fused
+    """
+
+
+@register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark, sf):
+    # Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    # (Cormack et al. 2009, the standard used by Elasticsearch/Vespa
+    # hybrid search): take the BM25 top-10 (text_bm25_topk, composed) and
+    # the cosine top-10 for the query embedding, score each candidate
+    # 1/(60+rank) per list, sum, and re-rank the union. RRF needs no
+    # score calibration between the two retrievers — only ranks — which
+    # is why it is the default fusion at scale. Plan shape: both
+    # retrievers end in bounded top-10s (TakeOrdered / two-phase
+    # partial top-k), so the fusion join + final rank touch <= 20 rows
+    # no matter the corpus size.
+    from dataingestionplayground_spark.operators.similarity import knn_brute_force
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+    from dataingestionplayground_spark.queries.vectorq import _queries_df
+
+    bm = (
+        _R["text_bm25_topk"]
+        .fn(spark, sf)
+        .select("doc_id", F.col("rk").alias("t_rank"))
+    )
+    vs = knn_brute_force(
+        t(spark, sf, "embeddings"), _queries_df(spark, sf, n=1), k=10
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("v_rank"))
+    fused = bm.join(vs, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("t_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("v_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    # <= 20 fused candidates by construction -> bounded rank, no window
+    return bounded_rank(
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id")),
+        [("rrf", False), ("doc_id", True)],
+        "rk",
+    )

@@ -740,3 +740,78 @@ def vector_hamming_ann(spark, sf):
     return hamming_sign_ann(
         t(spark, sf, "embeddings"), _queries_df(spark, sf), k=10, shortlist=50
     )
+
+
+_MRL_PREFIX = 8  # leading dims scored in the cheap pass (Matryoshka prefix)
+_MRL_SHORTLIST = 50
+
+
+@register(
+    "vector_matryoshka_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec
+      FROM embeddings WHERE vec_id < 5
+    ), pre AS (
+      SELECT q.query_id, e.vec_id, e.embedding, q.query_vec,
+             {cosine_sql('(e.embedding[1:8])', '(q.query_vec[1:8])')} AS pscore
+      FROM embeddings e CROSS JOIN q
+    ), short AS (
+      SELECT query_id, vec_id, embedding, query_vec FROM (
+        SELECT query_id, vec_id, embedding, query_vec,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pscore DESC, vec_id ASC) AS prk
+        FROM pre) WHERE prk <= {_MRL_SHORTLIST}
+    ), rer AS (
+      SELECT query_id, vec_id,
+             {cosine_sql('embedding', 'query_vec')} AS score
+      FROM short
+    )
+    SELECT query_id, vec_id, score, "rank" FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC)
+                  AS INTEGER) AS "rank"
+      FROM rer) WHERE "rank" <= 10
+    """,
+)
+def vector_matryoshka_search(spark, sf):
+    # Matryoshka-style two-stage search (Kusupati et al. 2022): score the
+    # CHEAP leading-8-dim prefix of every embedding first (an 8x-narrower
+    # scan than full cosine when the store keeps a truncated copy), keep
+    # a 50-deep shortlist per query, then rerank only the shortlist with
+    # full-dimension cosine. Same recall lever as PQ-then-rerank but with
+    # zero training — the prefix IS the coarse code. Scale shape: the
+    # prefix pass rides knn_brute_force's two-phase partial top-k
+    # (bounded state, no corpus-sized reducer); the rerank window touches
+    # <= 50 x n_queries rows regardless of corpus size.
+    e = t(spark, sf, "embeddings")
+    q = _queries_df(spark, sf)
+    pre_c = e.select(
+        "vec_id", F.slice("embedding", 1, _MRL_PREFIX).alias("embedding")
+    )
+    pre_q = q.select(
+        "query_id", F.slice("query_vec", 1, _MRL_PREFIX).alias("query_vec")
+    )
+    short = knn_brute_force(pre_c, pre_q, k=_MRL_SHORTLIST).select(
+        "query_id", "vec_id"
+    )
+    from pyspark.sql import Window as W
+
+    full = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("score", V.cosine_similarity("embedding", "query_vec"))
+        .withColumn(
+            "score",
+            F.when(F.isnan("score"), F.lit(None)).otherwise(F.col("score")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("score"), F.asc("vec_id")
+    )
+    return (
+        full.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "score", "rank")
+    )

@@ -7,6 +7,7 @@ independent NumPy reference over the full corpus.
 from __future__ import annotations
 
 import math
+from collections import defaultdict
 
 import numpy as np
 import pytest
@@ -231,3 +232,73 @@ def test_mmr_diversifies_vs_pure_relevance(spark, sf_dir):
     # mmr_score of later picks is relevance minus a diversity penalty
     for r in out[1:]:
         assert r["mmr_score"] <= 0.7 * r["relevance"] + 1e-9
+
+
+# ------------------------------------------------- hybrid RRF fusion
+
+
+def test_rrf_fusion_recomputes_from_components(spark, sf_dir):
+    bm = {
+        r["doc_id"]: r["rk"]
+        for r in QS["text_bm25_topk"].fn(spark, sf_dir).collect()
+    }
+    knn = {
+        r["vec_id"]: r["rank"]
+        for r in QS["vector_knn_bruteforce"].fn(spark, sf_dir).collect()
+        if r["query_id"] == 0
+    }
+    got = QS["retrieval_hybrid_rrf"].fn(spark, sf_dir).collect()
+    # candidates are exactly the union of the two component top-10s
+    assert {r["doc_id"] for r in got} == set(bm) | set(knn)
+    expect = {
+        d: round(
+            (1.0 / (60 + bm[d]) if d in bm else 0.0)
+            + (1.0 / (60 + knn[d]) if d in knn else 0.0),
+            6,
+        )
+        for d in set(bm) | set(knn)
+    }
+    order = sorted(expect, key=lambda d: (-expect[d], d))
+    for r in got:
+        assert r["rrf"] == pytest.approx(expect[r["doc_id"]], abs=1e-9)
+        assert order[r["rk"] - 1] == r["doc_id"]
+
+
+def test_rrf_doc_in_both_lists_outranks_single_list(spark, sf_dir):
+    got = sorted(
+        QS["retrieval_hybrid_rrf"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    # fusion property: any doc present in BOTH lists (rrf > 1/61 max of a
+    # single top-1) must outrank every single-list straggler (rrf <= 1/61)
+    both = [r for r in got if r["rrf"] > 1.0 / 61 + 1e-9]
+    single = [r for r in got if r["rrf"] <= 1.0 / 61 + 1e-9]
+    if both and single:
+        assert max(r["rk"] for r in both) < min(r["rk"] for r in single)
+
+
+# -------------------------------------------- Matryoshka prefix search
+
+
+def test_matryoshka_recall_and_exactness_on_shortlist(spark, sf_dir):
+    exact = defaultdict(set)
+    for r in QS["vector_knn_bruteforce"].fn(spark, sf_dir).collect():
+        exact[r["query_id"]].add(r["vec_id"])
+    got = defaultdict(dict)
+    for r in QS["vector_matryoshka_search"].fn(spark, sf_dir).collect():
+        got[r["query_id"]][r["vec_id"]] = r
+    assert set(got) == set(exact)
+    hits = total = 0
+    for qid, truth in exact.items():
+        assert len(got[qid]) == 10
+        # scores are FULL-dimension cosine: any returned vec also in the
+        # exact top-10 must carry the same rank-ordering position source
+        hits += len(truth & set(got[qid]))
+        total += len(truth)
+        # self-match: the query vector itself survives the prefix pass
+        assert qid in got[qid] and got[qid][qid]["rank"] == 1
+    # the synthetic embeddings are hash-random, so unlike real MRL
+    # models the prefix carries no concentrated signal; a random 50-of-500
+    # shortlist would land ~0.1 recall, so 0.25+ shows the prefix scoring
+    # (not chance) drives the shortlist
+    assert hits / total >= 0.25, hits / total
