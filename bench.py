@@ -72,6 +72,12 @@ HEADLINE = [
     "join_bloom_prefilter",
     "vector_hamming_ann",
     "text_bigram_perplexity",
+    # r8 continuation: the trained NB quality classifier (label join +
+    # token explode + 256-key agg + broadcast apply) and the daily
+    # gap-fill densify (sequence explode + keyed left join + per-user
+    # ordered window)
+    "text_nb_quality_classifier",
+    "events_gap_fill",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,

@@ -50,6 +50,9 @@ SHOW = [
     ("dedup_containment_pairs", "containment verify: band candidates then packed-set intersect — pair-only shuffle (r8)"),
     ("layout_zorder_codes", "Morton z-codes as in-row BIGINT shift/mask — zero Exchange (r8)"),
     ("agg_theta_set_algebra", "theta set algebra: ObjectHashAggregate partial+final sketch merge, in-row union/intersect/difference (r8)"),
+    ("text_nb_quality_classifier", "trained NB: label join, ONE 256-key partial agg, 256-row weight broadcast, per-doc decimal-sum agg (r8)"),
+    ("events_gap_fill", "daily densify: hash agg to day grain, sequence-explode grid, keyed left join, per-user ordered window (r8)"),
+    ("retrieval_hybrid_rrf", "hybrid RRF: both retrievers end in bounded top-10s; fusion join + rank touch <= 20 rows (r8)"),
 ]
 
 INTERESTING = re.compile(
