@@ -552,3 +552,75 @@ def events_interval_coverage(spark, sf):
         F.sum(F.col("i1") - F.col("i0")).cast("long").alias("covered_seconds"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "agg_linear_regression",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS x,
+             value AS y
+      FROM events
+    ), suff AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             {PF.dsum_expr('y')} AS sy,
+             {PF.dsum_expr('y * y')} AS syy,
+             {PF.dsum_expr('x * y')} AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM suff
+    """,
+)
+def agg_linear_regression(spark, sf):
+    # In-engine model fitting by sufficient statistics: closed-form
+    # simple OLS (value ~ hour-of-day, per event_type) from one
+    # aggregation pass — n, Σx, Σx², Σy, Σy², Σxy — then slope /
+    # intercept / R² as pure arithmetic on the six numbers. The
+    # map-side partial agg means model fitting costs ONE corpus scan
+    # and shuffles six numbers per group at any scale — the pattern
+    # that extends to multi-feature OLS via the normal equations (XᵀX
+    # is just more sufficient statistics). Portability: x sums are
+    # integer, y sums ride decimal(38,6), and both engines evaluate
+    # the identical closed-form expression tree on the aggregated row.
+    e = t(spark, sf, "events")
+    sec = F.floor(PF.epoch_seconds("ts")).cast("long")
+    pts = e.select(
+        "event_type", (sec % 86400).alias("_sec_of_day"), "value"
+    ).select(
+        "event_type",
+        F.expr("_sec_of_day div 3600").alias("x"),
+        F.col("value").alias("y"),
+    )
+    suff = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        PF.dsum("y").alias("sy"),
+        PF.dsum(F.col("y") * F.col("y")).alias("syy"),
+        PF.dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return suff.select(
+        "event_type",
+        "n",
+        F.round(num / den, 6).alias("slope"),
+        F.round((F.col("sy") - (num / den) * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )

@@ -1372,3 +1372,77 @@ def pipeline_feature_scaling(spark, sf):
             6,
         ).alias("minmax"),
     )
+
+
+@register(
+    "pipeline_mixture_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({TX.tokens_sql('text')})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), rooted AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6))
+               AS root
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total,
+             SUM(root) AS s_root
+      FROM rooted
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE), 6)
+             AS current_share,
+           round(CAST(root AS DOUBLE) / CAST(s_root AS DOUBLE), 6)
+             AS target_share,
+           round((CAST(root AS DOUBLE) / CAST(s_root AS DOUBLE))
+                 * CAST(t_total AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS epochs
+    FROM rooted CROSS JOIN tot
+    """,
+)
+def pipeline_mixture_plan(spark, sf):
+    # Dataset mixture rebalancing plan (the sqrt-smoothed sampling used
+    # for multilingual/LLM source balancing): per-source token counts ->
+    # target share ∝ sqrt(tokens) (upweights small sources without
+    # letting any source dominate) -> per-source `epochs` multiplier =
+    # target_share * T / tokens, i.e. how many passes over each source
+    # the training loader should take. Emits the PLAN table the sampler
+    # consumes (sample_temperature_mix is the row-level execution of
+    # such a plan). ONE map-side-partial agg to a per-source row, a
+    # 1-row totals broadcast, zero corpus-sized shuffles. The sqrt
+    # terms are rounded to 6 dp decimal before the cross-source sum so
+    # the total is order-independent across engines and partitionings.
+    d = t(spark, sf, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    rooted = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(38,6)")
+        .alias("root"),
+    )
+    tot = rooted.agg(
+        F.sum("n_tokens").cast("long").alias("t_total"),
+        F.sum("root").alias("s_root"),
+    )
+    tgt = F.col("root").cast("double") / F.col("s_root").cast("double")
+    return rooted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("t_total").cast("double"), 6
+        ).alias("current_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(
+            tgt * F.col("t_total").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+    )

@@ -815,3 +815,19 @@ def vector_matryoshka_search(spark, sf):
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+@register("vector_pca_project", oracle=None)  # eigendecomposition: rows-only
+def vector_pca_project(spark, sf):
+    # Distributed PCA (operators/pca.py): partition-partial (n, Σx, XᵀX)
+    # sufficient statistics in one Arrow pass — d + d² doubles per
+    # partition regardless of rows — reduced driver-side in canonical
+    # order, eigh on the 64x64 covariance (bounded driver state, the
+    # codebook pattern), then the k x d projection broadcast back as a
+    # literal for a shuffle-free map. Whitening/compaction step for the
+    # embedding pipeline (e.g. ahead of SemDeDup or IVF training).
+    # Rows-only by design: no ANSI-SQL eigendecomposition — pinned
+    # against an independent NumPy PCA in tests/test_pipeline_extras.py.
+    from dataingestionplayground_spark.operators.pca import pca_project
+
+    return pca_project(t(spark, sf, "embeddings"), "vec_id", "embedding", k=8)

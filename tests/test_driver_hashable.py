@@ -54,5 +54,8 @@ def test_oracle_exists_for_all_but_known_rows_only(spark):
         "agg_approx_top_users",
         "agg_kll_quantiles",
         "vector_mmr_diversify",
+        # r8: PCA projection — eigendecomposition has no ANSI-SQL form;
+        # pinned against an independent NumPy PCA instead
+        "vector_pca_project",
     }
     assert missing <= sanctioned, f"unexpected rows-only: {missing}"

@@ -140,3 +140,98 @@ def test_bpe_segment_merges_compress_repeats(spark, tmp_path):
         assert math.isclose(
             r["pieces_per_word"], r["n_pieces"] / 4, abs_tol=1e-6
         )
+
+
+# --------------------------------------------------- closed-form OLS
+
+
+def test_linear_regression_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+
+    rows = {
+        r["event_type"]: r
+        for r in QS["agg_linear_regression"].fn(spark, sf_dir).collect()
+    }
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    pts = defaultdict(lambda: ([], []))
+    for r in raw:
+        x = (int(math.floor(r["ts"].timestamp())) % 86400) // 3600
+        pts[r["event_type"]][0].append(x)
+        pts[r["event_type"]][1].append(r["value"])
+    assert set(rows) == set(pts)
+    for et, (xs, ys) in pts.items():
+        slope, intercept = np.polyfit(np.array(xs, float), np.array(ys), 1)
+        r = rows[et]
+        assert r["n"] == len(xs)
+        assert r["slope"] == pytest.approx(slope, abs=1e-4)
+        assert r["intercept"] == pytest.approx(intercept, abs=1e-3)
+        corr = np.corrcoef(xs, ys)[0, 1]
+        assert r["r2"] == pytest.approx(corr * corr, abs=1e-4)
+
+
+# ----------------------------------------------------- mixture plan
+
+
+def test_mixture_plan_invariants(spark, sf_dir):
+    rows = QS["pipeline_mixture_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["current_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["target_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    # sqrt smoothing: the biggest source is downweighted, smallest upweighted
+    assert big["target_share"] <= big["current_share"] + 1e-9
+    assert small["target_share"] >= small["current_share"] - 1e-9
+    for r in rows:
+        # epochs is exactly the share ratio
+        assert r["epochs"] == pytest.approx(
+            r["target_share"] / r["current_share"], rel=1e-3
+        )
+
+
+# --------------------------------------------------------------- PCA
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from dataingestionplayground_spark.operators.pca import fit_pca
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    mu, comps, ratio = fit_pca(emb, "embedding", k=8)
+    assert np.allclose(mu, X.mean(0), atol=1e-9)
+    cov = np.cov(X.T)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:8]
+    for i, o in enumerate(order):
+        ref = vecs[:, o]
+        j = int(np.argmax(np.abs(ref)))
+        if ref[j] < 0:
+            ref = -ref
+        assert np.allclose(comps[i], ref, atol=1e-6), f"component {i}"
+        assert ratio[i] == pytest.approx(vals[o] / vals.sum(), abs=1e-9)
+    # descending variance
+    assert all(a >= b for a, b in zip(ratio, ratio[1:]))
+
+
+def test_pca_projection_reproduces_reference_coords(spark, sf_dir):
+    import numpy as np
+
+    rows = QS["vector_pca_project"].fn(spark, sf_dir).collect()
+    emb = {r["vec_id"]: r["embedding"] for r in
+           spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()}
+    from dataingestionplayground_spark.operators.pca import fit_pca
+
+    mu, comps, _ = fit_pca(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "embedding", k=8
+    )
+    w, mu_a = np.array(comps), np.array(mu)
+    assert len(rows) == len(emb)
+    for r in rows[:50]:
+        z = np.round((np.array(emb[r["vec_id"]]) - mu_a) @ w.T, 6)
+        got_z = np.array([r[f"z{i + 1}"] for i in range(8)])
+        assert np.allclose(got_z, z, atol=1e-6)
+        assert r["z_norm"] == pytest.approx(
+            round(math.sqrt(float((got_z ** 2).sum())), 6), abs=1e-5
+        )
