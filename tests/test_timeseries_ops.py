@@ -168,3 +168,62 @@ def test_nb_classifier_separates_crafted_vocab(spark, tmp_path):
     for i, _tx in docs:
         assert out[i]["pred_pos"] is (i < 30)
         assert out[i]["is_match"] is True
+
+
+# ------------------------------------- adversarial crafted-events cases
+
+
+def test_timeseries_ops_on_adversarial_events(spark, tmp_path):
+    """Edge shapes the sf corpus may not contain: duplicate timestamps,
+    zero-length intervals, exact interval adjacency (start == prev end),
+    single-event users, and multi-day gaps. All three operators must
+    agree with the plain-Python replays on them."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: duplicate ts (tie broken by event_id), zero duration
+        (1, 1, base, "a", 0.4),                      # floor(0.4) = 0 seconds
+        (2, 1, base, "b", 10.0),
+        # user 1: exactly adjacent interval (start == prev end) -> merges
+        (3, 1, base + dt.timedelta(seconds=10), "b", 5.0),
+        # user 1: gap, then a 3-day jump for gap_fill
+        (4, 1, base + dt.timedelta(days=3), "a", 2.0),
+        # user 2: single event
+        (5, 2, base, "c", 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    cov = {r["user_id"]: r for r in
+           QS["events_interval_coverage"].fn(spark, sf).collect()}
+    # user 1: [t,t] & [t,t+10] overlap (0-length sits inside), [t+10,t+15]
+    # is ADJACENT so it merges -> island1 [t, t+15]; island2 [t+3d, +2s]
+    assert cov[1]["n_islands"] == 2
+    assert cov[1]["covered_seconds"] == 15 + 2
+    assert cov[2]["n_islands"] == 1 and cov[2]["covered_seconds"] == 7
+
+    scd = sorted(
+        [r for r in QS["events_scd2_history"].fn(spark, sf).collect()
+         if r["user_id"] == 1],
+        key=lambda r: r["version"],
+    )
+    # duplicate-ts pair ordered by event_id: a -> b (dup collapses) -> a
+    assert [r["status"] for r in scd] == ["a", "b", "a"]
+    assert scd[0]["valid_to"] == scd[1]["valid_from"]
+    assert scd[-1]["is_current"] is True and scd[-1]["valid_to"] is None
+
+    gf = {(r["user_id"], r["day"]): r for r in
+          QS["events_gap_fill"].fn(spark, sf).collect()}
+    day0 = int(base.timestamp()) // 86400
+    u1_days = sorted(d for (u, d) in gf if u == 1)
+    assert u1_days == list(range(day0, day0 + 4))  # dense despite the 3-day gap
+    assert gf[(1, day0 + 1)]["is_gap"] is True
+    assert gf[(1, day0 + 1)]["filled_value"] == pytest.approx(
+        0.4 + 10.0 + 5.0, abs=1e-6
+    )  # carried from day0
+    assert gf[(1, day0 + 3)]["is_gap"] is False
+    assert len([1 for (u, _d) in gf if u == 2]) == 1  # single-day span
