@@ -396,3 +396,35 @@ def test_stream_decontaminate_matches_batch(spark, docs_stream_dir):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_nb_score_batch_parity(spark, docs_stream_dir):
+    """Train-batch / apply-stream: the NB model trained by the batch
+    registry query, applied to a document STREAM via the stateless
+    map-literal scorer, reproduces the batch log-odds exactly."""
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.streaming.documents import (
+        nb_classifier_model,
+        stream_nb_score,
+    )
+
+    weights, prior = nb_classifier_model(spark, "/root/testdata/sf0.001")
+    assert 0 < len(weights) <= 256
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    name = _run(
+        stream_nb_score(docs.select("doc_id", "text"), weights, prior),
+        "t_nb_score",
+        "append",
+    )
+    stream_rows = {
+        r.doc_id: (r.n_toks, round(r.log_odds, 9), r.pred_pos)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_rows = {
+        r.doc_id: (r.n_toks, round(r.log_odds, 9), r.pred_pos)
+        for r in all_queries()["text_nb_quality_classifier"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
