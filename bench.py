@@ -85,6 +85,8 @@ HEADLINE = [
 # heaviest shapes — big enough for shuffle regressions to show.
 BIG_HEADLINE = [
     "agg_pricing_summary",
+    # r8: the trained-classifier shape at 5x documents
+    "text_nb_quality_classifier",
     "tpch_q21_suppliers_kept_waiting",
     "dedup_lsh_verified_pairs",
     "dedup_clusters",
@@ -97,6 +99,7 @@ BIG_HEADLINE = [
 # should scale ~linearly from sf0.5, i.e. ratio <= ~2.5x for 2x rows)
 BIG2_HEADLINE = [
     "dedup_lsh_verified_pairs",
+    "text_nb_quality_classifier",
     "dedup_clusters",
     "dedup_exact_substring_signal",
     "vector_semdedup",

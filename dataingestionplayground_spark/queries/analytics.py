@@ -624,3 +624,45 @@ def agg_linear_regression(spark, sf):
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM events e JOIN mad m ON m.event_type = e.event_type
+    WHERE abs((e.value - m.med) / (1.4826 * m.mad)) > 3.5
+    """,
+)
+def events_anomaly_mad(spark, sf):
+    # Robust outlier detection per event_type: modified z-score on the
+    # median absolute deviation (Iglewicz-Hoberg, |z*| > 3.5), immune to
+    # the outliers themselves inflating the scale the way stddev does in
+    # events_anomaly_zscore. Two grouped exact-median passes (the same
+    # interpolated percentile both engines share; percentile_approx at
+    # 100 TB) with the tiny per-type tables broadcast back — the corpus
+    # itself never shuffles.
+    e = t(spark, sf, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    j = e.join(F.broadcast(mad), "event_type")
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return j.filter(F.abs(rz) > 3.5).select(
+        "event_id", "event_type", "value", F.round(rz, 4).alias("robust_z")
+    )

@@ -227,3 +227,25 @@ def test_timeseries_ops_on_adversarial_events(spark, tmp_path):
     )  # carried from day0
     assert gf[(1, day0 + 3)]["is_gap"] is False
     assert len([1 for (u, _d) in gf if u == 2]) == 1  # single-day span
+
+
+def test_anomaly_mad_matches_numpy(spark, sf_dir, raw_events):
+    import numpy as np
+
+    got = {r["event_id"]: r for r in
+           QS["events_anomaly_mad"].fn(spark, sf_dir).collect()}
+    vals = defaultdict(list)
+    for _uid, eid, _sec, et, v in raw_events:
+        vals[et].append((eid, v))
+    expect = {}
+    for et, evs in vals.items():
+        a = np.array([v for _e, v in evs])
+        med = np.quantile(a, 0.5)
+        mad = np.quantile(np.abs(a - med), 0.5)
+        for eid, v in evs:
+            rz = (v - med) / (1.4826 * mad)
+            if abs(rz) > 3.5:
+                expect[eid] = round(rz, 4)
+    assert set(got) == set(expect)
+    for eid, rz in expect.items():
+        assert got[eid]["robust_z"] == pytest.approx(rz, abs=2e-4)
