@@ -666,3 +666,96 @@ def events_anomaly_mad(spark, sf):
     return j.filter(F.abs(rz) > 3.5).select(
         "event_id", "event_type", "value", F.round(rz, 4).alias("robust_z")
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH RECURSIVE a AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), m AS (
+      SELECT user_id, CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+      FROM a GROUP BY user_id
+    ), dv AS (
+      SELECT a.user_id, a.event_id, a.rn,
+             4 * a.cents - 2 * m.med2 AS d4,
+             abs(2 * a.cents - m.med2) AS dev
+      FROM a JOIN m USING (user_id)
+    ), s AS (
+      SELECT user_id, CAST(2 * quantile_cont(dev, 0.5) AS BIGINT) AS mad4
+      FROM dv GROUP BY user_id
+    ), walk(user_id, rn, s_val) AS (
+      SELECT user_id, 0, CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT user_id FROM dv)
+      UNION ALL
+      SELECT w.user_id, w.rn + 1,
+             greatest(CAST(0 AS BIGINT), w.s_val + d.d4 - s.mad4)
+      FROM walk w
+      JOIN dv d ON d.user_id = w.user_id AND d.rn = w.rn + 1
+      JOIN s ON s.user_id = w.user_id
+    )
+    SELECT w.user_id, d.event_id, w.s_val AS cusum4,
+           8 * s.mad4 AS threshold4
+    FROM walk w
+    JOIN dv d ON d.user_id = w.user_id AND d.rn = w.rn
+    JOIN s ON s.user_id = w.user_id
+    WHERE w.s_val > 8 * s.mad4
+    """,
+)
+def events_changepoint_cusum(spark, sf):
+    # CUSUM changepoint/drift detection per user (Page 1954): the
+    # one-sided cumulative sum S_i = max(0, S_{i-1} + dev_i - k) with
+    # robust parameters k = MAD, alarm at h = 8*MAD around the user's
+    # median — a genuinely SEQUENTIAL per-key scan (the recursion is
+    # non-associative, so no window/prefix trick applies). Batch form:
+    # the scan runs in an Arrow `applyInPandas` per user — bounded
+    # rows-per-user, high-cardinality keys, ONE shuffle; the streaming
+    # analogue is applyInPandasWithState with S as the state. ALL
+    # arithmetic is integer (quarter-cent units; doubled interpolated
+    # medians are exact integers), so Python, Spark SQL, and the
+    # DuckDB recursive-CTE oracle replay bit-identical walks.
+    import pandas as pd
+
+    e = t(spark, sf, "events")
+    a = e.select(
+        "user_id",
+        "event_id",
+        F.floor(PF.epoch_seconds("ts")).cast("long").alias("sec"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    m = a.groupBy("user_id").agg(
+        (F.expr("2 * percentile(cents, 0.5)")).cast("long").alias("med2")
+    )
+    dv = a.join(m, "user_id").select(
+        "user_id",
+        "event_id",
+        "sec",
+        (F.lit(4) * F.col("cents") - F.lit(2) * F.col("med2")).alias("d4"),
+        F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev"),
+    )
+    s = dv.groupBy("user_id").agg(
+        (F.expr("2 * percentile(dev, 0.5)")).cast("long").alias("mad4")
+    )
+    joined = dv.join(s, "user_id").select(
+        "user_id", "event_id", "sec", "d4", "mad4"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "event_id"], kind="mergesort")
+        k = int(pdf["mad4"].iloc[0])
+        s_val, out = 0, []
+        for eid, d4 in zip(pdf["event_id"], pdf["d4"]):
+            s_val = max(0, s_val + int(d4) - k)
+            if s_val > 8 * k:
+                out.append((int(pdf["user_id"].iloc[0]), int(eid), s_val, 8 * k))
+        return pd.DataFrame(
+            out, columns=["user_id", "event_id", "cusum4", "threshold4"]
+        )
+
+    return joined.groupBy("user_id").applyInPandas(
+        scan, "user_id long, event_id long, cusum4 long, threshold4 long"
+    )

@@ -1446,3 +1446,64 @@ def pipeline_mixture_plan(spark, sf):
             6,
         ).alias("epochs"),
     )
+
+
+def _epoch_expansion_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH plan AS ({_R['pipeline_mixture_plan'].oracle}),
+    planned AS (
+      SELECT d.doc_id, d.source, p.epochs,
+             CAST(floor(p.epochs) AS BIGINT)
+               + CASE WHEN {_md5_mod_sql("concat(CAST(d.doc_id AS VARCHAR), ':ep')", 1000000)}
+                      < CAST(round((p.epochs - floor(p.epochs)) * 1000000, 0) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN plan p ON p.source = d.source
+    )
+    SELECT doc_id, source, CAST(copy_id AS BIGINT) AS copy_id, n_copies
+    FROM planned, unnest(generate_series(1, n_copies)) AS t(copy_id)
+    WHERE n_copies > 0
+    """
+
+
+@register("sample_epoch_expansion", oracle=_epoch_expansion_oracle())
+def sample_epoch_expansion(spark, sf):
+    # EXECUTES the mixture plan: each document is replicated
+    # floor(epochs) times plus one more with probability frac(epochs),
+    # decided by a deterministic per-document md5 draw — so the expanded
+    # dataset realizes the sqrt-smoothed target shares in expectation
+    # with zero randomness across runs/engines. Composes the registered
+    # plan query (Spark frame + oracle CTE). Plan shape: the 1-row-per-
+    # source plan broadcasts onto one corpus scan, and the replication
+    # is a sequence-explode whose fan-out is the per-source epoch count
+    # — no shuffle of the corpus, no window, deterministic everywhere.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    plan = _R["pipeline_mixture_plan"].fn(spark, sf).select("source", "epochs")
+    draw = _md5_mod("concat(cast(doc_id as string), ':ep')", 1000000)
+    planned = d.join(F.broadcast(plan), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.floor("epochs").cast("long")
+            + F.when(
+                F.expr(draw)
+                < F.round((F.col("epochs") - F.floor("epochs")) * 1000000, 0).cast(
+                    "long"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_copies"),
+    )
+    return (
+        planned.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1L, n_copies)")).alias("copy_id"),
+            "n_copies",
+        )
+        .select("doc_id", "source", "copy_id", "n_copies")
+    )

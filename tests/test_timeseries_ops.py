@@ -249,3 +249,83 @@ def test_anomaly_mad_matches_numpy(spark, sf_dir, raw_events):
     assert set(got) == set(expect)
     for eid, rz in expect.items():
         assert got[eid]["robust_z"] == pytest.approx(rz, abs=2e-4)
+
+
+# ------------------------------------------------------ epoch expansion
+
+
+def test_epoch_expansion_realizes_plan(spark, sf_dir):
+    plan = {r["source"]: r for r in
+            QS["pipeline_mixture_plan"].fn(spark, sf_dir).collect()}
+    rows = QS["sample_epoch_expansion"].fn(spark, sf_dir).collect()
+    per_source = defaultdict(lambda: defaultdict(set))
+    for r in rows:
+        per_source[r["source"]][r["doc_id"]].add(r["copy_id"])
+        assert 1 <= r["copy_id"] <= r["n_copies"]
+    for src, docs in per_source.items():
+        ep = plan[src]["epochs"]
+        for did, copies in docs.items():
+            assert copies == set(range(1, len(copies) + 1))  # dense 1..n
+            assert math.floor(ep) <= len(copies) <= math.ceil(ep)
+        realized = sum(len(c) for c in docs.values()) / plan[src]["n_docs"]
+        # deterministic md5 draw realizes epochs in expectation (loose
+        # band: 25 docs/source at sf0.001)
+        assert abs(realized - ep) < 0.5, (src, realized, ep)
+
+
+# --------------------------------------------------------------- CUSUM
+
+
+def _cusum_replay(raw_events):
+    per_user = defaultdict(list)
+    for uid, eid, sec, _et, val in raw_events:
+        per_user[uid].append((sec, eid, int(round(val * 100))))
+    def med2(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        if n % 2:
+            return 2 * xs[n // 2]
+        return xs[n // 2 - 1] + xs[n // 2]
+    alarms = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        m2 = med2([c for _s, _e, c in evs])
+        devs = [abs(2 * c - m2) for _s, _e, c in evs]
+        mad4 = med2(devs)
+        s = 0
+        for _sec, eid, c in evs:
+            s = max(0, s + (4 * c - 2 * m2) - mad4)
+            if s > 8 * mad4:
+                alarms[(uid, eid)] = (s, 8 * mad4)
+    return alarms
+
+
+def test_cusum_matches_integer_replay(spark, sf_dir, raw_events):
+    got = {
+        (r["user_id"], r["event_id"]): (r["cusum4"], r["threshold4"])
+        for r in QS["events_changepoint_cusum"].fn(spark, sf_dir).collect()
+    }
+    assert got == _cusum_replay(raw_events)
+    assert got  # the sf corpus must actually trigger some alarms
+
+
+def test_cusum_fires_after_level_shift_only(spark, tmp_path):
+    """Crafted shift: stable values then a sustained jump — alarms must
+    appear only after the shift point."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(40):
+        v = 10.0 if i < 32 else 50.0  # level shift at event 32
+        rows.append((i, 7, base + dt.timedelta(minutes=i), "x", v + (i % 3) * 0.1))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    alarms = sorted(
+        r["event_id"]
+        for r in QS["events_changepoint_cusum"].fn(spark, str(tmp_path)).collect()
+    )
+    assert alarms and min(alarms) >= 32  # nothing before the shift
+    assert max(alarms) <= 39
