@@ -211,3 +211,86 @@ def stream_running_stats_tws(events: DataFrame, force_fallback: bool = False) ->
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cusum_user_stats(spark, sf) -> DataFrame:
+    """TRAIN the per-user CUSUM parameters in batch — the registry
+    query's exact integer statistics (doubled interpolated median and
+    quadrupled MAD) — for stream-static joining onto the event stream.
+    One row per user: bounded by the user population, not the stream."""
+    from dataingestionplayground_spark.functions import portable as PF
+    from dataingestionplayground_spark.session import load_table as t
+
+    e = t(spark, sf, "events")
+    a = e.select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    m = a.groupBy("user_id").agg(
+        (F.expr("2 * percentile(cents, 0.5)")).cast("long").alias("med2")
+    )
+    return (
+        a.join(m, "user_id")
+        .select(
+            "user_id",
+            "med2",
+            F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev"),
+        )
+        .groupBy("user_id", "med2")
+        .agg((F.expr("2 * percentile(dev, 0.5)")).cast("long").alias("mad4"))
+    )
+
+
+def stream_cusum_alarms(events: DataFrame, stats: DataFrame) -> DataFrame:
+    """Streaming CUSUM drift detector: the per-key sequential scan of
+    the batch query (queries/analytics.py events_changepoint_cusum)
+    carried across micro-batches with ``applyInPandasWithState`` keyed
+    by user — state is ONE bigint (the running S), so memory is bounded
+    by the user population however long the stream runs. The trained
+    (med2, mad4) parameters arrive by stream-static join. All-integer
+    arithmetic, so a bounded stream delivered as one batch reproduces
+    the batch query's alarms exactly (parity-tested)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from dataingestionplayground_spark.functions import portable as PF
+
+    joined = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.floor(PF.epoch_seconds("ts")).cast("long").alias("sec"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .join(stats, "user_id")  # stream-static: stats side is fixed
+        .select(
+            "user_id",
+            "event_id",
+            "sec",
+            (F.lit(4) * F.col("cents") - F.lit(2) * F.col("med2")).alias("d4"),
+            "mad4",
+        )
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        s_val = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["sec", "event_id"], kind="mergesort"
+        )
+        k = int(pdf["mad4"].iloc[0])
+        out = []
+        for eid, d4 in zip(pdf["event_id"], pdf["d4"]):
+            s_val = max(0, s_val + int(d4) - k)
+            if s_val > 8 * k:
+                out.append((key[0], int(eid), s_val, 8 * k))
+        state.update((s_val,))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "cusum4", "threshold4"]
+        )
+
+    return joined.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, event_id long, cusum4 long, threshold4 long",
+        stateStructType="s_val bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

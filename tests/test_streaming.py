@@ -428,3 +428,34 @@ def test_stream_nb_score_batch_parity(spark, docs_stream_dir):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_cusum_batch_parity(spark, tmp_path):
+    """Train-batch / apply-stream CUSUM: a bounded stream delivered as
+    one micro-batch must reproduce the batch changepoint query's alarm
+    set exactly (all-integer arithmetic, same scan)."""
+    import os
+
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.streaming.windows import (
+        cusum_user_stats,
+        stream_cusum_alarms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "events_sf_stream"
+    d.mkdir()
+    os.symlink(f"{sf}/events.parquet", str(d / "events.parquet"))
+    stats = cusum_user_stats(spark, sf)
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(d))
+    name = _run(stream_cusum_alarms(events, stats), "t_cusum", "update")
+    stream_rows = {
+        (r.user_id, r.event_id): (r.cusum4, r.threshold4)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_rows = {
+        (r.user_id, r.event_id): (r.cusum4, r.threshold4)
+        for r in all_queries()["events_changepoint_cusum"].fn(spark, sf).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
