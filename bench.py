@@ -78,6 +78,12 @@ HEADLINE = [
     # ordered window)
     "text_nb_quality_classifier",
     "events_gap_fill",
+    # r8 continuation: the two custom-stateful shapes — the CUSUM
+    # per-user Arrow scan (applyInPandas after two percentile aggs) and
+    # the image ahash pipeline (BMP build+decode+hash Arrow pass into a
+    # banded Hamming self-join)
+    "events_changepoint_cusum",
+    "multimodal_ahash_pairs",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,

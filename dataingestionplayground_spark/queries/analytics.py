@@ -710,16 +710,17 @@ def events_changepoint_cusum(spark, sf):
     # CUSUM changepoint/drift detection per user (Page 1954): the
     # one-sided cumulative sum S_i = max(0, S_{i-1} + dev_i - k) with
     # robust parameters k = MAD, alarm at h = 8*MAD around the user's
-    # median — a genuinely SEQUENTIAL per-key scan (the recursion is
-    # non-associative, so no window/prefix trick applies). Batch form:
-    # the scan runs in an Arrow `applyInPandas` per user — bounded
-    # rows-per-user, high-cardinality keys, ONE shuffle; the streaming
-    # analogue is applyInPandasWithState with S as the state. ALL
-    # arithmetic is integer (quarter-cent units; doubled interpolated
-    # medians are exact integers), so Python, Spark SQL, and the
-    # DuckDB recursive-CTE oracle replay bit-identical walks.
-    import pandas as pd
-
+    # median. The recursion looks sequential, but it has the exact
+    # closed form S_i = P_i - min(0, min_{j<=i} P_j) (P = prefix sum of
+    # the increments), so the batch operator is PURE WINDOWS: one
+    # running sum + one running min over (user_id, ts, event_id) — a
+    # single sort-shuffle, zero Python, lint-safe bounded keys. The
+    # streaming twin (streaming/windows.py) keeps the carried state
+    # form with one bigint per user. ALL arithmetic is integer
+    # (quarter-cent units; doubled interpolated medians are exact
+    # integers), and the DuckDB oracle replays the ORIGINAL recursion
+    # with a recursive CTE — two different algorithms hash-matching is
+    # the proof of the closed form, not just of portability.
     e = t(spark, sf, "events")
     a = e.select(
         "user_id",
@@ -743,19 +744,22 @@ def events_changepoint_cusum(spark, sf):
     joined = dv.join(s, "user_id").select(
         "user_id", "event_id", "sec", "d4", "mad4"
     )
-
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["sec", "event_id"], kind="mergesort")
-        k = int(pdf["mad4"].iloc[0])
-        s_val, out = 0, []
-        for eid, d4 in zip(pdf["event_id"], pdf["d4"]):
-            s_val = max(0, s_val + int(d4) - k)
-            if s_val > 8 * k:
-                out.append((int(pdf["user_id"].iloc[0]), int(eid), s_val, 8 * k))
-        return pd.DataFrame(
-            out, columns=["user_id", "event_id", "cusum4", "threshold4"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = joined.withColumn(
+        "p", F.sum(F.col("d4") - F.col("mad4")).over(w)
+    )
+    s_col = F.col("p") - F.least(F.min("p").over(w), F.lit(0).cast("long"))
+    return (
+        p.withColumn("cusum4", s_col)
+        .filter(F.col("cusum4") > 8 * F.col("mad4"))
+        .select(
+            "user_id",
+            "event_id",
+            "cusum4",
+            (F.lit(8) * F.col("mad4")).alias("threshold4"),
         )
-
-    return joined.groupBy("user_id").applyInPandas(
-        scan, "user_id long, event_id long, cusum4 long, threshold4 long"
     )

@@ -272,20 +272,29 @@ def stream_cusum_alarms(events: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
     def fn(key, pdfs, state: GroupState):
-        s_val = state.get[0] if state.exists else 0
+        import numpy as np
+
+        c = state.get[0] if state.exists else 0
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["sec", "event_id"], kind="mergesort"
         )
         k = int(pdf["mad4"].iloc[0])
-        out = []
-        for eid, d4 in zip(pdf["event_id"], pdf["d4"]):
-            s_val = max(0, s_val + int(d4) - k)
-            if s_val > 8 * k:
-                out.append((key[0], int(eid), s_val, 8 * k))
-        state.update((s_val,))
-        yield pd.DataFrame(
-            out, columns=["user_id", "event_id", "cusum4", "threshold4"]
+        # vectorized scan via the closed form with carried offset c:
+        # P_i = c + cumsum(d4 - k); S_i = P_i - min(0, min_{j<=i} P_j)
+        # (identical integers to the sequential recursion)
+        pvals = c + np.cumsum(pdf["d4"].to_numpy(np.int64) - k)
+        svals = pvals - np.minimum(np.minimum.accumulate(pvals), 0)
+        mask = svals > 8 * k
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(int(mask.sum()), key[0], dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy(np.int64)[mask],
+                "cusum4": svals[mask],
+                "threshold4": np.full(int(mask.sum()), 8 * k, dtype=np.int64),
+            }
         )
+        state.update((int(svals[-1]) if len(svals) else c,))
+        yield out
 
     return joined.groupBy("user_id").applyInPandasWithState(
         fn,
