@@ -53,6 +53,8 @@ SHOW = [
     ("text_nb_quality_classifier", "trained NB: label join, ONE 256-key partial agg, 256-row weight broadcast, per-doc decimal-sum agg (r8)"),
     ("events_gap_fill", "daily densify: hash agg to day grain, sequence-explode grid, keyed left join, per-user ordered window (r8)"),
     ("retrieval_hybrid_rrf", "hybrid RRF: both retrievers end in bounded top-10s; fusion join + rank touch <= 20 rows (r8)"),
+    ("events_changepoint_cusum", "CUSUM via closed form: ONE sort-shuffle, two window passes (running sum + running min), zero Python (r8)"),
+    ("multimodal_ahash_pairs", "image ahash: Arrow build+decode+hash pass into a banded Hamming self-join — never all-pairs (r8)"),
 ]
 
 INTERESTING = re.compile(
