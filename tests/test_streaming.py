@@ -459,3 +459,50 @@ def test_stream_cusum_batch_parity(spark, tmp_path):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_cusum_carries_state_across_microbatches(spark, tmp_path):
+    """Split the events by time into two files delivered as two
+    micro-batches (maxFilesPerTrigger=1): the carried per-user S state
+    must make the two-batch run reproduce the batch alarm set exactly."""
+    import os
+
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.streaming.windows import (
+        cusum_user_stats,
+        stream_cusum_alarms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = spark.read.parquet(f"{sf}/events.parquet")
+    cut = full.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.5) c").first()["c"]
+    d = tmp_path / "events_2files"
+    d.mkdir()
+    # one file per half; per-user events in file 0 all precede file 1
+    early = full.filter(F.expr("unix_micros(cast(ts as timestamp))") <= cut)
+    late = full.filter(F.expr("unix_micros(cast(ts as timestamp))") > cut)
+    early.coalesce(1).write.parquet(str(d / "f0"))
+    late.coalesce(1).write.parquet(str(d / "f1"))
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    n = 0
+    for sub in ("f0", "f1"):
+        for fn in sorted(os.listdir(d / sub)):
+            if fn.endswith(".parquet"):
+                os.symlink(str(d / sub / fn), str(src / f"part-{n}.parquet"))
+                n += 1
+    assert n == 2
+    stats = cusum_user_stats(spark, sf)
+    events = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    name = _run(stream_cusum_alarms(events, stats), "t_cusum2", "update")
+    stream_rows = {
+        (r.user_id, r.event_id): (r.cusum4, r.threshold4)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_rows = {
+        (r.user_id, r.event_id): (r.cusum4, r.threshold4)
+        for r in all_queries()["events_changepoint_cusum"].fn(spark, sf).collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
