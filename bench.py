@@ -78,9 +78,9 @@ HEADLINE = [
     # ordered window)
     "text_nb_quality_classifier",
     "events_gap_fill",
-    # r8 continuation: the two custom-stateful shapes — the CUSUM
-    # per-user Arrow scan (applyInPandas after two percentile aggs) and
-    # the image ahash pipeline (BMP build+decode+hash Arrow pass into a
+    # r8 continuation: CUSUM in its closed form (two window passes over
+    # one sort-shuffle after two percentile aggs — zero Python) and the
+    # image ahash pipeline (BMP build+decode+hash Arrow pass into a
     # banded Hamming self-join)
     "events_changepoint_cusum",
     "multimodal_ahash_pairs",

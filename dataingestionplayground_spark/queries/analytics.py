@@ -573,11 +573,11 @@ def events_interval_coverage(spark, sf):
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-             AS intercept,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)) * sx)
+                 / n, 6) AS intercept,
            round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
     FROM suff
     """,
 )
@@ -610,7 +610,17 @@ def agg_linear_regression(spark, sf):
         PF.dsum(F.col("x") * F.col("y")).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # nullif on the exact-integer denominators: a constant-x (or
+    # constant-y) group yields NULL coefficients instead of an ANSI
+    # DIVIDE_BY_ZERO abort, matching the DuckDB oracle's NULL row
+    den = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+    )
+    r2den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+        F.lit(0),
+    )
     return suff.select(
         "event_type",
         "n",
@@ -618,11 +628,7 @@ def agg_linear_regression(spark, sf):
         F.round((F.col("sy") - (num / den) * F.col("sx")) / F.col("n"), 6).alias(
             "intercept"
         ),
-        F.round(
-            (num * num)
-            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
-            6,
-        ).alias("r2"),
+        F.round((num * num) / r2den, 6).alias("r2"),
     )
 
 
@@ -639,9 +645,9 @@ def agg_linear_regression(spark, sf):
       GROUP BY e.event_type, m.med
     )
     SELECT e.event_id, e.event_type, e.value,
-           round((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+           round((e.value - m.med) / nullif(1.4826 * m.mad, 0.0), 4) AS robust_z
     FROM events e JOIN mad m ON m.event_type = e.event_type
-    WHERE abs((e.value - m.med) / (1.4826 * m.mad)) > 3.5
+    WHERE abs((e.value - m.med) / nullif(1.4826 * m.mad, 0.0)) > 3.5
     """,
 )
 def events_anomaly_mad(spark, sf):
@@ -662,9 +668,37 @@ def events_anomaly_mad(spark, sf):
         .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
     )
     j = e.join(F.broadcast(mad), "event_type")
-    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    # nullif: a tie-heavy group with MAD == 0 yields NULL (filtered out,
+    # as in the oracle) instead of an ANSI DIVIDE_BY_ZERO abort
+    rz = (F.col("value") - F.col("med")) / F.nullif(
+        F.lit(1.4826) * F.col("mad"), F.lit(0.0)
+    )
     return j.filter(F.abs(rz) > 3.5).select(
         "event_id", "event_type", "value", F.round(rz, 4).alias("robust_z")
+    )
+
+
+def cusum_robust_stats(e):
+    """Per-user robust CUSUM parameters in exact integers: doubled
+    interpolated median (med2) and quadrupled MAD (mad4) of the
+    cent-scaled values. Shared by the batch changepoint query and the
+    streaming twin (streaming/windows.py cusum_user_stats), so the
+    trained parameters can never drift between them."""
+    a = e.select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    m = a.groupBy("user_id").agg(
+        (F.expr("2 * percentile(cents, 0.5)")).cast("long").alias("med2")
+    )
+    return (
+        a.join(m, "user_id")
+        .select(
+            "user_id",
+            "med2",
+            F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev"),
+        )
+        .groupBy("user_id", "med2")
+        .agg((F.expr("2 * percentile(dev, 0.5)")).cast("long").alias("mad4"))
     )
 
 
@@ -677,7 +711,7 @@ def events_anomaly_mad(spark, sf):
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
       FROM events
-    ), m AS (
+    ), m AS ( -- walk ordered by FULL-precision ts (matches Spark side)
       SELECT user_id, CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
       FROM a GROUP BY user_id
     ), dv AS (
@@ -725,28 +759,23 @@ def events_changepoint_cusum(spark, sf):
     a = e.select(
         "user_id",
         "event_id",
-        F.floor(PF.epoch_seconds("ts")).cast("long").alias("sec"),
+        # FULL-precision micros for the walk order: the oracle orders by
+        # ts, so a second-truncated key would diverge on same-second
+        # events whose id order disagrees with sub-second ts order
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    m = a.groupBy("user_id").agg(
-        (F.expr("2 * percentile(cents, 0.5)")).cast("long").alias("med2")
-    )
-    dv = a.join(m, "user_id").select(
+    stats = cusum_robust_stats(e)
+    joined = a.join(stats, "user_id").select(
         "user_id",
         "event_id",
-        "sec",
+        "us",
         (F.lit(4) * F.col("cents") - F.lit(2) * F.col("med2")).alias("d4"),
-        F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev"),
-    )
-    s = dv.groupBy("user_id").agg(
-        (F.expr("2 * percentile(dev, 0.5)")).cast("long").alias("mad4")
-    )
-    joined = dv.join(s, "user_id").select(
-        "user_id", "event_id", "sec", "d4", "mad4"
+        "mad4",
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("sec", "event_id")
+        .orderBy("us", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     p = joined.withColumn(

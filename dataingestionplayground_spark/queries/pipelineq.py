@@ -1231,23 +1231,12 @@ def _nb_oracle() -> str:
     """
 
 
-@register("text_nb_quality_classifier", oracle=_nb_oracle())
-def text_nb_quality_classifier(spark, sf):
-    # Trainable quality classifier, fastText/CCNet-style: a multinomial
-    # naive-Bayes model over hashed-unigram features (256 buckets) is
-    # TRAINED inside the query against the unigram-perplexity gate's
-    # labels — distilling the (expensive) LM filter into a cheap bag-of-
-    # hashed-words classifier, the CCNet/GPT-3/LLaMA data-quality
-    # setup — then scores every document with its
-    # Laplace-smoothed log-odds. Cross-engine portability uses the
-    # perplexity trick: each per-bucket log term is rounded to 6 dp and
-    # summed as DECIMAL(38,6), so the sum is order-independent and
-    # bit-identical in DuckDB. Plan shape at 100 TB: in-row label
-    # expressions + one doc-keyed join, token explode -> ONE 256-key
-    # hash agg (map-side partial collapses each partition to <=256
-    # rows), broadcast the 256-row weight table back onto the token
-    # stream, one per-doc agg — no windows, no skewed reducers, no
-    # driver-side state.
+def nb_weight_table(spark, sf):
+    """TRAIN the naive-Bayes quality model: returns the (bucket, w,
+    prior) weight frame — <= 256 rows of 6dp-decimal log-odds terms —
+    plus the (doc_id, pos) label frame it was fit on. Shared by the
+    batch registry query and the streaming scorer
+    (streaming/documents.py), so the two can never drift."""
     from dataingestionplayground_spark.queries import REGISTRY as _R
 
     d = t(spark, sf, "documents")
@@ -1256,11 +1245,16 @@ def text_nb_quality_classifier(spark, sf):
         .fn(spark, sf)
         .select("doc_id", F.col("keep").alias("pos"))
     )
+    # the perplexity-label subtree and the token explode each feed two
+    # consumers below — materialize once (aliased branches do not
+    # ReuseExchange), same pattern as dedup_soft_weights
+    lab = lab.localCheckpoint(eager=True)
     toks = (
         d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
         .join(lab, "doc_id")
         .select("doc_id", "pos", F.expr(_md5_mod("tok", 256)).alias("bucket"))
     )
+    toks = toks.localCheckpoint(eager=True)
     dist = toks.groupBy("bucket").agg(
         F.count_if(F.col("pos")).cast("long").alias("cp"),
         F.count_if(~F.col("pos")).cast("long").alias("cn"),
@@ -1291,6 +1285,27 @@ def text_nb_quality_classifier(spark, sf):
         .cast("decimal(38,6)")
         .alias("prior"),
     )
+    return wb, toks
+
+
+@register("text_nb_quality_classifier", oracle=_nb_oracle())
+def text_nb_quality_classifier(spark, sf):
+    # Trainable quality classifier, fastText/CCNet-style: a multinomial
+    # naive-Bayes model over hashed-unigram features (256 buckets) is
+    # TRAINED inside the query against the unigram-perplexity gate's
+    # labels — distilling the (expensive) LM filter into a cheap bag-of-
+    # hashed-words classifier, the CCNet/GPT-3/LLaMA data-quality
+    # setup — then scores every document with its
+    # Laplace-smoothed log-odds. Cross-engine portability uses the
+    # perplexity trick: each per-bucket log term is rounded to 6 dp and
+    # summed as DECIMAL(38,6), so the sum is order-independent and
+    # bit-identical in DuckDB. Plan shape at 100 TB: in-row label
+    # expressions + one doc-keyed join, token explode -> ONE 256-key
+    # hash agg (map-side partial collapses each partition to <=256
+    # rows), broadcast the 256-row weight table back onto the token
+    # stream, one per-doc agg — no windows, no skewed reducers, no
+    # driver-side state.
+    wb, toks = nb_weight_table(spark, sf)
     scored = (
         toks.join(F.broadcast(wb), "bucket")
         .groupBy("doc_id")
@@ -1326,7 +1341,8 @@ def text_nb_quality_classifier(spark, sf):
     SELECT e.event_id, e.event_type, e.value,
            least(greatest(e.value, s.p01), s.p99) AS winsorized,
            round((e.value - s.mean)
-                 / sqrt(s.sumsq / s.n - s.mean * s.mean), 6) AS zscore,
+                 / nullif(sqrt(s.sumsq / s.n - s.mean * s.mean), 0.0)
+                 , 6) AS zscore,
            round((e.value - s.vmin) / nullif(s.vmax - s.vmin, 0.0), 6)
              AS minmax
     FROM events e JOIN stats s USING (event_type)
@@ -1363,7 +1379,12 @@ def pipeline_feature_scaling(spark, sf):
         ),
         F.round(
             (F.col("value") - F.col("mean"))
-            / F.sqrt(F.col("sumsq") / F.col("n") - F.col("mean") * F.col("mean")),
+            / F.nullif(
+                F.sqrt(
+                    F.col("sumsq") / F.col("n") - F.col("mean") * F.col("mean")
+                ),
+                F.lit(0.0),
+            ),
             6,
         ).alias("zscore"),
         F.round(
@@ -1393,12 +1414,13 @@ def pipeline_feature_scaling(spark, sf):
       FROM rooted
     )
     SELECT source, n_docs, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE), 6)
+           round(CAST(n_tokens AS DOUBLE) / nullif(CAST(t_total AS DOUBLE), 0.0), 6)
              AS current_share,
-           round(CAST(root AS DOUBLE) / CAST(s_root AS DOUBLE), 6)
+           round(CAST(root AS DOUBLE) / nullif(CAST(s_root AS DOUBLE), 0.0), 6)
              AS target_share,
-           round((CAST(root AS DOUBLE) / CAST(s_root AS DOUBLE))
-                 * CAST(t_total AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           round((CAST(root AS DOUBLE) / nullif(CAST(s_root AS DOUBLE), 0.0))
+                 * CAST(t_total AS DOUBLE)
+                 / nullif(CAST(n_tokens AS DOUBLE), 0.0), 6)
              AS epochs
     FROM rooted CROSS JOIN tot
     """,
@@ -1432,17 +1454,25 @@ def pipeline_mixture_plan(spark, sf):
         F.sum("n_tokens").cast("long").alias("t_total"),
         F.sum("root").alias("s_root"),
     )
-    tgt = F.col("root").cast("double") / F.col("s_root").cast("double")
+    # nullif on every data-derived denominator: an all-empty source (or
+    # corpus) yields NULL shares instead of an ANSI DIVIDE_BY_ZERO abort
+    tgt = F.col("root").cast("double") / F.nullif(
+        F.col("s_root").cast("double"), F.lit(0.0)
+    )
     return rooted.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
         F.round(
-            F.col("n_tokens").cast("double") / F.col("t_total").cast("double"), 6
+            F.col("n_tokens").cast("double")
+            / F.nullif(F.col("t_total").cast("double"), F.lit(0.0)),
+            6,
         ).alias("current_share"),
         F.round(tgt, 6).alias("target_share"),
         F.round(
-            tgt * F.col("t_total").cast("double") / F.col("n_tokens").cast("double"),
+            tgt
+            * F.col("t_total").cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
             6,
         ).alias("epochs"),
     )

@@ -102,59 +102,21 @@ def stream_decontaminate(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
 
 
 def nb_classifier_model(spark, sf) -> tuple[list[tuple[int, str]], str]:
-    """TRAIN the naive-Bayes quality model in batch (the registry query's
-    exact weight computation) and return it as driver-side literals:
-    256 (bucket, weight) rows plus the class-prior term, all DECIMAL
-    strings so the streaming scorer reproduces the batch log-odds
-    bit-for-bit. Bounded driver state — the codebook pattern."""
-    from dataingestionplayground_spark.queries import REGISTRY as _R
-    from dataingestionplayground_spark.queries.pipelineq import _md5_mod
-    from dataingestionplayground_spark.session import load_table as t
+    """TRAIN the naive-Bayes quality model in batch — by calling the
+    registry query's OWN weight builder (queries/pipelineq.py
+    nb_weight_table, so batch and stream can never drift) — and return
+    it as driver-side literals: <= 256 (bucket, weight) rows plus the
+    class-prior term, all DECIMAL strings so the streaming scorer
+    reproduces the batch log-odds bit-for-bit. Bounded driver state —
+    the codebook pattern."""
+    from dataingestionplayground_spark.queries.pipelineq import nb_weight_table
 
-    d = t(spark, sf, "documents")
-    lab = (
-        _R["text_unigram_perplexity"]
-        .fn(spark, sf)
-        .select("doc_id", F.col("keep").alias("pos"))
-    )
-    toks = (
-        d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
-        .join(lab, "doc_id")
-        .select("pos", F.expr(_md5_mod("tok", 256)).alias("bucket"))
-    )
-    dist = toks.groupBy("bucket").agg(
-        F.count_if(F.col("pos")).cast("long").alias("cp"),
-        F.count_if(~F.col("pos")).cast("long").alias("cn"),
-    )
-    priors = lab.agg(
-        F.count_if(F.col("pos")).cast("long").alias("np"),
-        F.count_if(~F.col("pos")).cast("long").alias("nn"),
-    )
-    tot = dist.agg(
-        F.sum("cp").cast("long").alias("tp"), F.sum("cn").cast("long").alias("tn")
-    ).crossJoin(F.broadcast(priors))
-    wb = dist.crossJoin(F.broadcast(tot)).select(
+    wb, _toks = nb_weight_table(spark, sf)
+    rows = wb.select(
         "bucket",
-        F.round(
-            F.log(F.expr("cast(cp + 1 as double)"))
-            - F.log(F.expr("cast(tp + 256 as double)"))
-            - F.log(F.expr("cast(cn + 1 as double)"))
-            + F.log(F.expr("cast(tn + 256 as double)")),
-            6,
-        )
-        .cast("decimal(38,6)")
-        .cast("string")
-        .alias("w"),
-        F.round(
-            F.log(F.expr("cast(np + 1 as double)"))
-            - F.log(F.expr("cast(nn + 1 as double)")),
-            6,
-        )
-        .cast("decimal(38,6)")
-        .cast("string")
-        .alias("prior"),
-    )
-    rows = wb.collect()  # <= 256 rows: the model
+        F.col("w").cast("string").alias("w"),
+        F.col("prior").cast("string").alias("prior"),
+    ).collect()  # <= 256 rows: the model
     weights = [(int(r["bucket"]), r["w"]) for r in rows]
     prior = rows[0]["prior"] if rows else "0"
     return weights, prior
@@ -163,28 +125,35 @@ def nb_classifier_model(spark, sf) -> tuple[list[tuple[int, str]], str]:
 def stream_nb_score(docs: DataFrame, weights, prior: str) -> DataFrame:
     """Score a STREAMING (doc_id, text) frame with a batch-trained NB
     model — train batch / apply stream. Entirely stateless and
-    append-safe: the 256-entry weight table rides as a MAP literal and
-    the per-document token sum is an in-row `aggregate` over the token
+    append-safe: the <=256-entry weight table rides as a MAP literal
+    and both per-document sums are in-row `aggregate`s over the token
     array (no explode, no aggregation state, no watermark), so the same
     expression works on bounded batch frames (the parity test) and
-    unbounded streams alike."""
+    unbounded streams alike. n_toks counts only tokens whose hash
+    bucket exists in the trained table — the same semantics as the
+    batch query's inner join onto the weight frame — so the twins agree
+    even on post-training documents with unseen buckets."""
+    from dataingestionplayground_spark.queries.pipelineq import _md5_mod
+
     entries = []
     for b, w in weights:
         entries.append(F.lit(b))
         entries.append(F.lit(w).cast("decimal(38,6)"))
     m = F.create_map(*entries) if entries else F.create_map()
-    toks = TX.tokens("text")
-    bucket = (
-        "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256"
-    )
+    toks_expr = f"filter(split(text, '{TX.WS}'), x -> x != '')"
+    buckets = f"transform({toks_expr}, t -> {_md5_mod('t', 256)})"
     score = F.expr(
-        f"aggregate(transform(filter(split(text, '{TX.WS}'), x -> x != ''), t -> {bucket}), "
-        f"cast(0 as decimal(38,6)), "
-        f"(acc, b) -> acc + coalesce(element_at(__nb_w, b), cast(0 as decimal(38,6))))"
+        f"aggregate({buckets}, cast(0 as decimal(38,6)), "
+        f"(acc, b) -> acc + coalesce(element_at(__nb_w, b), "
+        f"cast(0 as decimal(38,6))))"
+    )
+    n_known = F.expr(
+        f"aggregate({buckets}, 0L, (acc, b) -> acc + "
+        f"(case when element_at(__nb_w, b) is null then 0L else 1L end))"
     )
     return (
         docs.withColumn("__nb_w", m)
-        .withColumn("n_toks", F.size(toks).cast("long"))
+        .withColumn("n_toks", n_known)
         .filter(F.col("n_toks") > 0)
         .withColumn(
             "log_odds",

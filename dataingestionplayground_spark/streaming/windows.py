@@ -214,30 +214,15 @@ def stream_running_stats_tws(events: DataFrame, force_fallback: bool = False) ->
 
 
 def cusum_user_stats(spark, sf) -> DataFrame:
-    """TRAIN the per-user CUSUM parameters in batch — the registry
-    query's exact integer statistics (doubled interpolated median and
-    quadrupled MAD) — for stream-static joining onto the event stream.
-    One row per user: bounded by the user population, not the stream."""
-    from dataingestionplayground_spark.functions import portable as PF
+    """TRAIN the per-user CUSUM parameters in batch by calling the
+    batch changepoint query's OWN stats builder
+    (queries/analytics.py cusum_robust_stats) — one row per user,
+    bounded by the user population, for stream-static joining onto the
+    event stream."""
+    from dataingestionplayground_spark.queries.analytics import cusum_robust_stats
     from dataingestionplayground_spark.session import load_table as t
 
-    e = t(spark, sf, "events")
-    a = e.select(
-        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
-    )
-    m = a.groupBy("user_id").agg(
-        (F.expr("2 * percentile(cents, 0.5)")).cast("long").alias("med2")
-    )
-    return (
-        a.join(m, "user_id")
-        .select(
-            "user_id",
-            "med2",
-            F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev"),
-        )
-        .groupBy("user_id", "med2")
-        .agg((F.expr("2 * percentile(dev, 0.5)")).cast("long").alias("mad4"))
-    )
+    return cusum_robust_stats(t(spark, sf, "events"))
 
 
 def stream_cusum_alarms(events: DataFrame, stats: DataFrame) -> DataFrame:
