@@ -329,3 +329,56 @@ def test_cusum_fires_after_level_shift_only(spark, tmp_path):
     )
     assert alarms and min(alarms) >= 32  # nothing before the shift
     assert max(alarms) <= 39
+
+
+def test_degenerate_groups_yield_null_not_crash(spark, tmp_path):
+    """ANSI mode is on: data-derived zero denominators (constant hour,
+    constant value, MAD == 0) must produce NULL/filtered rows — exactly
+    like the DuckDB oracle — not a DIVIDE_BY_ZERO abort."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 9, 30, 0)
+    rows = (
+        # 'const': one event only -> constant x AND constant y AND MAD=0
+        [(0, 1, base, "const", 5.0)]
+        # 'flat': many events, same hour-of-day, same value
+        + [(10 + i, 2, base + dt.timedelta(seconds=i), "flat", 2.0)
+           for i in range(10)]
+        # 'ok': a healthy group spanning hours and values
+        + [(100 + i, 3, base + dt.timedelta(hours=i % 5, minutes=i), "ok",
+            float(10 + 7 * (i % 5))) for i in range(20)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    ols = {r["event_type"]: r for r in
+           QS["agg_linear_regression"].fn(spark, sf).collect()}
+    assert ols["const"]["slope"] is None and ols["const"]["r2"] is None
+    assert ols["flat"]["slope"] is None  # constant x
+    assert ols["ok"]["slope"] is not None and ols["ok"]["r2"] is not None
+
+    mad = QS["events_anomaly_mad"].fn(spark, sf).collect()  # must not raise
+    assert all(r["event_type"] != "flat" for r in mad)  # MAD=0 -> filtered
+
+    fs = {r["event_id"]: r for r in
+          QS["pipeline_feature_scaling"].fn(spark, sf).collect()}
+    assert fs[10]["zscore"] is None and fs[10]["minmax"] is None  # flat group
+    assert fs[100]["zscore"] is not None
+
+
+def test_mixture_plan_empty_source_yields_null_epochs(spark, tmp_path):
+    docs = [(i, "alpha beta gamma", "en", "full", 16) for i in range(5)] + [
+        (10 + i, "   ", "en", "empty", 3) for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["source"]: r for r in
+            QS["pipeline_mixture_plan"].fn(spark, str(tmp_path)).collect()}
+    assert rows["empty"]["n_tokens"] == 0
+    assert rows["empty"]["epochs"] is None  # no ANSI abort
+    assert rows["full"]["epochs"] is not None
