@@ -97,7 +97,10 @@ def pca_project(
     @pandas_udf("array<double>")
     def project(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for v in it:
-            X = np.array(v.tolist(), dtype=np.float64)
+            # reshape(-1, d) keeps an empty Arrow batch a (0, d) matrix
+            # instead of a shape-(0,) array that breaks the broadcast
+            # against mu (r8 ADVICE)
+            X = np.array(v.tolist(), dtype=np.float64).reshape(-1, len(mu_a))
             Z = np.round((X - mu_a) @ w.T, 6)
             yield pd.Series(list(Z))
 

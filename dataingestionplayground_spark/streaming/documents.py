@@ -139,7 +139,15 @@ def stream_nb_score(docs: DataFrame, weights, prior: str) -> DataFrame:
     for b, w in weights:
         entries.append(F.lit(b))
         entries.append(F.lit(w).cast("decimal(38,6)"))
-    m = F.create_map(*entries) if entries else F.create_map()
+    # empty-model edge (r8 ADVICE): a bare create_map() is typed
+    # map<string,string>, so element_at(__nb_w, bigint) would fail
+    # analysis — cast the empty literal to the trained map's exact type
+    # (every lookup misses, n_toks stays 0, zero rows survive the gate)
+    m = (
+        F.create_map(*entries)
+        if entries
+        else F.create_map().cast("map<bigint,decimal(38,6)>")
+    )
     toks_expr = f"filter(split(text, '{TX.WS}'), x -> x != '')"
     buckets = f"transform({toks_expr}, t -> {_md5_mod('t', 256)})"
     score = F.expr(

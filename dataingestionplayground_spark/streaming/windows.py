@@ -237,20 +237,23 @@ def stream_cusum_alarms(events: DataFrame, stats: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from dataingestionplayground_spark.functions import portable as PF
-
     joined = (
         events.select(
             "user_id",
             "event_id",
-            F.floor(PF.epoch_seconds("ts")).cast("long").alias("sec"),
+            # FULL-precision micros, matching the batch twin's walk order
+            # (queries/analytics.py events_changepoint_cusum): a
+            # second-truncated key would diverge from batch on
+            # same-second events whose id order disagrees with
+            # sub-second ts order (r8 ADVICE, medium)
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
         .join(stats, "user_id")  # stream-static: stats side is fixed
         .select(
             "user_id",
             "event_id",
-            "sec",
+            "us",
             (F.lit(4) * F.col("cents") - F.lit(2) * F.col("med2")).alias("d4"),
             "mad4",
         )
@@ -261,7 +264,7 @@ def stream_cusum_alarms(events: DataFrame, stats: DataFrame) -> DataFrame:
 
         c = state.get[0] if state.exists else 0
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["sec", "event_id"], kind="mergesort"
+            ["us", "event_id"], kind="mergesort"
         )
         k = int(pdf["mad4"].iloc[0])
         # vectorized scan via the closed form with carried offset c:

@@ -461,6 +461,19 @@ def test_stream_cusum_batch_parity(spark, tmp_path):
     assert len(stream_rows) > 0
 
 
+def test_stream_nb_score_empty_model(spark):
+    """Zero trained weights (r8 ADVICE): the empty map literal must be
+    typed map<bigint,decimal> so the bigint element_at still ANALYZES —
+    every lookup misses and the n_toks>0 gate drops every row."""
+    from dataingestionplayground_spark.streaming.documents import stream_nb_score
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, "")], "doc_id long, text string"
+    )
+    out = stream_nb_score(docs, [], "0")  # batch frame: same expression tree
+    assert out.count() == 0
+
+
 def test_stream_cusum_carries_state_across_microbatches(spark, tmp_path):
     """Split the events by time into two files delivered as two
     micro-batches (maxFilesPerTrigger=1): the carried per-user S state
@@ -489,7 +502,14 @@ def test_stream_cusum_carries_state_across_microbatches(spark, tmp_path):
     for sub in ("f0", "f1"):
         for fn in sorted(os.listdir(d / sub)):
             if fn.endswith(".parquet"):
-                os.symlink(str(d / sub / fn), str(src / f"part-{n}.parquet"))
+                target = d / sub / fn
+                # FileStreamSource orders candidate files by mtime; the
+                # two targets are written milliseconds apart and an mtime
+                # TIE would leave delivery order to listing tie-breaks —
+                # pin strictly increasing mtimes so f0 always precedes f1
+                # (r8 ADVICE)
+                os.utime(target, (1_700_000_000 + n, 1_700_000_000 + n))
+                os.symlink(str(target), str(src / f"part-{n}.parquet"))
                 n += 1
     assert n == 2
     stats = cusum_user_stats(spark, sf)
