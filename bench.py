@@ -176,10 +176,18 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
             F.lit(0).cast("int").alias("chunk_idx"),
         )
         store.write(chunks, "embeddings")
-    if not os.path.exists(
-        os.path.join(idx_base, "_indexes", "embeddings", "pq", "pq.json")
-    ):
-        build_pq_index(spark, store, "embeddings", m=4, n_centroids=8, dims=64)
+    # r9: 16 subspaces x 16 kmeans centroids (64 bits/vector on these
+    # 64-dim embeddings — still 16x compression) replaces the 4x8 seeded
+    # codebook whose ADC shortlist starved rerank recall (r8: 0.38@50).
+    # A pq.json built under the old config is rebuilt in place.
+    pq_cfg = {"m": 16, "n_centroids": 16, "codebook_mode": "kmeans"}
+    pq_meta_path = os.path.join(idx_base, "_indexes", "embeddings", "pq", "pq.json")
+    stale_cfg = True
+    if os.path.exists(pq_meta_path):
+        old_meta = json.load(open(pq_meta_path))
+        stale_cfg = any(old_meta.get(k) != v for k, v in pq_cfg.items())
+    if stale_cfg:
+        build_pq_index(spark, store, "embeddings", dims=64, **pq_cfg)
     t0 = time.perf_counter()
     refreshed = refresh_pq_index(spark, store, "embeddings")
     refresh_sec = round(time.perf_counter() - t0, 3)
@@ -199,7 +207,7 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
 
     def run_pq_rr():
         pq_search_indexed(
-            spark, store, "embeddings", q, k=10, rerank=50
+            spark, store, "embeddings", q, k=10, rerank="auto"
         ).write.format("noop").mode("overwrite").save()
 
     timings["vector_pq_index_rerank"], medians["vector_pq_index_rerank"] = _timed_runs(
@@ -207,18 +215,27 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
     )
     meta = {"refresh_sec": refresh_sec, **refreshed}
 
-    if not os.path.exists(
-        os.path.join(idx_base, "_indexes", "embeddings", "ivf", "ivf.json")
-    ):
-        build_ivf_index(spark, store, "embeddings", n_cells=8)
+    # r9: 16 kmeans cells probed 4-deep replaces 8 seeded cells probed
+    # 2-deep — the SAME corpus fraction scanned (1/4) but centroids that
+    # track the corpus's label clusters (seeded: recall@10 0.68; kmeans:
+    # ~1.0 at sf0.1). Stale-config ivf.json is rebuilt in place.
+    ivf_cfg = {"n_cells": 16, "centroid_mode": "kmeans"}
+    ivf_n_probe = 4
+    ivf_meta_path = os.path.join(idx_base, "_indexes", "embeddings", "ivf", "ivf.json")
+    ivf_stale = True
+    if os.path.exists(ivf_meta_path):
+        old_ivf = json.load(open(ivf_meta_path))
+        ivf_stale = any(old_ivf.get(k) != v for k, v in ivf_cfg.items())
+    if ivf_stale:
+        build_ivf_index(spark, store, "embeddings", **ivf_cfg)
     t0 = time.perf_counter()
     ivf_refreshed = refresh_ivf_index(spark, store, "embeddings")
     ivf_refresh_sec = round(time.perf_counter() - t0, 3)
 
     def run_ivf():
-        ivf_search_indexed(spark, store, "embeddings", q, k=10, n_probe=2).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        ivf_search_indexed(
+            spark, store, "embeddings", q, k=10, n_probe=ivf_n_probe
+        ).write.format("noop").mode("overwrite").save()
 
     timings["vector_ivf_index_search"], medians["vector_ivf_index_search"] = (
         _timed_runs(spark, run_ivf, 3)
@@ -240,11 +257,13 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
         pq_search_indexed(spark, store, "embeddings", q, k=10).collect(), "key"
     )
     ivf_top = _topk_sets(
-        ivf_search_indexed(spark, store, "embeddings", q, k=10, n_probe=2).collect(),
+        ivf_search_indexed(
+            spark, store, "embeddings", q, k=10, n_probe=ivf_n_probe
+        ).collect(),
         "key",
     )
     pq_rr_top = _topk_sets(
-        pq_search_indexed(spark, store, "embeddings", q, k=10, rerank=50).collect(),
+        pq_search_indexed(spark, store, "embeddings", q, k=10, rerank="auto").collect(),
         "key",
     )
     meta["recall_at_10_vs_l2"] = _recall_at_10(exact_l2, pq_top)
@@ -376,7 +395,40 @@ def main():
         out["big"] = big
     if big2 is not None:
         out["big2"] = big2
-    print(json.dumps(out))
+
+    # r8 verdict item 1: the full artifact outgrew the driver's stdout
+    # tail capture (BENCH_r08.json came back "parsed": null) — write the
+    # complete document to a FILE and keep the single stdout line a
+    # compact headline (total + per-query mins + the recall/scaling
+    # shape of each block, ~2 KB) the driver can always parse.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        str(Path(__file__).resolve().parent / "BENCH_FULL.json"),
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "full": os.path.basename(full_path),
+    }
+    if pq_index is not None:
+        compact["recall"] = {
+            "pq_rerank_at_10": pq_index.get("rerank_recall_at_10"),
+            "ivf_at_10": (pq_index.get("ivf") or {}).get("recall_at_10"),
+        }
+    for blk_name, blk in (("big", big), ("big2", big2)):
+        if blk is not None:
+            compact[blk_name] = {"sf": blk["sf"], "total": blk["total"]}
+            if "ratio_vs_sf0.5" in blk:
+                compact[blk_name]["ratio_vs_sf0.5"] = blk["ratio_vs_sf0.5"]
+    line = json.dumps(compact)
+    assert len(line) < 4096, f"compact bench line grew to {len(line)} bytes"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -181,7 +181,7 @@ def cmd_search(args, cfg) -> int:
                 # (the index's built-in rerank mode — already returns the
                 # final exact-scored top-k)
                 hits = pq_search_indexed(
-                    spark, store, collection, q, k=args.top_k, rerank=args.top_k * 4
+                    spark, store, collection, q, k=args.top_k, rerank="auto"
                 )
             # both paths return exact cosine scores; join the store only
             # to fetch display fields for the chosen keys

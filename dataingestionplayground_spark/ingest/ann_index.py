@@ -63,15 +63,21 @@ def build_pq_index(
     spark: SparkSession,
     store: CollectionStore,
     collection: str,
-    m: int = 4,
-    n_centroids: int = 8,
+    m: int = 8,
+    n_centroids: int = 16,
     dims: int = 384,
-    codebook_mode: str = "seed",
+    codebook_mode: str = "kmeans",
 ) -> dict:
     """Derive the codebook from the collection's current chunks, encode
     every chunk, persist codes + frozen codebook. Returns the metadata
     dict. Encoding is the zero-shuffle broadcast-codebook expression;
-    the only cluster work is one corpus scan + the parquet write."""
+    the only cluster work is one corpus scan + the parquet write.
+
+    Defaults (r8 verdict item 2): 8 subspaces x 16 kmeans-refined
+    centroids — the old 4x8 seeded codebook carried 12 bits/vector,
+    too coarse for a usable ADC shortlist (bench recall@10 0.12 raw /
+    0.38 at rerank=50); 8x16 kmeans + 'auto' rerank depth clears the
+    0.8 recall floor the bench comparator now gates."""
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     chunks = store.read(spark, collection).select("key", "documentid", "embedding")
@@ -184,7 +190,7 @@ def pq_search_indexed(
     k: int = 10,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
-    rerank: int | None = None,
+    rerank: int | str | None = None,
 ) -> DataFrame:
     """ADC top-k straight off the persisted code table: the corpus-side
     scan reads (key, code_0..m-1) — no embeddings, no codebook
@@ -196,12 +202,19 @@ def pq_search_indexed(
     exact cosine picks the final top-k — the amortized, store-backed
     twin of :func:`~...operators.similarity.pq_adc_rerank`: ADC's
     quantization recall loss is largely recovered while the scan stays
-    code-only (bench: recall@10 ~0.2 raw ADC vs ~0.5+ reranked).
-    Returns (query_id, key, score, rank) in that mode."""
+    code-only. ``rerank='auto'`` uses the production depth 16*k (r8
+    verdict item 2: a fixed shallow depth starves recall when the code
+    resolution is coarse relative to the corpus; recall@10 is monotone
+    in depth — a deeper ADC shortlist is a superset, and exact-cosine
+    top-k over a superset can only keep or gain true neighbors — so
+    16*k trades a slightly larger broadcast for the recall floor the
+    bench gates at >=0.8). Returns (query_id, key, score, rank)."""
     from pyspark.sql import Window
 
     from dataingestionplayground_spark.functions import vector as V
 
+    if rerank == "auto":
+        rerank = 16 * k
     meta = _load_meta(store, collection)
     codes = read_pq_codes(spark, store, collection)
     adc = pq_adc_rank(
@@ -262,21 +275,38 @@ def build_ivf_index(
     spark: SparkSession,
     store: CollectionStore,
     collection: str,
-    n_cells: int = 8,
+    n_cells: int = 16,
+    centroid_mode: str = "kmeans",
+    kmeans_iters: int = 2,
 ) -> dict:
-    """Seed ``n_cells`` centroids (lowest-key chunks — deterministic, the
-    same rule every seeded stage uses), assign every chunk to its argmax-
+    """Derive ``n_cells`` centroids (``'seed'``: the lowest-key chunks;
+    ``'kmeans'`` — the default — refines them with the deterministic
+    decimal-routed Lloyd iterations), assign every chunk to its argmax-
     cosine cell with the Arrow matmul stage, and persist the assignment
-    partitioned BY CELL. One corpus scan + one partitioned write."""
+    partitioned BY CELL. One corpus scan per kmeans iteration + one
+    partitioned write — all one-time build cost.
+
+    kmeans centroids matter here (r9): raw lowest-key seeds land inside
+    the corpus's natural clusters unevenly (the bench embeddings are
+    label-clustered), measured at recall@10 0.68 with n_probe=2 of 8
+    seeded cells vs ~1.0 with 16 kmeans cells probing the same corpus
+    fraction (4)."""
     from dataingestionplayground_spark.operators.similarity import (
         _assign_cells_matmul,
         _seed_centroids,
+        kmeans_centroids,
     )
 
     chunks = store.read(spark, collection).select("key", "documentid", "embedding")
-    cents = _seed_centroids(chunks, "key", "embedding", n_cells)
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(chunks, n_cells, kmeans_iters, "key", "embedding")
+    elif centroid_mode == "seed":
+        cents = _seed_centroids(chunks, "key", "embedding", n_cells)
+    else:
+        raise ValueError(f"centroid_mode must be 'seed' or 'kmeans': {centroid_mode!r}")
     meta = {
         "n_cells": cents.count(),
+        "centroid_mode": centroid_mode,
         "cents": [
             [float(x) for x in r["cent_vec"]]
             for r in cents.orderBy("centroid_id").collect()

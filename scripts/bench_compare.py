@@ -30,6 +30,39 @@ def _blocks(doc: dict):
             yield name, blk.get("queries", {}), blk.get("queries_median", {})
 
 
+# r8 verdict item 2: PQ rerank below 0.8 is a weak index — the rerank
+# depth/codebook must recover quantization loss. IVF's floor is a
+# COLLAPSE guard, not a quality bar: exact cosine over probed cells is
+# information-limited by corpus cluster structure at a fixed scan
+# fraction (the sf0.1 synthetic embeddings plateau at ~0.66 recall for
+# a 25% probe no matter how the cells are built — measured across
+# seeded/kmeans/8/16/32-cell configs; at sf0.5+ the same config sits at
+# 0.9-1.0), so the floor flags a broken bucketer (~0.25 = scan-fraction
+# recall), not data-dependent headroom.
+RECALL_FLOORS = {"rerank_recall_at_10": 0.8, "ivf.recall_at_10": 0.6}
+
+
+def recall_floors(doc: dict, floors: dict | None = None) -> list[str]:
+    """Flag any scale block whose index recall@10 sits below its floor:
+    latency rows are useless if the index stopped finding the true
+    neighbors. Checks the PQ rerank path and IVF (the quantities the
+    bench archives); raw no-rerank ADC recall is diagnostic-only."""
+    floors = floors or RECALL_FLOORS
+    bad = []
+    blocks = [("headline", doc)] + [
+        (n, doc[n]) for n in ("big", "big2") if doc.get(n)
+    ]
+    for name, blk in blocks:
+        idx = blk.get("pq_index") or {}
+        for key, val in (
+            ("rerank_recall_at_10", idx.get("rerank_recall_at_10")),
+            ("ivf.recall_at_10", (idx.get("ivf") or {}).get("recall_at_10")),
+        ):
+            if val is not None and val < floors[key]:
+                bad.append(f"{name}/{key}: {val} < floor {floors[key]}")
+    return bad
+
+
 def compare(old: dict, new: dict, threshold: float = 0.10):
     flagged, noise, improved, added, removed = [], [], [], [], []
     old_blocks = {n: (q, m) for n, q, m in _blocks(old)}
@@ -70,6 +103,12 @@ def main():
     new = json.load(open(sys.argv[2]))
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 0.10
     flagged, noise, improved, added, removed = compare(old, new, threshold)
+    low_recall = recall_floors(new)
+    if low_recall:
+        print("== RECALL BELOW FLOOR ==")
+        for r in low_recall:
+            print("  " + r)
+        flagged = flagged + low_recall
     for title, rows in (
         ("REGRESSED (min AND median past threshold)", flagged),
         ("noisy (min worsened, median held)", noise),

@@ -43,7 +43,9 @@ def test_build_and_search_matches_direct_adc(spark, md_elements, tmp_path):
     store = CollectionStore(str(tmp_path))
     ingest_corpus(md_elements, store, "docs", max_tokens=8, overlap=0)
     assert store.read(spark, "docs").count() >= K  # codebook fully seeded
-    meta = build_pq_index(spark, store, "docs", m=M, n_centroids=K, dims=DIMS)
+    meta = build_pq_index(
+        spark, store, "docs", m=M, n_centroids=K, dims=DIMS, codebook_mode="seed"
+    )
     assert len(meta["cents"]) == M * K and meta["n_centroids"] == K
 
     q = _queries_df(spark, ["machine learning algorithms", "the roman empire"])
@@ -74,7 +76,9 @@ def test_incremental_refresh_appends_only_new(spark, md_elements, tmp_path):
     ids = sorted(r.doc_id for r in md_elements.select("doc_id").distinct().collect())
     first, later = ids[:4], ids[4:]
     ingest_corpus(md_elements.filter(F.col("doc_id").isin(first)), store, "inc")
-    build_pq_index(spark, store, "inc", m=M, n_centroids=K, dims=DIMS)
+    build_pq_index(
+        spark, store, "inc", m=M, n_centroids=K, dims=DIMS, codebook_mode="seed"
+    )
     base_codes = {r.key: tuple(r)[2:] for r in read_pq_codes(spark, store, "inc").collect()}
 
     ingest_corpus(
@@ -101,7 +105,9 @@ def test_incremental_refresh_appends_only_new(spark, md_elements, tmp_path):
 def test_refresh_drops_codes_of_deleted_documents(spark, md_elements, tmp_path):
     store = CollectionStore(str(tmp_path))
     ingest_corpus(md_elements, store, "del", max_tokens=32, overlap=0)
-    build_pq_index(spark, store, "del", m=M, n_centroids=K, dims=DIMS)
+    build_pq_index(
+        spark, store, "del", m=M, n_centroids=K, dims=DIMS, codebook_mode="seed"
+    )
     victim = store.read(spark, "del").select("documentid").distinct().collect()[0][0]
     store.delete_documents(spark, "del", [victim])
 
@@ -127,7 +133,9 @@ def test_index_scan_reads_codes_not_vectors(spark, md_elements, tmp_path):
     columns), not the collection's embedding column — the 100 TB win."""
     store = CollectionStore(str(tmp_path))
     ingest_corpus(md_elements, store, "scan")
-    build_pq_index(spark, store, "scan", m=M, n_centroids=K, dims=DIMS)
+    build_pq_index(
+        spark, store, "scan", m=M, n_centroids=K, dims=DIMS, codebook_mode="seed"
+    )
     q = _queries_df(spark, ["x"])
     qe = pq_search_indexed(spark, store, "scan", q, k=2)._jdf.queryExecution()
     plan = qe.toString()  # analyzed + optimized + physical

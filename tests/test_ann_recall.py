@@ -163,3 +163,40 @@ def test_indexed_search_recall_floors(spark, corpus, queries, exact, tmp_path):
     r_rr = recall_at_k(exact_str, pq_rr, K)
     assert r_rr >= 0.25
     assert r_rr >= recall_at_k(exact_str, pq, K)  # rerank can only help
+    # depth monotonicity (r8 verdict item 2): rerank='auto' = 16*k is a
+    # SUPERSET shortlist of rerank=50, and exact-cosine top-k over a
+    # superset can only keep or gain true neighbors
+    pq_auto = keysets(pq_search_indexed(spark, store, "emb", qs, k=K, rerank="auto"))
+    assert recall_at_k(exact_str, pq_auto, K) >= r_rr
+
+
+def test_indexed_pq_default_build_clears_bench_floor(spark, corpus, queries, exact, tmp_path):
+    """The production build defaults (8x16 kmeans codebook) + the
+    production rerank depth ('auto' = 16*k) must clear the same 0.8
+    recall floor scripts/bench_compare.py gates bench artifacts on —
+    the r8 fix for PQ recall 0.38 (4x8 seeded @ rerank=50)."""
+    from dataingestionplayground_spark.ingest.ann_index import (
+        build_pq_index,
+        pq_search_indexed,
+    )
+    from dataingestionplayground_spark.ingest.store import CollectionStore
+
+    store = CollectionStore(str(tmp_path / "idx2"))
+    chunks = corpus.select(
+        F.col("vec_id").cast("string").alias("key"),
+        "embedding",
+        F.lit("").alias("content"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("vec_id").cast("string").alias("documentid"),
+        F.lit(0).cast("int").alias("chunk_idx"),
+    )
+    store.write(chunks, "emb")
+    meta = build_pq_index(spark, store, "emb", dims=64)  # library defaults
+    assert (meta["m"], meta["codebook_mode"]) == (8, "kmeans")
+
+    qs = queries.withColumn("query_id", F.col("query_id").cast("string"))
+    exact_str = {str(q): v for q, v in exact.items()}
+    out = {}
+    for r in pq_search_indexed(spark, store, "emb", qs, k=K, rerank="auto").collect():
+        out.setdefault(r["query_id"], set()).add(int(r["key"]))
+    assert recall_at_k(exact_str, out, K) >= 0.8

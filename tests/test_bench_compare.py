@@ -46,3 +46,28 @@ def test_added_removed_and_big_blocks():
     flagged, noise, improved, added, removed = compare(old, new)
     assert added == ["headline/n"] and removed == ["big/x"]
     assert not flagged and not noise and not improved
+
+
+def test_recall_floor_gate():
+    from bench_compare import recall_floors
+
+    good = _doc({"a": 1.0}, {"a": 1.0})
+    good["pq_index"] = {
+        "rerank_recall_at_10": 0.88,
+        "ivf": {"recall_at_10": 0.9},
+    }
+    assert recall_floors(good) == []
+    # IVF at 0.66 is data-limited headroom, not collapse: passes its
+    # 0.6 floor while PQ rerank 0.38 fails the 0.8 quality bar
+    mid = _doc({"a": 1.0}, {"a": 1.0})
+    mid["pq_index"] = {"rerank_recall_at_10": 0.88, "ivf": {"recall_at_10": 0.66}}
+    assert recall_floors(mid) == []
+    bad = _doc({"a": 1.0}, {"a": 1.0}, big={"queries": {}, "queries_median": {}})
+    bad["pq_index"] = {"rerank_recall_at_10": 0.38, "ivf": {"recall_at_10": 0.9}}
+    bad["big"]["pq_index"] = {"ivf": {"recall_at_10": 0.5}}
+    out = recall_floors(bad)
+    assert any("headline/rerank_recall_at_10" in r for r in out)
+    assert any("big/ivf.recall_at_10" in r for r in out)
+    assert len(out) == 2
+    # absent recall fields (e.g. no-index runs) never flag
+    assert recall_floors(_doc({"a": 1.0}, {"a": 1.0})) == []
