@@ -183,6 +183,93 @@ def top_users_over(
     return sorted(items, key=lambda t: (-t[1], t[0]))[:k]
 
 
+def merge_topk_rollup(
+    spark: SparkSession, batch: DataFrame, path: str, epoch_id: int
+) -> int:
+    """Epoch-keyed streaming maintenance for the FREQUENCY rollup
+    (r8 verdict item 6).
+
+    The theta rollup's union maintenance is replay-idempotent because a
+    theta sketch is a SET summary; ApproxTopK accumulators instead SUM
+    counts on combine, so blindly folding a re-delivered micro-batch
+    would double-count it. Exactly-once here comes from EPOCH-KEYED
+    STAGING: each day partition holds one accumulator row per
+    micro-batch epoch, and merging epoch E first drops any rows already
+    tagged E in the affected days, then writes the fresh ones — so a
+    foreachBatch retry of the same epoch converges to the identical
+    table instead of re-adding counts. Query-time combine across the
+    epoch rows is the same associative ``approx_top_k_combine`` (each
+    event is counted exactly once across DISTINCT epochs), so
+    :func:`top_users_over` works unchanged. Maintenance cost is
+    O(batch) + a partition-pruned read-back of the affected days'
+    accumulator rows (epochs x days rows, never raw events). Rows
+    accumulate one per epoch per day — fold them down with
+    :func:`compact_topk_rollup` once their epochs are committed.
+
+    Base rows from :func:`build_topk_rollup` (no epoch column) read as
+    epoch NULL and are never replaced — seeding the table with a batch
+    build then maintaining it with the stream composes.
+    Returns the number of day partitions touched."""
+    import os
+
+    fresh = daily_topk_sketch_rollup(batch).withColumn(
+        "epoch_id", F.lit(int(epoch_id)).cast("long")
+    )
+    days = [str(r["day"]) for r in fresh.select("day").distinct().collect()]
+    if not days:
+        return 0
+    if os.path.isdir(path) and any(e.startswith("day=") for e in os.listdir(path)):
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .filter(F.col("day").isin(days))
+        )
+        if "epoch_id" not in existing.columns:
+            existing = existing.withColumn("epoch_id", F.lit(None).cast("long"))
+        kept = existing.filter(
+            F.col("epoch_id").isNull() | (F.col("epoch_id") != int(epoch_id))
+        ).select("day", "topk_sketch", "epoch_id")
+        merged = kept.unionByName(fresh)
+    else:
+        merged = fresh
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(days)
+
+
+def compact_topk_rollup(spark: SparkSession, path: str) -> int:
+    """Fold each day's per-epoch accumulator rows into a single
+    epoch-NULL row via the associative combine. Run this only AFTER the
+    maintaining stream's checkpoint has committed the folded epochs: a
+    replay of an epoch that was compacted away can no longer find its
+    staging row to replace and would re-add counts. (foreachBatch with
+    availableNow commits every epoch before the query terminates, so
+    compacting between runs is safe.) Returns day partitions rewritten."""
+    rollup = spark.read.option("mergeSchema", "true").parquet(path)
+    merged = (
+        rollup.groupBy("day")
+        .agg(
+            F.expr(
+                f"approx_top_k_combine(topk_sketch, {_TOPK_MAX_ITEMS})"
+            ).alias("topk_sketch")
+        )
+        .withColumn("epoch_id", F.lit(None).cast("long"))
+        .localCheckpoint(eager=True)  # sever lineage from the path we rewrite
+    )
+    n = merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
+
+
 def merge_distinct_rollup(spark: SparkSession, batch: DataFrame, path: str) -> int:
     """Fold a bounded batch of events INTO the stored rollup by sketch
     union — no raw-event rescan of the affected days.

@@ -148,3 +148,41 @@ def stream_maintain_keyed_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_maintain_topk_rollup(
+    spark: SparkSession,
+    watch_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+):
+    """Continuously maintain the per-day ApproxTopK heavy-hitter rollup
+    from a stream of event JSON-lines files. Returns the StreamingQuery.
+
+    The frequency counterpart of ``stream_maintain_distinct_rollup``,
+    with the OPPOSITE retry story (r8 verdict item 6): theta sketches
+    are set summaries, so replaying a batch re-unions the same hashes
+    and changes nothing — but ApproxTopK accumulators SUM counts on
+    combine, so a replayed batch would double-count. Exactly-once
+    therefore comes from ``merge_topk_rollup``'s epoch-keyed staging:
+    foreachBatch's ``epoch_id`` tags each batch's accumulator rows, and
+    re-delivery of an epoch REPLACES its rows instead of re-adding
+    them. Run ``compact_topk_rollup`` between runs to fold committed
+    epochs down to one row per day.
+    """
+    from dataingestionplayground_spark.operators.incremental import (
+        merge_topk_rollup,
+    )
+
+    raw = spark.readStream.schema(EVENT_SCHEMA).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_topk_rollup(spark, batch_df, rollup_path, epoch_id)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -308,3 +308,139 @@ def test_sketch_aggs_are_partial(spark, sf_dir):
     df = QS["agg_theta_set_algebra"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 2
+
+
+def test_merge_topk_rollup_epoch_idempotent(spark, tmp_path):
+    """Frequency-rollup exactly-once (r8 verdict item 6): replaying a
+    micro-batch under ITS OWN epoch replaces its staged accumulator
+    rows (identical table), while the same events under a NEW epoch
+    double-count — proving the idempotence really is the epoch keying,
+    not an accidental property of the data."""
+    from dataingestionplayground_spark.operators.incremental import (
+        compact_topk_rollup,
+        merge_topk_rollup,
+        top_users_over,
+    )
+
+    path = str(tmp_path / "etopk")
+    b1 = _mk_events(
+        spark,
+        [(i, "2024-01-01 10:00:00", 1, "view", 1.0) for i in range(5)]
+        + [(10 + i, "2024-01-01 11:00:00", 9, "view", 1.0) for i in range(4)],
+    )
+    b2 = _mk_events(
+        spark,
+        [(20 + i, "2024-01-02 10:00:00", 2, "view", 1.0) for i in range(5)]
+        + [(30 + i, "2024-01-02 11:00:00", 9, "view", 1.0) for i in range(4)],
+    )
+    assert merge_topk_rollup(spark, b1, path, epoch_id=0) == 1
+    assert merge_topk_rollup(spark, b2, path, epoch_id=1) == 1
+    want = [(9, 8), (1, 5), (2, 5)]
+    assert top_users_over(spark, path, "2024-01-01", "2024-01-02", k=3) == want
+
+    # replay epoch 1 (foreachBatch retry): REPLACED, not re-added
+    assert merge_topk_rollup(spark, b2, path, epoch_id=1) == 1
+    assert top_users_over(spark, path, "2024-01-01", "2024-01-02", k=3) == want
+
+    # the negative control: same events, fresh epoch -> double-counted
+    assert merge_topk_rollup(spark, b2, path, epoch_id=2) == 1
+    doubled = top_users_over(spark, path, "2024-01-01", "2024-01-02", k=3)
+    assert doubled[0] == (9, 12) and (2, 10) in doubled
+    # undo the control by replaying epoch 2 as empty? no — epochs only
+    # replace themselves; rebuild the day instead via epoch 2 replay
+    # with the original batch to restore for the compaction check
+    merge_topk_rollup(spark, b2.limit(0).unionByName(b2), path, epoch_id=2)
+
+    # compaction folds epochs to one row per day, answers unchanged
+    rows_before = spark.read.option("mergeSchema", "true").parquet(path).count()
+    assert compact_topk_rollup(spark, path) == 2
+    rows_after = spark.read.parquet(path).count()
+    assert rows_after == 2 < rows_before
+    after = top_users_over(spark, path, "2024-01-01", "2024-01-02", k=3)
+    assert after[0] == (9, 12) and (2, 10) in after and (1, 5) in after
+
+
+def test_merge_topk_rollup_seeded_from_batch_build(spark, tmp_path):
+    """A build_topk_rollup base table (no epoch column) composes with
+    epoch-keyed maintenance: base rows read as epoch NULL and survive
+    every merge/replay."""
+    from dataingestionplayground_spark.operators.incremental import (
+        build_topk_rollup,
+        merge_topk_rollup,
+        top_users_over,
+    )
+
+    path = str(tmp_path / "btopk")
+    base = _mk_events(
+        spark, [(i, "2024-01-01 10:00:00", 1, "view", 1.0) for i in range(3)]
+    )
+    build_topk_rollup(base, path)
+    inc = _mk_events(
+        spark, [(10 + i, "2024-01-01 12:00:00", 2, "view", 1.0) for i in range(2)]
+    )
+    assert merge_topk_rollup(spark, inc, path, epoch_id=0) == 1
+    assert top_users_over(spark, path, "2024-01-01", "2024-01-01", k=2) == [
+        (1, 3),
+        (2, 2),
+    ]
+    merge_topk_rollup(spark, inc, path, epoch_id=0)  # replay: unchanged
+    assert top_users_over(spark, path, "2024-01-01", "2024-01-01", k=2) == [
+        (1, 3),
+        (2, 2),
+    ]
+
+
+def test_stream_maintains_topk_rollup(spark, tmp_path):
+    """End-to-end streaming maintenance of the frequency rollup: two
+    file drops -> two availableNow passes -> range heavy hitters
+    correct across both, exactly-once per event."""
+    import json as _json
+
+    from dataingestionplayground_spark.operators.incremental import top_users_over
+    from dataingestionplayground_spark.streaming.ingest import (
+        stream_maintain_topk_rollup,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    roll = str(tmp_path / "stopk")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        with open(watch / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def ev(eid, day_hour, uid):
+        return {
+            "event_id": eid,
+            "ts": day_hour,
+            "user_id": uid,
+            "event_type": "view",
+            "value": 1.0,
+        }
+
+    drop(
+        "a.json",
+        [ev(i, "2024-01-01T10:00:00", 1) for i in range(5)]
+        + [ev(10 + i, "2024-01-01T11:00:00", 9) for i in range(4)],
+    )
+    q = stream_maintain_topk_rollup(spark, str(watch), roll, ckpt)
+    q.awaitTermination(60)
+    assert top_users_over(spark, roll, "2024-01-01", "2024-01-01", k=1) == [(1, 5)]
+
+    drop(
+        "b.json",
+        [ev(20 + i, "2024-01-02T10:00:00", 2) for i in range(5)]
+        + [ev(30 + i, "2024-01-02T11:00:00", 9) for i in range(4)],
+    )
+    # restart from the checkpoint: only the NEW file is processed (the
+    # committed epoch is not re-merged), and user 9 leads the range
+    # despite never leading a day
+    q2 = stream_maintain_topk_rollup(spark, str(watch), roll, ckpt)
+    q2.awaitTermination(60)
+    assert top_users_over(spark, roll, "2024-01-01", "2024-01-02", k=3) == [
+        (9, 8),
+        (1, 5),
+        (2, 5),
+    ]
