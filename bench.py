@@ -98,6 +98,14 @@ BIG_HEADLINE = [
     "dedup_clusters",
     "vector_semdedup",
     "dedup_exact_substring_signal",
+    # r9 (r8 verdict item 5): the sharded-prefix window machinery and
+    # the mergeable-sketch aggs get >=sf0.5 scaling rows too — until now
+    # only the dedup/vector family had big-block evidence
+    "window_ntile_buckets",
+    "window_range_frame",
+    "sample_token_budget",
+    "agg_theta_set_algebra",
+    "agg_kll_quantiles",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -109,6 +117,12 @@ BIG2_HEADLINE = [
     "dedup_clusters",
     "dedup_exact_substring_signal",
     "vector_semdedup",
+    # r9: 2x ratios for the window/sketch shapes (r8 verdict item 5)
+    "window_ntile_buckets",
+    "window_range_frame",
+    "sample_token_budget",
+    "agg_theta_set_algebra",
+    "agg_kll_quantiles",
 ]
 
 
@@ -380,6 +394,34 @@ def main():
             if big2_index is not None:
                 big2["pq_index"] = big2_index
 
+    # r8 verdict item 4: MEASURED skew evidence. The zipfian events
+    # variant (one global user owns 20% of all rows, same row count and
+    # layout as the uniform sf0.5 replica) runs the per-user-keyed
+    # shapes — sessionize and the CUSUM window walk — against BOTH
+    # tables; the archived hot/uniform ratio is the claim "a 20% hot
+    # key costs <=2x" as a number instead of a SCALE.md assertion.
+    skew = None
+    if big is not None and os.environ.get("SPARK_GRAFT_SKEW_BENCH", "1") != "0":
+        from scripts.make_bench_scale import build_zipf_events
+
+        skew_dir = str(Path(__file__).resolve().parent / ".benchdata" / "skew0.5")
+        if not os.path.isdir(os.path.join(skew_dir, "events.parquet")):
+            build_zipf_events(spark, sf_dir, skew_dir, copies=5)
+        skew_names = ["events_sessionize", "events_changepoint_cusum"]
+        uni_t, uni_m = _bench_block(spark, registry, skew_names, big_dir, n_runs=3)
+        hot_t, hot_m = _bench_block(spark, registry, skew_names, skew_dir, n_runs=3)
+        skew = {
+            "sf": round(sf * 5, 3),
+            "hot_key_share": 0.2,
+            "uniform": uni_t,
+            "uniform_median": uni_m,
+            "hot": hot_t,
+            "hot_median": hot_m,
+            "ratio_hot_vs_uniform": {
+                q: round(hot_t[q] / uni_t[q], 2) for q in skew_names if uni_t.get(q)
+            },
+        }
+
     out = {
         "metric": "headline_total",
         "value": total,
@@ -395,6 +437,8 @@ def main():
         out["big"] = big
     if big2 is not None:
         out["big2"] = big2
+    if skew is not None:
+        out["skew"] = skew
 
     # r8 verdict item 1: the full artifact outgrew the driver's stdout
     # tail capture (BENCH_r08.json came back "parsed": null) — write the
@@ -426,6 +470,8 @@ def main():
             compact[blk_name] = {"sf": blk["sf"], "total": blk["total"]}
             if "ratio_vs_sf0.5" in blk:
                 compact[blk_name]["ratio_vs_sf0.5"] = blk["ratio_vs_sf0.5"]
+    if skew is not None:
+        compact["skew_ratio_hot_vs_uniform"] = skew["ratio_hot_vs_uniform"]
     line = json.dumps(compact)
     assert len(line) < 4096, f"compact bench line grew to {len(line)} bytes"
     print(line)

@@ -65,6 +65,36 @@ def build(spark, src_dir: str, out_dir: str, copies: int = 5) -> None:
         )
 
 
+def build_zipf_events(spark, src_dir: str, out_dir: str, copies: int = 5) -> None:
+    """Hot-key variant of the events table ONLY (r8 verdict item 4):
+    same row count and copy layout as the uniform ``build`` output, but
+    every 5th event (by event_id, so deterministically and uniformly
+    over time) is reassigned to GLOBAL user 1 — one user owns ~20% of
+    all rows across every copy. This is the measured-skew fixture: the
+    per-user window/sessionize/CUSUM shapes run here vs the uniform
+    sf-equivalent, and the bench archives the hot/uniform ratio (claimed
+    <=2x in SCALE.md, now evidence instead of assertion)."""
+    df = load_table(spark, src_dir, "events")
+    parts = []
+    for i in range(copies):
+        p = df
+        for k in ("event_id", "user_id"):
+            p = p.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
+        parts.append(p)
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    out = out.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(1).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    (
+        out.write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+
+
 def main() -> None:
     from dataingestionplayground_spark.session import get_spark
 
