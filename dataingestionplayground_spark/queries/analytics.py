@@ -792,3 +792,66 @@ def events_changepoint_cusum(spark, sf):
             (F.lit(8) * F.col("mad4")).alias("threshold4"),
         )
     )
+
+
+@register(
+    "events_seasonal_dow_index",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+             value
+      FROM events
+    ), by_dow AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS dow_avg
+      FROM base GROUP BY event_type, dow
+    ), by_type AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS type_avg
+      FROM base GROUP BY event_type
+    )
+    SELECT d.event_type, d.dow, d.n_events,
+           ROUND(d.dow_avg, 6) AS dow_avg,
+           ROUND(d.dow_avg / t.type_avg, 6) AS seasonal_index
+    FROM by_dow d JOIN by_type t ON t.event_type = d.event_type
+    """,
+)
+def events_seasonal_dow_index(spark, sf):
+    # Day-of-week seasonal decomposition per event type: the classic
+    # multiplicative seasonal index (day-of-week mean over the series
+    # mean), the first stage of any seasonality-aware anomaly detector
+    # — events_anomaly_zscore flags deviations from a GLOBAL mean, this
+    # learns that e.g. weekends simply run lower. dow is computed as
+    # days-since-epoch mod 7 (0 = Thursday) because both engines agree
+    # on that integer arithmetic, unlike their dayofweek() conventions
+    # (Spark: 1 = Sunday; DuckDB: 0 = Sunday). Plan: two hash aggs over
+    # one pass of the base projection and a broadcast join of the
+    # (fixed-width: |types|) per-type means — the ratio is taken once
+    # on the two final decimal-routed doubles, never row-wise.
+    e = t(spark, sf, "events")
+    base = e.select(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7).alias("dow"),
+        "value",
+    )
+    by_dow = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        PF.davg("value").alias("__dow_avg"),
+    )
+    by_type = base.groupBy("event_type").agg(PF.davg("value").alias("__type_avg"))
+    return (
+        by_dow.join(F.broadcast(by_type), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_events",
+            F.round("__dow_avg", 6).alias("dow_avg"),
+            F.round(F.col("__dow_avg") / F.col("__type_avg"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+    )

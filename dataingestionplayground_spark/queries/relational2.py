@@ -681,3 +681,75 @@ def window_ntile_buckets(spark, sf):
     with_q = sharded_ntile(o, 4, order, (), "quartile")
     with_d = sharded_ntile(with_q, 10, order, ("o_orderstatus",), "decile_in_status")
     return with_d.select("o_orderkey", "quartile", "decile_in_status")
+
+
+@register(
+    "fuzzy_join_qgram_overlap",
+    oracle="""
+    WITH g AS (
+      SELECT p_partkey,
+             list_sort(list_distinct(
+               [substr(nm, i, 3) for i in range(1, len(nm) - 1)]
+             )) AS grams
+      FROM (SELECT p_partkey, lower(p_name) AS nm FROM part)
+      WHERE len(nm) >= 3
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER) AS overlap
+    FROM g a JOIN g b ON a.p_partkey < b.p_partkey
+    WHERE len(list_intersect(a.grams, b.grams)) >= 8
+    """,
+)
+def fuzzy_join_qgram_overlap(spark, sf):
+    # Set-similarity self-join with LOSSLESS prefix filtering (the
+    # AllPairs/PPJoin candidate rule, Bayardo et al. 2007 / Xiao et al.
+    # 2008): pairs of part names sharing >= T distinct character
+    # trigrams. The oracle is the O(n^2) brute force; the engine plan
+    # never forms all pairs — per name the distinct trigrams are sorted
+    # into a global (lexicographic) order and only the FIRST
+    # |grams| - T + 1 of them are indexed, because two sets with
+    # |A ∩ B| >= T must share an element inside both prefixes. The
+    # hash-match against the cross-join oracle is the machine-checked
+    # proof the pruning is lossless, not approximate. Plan shape at
+    # 100 TB: in-row gram arrays, one equi-join on the (bounded) prefix
+    # grams, distinct candidate pairs, in-row array_intersect verify —
+    # the quadratic blow-up is confined to genuinely-similar blocks,
+    # exactly like the banded MinHash join (operators/dedup.py:105).
+    T = 8
+    p = t(spark, sf, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("nm")
+    ).filter(F.length("nm") >= 3)
+    g = p.select(
+        "p_partkey",
+        F.expr(
+            "array_sort(array_distinct("
+            "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))))"
+        ).alias("grams"),
+    ).filter(F.size("grams") >= T)  # |A ∩ B| <= min|.|, can't reach T
+    pre = g.select(
+        "p_partkey",
+        F.explode(F.expr(f"slice(grams, 1, size(grams) - {T} + 1)")).alias("gram"),
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("p_partkey").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = g.select(F.col("p_partkey").alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "overlap", F.size(F.array_intersect("g_a", "g_b")).cast("int")
+        )
+        .filter(F.col("overlap") >= T)
+        .select("id_a", "id_b", "overlap")
+    )

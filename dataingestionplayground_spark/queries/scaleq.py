@@ -313,3 +313,93 @@ def pipeline_column_profile(spark, sf):
         f"stack({len(_PROFILE_COLS)}, {stacked}) "
         "AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"
     )
+
+
+# --------------------------------------------------------------------------
+# Constraint validation (Deequ-style data-quality gate)
+# --------------------------------------------------------------------------
+
+_CONSTRAINT_SQL = """
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(o_custkey) AS DOUBLE) AS nn,
+             CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS nd,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS ok
+      FROM orders
+    ), l AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN l_quantity >= 1 THEN 1 ELSE 0 END) AS DOUBLE) AS qok,
+             CAST(SUM(CASE WHEN l_discount <= 0.08 THEN 1 ELSE 0 END) AS DOUBLE) AS dok
+      FROM lineitem
+    ), ri AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS orphans
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT c AS constraint_name, ROUND(m, 6) AS metric,
+           CAST(ROUND(m, 6) >= 1.0 AS BOOLEAN) AS passed
+    FROM (
+      SELECT 'completeness:o_custkey' AS c, o.nn / o.n AS m FROM o
+      UNION ALL SELECT 'uniqueness:o_orderkey', o.nd / o.n FROM o
+      UNION ALL SELECT 'domain:o_orderstatus', o.ok / o.n FROM o
+      UNION ALL SELECT 'referential:orders->customer', 1.0 - ri.orphans / o.n
+        FROM o, ri
+      UNION ALL SELECT 'min:l_quantity>=1', l.qok / l.n FROM l
+      UNION ALL SELECT 'range:l_discount<=0.08', l.dok / l.n FROM l
+    )
+"""
+
+
+@register("pipeline_constraint_checks", oracle=_CONSTRAINT_SQL)
+def pipeline_constraint_checks(spark, sf):
+    # Deequ-style constraint VALIDATION (the profiler's judging sibling:
+    # pipeline_column_profile reports stats, this asserts expectations
+    # and emits per-constraint pass/fail). Six constraint families over
+    # orders/lineitem/customer: completeness, key uniqueness, value
+    # domain, referential integrity, and two range rules — one of which
+    # (discount <= 0.08) genuinely FAILS on the data, so both outcomes
+    # are exercised. Plan shape at 100 TB: ONE conditional agg pass per
+    # fact table (all same-table metrics share a scan) plus one
+    # anti-join count for RI; the three 1-row frames cross-join
+    # (broadcast) and stack into long form — no per-constraint rescans.
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    c = t(spark, sf, "customer")
+    o_stats = o.agg(
+        F.count(F.lit(1)).cast("double").alias("o_n"),
+        F.count("o_custkey").cast("double").alias("o_nn"),
+        F.countDistinct("o_orderkey").cast("double").alias("o_nd"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).cast("double").alias("o_ok"),
+    )
+    l_stats = li.agg(
+        F.count(F.lit(1)).cast("double").alias("l_n"),
+        F.sum(F.when(F.col("l_quantity") >= 1, 1).otherwise(0))
+        .cast("double")
+        .alias("l_qok"),
+        F.sum(F.when(F.col("l_discount") <= 0.08, 1).otherwise(0))
+        .cast("double")
+        .alias("l_dok"),
+    )
+    orphans = (
+        o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("ri_orphans"))
+    )
+    one = o_stats.join(F.broadcast(l_stats)).join(F.broadcast(orphans))
+    rows = one.selectExpr(
+        "stack(6, "
+        "'completeness:o_custkey', o_nn / o_n, "
+        "'uniqueness:o_orderkey', o_nd / o_n, "
+        "'domain:o_orderstatus', o_ok / o_n, "
+        "'referential:orders->customer', 1.0D - ri_orphans / o_n, "
+        "'min:l_quantity>=1', l_qok / l_n, "
+        "'range:l_discount<=0.08', l_dok / l_n"
+        ") AS (constraint_name, m)"
+    )
+    return rows.select(
+        "constraint_name",
+        F.round("m", 6).alias("metric"),
+        (F.round("m", 6) >= 1.0).alias("passed"),
+    )

@@ -865,3 +865,53 @@ def text_bpe_segment(spark, sf):
             ).alias("pieces_per_word"),
         )
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, u.t AS term
+      FROM documents,
+           UNNEST({TX.tokens_sql('lower(text)')}) AS u(t)
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok
+    WHERE length(term) >= 3
+    GROUP BY term
+    HAVING COUNT(*) >= 2
+    """,
+)
+def text_inverted_index(spark, sf):
+    # Inverted-index build (the retrieval-infra sibling of text_bm25_topk,
+    # which scores on the fly): term -> document-frequency + an ordered
+    # posting list for every term seen in >=2 documents (singletons
+    # index nothing useful; a production build would also stop-band
+    # df > ~60% of the corpus, but this synthetic vocabulary is nearly
+    # all high-df so the cap stays out of the contract). Plan: per-doc
+    # DISTINCT terms in-row (array_distinct BEFORE explode, so the
+    # shuffle carries each (doc, term) once), one hash agg; the posting
+    # list is array_sort + array_join — deterministic and identical to
+    # the oracle's ORDER BY string_agg. At 100 TB the df band bounds
+    # posting-list width, and the agg is partial-aggregatable.
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"filter(split(lower(text), '{TX.WS}'), x -> x != '')")
+            )
+        ).alias("term"),
+    ).filter(F.length("term") >= 3)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(doc_id)), x -> cast(x as string))"),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 2)
+    )
