@@ -251,3 +251,65 @@ def sharded_row_number(
         "int32",
         lambda ranks, n: ranks.astype("int32"),
     )
+
+
+def sharded_prefix_sum(
+    df: DataFrame,
+    order_spec: Sequence[tuple[str, bool]],
+    val_col: str,
+    out_col: str = "prefix_before",
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``val_col`` in ``order_spec``
+    order, without an unpartitioned WindowExec: the textbook two-pass
+    distributed prefix sum. Pass 1: ``repartitionByRange`` on the order
+    key (partition id == rank range) and per-shard totals collected to
+    the driver (n_shards rows — never data-sized); pass 2: a narrow
+    Arrow cumsum per shard plus its broadcast offset. Returns the input
+    columns plus ``out_col`` (LongType). Generalized out of
+    sample_token_budget (r9) so every global-cumulative-weight shape
+    (token budgets, PPS sampling grids, quota fills) shares one audited
+    implementation.
+    """
+    from pyspark.sql import types as T
+
+    sort_exprs = [
+        F.asc(c) if asc else F.desc(c) for c, asc in order_spec
+    ]
+    n_shards = min(
+        max(2, df.sparkSession.sparkContext.defaultParallelism),
+        max(2, df.rdd.getNumPartitions()),
+    )
+    ranged = (
+        df.repartitionByRange(n_shards, *sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions(*sort_exprs)
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["__pid"]: r["t"] or 0
+        for r in ranged.groupBy("__pid").agg(F.sum(val_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType(), True)]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def local_prefix(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            v = pdf[val_col].to_numpy(dtype="int64")
+            csum = v.cumsum()
+            out = pdf[in_cols].copy()
+            out[out_col] = run + csum - v
+            run = int(run + csum[-1]) if len(csum) else run
+            yield out
+
+    return ranged.mapInPandas(local_prefix, schema=out_schema)

@@ -800,75 +800,28 @@ def sample_token_budget(spark, sf):
     # the token budget is spent (greedy by quality, the standard "best
     # data under B tokens" curation step). The exact global running sum
     # is SHARDED (textbook two-pass distributed prefix sum) instead of a
-    # single-reducer window: repartitionByRange on the order key makes
-    # partition id == rank-range, per-shard totals are aggregated and
-    # cumsum'd driver-side (n_shards rows), and the final pass adds each
-    # shard's broadcast offset to its LOCAL running sum — no
-    # unpartitioned WindowExec, no extra shuffle after the range
-    # exchange (the shards arrive sorted, so the prefix pass is a
-    # narrow Arrow cumsum). See sample_token_budget_bucketed for the
+    # single-reducer window — r9: the inline two-pass implementation was
+    # generalized into operators/prefix.py:sharded_prefix_sum (same
+    # plan: range exchange, driver-side n_shards offsets, narrow Arrow
+    # cumsum; no unpartitioned WindowExec), shared with the PPS sampler
+    # below. See sample_token_budget_bucketed for the
     # histogram-threshold variant that also avoids the full sort.
-    import pandas as pd
-    from pyspark.sql import types as T
-
+    from dataingestionplayground_spark.operators.prefix import sharded_prefix_sum
     from dataingestionplayground_spark.queries.textq import quality_scores
 
     scored = quality_scores(t(spark, sf, "documents")).select(
         "doc_id", "n_toks", "quality"
     )
-    # shard count tracks the scan's own parallelism: tiny inputs (one
-    # parquet split) get 2 shards instead of paying 32 range buckets of
-    # fixed overhead; big inputs scale with the cluster
-    n_shards = min(
-        max(2, scored.sparkSession.sparkContext.defaultParallelism),
-        max(2, scored.rdd.getNumPartitions()),
+    prefixed = sharded_prefix_sum(
+        scored, [("quality", False), ("doc_id", True)], "n_toks", "toks_before"
     )
-    ranged = (
-        scored.repartitionByRange(n_shards, F.desc("quality"), F.asc("doc_id"))
-        .withColumn("__pid", F.spark_partition_id())
-        .sortWithinPartitions(F.desc("quality"), F.asc("doc_id"))
-        .localCheckpoint(eager=True)
+    return prefixed.select(
+        "doc_id",
+        "n_toks",
+        "quality",
+        "toks_before",
+        (F.col("toks_before") + F.col("n_toks") <= 4096).alias("keep"),
     )
-    totals = {
-        r["__pid"]: r["t"] or 0
-        for r in ranged.groupBy("__pid").agg(F.sum("n_toks").alias("t")).collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(totals):
-        offsets[p] = acc
-        acc += totals[p]
-    out_schema = T.StructType(
-        [
-            ranged.schema["doc_id"],
-            T.StructField("n_toks", T.IntegerType(), True),
-            ranged.schema["quality"],
-            T.StructField("toks_before", T.LongType(), True),
-            T.StructField("keep", T.BooleanType(), True),
-        ]
-    )
-
-    def local_prefix(batches):
-        run = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if run is None:
-                run = offsets.get(int(pdf["__pid"].iloc[0]), 0)
-            nt = pdf["n_toks"].to_numpy(dtype="int64")
-            csum = nt.cumsum()
-            before = run + csum - nt
-            run = int(run + csum[-1]) if len(csum) else run
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_toks": nt.astype("int32"),
-                    "quality": pdf["quality"],
-                    "toks_before": before,
-                    "keep": (before + nt) <= 4096,
-                }
-            )
-
-    return ranged.mapInPandas(local_prefix, schema=out_schema)
 
 
 @register(
@@ -1536,4 +1489,60 @@ def sample_epoch_expansion(spark, sf):
             "n_copies",
         )
         .select("doc_id", "source", "copy_id", "n_copies")
+    )
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             coalesce(CAST(SUM(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS w_before
+      FROM documents
+    ), tot AS (
+      SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM documents
+    )
+    SELECT doc_id, weight, w_before,
+           (100 * (w_before + weight)) // total
+             > (100 * w_before) // total AS keep
+    FROM w CROSS JOIN tot
+    """,
+)
+def sample_weighted_systematic(spark, sf):
+    # Systematic probability-proportional-to-size sampling (Madow 1949):
+    # lay the documents end to end on a line of cumulative weight
+    # (weight = n_chars), drop k=100 evenly spaced grid points on it,
+    # and keep every document whose interval contains a grid point —
+    # inclusion probability proportional to weight, EXACTLY k kept when
+    # no document spans two grid points, all in integer arithmetic
+    # (keep iff floor(k*W_i/total) > floor(k*W_{i-1}/total)). The
+    # cumulative weight is the sharded two-pass prefix sum
+    # (operators/prefix.py:sharded_prefix_sum — no unpartitioned
+    # window); the total rides in as a broadcast 1-row agg. This is the
+    # weight-aware sibling of sample_systematic (every Nth row) and the
+    # deterministic, single-pass alternative to weighted reservoir
+    # sampling — at 100 TB it is one range exchange + one narrow Arrow
+    # pass, with no per-row randomness to keep portable.
+    from dataingestionplayground_spark.operators.prefix import sharded_prefix_sum
+
+    k = 100
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    prefixed = sharded_prefix_sum(d, [("doc_id", True)], "weight", "w_before")
+    total = d.agg(F.sum("weight").cast("long").alias("__total"))
+    return (
+        prefixed.join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "weight",
+            "w_before",
+            (
+                F.expr(f"div({k} * (w_before + weight), __total)")
+                > F.expr(f"div({k} * w_before, __total)")
+            ).alias("keep"),
+        )
     )

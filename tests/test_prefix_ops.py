@@ -153,3 +153,29 @@ def test_window_range_frame_exact_on_boundary_ties(spark, tmp_path):
         """
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_sharded_prefix_sum_matches_window(spark, skewed_df):
+    from dataingestionplayground_spark.operators.prefix import sharded_prefix_sum
+
+    df = skewed_df.withColumn("w", (F.col("v") % 7 + 1).cast("long"))
+    got = {
+        r["id"]: r["before"]
+        for r in sharded_prefix_sum(df, [("id", True)], "w", "before").collect()
+    }
+    w = W.orderBy(F.asc("id")).rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["before"] or 0
+        for r in df.withColumn("before", F.sum("w").over(w)).collect()
+    }
+    assert got == want
+    assert min(got.values()) == 0
+
+
+def test_sharded_prefix_sum_keeps_columns_and_no_windowexec(spark, skewed_df):
+    from dataingestionplayground_spark.operators.prefix import sharded_prefix_sum
+
+    df = skewed_df.withColumn("w", F.lit(2).cast("long"))
+    out = sharded_prefix_sum(df, [("id", True)], "w", "before")
+    assert set(out.columns) == set(df.columns) | {"before"}
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
