@@ -855,3 +855,168 @@ def events_seasonal_dow_index(spark, sf):
             ),
         )
     )
+
+
+@register(
+    "events_psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM base) t
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) g
+    ), counts AS (
+      SELECT g.event_type, g.bucket,
+             coalesce(SUM(CASE WHEN b.is_ref = 1 THEN 1 ELSE 0 END), 0) AS ref_n,
+             coalesce(SUM(CASE WHEN b.is_ref = 0 THEN 1 ELSE 0 END), 0) AS cur_n
+      FROM grid g
+      LEFT JOIN base b ON b.event_type = g.event_type AND b.bucket = g.bucket
+      GROUP BY g.event_type, g.bucket
+    ), tot AS (
+      SELECT event_type,
+             SUM(ref_n) AS ref_total, SUM(cur_n) AS cur_total
+      FROM counts GROUP BY event_type
+    ), terms AS (
+      SELECT c.event_type,
+             CAST(round(
+               (CAST(c.ref_n + 1 AS DOUBLE) / CAST(t.ref_total + 10 AS DOUBLE)
+                - CAST(c.cur_n + 1 AS DOUBLE) / CAST(t.cur_total + 10 AS DOUBLE))
+               * ln((CAST(c.ref_n + 1 AS DOUBLE) / CAST(t.ref_total + 10 AS DOUBLE))
+                    / (CAST(c.cur_n + 1 AS DOUBLE) / CAST(t.cur_total + 10 AS DOUBLE))),
+             6) AS DECIMAL(38,6)) AS term,
+             t.ref_total, t.cur_total
+      FROM counts c JOIN tot t ON t.event_type = c.event_type
+    )
+    SELECT event_type,
+           CAST(MAX(ref_total) AS BIGINT) AS ref_total,
+           CAST(MAX(cur_total) AS BIGINT) AS cur_total,
+           CAST(SUM(term) AS DOUBLE) AS psi,
+           CAST(SUM(term) AS DOUBLE) > 0.1 AS drifted
+    FROM terms GROUP BY event_type
+    """,
+)
+def events_psi_drift(spark, sf):
+    # Population Stability Index per event type: the standard train/
+    # serve distribution-drift gate (PSI = sum over buckets of
+    # (p_i - q_i) * ln(p_i / q_i); > 0.1 = investigate, > 0.25 = act).
+    # Reference window = Jan 1-15, current = Jan 16-30; value bucketed
+    # into 10 fixed-width bins, add-one smoothing so empty bins
+    # contribute finite terms. Each per-bucket log term follows the
+    # repo's portable-log convention (round to 6 dp -> DECIMAL sum —
+    # order-independent, same as the perplexity queries); the bin grid
+    # is densified (types x 10) so both engines see identical zero
+    # rows. Plan: one conditional-count agg over a single events pass,
+    # a broadcast per-type total join, and a 10-row-per-type decimal
+    # sum — nothing scales with anything but |types|.
+    e = t(spark, sf, "events")
+    base = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bucket"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).cast("int").alias("is_ref"),
+    )
+    counts = base.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").alias("ref_n"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cur_n"),
+    )
+    grid = (
+        base.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(0, 10).select(F.col("id").cast("int").alias("bucket")))
+    )
+    dense = (
+        grid.join(counts, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    p = (F.col("ref_n") + 1).cast("double") / (F.col("ref_total") + 10).cast("double")
+    q = (F.col("cur_n") + 1).cast("double") / (F.col("cur_total") + 10).cast("double")
+    terms = dense.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "ref_total",
+        "cur_total",
+        F.round((p - q) * F.log(p / q), 6).cast("decimal(38,6)").alias("term"),
+    )
+    psi = F.sum("term").cast("double")
+    return terms.groupBy("event_type").agg(
+        F.max("ref_total").cast("long").alias("ref_total"),
+        F.max("cur_total").cast("long").alias("cur_total"),
+        psi.alias("psi"),
+        (psi > 0.1).alias("drifted"),
+    )
+
+
+@register(
+    "events_ema_smooth",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             ts
+      FROM events
+    ), win AS (
+      SELECT user_id, event_id,
+             list(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+      FROM a
+    )
+    SELECT user_id, event_id,
+           CAST(len(l) AS INTEGER) AS n_window,
+           list_sum(list_transform(l,
+             (x, i) -> x * ((1::BIGINT) << (19 - len(l) + i)))) AS ema_num,
+           ((1::BIGINT) << 20) - ((1::BIGINT) << (20 - len(l))) AS ema_den,
+           ROUND(CAST(list_sum(list_transform(l,
+                   (x, i) -> x * ((1::BIGINT) << (19 - len(l) + i)))) AS DOUBLE)
+                 / CAST(((1::BIGINT) << 20) - ((1::BIGINT) << (20 - len(l)))
+                   AS DOUBLE) / 100.0, 6) AS ema
+    FROM win
+    """,
+)
+def events_ema_smooth(spark, sf):
+    # Exponentially-weighted moving average (half-life = 1 event,
+    # alpha = 1/2) per user — the classic smoother whose recursion
+    # S_i = (x_i + S_{i-1}) / 2 looks sequential, made EXACT and
+    # portable by truncating to the last 20 events and clearing
+    # denominators: weights 2^19, 2^18, ... are exact INTEGERS, so
+    # ema = sum(x_j * 2^(19-age)) / (2^20 - 2^(20-m)) is a ratio of two
+    # longs both engines compute bit-identically (terms beyond 20 steps
+    # carry weight < 2^-20 of the newest — beneath the 6 dp the repo
+    # rounds to anyway). The same closed-form-over-a-window trick as
+    # CUSUM, here with POSITIONAL weights via an indexed lambda over
+    # the frame's collect_list. Plan: one sort-shuffle per-user window
+    # with a bounded 20-row frame, then in-row integer arithmetic —
+    # lint-safe (user_id key grows with data) and zero Python.
+    e = t(spark, sf, "events")
+    a = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    win = a.select(
+        "user_id", "event_id", F.collect_list("cents").over(w).alias("l")
+    )
+    num = F.expr(
+        "aggregate(transform(l, (x, i) -> x * shiftleft(1L, 20 - size(l) + i)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    den = F.expr("shiftleft(1L, 20) - shiftleft(1L, 20 - size(l))")
+    return win.select(
+        "user_id",
+        "event_id",
+        F.size("l").alias("n_window"),
+        num.alias("ema_num"),
+        den.alias("ema_den"),
+        F.round(num.cast("double") / den.cast("double") / 100.0, 6).alias("ema"),
+    )

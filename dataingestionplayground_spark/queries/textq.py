@@ -915,3 +915,54 @@ def text_inverted_index(spark, sf):
         )
         .filter(F.col("df") >= 2)
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({TX.word_shingles_sql('text', 3)}) AS shingle
+      FROM documents
+    ), first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf):
+    # Per-document n-gram novelty: the fraction of a document's distinct
+    # word trigrams that NO lower-id document contains — the curation
+    # signal that separates genuinely new content from recombinations
+    # of what the corpus already holds (the doc-level view of what
+    # dedup_global_first_segment decides line-by-line). Plan: in-row
+    # shingling + per-doc distinct (array ops before the explode), one
+    # hash agg for the global first-seen owner per shingle, one
+    # equi-join back, one per-doc count agg — two shuffles total, both
+    # on the shingle/doc hash, no windows. At 100 TB the shingle agg is
+    # the same shape the MinHash pipeline already scales.
+    d = t(spark, sf, "documents")
+    toks = f"filter(split(text, '{TX.WS}'), x -> x != '')"
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingles_from_tokens(toks, 3))
+        ).alias("shingle"),
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first_seen, "shingle")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    return joined.groupBy("doc_id").agg(
+        n.alias("n_shingles"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / n.cast("double"), 6).alias("novelty"),
+    )
