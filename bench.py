@@ -321,6 +321,33 @@ def main():
         "noop"
     ).mode("overwrite").save()
 
+    # Host calibration (r9): a fixed pure-JVM workload whose runtime
+    # depends only on the machine, not on any engine code — archived so
+    # bench_compare can tell "every row inflated 1.25x because today's
+    # host is 1.25x slower" (calibration moved too) from a real plan
+    # regression (calibration flat, rows moved). Two probes: an
+    # all-core codegen range-sum (matches the workload's parallel
+    # shape) and a single-thread Python spin (scheduler-free).
+    def _calibrate():
+        import time as _time
+
+        samples = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id * 2)").collect()
+            samples.append(_time.perf_counter() - t0)
+        jvm = min(samples)
+        samples = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            acc = 0
+            for i in range(5_000_000):
+                acc += i * i
+            samples.append(_time.perf_counter() - t0)
+        return {"jvm_range_sum": round(jvm, 3), "py_spin": round(min(samples), 3)}
+
+    calibration = _calibrate()
+
     timings, medians = _bench_block(spark, registry, HEADLINE, sf_dir, n_runs=5)
 
     # store-backed index search rows (round-5 item 4 / round-6 item 7):
@@ -429,6 +456,7 @@ def main():
         "queries": timings,
         "queries_median": medians,
         "protocol": {"warmup_runs": 1, "timed_runs": 5, "reported": "min"},
+        "calibration": calibration,
         "sf": sf,
     }
     if pq_index is not None:
@@ -457,6 +485,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration": calibration,
         "sf": sf,
         "full": os.path.basename(full_path),
     }

@@ -63,8 +63,30 @@ def recall_floors(doc: dict, floors: dict | None = None) -> list[str]:
     return bad
 
 
+def host_factor(old: dict, new: dict) -> float | None:
+    """new-host / old-host slowdown from the fixed calibration probes
+    (bench.py `calibration`): the geometric mean of the two probe
+    ratios, or None when either artifact predates the probes. A factor
+    of 1.25 means today's machine runs the SAME work 25% slower — every
+    per-query time is scaled by it before comparison, so a uniform
+    host slowdown (r9: mean row ratio 1.24, Spearman 0.988, rows
+    untouched since r8 inflating 45%+) no longer floods the report
+    while a genuine single-plan regression still stands out."""
+    co, cn = old.get("calibration"), new.get("calibration")
+    if not co or not cn:
+        return None
+    ratios = [cn[k] / co[k] for k in ("jvm_range_sum", "py_spin") if co.get(k) and cn.get(k)]
+    if not ratios:
+        return None
+    prod = 1.0
+    for r in ratios:
+        prod *= r
+    return prod ** (1.0 / len(ratios))
+
+
 def compare(old: dict, new: dict, threshold: float = 0.10):
     flagged, noise, improved, added, removed = [], [], [], [], []
+    factor = host_factor(old, new) or 1.0
     old_blocks = {n: (q, m) for n, q, m in _blocks(old)}
     for name, nq, nm in _blocks(new):
         oq, om = old_blocks.get(name, ({}, {}))
@@ -72,11 +94,12 @@ def compare(old: dict, new: dict, threshold: float = 0.10):
             if q not in oq:
                 added.append(f"{name}/{q}")
                 continue
-            o, n = oq[q], nq[q]
+            o, n = oq[q] * factor, nq[q]
             delta = (n - o) / o if o else 0.0
             row = f"{name}/{q}: {o:.3f} -> {n:.3f} ({delta:+.0%})"
             if n > (1 + threshold) * o:
                 o_med, n_med = om.get(q), nm.get(q)
+                o_med = o_med * factor if o_med is not None else None
                 med_worse = (
                     o_med is None  # pre-r8 artifact: min-only evidence
                     or n_med is None
@@ -102,6 +125,10 @@ def main():
     old = json.load(open(sys.argv[1]))
     new = json.load(open(sys.argv[2]))
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 0.10
+    factor = host_factor(old, new)
+    if factor is not None:
+        print(f"== host calibration factor: new/old = {factor:.3f} "
+              "(old times scaled by it before comparison) ==")
     flagged, noise, improved, added, removed = compare(old, new, threshold)
     low_recall = recall_floors(new)
     if low_recall:

@@ -71,3 +71,24 @@ def test_recall_floor_gate():
     assert len(out) == 2
     # absent recall fields (e.g. no-index runs) never flag
     assert recall_floors(_doc({"a": 1.0}, {"a": 1.0})) == []
+
+
+def test_host_calibration_normalizes_uniform_slowdown():
+    from bench_compare import compare, host_factor
+
+    old = _doc({"a": 1.0, "b": 2.0}, {"a": 1.0, "b": 2.0})
+    old["calibration"] = {"jvm_range_sum": 1.0, "py_spin": 0.5}
+    new = _doc({"a": 1.25, "b": 2.5}, {"a": 1.25, "b": 2.5})
+    new["calibration"] = {"jvm_range_sum": 1.25, "py_spin": 0.625}
+    assert abs(host_factor(old, new) - 1.25) < 1e-9
+    flagged, noise, improved, *_ = compare(old, new)
+    assert not flagged and not noise and not improved  # pure host slowdown
+
+    # a single genuinely-regressed row still stands out after scaling
+    new["queries"]["b"] = 4.0
+    new["queries_median"]["b"] = 4.0
+    flagged, *_ = compare(old, new)
+    assert len(flagged) == 1 and "b" in flagged[0]
+
+    # artifacts without probes compare unscaled (back-compat)
+    assert host_factor(_doc({"a": 1.0}), new) is None
