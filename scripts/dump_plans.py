@@ -55,6 +55,11 @@ SHOW = [
     ("retrieval_hybrid_rrf", "hybrid RRF: both retrievers end in bounded top-10s; fusion join + rank touch <= 20 rows (r8)"),
     ("events_changepoint_cusum", "CUSUM via closed form: ONE sort-shuffle, two window passes (running sum + running min), zero Python (r8)"),
     ("multimodal_ahash_pairs", "image ahash: Arrow build+decode+hash pass into a banded Hamming self-join — never all-pairs (r8)"),
+    ("fuzzy_join_qgram_overlap", "lossless prefix-filtered similarity self-join: bounded prefix-gram equi-join, distinct pairs, in-row intersect verify (r9)"),
+    ("pipeline_constraint_checks", "Deequ-style gate: one conditional-agg pass per fact table + one anti-join, stacked long-form (r9)"),
+    ("events_psi_drift", "PSI drift: one conditional-count pass, densified bin grid, broadcast totals, 6dp-decimal log-term sum (r9)"),
+    ("events_ema_smooth", "exact truncated EMA: one per-user sort-shuffle, bounded 20-row frame, in-row integer weights — zero Python (r9)"),
+    ("sample_weighted_systematic", "systematic PPS sampling: sharded prefix sum (range exchange + narrow Arrow pass) + broadcast total (r9)"),
 ]
 
 INTERESTING = re.compile(
