@@ -931,6 +931,16 @@ def events_psi_drift(spark, sf):
         grid.join(counts, ["event_type", "bucket"], "left")
         .fillna(0, subset=["ref_n", "cur_n"])
     )
+    return psi_from_dense(dense)
+
+
+def psi_from_dense(dense):
+    """PSI summary per event_type from a DENSIFIED (event_type, bucket,
+    ref_n, cur_n) frame — the shared math of the batch query above and
+    the streaming monitor (streaming/ingest.py:stream_psi_monitor):
+    add-one smoothing, 6dp-decimal log terms (order-independent sum),
+    broadcast per-type totals. Returns (event_type, ref_total,
+    cur_total, psi, drifted)."""
     tot = dense.groupBy("event_type").agg(
         F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
     )

@@ -186,3 +186,96 @@ def stream_maintain_topk_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def psi_reference(spark: SparkSession, sf_dir: str):
+    """Frozen PSI reference histogram from the batch reference window
+    (Jan 1-15, matching queries/analytics.py:events_psi_drift): the
+    full densified (event_type, bucket, ref_n) grid — |types| x 10
+    rows, collected driver-side (the codebook pattern: train batch,
+    ship the model as a literal)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    )
+    counts = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bucket"),
+    ).groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("ref_n"))
+    grid = (
+        e.select("event_type").distinct()
+        .crossJoin(spark.range(0, 10).select(F.col("id").cast("int").alias("bucket")))
+    )
+    dense = grid.join(counts, ["event_type", "bucket"], "left").fillna(
+        0, subset=["ref_n"]
+    )
+    return [
+        (r["event_type"], int(r["bucket"]), int(r["ref_n"]))
+        for r in dense.collect()
+    ]
+
+
+def stream_psi_monitor(
+    spark: SparkSession,
+    watch_dir: str,
+    reference,
+    log_path: str,
+    checkpoint_dir: str,
+):
+    """Continuous distribution-drift monitoring: per micro-batch, the
+    PSI of the batch's value distribution against the FROZEN reference
+    histogram, appended to a drift log. Returns the StreamingQuery.
+
+    Train-batch / monitor-stream: the reference rides as a literal
+    frame (never recomputed), each micro-batch contributes one
+    (epoch_id, event_type, psi, drifted) row set, and the log is
+    partitioned BY EPOCH with dynamic partition overwrite — a replayed
+    batch rewrites its own epoch partition, so retries are exactly-once
+    like the epoch-keyed rollup (same discipline, simpler because each
+    epoch's rows depend only on that epoch). The PSI math is the batch
+    query's own `psi_from_dense` — one shared implementation, so the
+    streaming monitor can never drift from the oracle-checked batch
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.queries.analytics import psi_from_dense
+
+    raw = spark.readStream.schema(EVENT_SCHEMA).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        ref = sess.createDataFrame(
+            reference, "event_type string, bucket int, ref_n long"
+        )
+        cur = batch_df.select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+            .cast("int")
+            .alias("bucket"),
+        ).groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("cur_n"))
+        # the reference grid IS the densified domain: types or buckets
+        # the reference never saw contribute through smoothing only
+        dense = ref.join(cur, ["event_type", "bucket"], "left").fillna(
+            0, subset=["cur_n"]
+        )
+        out = psi_from_dense(dense).withColumn(
+            "epoch_id", F.lit(int(epoch_id)).cast("long")
+        )
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("epoch_id").parquet(log_path)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -526,3 +526,83 @@ def test_stream_cusum_carries_state_across_microbatches(spark, tmp_path):
         for r in all_queries()["events_changepoint_cusum"].fn(spark, sf).collect()
     }
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_stream_psi_monitor_matches_batch_and_is_epoch_keyed(spark, tmp_path):
+    """Train-batch / monitor-stream drift detection: delivering the
+    batch query's exact current window (Jan 16-30) as one micro-batch
+    must reproduce events_psi_drift's per-type PSI bit-for-bit (the
+    two paths compute counts independently and share only
+    psi_from_dense); a restart processes only new files and earlier
+    epoch partitions stay byte-stable."""
+    import json as _json
+
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.streaming.ingest import (
+        psi_reference,
+        stream_psi_monitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ref = psi_reference(spark, sf)
+    assert len(ref) == 5 * 10 and all(n >= 0 for _, _, n in ref)
+
+    from dataingestionplayground_spark.session import load_table
+
+    cur = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect()
+    )
+    watch = tmp_path / "watch"
+    watch.mkdir()
+
+    def drop(name, rows):
+        with open(watch / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    drop("cur.json", cur)
+    log = str(tmp_path / "drift_log")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_psi_monitor(spark, str(watch), ref, log, ckpt)
+    q.awaitTermination(60)
+
+    got = {
+        r["event_type"]: (r["psi"], r["drifted"], r["cur_total"])
+        for r in spark.read.parquet(log).collect()
+    }
+    want = {
+        r["event_type"]: (r["psi"], r["drifted"], r["cur_total"])
+        for r in all_queries()["events_psi_drift"].fn(spark, sf).collect()
+    }
+    assert got == want and len(got) == 5
+
+    # second drop -> only the NEW file becomes an epoch; epoch-0 rows
+    # (keyed partitions) are untouched by the restart
+    import os
+
+    epoch0_files = sorted(os.listdir(os.path.join(log, "epoch_id=0")))
+    drop("more.json", cur[:50])
+    q2 = stream_psi_monitor(spark, str(watch), ref, log, ckpt)
+    q2.awaitTermination(60)
+    log_df = spark.read.parquet(log)
+    assert log_df.select("epoch_id").distinct().count() == 2
+    assert sorted(os.listdir(os.path.join(log, "epoch_id=0"))) == epoch0_files
+    got0 = {
+        r["event_type"]: (r["psi"], r["drifted"], r["cur_total"])
+        for r in log_df.filter(F.col("epoch_id") == 0).collect()
+    }
+    assert got0 == want
