@@ -291,3 +291,68 @@ def stream_cusum_alarms(events: DataFrame, stats: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ema_smooth(events: DataFrame) -> DataFrame:
+    """Streaming twin of the exact truncated EMA
+    (queries/analytics.py events_ema_smooth): per-user state is the
+    ring buffer of the last <=19 cent values (the only history the
+    20-event window can reach), carried across micro-batches with
+    ``applyInPandasWithState``. Within a batch the windowed weighted
+    sums are ONE integer np.convolve against the fixed kernel
+    2^19..2^0 — vectorized, and exact in int64 (cents * 2^19 * 20 is
+    ~2^42), so a bounded stream reproduces the batch query's
+    ema_num/ema_den integers bit-for-bit however the stream is split
+    (parity-tested across a two-file time split)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    # np.convolve(x, w)[t] = sum_k x[k] * w[t-k]; with w[j] = 2^(19-j)
+    # the newest term (k = t) carries w[0] = 2^19 and each step into the
+    # past halves the weight — exactly the batch query's window weights
+    W = np.array([1 << (19 - j) for j in range(20)], dtype=np.int64)
+
+    def fn(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["us", "event_id"], kind="mergesort"
+        )
+        x = np.concatenate(
+            [np.asarray(hist, dtype=np.int64), pdf["cents"].to_numpy(np.int64)]
+        )
+        num_all = np.convolve(x, W)[: len(x)]
+        p = len(hist)
+        m_all = np.minimum(np.arange(1, len(x) + 1), 20)
+        num = num_all[p:]
+        m = m_all[p:]
+        den = (1 << 20) - (1 << 20 >> m)  # 2^20 - 2^(20-m)
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(len(num), key[0], dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy(np.int64),
+                "n_window": m.astype(np.int32),
+                "ema_num": num,
+                "ema_den": den.astype(np.int64),
+                "ema": np.round(num / den / 100.0, 6),
+            }
+        )
+        state.update(([int(v) for v in x[-19:]],))
+        yield out
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, event_id long, n_window int, "
+            "ema_num long, ema_den long, ema double"
+        ),
+        stateStructType="hist array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -606,3 +606,57 @@ def test_stream_psi_monitor_matches_batch_and_is_epoch_keyed(spark, tmp_path):
         for r in log_df.filter(F.col("epoch_id") == 0).collect()
     }
     assert got0 == want
+
+
+def test_stream_ema_carries_ring_buffer_across_microbatches(spark, tmp_path):
+    """Two time-split micro-batches must reproduce the batch EMA's exact
+    integers (ema_num/ema_den) for every event: the carried <=19-value
+    ring buffer supplies exactly the history the 20-event window needs
+    at the batch boundary."""
+    import os
+
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.streaming.windows import stream_ema_smooth
+
+    sf = "/root/testdata/sf0.001"
+    full = spark.read.parquet(f"{sf}/events.parquet")
+    cut = full.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) c"
+    ).first()["c"]
+    d = tmp_path / "ema_2files"
+    d.mkdir()
+    early = full.filter(F.expr("unix_micros(cast(ts as timestamp))") <= cut)
+    late = full.filter(F.expr("unix_micros(cast(ts as timestamp))") > cut)
+    early.coalesce(1).write.parquet(str(d / "f0"))
+    late.coalesce(1).write.parquet(str(d / "f1"))
+    src = tmp_path / "ema_src"
+    src.mkdir()
+    n = 0
+    for sub in ("f0", "f1"):
+        for fn in sorted(os.listdir(d / sub)):
+            if fn.endswith(".parquet"):
+                target = d / sub / fn
+                os.utime(target, (1_700_000_000 + n, 1_700_000_000 + n))
+                os.symlink(str(target), str(src / f"part-{n}.parquet"))
+                n += 1
+    assert n == 2
+    events = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    name = _run(stream_ema_smooth(events), "t_ema2", "update")
+    stream_rows = {
+        r.event_id: (r.n_window, r.ema_num, r.ema_den, r.ema)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_rows = {
+        r.event_id: (r.n_window, r.ema_num, r.ema_den, r.ema)
+        for r in all_queries()["events_ema_smooth"].fn(spark, sf).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == full.count()
+    # at least one user genuinely spans the cut with a non-full window
+    # (otherwise the carried state was never exercised)
+    spanning = [
+        eid for eid, (m, *_rest) in stream_rows.items() if 1 < m <= 19
+    ]
+    assert spanning
