@@ -124,3 +124,30 @@ def agg_kll_quantiles(spark, sf):
             for name, frac in qs.items()
         ],
     )
+
+
+# Count-min point frequencies: rows-only — the sketch is a JVM binary
+# whose estimates DuckDB cannot replay; tests/test_sketches.py asserts
+# the CMS guarantee (never under the true count, over by at most
+# eps * N) against exact counts instead.
+@register("agg_countmin_point_freq", oracle=None)
+def agg_countmin_point_freq(spark, sf):
+    # Count-min sketch over event user_ids (Cormode & Muthukrishnan
+    # 2005), probed for a fixed user set — the point-frequency member
+    # of the mergeable-summary family (theta = distinct, KLL =
+    # quantiles, ApproxTopK = heavy hitters, CMS = "how often did THIS
+    # key occur" without a per-key counter table). The sketch AGG is
+    # one partial+final pass (Spark's built-in count_min_sketch,
+    # deterministic at a fixed seed); probing reads the ~100 KB summary
+    # driver-side through the JVM reader — the codebook pattern, cost
+    # independent of corpus size.
+    e = t(spark, sf, "events")
+    row = e.agg(
+        F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("cms")
+    ).first()
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
+    )
+    probes = [(uid, int(cms.estimateCount(uid))) for uid in range(10)]
+    return spark.createDataFrame(probes, "user_id long, est_n long")

@@ -444,3 +444,34 @@ def test_stream_maintains_topk_rollup(spark, tmp_path):
         (1, 5),
         (2, 5),
     ]
+
+
+def test_countmin_point_freq_bounds(spark, sf_dir):
+    """CMS guarantee vs exact counts: never under, over by at most
+    eps * N (eps = 0.001, deterministic at seed 42 so two runs agree)."""
+    from dataingestionplayground_spark.queries import all_queries
+
+    QS2 = all_queries()
+    got = {
+        r["user_id"]: r["est_n"]
+        for r in QS2["agg_countmin_point_freq"].fn(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_total = e.count()
+    exact = {
+        r["user_id"]: r["n"]
+        for r in e.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(range(10))
+    for uid, est in got.items():
+        true = exact.get(uid, 0)
+        assert est >= true
+        assert est <= true + max(1, int(0.001 * n_total))
+    again = {
+        r["user_id"]: r["est_n"]
+        for r in QS2["agg_countmin_point_freq"].fn(spark, sf_dir).collect()
+    }
+    assert again == got  # fixed seed -> deterministic
