@@ -246,3 +246,48 @@ def events_attribution_windows(spark, sf):
             F.sum(F.when(F.col("c_sec").isNotNull(), 1)), F.lit(0)
         ).cast("long").alias("n_touches"),
     )
+
+
+@register(
+    "events_rate_limit_burst",
+    oracle="""
+    WITH counted AS (
+      SELECT user_id, event_id, event_type,
+             CAST(count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts)
+               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_6h
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, n_6h
+    FROM counted WHERE n_6h >= 4
+    """,
+)
+def events_rate_limit_burst(spark, sf):
+    # Burst / rate-limit detection: for every event, how many events the
+    # same user produced in the trailing 6 hours (event-time RANGE
+    # frame over epoch micros — a TIME-valued window, not a row count,
+    # so quiet users and bursts frame differently), flagging rows past
+    # the threshold. The abuse-detection primitive behind API rate
+    # limiting and bot flagging. Per-user partitioning, one
+    # sort-shuffle; the RANGE frame is bounded by the 6-hour horizon
+    # regardless of corpus size. Ties on the frame edge are INCLUDED by
+    # RANGE semantics identically in both engines.
+    e = t(spark, sf, "events")
+    a = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-21_600_000_000, W.currentRow)
+    )
+    return (
+        a.withColumn("n_6h", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("n_6h") >= 4)
+        .select("user_id", "event_id", "event_type", "n_6h")
+    )

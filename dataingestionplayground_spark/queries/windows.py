@@ -209,3 +209,57 @@ def window_ratio_to_total(spark, sf):
             ),
         )
     )
+
+
+@register(
+    "window_median_sliding",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(median(cents) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
+    FROM (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    )
+    """,
+)
+def window_median_sliding(spark, sf):
+    # Sliding-window MEDIAN per user (last 10 events) — the robust
+    # sibling of window_sliding_frame's mean: a windowed order
+    # statistic with no running-accumulator form. Spark's median/
+    # percentile aggregates refuse window FRAMES outright
+    # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is
+    # materialized with collect_list (bounded: <=10 values) and the
+    # interpolated median computed in-row from the sorted array —
+    # exact halves on integer cents, so both engines agree
+    # bit-for-bit. Per-user partitioning (high-cardinality key) keeps
+    # it lint-safe: one sort-shuffle, bounded 10-row frames.
+    e = t(spark, sf, "events")
+    a = e.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    win = a.select(
+        "user_id",
+        "event_id",
+        F.array_sort(F.collect_list("cents").over(w)).alias("s"),
+    )
+    med = F.expr(
+        "case when size(s) % 2 = 1 "
+        "then cast(element_at(s, cast((size(s) + 1) div 2 as int)) as double) "
+        "else (element_at(s, cast(size(s) div 2 as int)) "
+        "+ element_at(s, cast(size(s) div 2 + 1 as int))) / 2.0d end"
+    )
+    return win.select(
+        "user_id", "event_id", F.round(med, 6).alias("med10")
+    )
