@@ -452,3 +452,119 @@ def merge_upsert(
 def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
     """Read the keyed table back (bucket column dropped)."""
     return spark.read.parquet(path).drop("bucket")
+
+
+# ------------------------------------------- incremental inverted index
+
+# The retrieval-infra member of the maintained-artifact family: posting
+# lists are SET summaries (term -> set of doc ids), so like the theta
+# rollup — and unlike the frequency rollup — merge maintenance is
+# replay-idempotent for free: unioning the same doc ids twice is a
+# no-op. The table is partitioned by a 64-way term-hash bucket so a
+# batch touches (and a term lookup reads) only its buckets' files.
+
+_IDX_BUCKETS = 64
+
+
+def _term_postings(docs: DataFrame) -> DataFrame:
+    """(term, bucket, postings array<long>) from a bounded (doc_id,
+    text) frame: per-doc DISTINCT lowercased terms (len >= 3) in-row
+    before the explode, one hash agg. Matches the tokenization of the
+    oracle-checked ``text_inverted_index`` query exactly."""
+    from dataingestionplayground_spark.functions import text as TX
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"filter(split(lower(text), '{TX.WS}'), x -> x != '')")
+            )
+        ).alias("term"),
+    ).filter(F.length("term") >= 3)
+    return toks.groupBy("term").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("postings")
+    ).withColumn(
+        "bucket",
+        F.expr(
+            f"cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint)"
+            f" % {_IDX_BUCKETS}"
+        ),
+    )
+
+
+def merge_inverted_index(spark: SparkSession, docs_batch: DataFrame, path: str) -> int:
+    """Fold a bounded batch of (doc_id, text) documents into the stored
+    inverted index: per-term posting arrays union with the existing
+    lists (read back partition-pruned to the batch's buckets only) and
+    the touched bucket partitions are dynamically overwritten.
+    Replay-idempotent by set semantics — re-unioning the same documents
+    changes nothing, the same free exactly-once the theta rollup gets.
+    Returns the number of bucket partitions touched."""
+    import os
+
+    fresh = _term_postings(docs_batch)
+    buckets = [int(r["bucket"]) for r in fresh.select("bucket").distinct().collect()]
+    if not buckets:
+        return 0
+    if os.path.isdir(path) and any(
+        e.startswith("bucket=") for e in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+        merged = (
+            fresh.alias("f")
+            .join(existing.alias("e"), ["term", "bucket"], "full_outer")
+            .select(
+                "term",
+                "bucket",
+                F.array_sort(
+                    F.array_distinct(
+                        F.array_union(
+                            F.coalesce(
+                                F.col("f.postings"),
+                                F.expr("cast(array() as array<bigint>)"),
+                            ),
+                            F.coalesce(
+                                F.col("e.postings"),
+                                F.expr("cast(array() as array<bigint>)"),
+                            ),
+                        )
+                    )
+                ).alias("postings"),
+            )
+        )
+    else:
+        merged = fresh.select("term", "bucket", "postings")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(buckets)
+
+
+def inverted_lookup(
+    spark: SparkSession, path: str, terms: Sequence[str]
+) -> DataFrame:
+    """Posting lists for ``terms`` off the maintained index: the term
+    set's buckets are computed driver-side, so the scan carries a
+    LITERAL bucket filter — static parquet partition pruning, never a
+    full-index read. Returns (term, df, postings)."""
+    import hashlib
+
+    lows = sorted({t.lower() for t in terms})
+    buckets = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _IDX_BUCKETS
+            for t in lows
+        }
+    )
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    return (
+        idx.filter(F.col("term").isin(lows))
+        .select(
+            "term",
+            F.size("postings").cast("long").alias("df"),
+            "postings",
+        )
+    )

@@ -279,3 +279,46 @@ def stream_psi_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_maintain_inverted_index(
+    spark: SparkSession,
+    watch_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Continuously maintain the bucket-partitioned inverted index from
+    a stream of (doc_id, text) JSON-lines files. Returns the
+    StreamingQuery.
+
+    Posting lists are SET summaries, so this sits on the theta-rollup
+    side of the exactly-once ledger: re-unioning a replayed batch's doc
+    ids into the same terms' lists changes nothing — retry safety for
+    free, no epoch bookkeeping (contrast stream_maintain_topk_rollup).
+    Each micro-batch touches only the bucket partitions its terms hash
+    into.
+    """
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.operators.incremental import (
+        merge_inverted_index,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    raw = spark.readStream.schema(schema).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_inverted_index(spark, batch_df, index_path)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -475,3 +475,85 @@ def test_countmin_point_freq_bounds(spark, sf_dir):
         for r in QS2["agg_countmin_point_freq"].fn(spark, sf_dir).collect()
     }
     assert again == got  # fixed seed -> deterministic
+
+
+def test_merge_inverted_index_matches_batch_query_and_is_idempotent(
+    spark, tmp_path
+):
+    """Incremental inverted index == the oracle-checked batch query:
+    merging the documents table in two halves (then REPLAYING the
+    second half — set-union idempotence) produces exactly the posting
+    lists text_inverted_index computes in one pass, and a term lookup
+    plans with a partition-pruned bucket filter."""
+    from dataingestionplayground_spark.operators.incremental import (
+        inverted_lookup,
+        merge_inverted_index,
+    )
+    from dataingestionplayground_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    path = str(tmp_path / "invidx")
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    assert merge_inverted_index(spark, h1, path) > 0
+    assert merge_inverted_index(spark, h2, path) > 0
+    merge_inverted_index(spark, h2, path)  # replay: set-union no-op
+
+    got = {
+        r["term"]: (r["df"], ",".join(str(d) for d in r["postings"]))
+        for r in spark.read.parquet(path).select(
+            "term", F.size("postings").alias("df"), "postings"
+        ).collect()
+        if r["df"] >= 2  # the batch query's df band
+    }
+    want = {
+        r["term"]: (r["df"], r["postings"])
+        for r in all_queries()["text_inverted_index"].fn(spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # partition-pruned lookup: literal bucket filter reaches the scan
+    some_terms = list(want)[:3]
+    lk = inverted_lookup(spark, path, some_terms)
+    rows = {r["term"]: r["df"] for r in lk.collect()}
+    assert rows == {t: want[t][0] for t in some_terms}
+    plan = lk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_stream_maintains_inverted_index(spark, tmp_path):
+    """Two file drops -> two availableNow passes -> the index holds the
+    union, with the checkpoint replaying only the new file."""
+    import json as _json
+
+    from dataingestionplayground_spark.operators.incremental import inverted_lookup
+    from dataingestionplayground_spark.streaming.ingest import (
+        stream_maintain_inverted_index,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    idx = str(tmp_path / "sidx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        with open(watch / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    drop("a.json", [(1, "alpha beta gamma"), (2, "beta gamma delta")])
+    q = stream_maintain_inverted_index(spark, str(watch), idx, ckpt)
+    q.awaitTermination(60)
+    r = {x["term"]: list(x["postings"]) for x in inverted_lookup(
+        spark, idx, ["beta", "delta"]
+    ).collect()}
+    assert r == {"beta": [1, 2], "delta": [2]}
+
+    drop("b.json", [(3, "delta epsilon"), (1, "alpha beta gamma")])  # doc 1 replayed
+    q2 = stream_maintain_inverted_index(spark, str(watch), idx, ckpt)
+    q2.awaitTermination(60)
+    r2 = {x["term"]: list(x["postings"]) for x in inverted_lookup(
+        spark, idx, ["beta", "delta", "epsilon"]
+    ).collect()}
+    assert r2 == {"beta": [1, 2], "delta": [2, 3], "epsilon": [3]}
