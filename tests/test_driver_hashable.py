@@ -57,5 +57,9 @@ def test_oracle_exists_for_all_but_known_rows_only(spark):
         # r8: PCA projection — eigendecomposition has no ANSI-SQL form;
         # pinned against an independent NumPy PCA instead
         "vector_pca_project",
+        # r9: count-min point frequencies — the sketch is a JVM binary
+        # DuckDB cannot replay; the CMS never-under/eps*N-over bound is
+        # pinned against exact counts in tests/test_sketches.py instead
+        "agg_countmin_point_freq",
     }
     assert missing <= sanctioned, f"unexpected rows-only: {missing}"
