@@ -726,9 +726,39 @@ def fuzzy_join_qgram_overlap(spark, sf):
             "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))))"
         ).alias("grams"),
     ).filter(F.size("grams") >= T)  # |A ∩ B| <= min|.|, can't reach T
-    pre = g.select(
-        "p_partkey",
-        F.explode(F.expr(f"slice(grams, 1, size(grams) - {T} + 1)")).alias("gram"),
+    # The prefix-filter lemma holds for ANY global total order, but the
+    # candidate count depends enormously on WHICH: a lexicographic
+    # order front-loads common grams ("sma" from every "small ..."
+    # name), whose blocks pair quadratically. The classic AllPairs
+    # choice is GLOBAL-FREQUENCY order — rarest grams first — so
+    # prefixes are made of the grams with the SMALLEST blocks. Measured
+    # at sf0.1: candidate pairs 6.9M (lexicographic) -> 2.1M
+    # (rarest-first), near-tight against the ~2M TRUE pairs — the
+    # slack that explodes under further scale-up is what the order
+    # removes. (The true-pair count itself is quadratic on this
+    # replica corpus — 64 distinct names copied thousands of times are
+    # genuinely all-pairs similar — which is why dup-heavy production
+    # corpora route through dedup_clusters representatives before any
+    # pairwise join; this query keeps the raw-pairs contract for the
+    # oracle proof.) The order key is simply the (df, gram) struct
+    # (ties broken on the gram string: total and deterministic); the
+    # df table is bounded by the distinct-gram domain (<= |charset|^3)
+    # and broadcasts.
+    gram_rows = g.select("p_partkey", F.explode("grams").alias("gram"))
+    freq = gram_rows.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    pre = (
+        gram_rows.join(F.broadcast(freq), "gram")
+        .groupBy("p_partkey")
+        .agg(F.expr("array_sort(collect_list(struct(__df, gram)))").alias("ranked"))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.expr(
+                    f"transform(slice(ranked, 1, size(ranked) - {T} + 1), "
+                    "x -> x.gram)"
+                )
+            ).alias("gram"),
+        )
     )
     cand = (
         pre.alias("a")
