@@ -60,6 +60,10 @@ SHOW = [
     ("events_psi_drift", "PSI drift: one conditional-count pass, densified bin grid, broadcast totals, 6dp-decimal log-term sum (r9)"),
     ("events_ema_smooth", "exact truncated EMA: one per-user sort-shuffle, bounded 20-row frame, in-row integer weights — zero Python (r9)"),
     ("sample_weighted_systematic", "systematic PPS sampling: sharded prefix sum (range exchange + narrow Arrow pass) + broadcast total (r9)"),
+    ("text_ngram_novelty", "n-gram novelty: in-row shingles, first-seen hash agg, equi-join back, per-doc agg — two shuffles, no windows (r9)"),
+    ("window_median_sliding", "sliding median: bounded collect_list frame + in-row sorted-array median — per-user partitioned window (r9)"),
+    ("events_rate_limit_burst", "rate-limit burst: event-time RANGE frame over epoch micros, per-user partitioned (r9)"),
+    ("text_inverted_index", "inverted index: per-doc in-row term dedup before the explode, one hash agg, ordered postings (r9)"),
 ]
 
 INTERESTING = re.compile(
