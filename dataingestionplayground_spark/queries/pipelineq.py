@@ -1546,3 +1546,113 @@ def sample_weighted_systematic(spark, sf):
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             sqrt(
+               (CAST(SUM(CAST(n_chars AS DECIMAL(38,6)) * CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+                - CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+               / CAST(COUNT(*) - 1 AS DOUBLE)
+             ) AS s_h
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_h, n_h * s_h AS w_h,
+             (SELECT SUM(n_h * s_h) FROM stats) AS w_tot
+      FROM stats
+    ), alloc0 AS (
+      SELECT source, n_h,
+             CAST(floor(200.0 * w_h / w_tot) AS BIGINT) AS base,
+             200.0 * w_h / w_tot - floor(200.0 * w_h / w_tot) AS rem
+      FROM w
+    ), short AS (
+      SELECT CAST(200 - SUM(base) AS BIGINT) AS extra FROM alloc0
+    ), alloc AS (
+      SELECT source, n_h,
+             base + CASE WHEN CAST(row_number() OVER (
+                 ORDER BY rem DESC, source ASC) AS BIGINT)
+               <= (SELECT extra FROM short) THEN 1 ELSE 0 END AS n_alloc
+      FROM alloc0
+    )
+    SELECT d.source, d.doc_id, a.n_alloc
+    FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+      FROM documents
+    ) d
+    JOIN alloc a ON a.source = d.source
+    WHERE d.rk <= a.n_alloc
+    """,
+)
+def sample_stratified_neyman(spark, sf):
+    # Neyman-allocation stratified sampling (Neyman 1934): a total
+    # budget of 200 documents split across source strata proportional
+    # to N_h * S_h — bigger AND more-variable strata get more samples,
+    # the allocation that minimizes the estimator variance for a fixed
+    # budget (vs sample_stratified_by_source's equal-rate design).
+    # S_h from decimal-exact power sums (one agg); fractional seats by
+    # LARGEST REMAINDER (floor + ranked remainders), all on a
+    # |strata|-row frame; within-stratum selection is the first
+    # n_alloc docs in deterministic md5 order via the sharded
+    # two-phase rank (operators/prefix.py — `source` is a
+    # fixed-cardinality key, so a plain partitioned window would be
+    # the lint-flagged skew shape). Everything after the one stats agg
+    # touches only |strata|-sized frames; the rank pass is one range
+    # exchange.
+    from dataingestionplayground_spark.operators.prefix import (
+        bounded_rank,
+        sharded_row_number,
+    )
+
+    d = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    x = F.col("n_chars").cast("decimal(38,6)")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+    ).select(
+        "source",
+        "n_h",
+        F.sqrt(
+            (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("n_h").cast("double"))
+            / (F.col("n_h") - 1).cast("double")
+        ).alias("s_h"),
+    )
+    w = stats.withColumn("w_h", F.col("n_h") * F.col("s_h"))
+    tot = w.agg(F.sum("w_h").alias("w_tot"))
+    alloc0 = w.join(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        F.floor(200.0 * F.col("w_h") / F.col("w_tot")).cast("long").alias("base"),
+        (
+            200.0 * F.col("w_h") / F.col("w_tot")
+            - F.floor(200.0 * F.col("w_h") / F.col("w_tot"))
+        ).alias("rem"),
+    )
+    short = alloc0.agg((F.lit(200) - F.sum("base")).cast("long").alias("extra"))
+    ranked = bounded_rank(alloc0, [("rem", False), ("source", True)], "__seat")
+    alloc = ranked.join(F.broadcast(short)).select(
+        "source",
+        "n_h",
+        (
+            F.col("base")
+            + F.when(F.col("__seat").cast("long") <= F.col("extra"), 1).otherwise(0)
+        ).alias("n_alloc"),
+    )
+    picked = sharded_row_number(
+        d.withColumn("__h", F.md5(F.col("doc_id").cast("string"))),
+        [("__h", True), ("doc_id", True)],
+        partition_cols=("source",),
+        out_col="rk",
+    )
+    return (
+        picked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .select("source", "doc_id", "n_alloc")
+    )
