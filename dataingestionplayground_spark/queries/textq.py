@@ -966,3 +966,108 @@ def text_ngram_novelty(spark, sf):
         novel.alias("n_novel"),
         F.round(novel.cast("double") / n.cast("double"), 6).alias("novelty"),
     )
+
+
+def _textrank_oracle() -> str:
+    # 5 UNROLLED power-iteration stages (v1..v5), each one join of the
+    # edge list with the previous scores — per-contribution 6dp-decimal
+    # rounding keeps the sums order-independent across engines
+    it = """
+    , v{k} AS (
+      SELECT e.w2 AS term,
+             ROUND(0.15 / (SELECT n FROM nn)
+                   + 0.85 * CAST(SUM(CAST(ROUND(
+                       e.w / d.deg * v.score, 6) AS DECIMAL(38,6))) AS DOUBLE),
+             6) AS score
+      FROM edges e
+      JOIN deg d ON d.term = e.w1
+      JOIN v{p} v ON v.term = e.w1
+      GROUP BY e.w2
+    )"""
+    its = "".join(it.format(k=k, p=k - 1) for k in range(1, 6))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{TX.WS_D}'),
+                         x -> x != '') AS l
+      FROM documents
+    ), pairs AS (
+      SELECT u.p[1] AS w1, u.p[2] AS w2
+      FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(l) - 1, 0)),
+           i -> [l[i], l[i + 1]])) AS u(p)
+      WHERE length(u.p[1]) >= 3 AND length(u.p[2]) >= 3 AND u.p[1] != u.p[2]
+    ), edges AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+        SELECT w1, w2 FROM pairs UNION ALL SELECT w2, w1 FROM pairs
+      ) GROUP BY w1, w2
+    ), deg AS (
+      SELECT w1 AS term, CAST(SUM(w) AS DOUBLE) AS deg FROM edges GROUP BY w1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+    ), v0 AS (
+      SELECT term, ROUND(1.0 / (SELECT n FROM nn), 6) AS score FROM deg
+    ){its}
+    SELECT term, score, rk FROM (
+      SELECT term, score,
+             CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS INTEGER) AS rk
+      FROM v5
+    ) WHERE rk <= 20
+    """
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark, sf):
+    # TextRank keyword centrality (Mihalcea & Tarau 2004): random-walk
+    # scores over the corpus co-occurrence graph (adjacent token pairs,
+    # undirected, count-weighted), 5 damped power iterations
+    # (d = 0.85), top-20 terms. An ITERATIVE algorithm hash-matched by
+    # an iteration-UNROLLED SQL oracle (the BPE/CUSUM proof pattern):
+    # every contribution w_uv/deg_u * v_u is rounded to 6 dp and summed
+    # as DECIMAL, so both engines walk identical numbers. Scale shape:
+    # edge extraction is one explode + hash agg over the corpus; every
+    # iteration after that joins frames bounded by the VOCABULARY (the
+    # graph), not the corpus — 5 tiny joins, then a TakeOrdered top-20
+    # with a window-free bounded rank.
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
+
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        F.expr(f"filter(split(lower(text), '{TX.WS}'), x -> x != '')").alias("l")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(l) - 1, 0)), "
+                "i -> struct(element_at(l, i) as w1, element_at(l, i + 1) as w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").filter(
+        (F.length("w1") >= 3) & (F.length("w2") >= 3) & (F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        pairs.unionByName(pairs.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    deg = edges.groupBy(F.col("w1").alias("term")).agg(F.sum("w").alias("deg"))
+    n = deg.count()  # vocabulary-bounded (graph nodes), never corpus-sized
+    v = deg.select("term", F.round(F.lit(1.0 / n), 6).alias("score"))
+    ed = edges.join(deg.withColumnRenamed("term", "w1"), "w1")
+    for _ in range(5):
+        v = (
+            ed.join(v.withColumnRenamed("term", "w1"), "w1")
+            .select(
+                F.col("w2").alias("term"),
+                F.round(F.col("w") / F.col("deg") * F.col("score"), 6)
+                .cast("decimal(38,6)")
+                .alias("c"),
+            )
+            .groupBy("term")
+            .agg(
+                F.round(
+                    F.lit(0.15 / n) + 0.85 * F.sum("c").cast("double"), 6
+                ).alias("score")
+            )
+        )
+    top = v.orderBy(F.desc("score"), F.asc("term")).limit(20)
+    return bounded_rank(top, [("score", False), ("term", True)], "rk")
