@@ -63,3 +63,20 @@ def davg_expr(sql_expr: str) -> str:
         f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(38,6))) AS DOUBLE)"
         f" / CAST(COUNT({sql_expr}) AS DOUBLE)"
     )
+
+
+def md5_mod(expr: str, mod: int) -> str:
+    """Spark SQL: first 32 bits of md5 as a BIGINT, mod ``mod`` — the
+    engine-portable deterministic hash split (Spark's hash() and xxhash64()
+    are not reproducible in other engines; md5 is everywhere)."""
+    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint) % {mod}"
+
+
+def md5_mod_sql(expr: str, mod: int) -> str:
+    """DuckDB twin of :func:`md5_mod` — polynomial nibble decode (DuckDB
+    has no conv)."""
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"(({terms}) % {mod})"

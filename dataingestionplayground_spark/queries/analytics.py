@@ -1030,3 +1030,295 @@ def events_ema_smooth(spark, sf):
         den.alias("ema_den"),
         F.round(num.cast("double") / den.cast("double") / 100.0, 6).alias("ema"),
     )
+
+
+@register(
+    "events_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), first3 AS (
+      SELECT user_id,
+             max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             max(CASE WHEN rn = 3 THEN event_type END) AS e3
+      FROM seq WHERE rn <= 3 GROUP BY user_id
+      HAVING COUNT(*) = 3
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM first3 GROUP BY e1, e2, e3
+    """,
+)
+def events_path_topk(spark, sf):
+    # Path mining: the distribution of each user's FIRST THREE event
+    # types in time order — the onboarding-flow analysis behind funnel
+    # discovery. One per-user window (key grows with data — lint-safe),
+    # then two hash aggs; path cardinality is |event_type|^3, so the
+    # final agg is tiny and map-side partial absorbs the rest.
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    first3 = (
+        seq.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") == 3)
+    )
+    return first3.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path"), "n_users"
+    )
+
+
+@register(
+    "events_ab_test_ztest",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, {PF.md5_mod_sql('CAST(user_id AS VARCHAR)', 2)} AS variant,
+             {PF.dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS revenue
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             {PF.dsum_expr('revenue')} AS sx,
+             {PF.dsum_expr('revenue * revenue')} AS sxx
+      FROM u GROUP BY variant
+    ), w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+             max(CASE WHEN variant = 1 THEN n END) AS n_b,
+             max(CASE WHEN variant = 0 THEN sx END) AS sx_a,
+             max(CASE WHEN variant = 1 THEN sx END) AS sx_b,
+             max(CASE WHEN variant = 0 THEN sxx END) AS sxx_a,
+             max(CASE WHEN variant = 1 THEN sxx END) AS sxx_b
+      FROM s
+    ), m AS (
+      SELECT n_a, n_b,
+             sx_a / CAST(n_a AS DOUBLE) AS mean_a,
+             sx_b / CAST(n_b AS DOUBLE) AS mean_b,
+             (sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / CAST(nullif(n_a - 1, 0) AS DOUBLE) AS var_a,
+             (sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / CAST(nullif(n_b - 1, 0) AS DOUBLE) AS var_b
+      FROM w
+    )
+    SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+           round((mean_a - mean_b)
+                 / nullif(sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)), 0.0), 6) AS z,
+           abs((mean_a - mean_b)
+               / nullif(sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)), 0.0)) > 1.959964 AS significant
+    FROM m
+    """,
+)
+def events_ab_test_ztest(spark, sf):
+    # Welch z-test on per-user purchase revenue across a deterministic
+    # 50/50 md5 user split — the experiment-analysis primitive for
+    # online A/B tests (a continuous metric: a proportion test
+    # degenerates here because virtually every synthetic user purchases
+    # at least once). Plan: per-user conditional decimal sum, one
+    # two-row hash agg of (n, sum, sum-of-squares) sufficient stats, a
+    # single-row pivot, then pure scalar math evaluated with the SAME
+    # expression tree on both engines (module float rule) so the
+    # rounded statistics hash-match. Scale: two map-side-partial hash
+    # aggs, no window, no shuffle wider than the user key; nullif
+    # guards every degenerate denominator (ANSI mode).
+    e = t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        PF.dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("revenue")
+    ).select(
+        F.expr(PF.md5_mod("cast(user_id as string)", 2)).alias("variant"),
+        "revenue",
+    )
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        PF.dsum("revenue").alias("sx"),
+        PF.dsum(F.col("revenue") * F.col("revenue")).alias("sxx"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("sx"))).alias("sx_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("sx"))).alias("sx_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("sxx"))).alias("sxx_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("sxx"))).alias("sxx_b"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    m = w.select(
+        "n_a",
+        "n_b",
+        (F.col("sx_a") / na_d).alias("mean_a"),
+        (F.col("sx_b") / nb_d).alias("mean_b"),
+        (
+            (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / na_d)
+            / F.nullif(F.col("n_a") - 1, F.lit(0)).cast("double")
+        ).alias("var_a"),
+        (
+            (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / nb_d)
+            / F.nullif(F.col("n_b") - 1, F.lit(0)).cast("double")
+        ).alias("var_b"),
+    )
+    se = F.nullif(
+        F.sqrt(
+            F.col("var_a") / F.col("n_a").cast("double")
+            + F.col("var_b") / F.col("n_b").cast("double")
+        ),
+        F.lit(0.0),
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / se
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("var_a", 6).alias("var_a"),
+        F.round("var_b", 6).alias("var_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959964).alias("significant"),
+    )
+
+
+def _rfm_thr_sql(src: str, col: str) -> str:
+    """Brute-force discrete-quantile CTE chain for one RFM metric: the
+    smallest value whose inclusive <=-count reaches ceil(p*N) — the
+    O(d^2) distinct-value self-join replays what the Spark side computes
+    with sharded_prefix_sum (two different algorithms, one answer)."""
+    return f"""
+    {col}c AS (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS c FROM {src} GROUP BY {col}),
+    {col}cum AS (SELECT a.v, CAST(SUM(b.c) AS BIGINT) AS cle
+                 FROM {col}c a JOIN {col}c b ON b.v <= a.v GROUP BY a.v),
+    {col}thr AS (SELECT
+        min(CASE WHEN cle >= CAST(ceil(0.25 * nu) AS BIGINT) THEN v END) AS {col}25,
+        min(CASE WHEN cle >= CAST(ceil(0.50 * nu) AS BIGINT) THEN v END) AS {col}50,
+        min(CASE WHEN cle >= CAST(ceil(0.75 * nu) AS BIGINT) THEN v END) AS {col}75
+      FROM {col}cum CROSS JOIN n)"""
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS rday,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             {PF.dsum_expr('value')} AS mon
+      FROM events GROUP BY user_id
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM u),
+    {_rfm_thr_sql('u', 'rday')},
+    {_rfm_thr_sql('u', 'freq')},
+    {_rfm_thr_sql('u', 'mon')},
+    scored AS (
+      SELECT u.user_id, u.rday, u.freq, u.mon,
+             1 + (CASE WHEN u.rday > rday25 THEN 1 ELSE 0 END)
+               + (CASE WHEN u.rday > rday50 THEN 1 ELSE 0 END)
+               + (CASE WHEN u.rday > rday75 THEN 1 ELSE 0 END) AS r_score,
+             1 + (CASE WHEN u.freq > freq25 THEN 1 ELSE 0 END)
+               + (CASE WHEN u.freq > freq50 THEN 1 ELSE 0 END)
+               + (CASE WHEN u.freq > freq75 THEN 1 ELSE 0 END) AS f_score,
+             1 + (CASE WHEN u.mon > mon25 THEN 1 ELSE 0 END)
+               + (CASE WHEN u.mon > mon50 THEN 1 ELSE 0 END)
+               + (CASE WHEN u.mon > mon75 THEN 1 ELSE 0 END) AS m_score
+      FROM u CROSS JOIN rdaythr CROSS JOIN freqthr CROSS JOIN monthr
+    )
+    SELECT user_id, rday AS recency_day, freq, round(mon, 6) AS monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_code,
+           CASE WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score >= 3 AND f_score <= 2 THEN 'fresh'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def events_rfm_segments(spark, sf):
+    # RFM (recency / frequency / monetary) quartile segmentation — the
+    # classic customer-value warehouse shape. Quartile thresholds are
+    # DISCRETE (smallest value whose inclusive rank count reaches
+    # ceil(p*N)): pure integer logic, so both engines agree bit-for-bit
+    # where interpolated percentiles could drift in the last ulp.
+    # Scale: the naive form needs a global cumulative rank (an
+    # unpartitioned window — the lint-forbidden scale killer); instead
+    # each metric's distinct-value count table goes through
+    # operators/prefix.sharded_prefix_sum (two-pass: range-partition +
+    # per-shard offsets), the same audited machinery as
+    # sample_token_budget. Thresholds are three 1-row broadcasts back
+    # onto the per-user frame — the user table itself is never globally
+    # sorted. The oracle replays the thresholds as an O(d^2)
+    # distinct-value self-join: different algorithm, same answer.
+    from dataingestionplayground_spark.operators.prefix import sharded_prefix_sum
+
+    e = t(spark, sf, "events")
+    day = F.floor(PF.epoch_seconds("ts") / 86400).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.max(day).alias("rday"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        PF.dsum("value").alias("mon"),
+    )
+    u = u.localCheckpoint(eager=True)  # three threshold scans + final join
+    n = u.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+
+    def thresholds(col: str):
+        cnts = u.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        cum = sharded_prefix_sum(cnts, [(col, True)], "c", "before")
+        cle = (F.col("before") + F.col("c")).alias("cle")
+        return (
+            cum.select(F.col(col).alias("v"), cle)
+            .crossJoin(F.broadcast(n))
+            .agg(
+                *[
+                    F.min(
+                        F.when(
+                            F.col("cle") >= F.ceil(F.lit(p) * F.col("nu")),
+                            F.col("v"),
+                        )
+                    ).alias(f"{col}{int(p * 100)}")
+                    for p in (0.25, 0.50, 0.75)
+                ]
+            )
+        )
+
+    scored = (
+        u.crossJoin(F.broadcast(thresholds("rday")))
+        .crossJoin(F.broadcast(thresholds("freq")))
+        .crossJoin(F.broadcast(thresholds("mon")))
+    )
+
+    def score(col: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{col}25")).cast("int")
+            + (F.col(col) > F.col(f"{col}50")).cast("int")
+            + (F.col(col) > F.col(f"{col}75")).cast("int")
+        )
+
+    scored = scored.select(
+        "user_id",
+        F.col("rday").alias("recency_day"),
+        "freq",
+        F.round("mon", 6).alias("monetary"),
+        score("rday").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("mon").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm_code"
+        ),
+        F.when(
+            (F.col("r_score") == 4) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "fresh")
+        .otherwise("regular")
+        .alias("segment"),
+    )

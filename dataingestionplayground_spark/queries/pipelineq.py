@@ -17,25 +17,16 @@ from dataingestionplayground_spark.functions.portable import (
     davg_expr,
     dsum,
     dsum_expr,
+    md5_mod,
+    md5_mod_sql,
 )
 from dataingestionplayground_spark.queries.textq import _QUALITY_SQL
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
 
 
-def _md5_mod_sql(expr: str, mod: int) -> str:
-    """DuckDB twin of Spark's conv(substring(md5(x),1,8),16,10) % mod —
-    polynomial nibble decode (DuckDB has no conv)."""
-    terms = " + ".join(
-        f"CAST(instr('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - j)}"
-        for j in range(8)
-    )
-    return f"(({terms}) % {mod})"
-
-
-def _md5_mod(expr: str, mod: int) -> str:
-    """Spark SQL: first 32 bits of md5 as a BIGINT, mod ``mod``."""
-    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint) % {mod}"
+_md5_mod = md5_mod
+_md5_mod_sql = md5_mod_sql
 
 
 @register(

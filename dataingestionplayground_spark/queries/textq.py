@@ -1071,3 +1071,81 @@ def text_textrank_keywords(spark, sf):
         )
     top = v.orderBy(F.desc("score"), F.asc("term")).limit(20)
     return bounded_rank(top, [("score", False), ("term", True)], "rk")
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {TX.tokens_sql('lower(text)')} AS tk FROM documents
+      WHERE len({TX.tokens_sql('lower(text)')}) >= 2
+    ), idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM docs
+    ), bigr AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM idx
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bigr
+    ), lm AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bigr GROUP BY w1
+    ), rm AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bigr GROUP BY w2
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bigr GROUP BY w1, w2
+    )
+    SELECT bc.w1, bc.w2, bc.c12,
+           round(ln(CAST(bc.c12 AS DOUBLE) * CAST(n.nb AS DOUBLE)
+               / (CAST(lm.c1 AS DOUBLE) * CAST(rm.c2 AS DOUBLE))), 6) AS pmi
+    FROM bc JOIN lm ON bc.w1 = lm.w1 JOIN rm ON bc.w2 = rm.w2 CROSS JOIN n
+    WHERE bc.c12 >= 3
+    ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT 100
+    """,
+)
+def text_collocation_pmi(spark, sf):
+    # Pointwise-mutual-information collocation extraction (Church &
+    # Hanks 1990): PMI(w1,w2) = ln(c12*N / (c1*c2)) over adjacent-token
+    # bigrams with margin counts as the unigram model, min support
+    # c12 >= 3 to kill the low-count PMI explosion. The classic
+    # phrase-mining pass of a corpus pipeline (multi-word expressions,
+    # tokenizer vocab candidates). Shapes: one bigram explode feeds
+    # three hash aggs (pair + two margins, all map-side partial); the
+    # pair table equi-joins its two margin tables on word keys (hot
+    # function words are AQE-splittable JOIN keys, never window
+    # partitions); top-100 is a TakeOrdered with a total-order
+    # tie-break, not a global window. The ln argument is assembled with
+    # the same expression tree on both engines (module float rule).
+    d = t(spark, sf, "documents")
+    docs = d.select("doc_id", TX.tokens("lower(text)").alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    bigr = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    n = bigr.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    lm = bigr.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    rm = bigr.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    bc = (
+        bigr.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= 3)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("nb").cast("double")
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        bc.join(lm, "w1")
+        .join(rm, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )
