@@ -229,7 +229,11 @@ def merge_topk_rollup(
         kept = existing.filter(
             F.col("epoch_id").isNull() | (F.col("epoch_id") != int(epoch_id))
         ).select("day", "topk_sketch", "epoch_id")
-        merged = kept.unionByName(fresh)
+        # sever lineage from the path we dynamically overwrite (same
+        # discipline as compact_topk_rollup — r9 ADVICE: relying on
+        # staged-overwrite semantics while reading live from `path` is
+        # fragile to mode/engine changes)
+        merged = kept.unionByName(fresh).localCheckpoint(eager=True)
     else:
         merged = fresh
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -307,6 +311,9 @@ def merge_distinct_rollup(spark: SparkSession, batch: DataFrame, path: str) -> i
                 .otherwise(F.coalesce("f.user_sketch", "e.user_sketch"))
                 .alias("user_sketch"),
             )
+            # sever lineage from the path we dynamically overwrite
+            # (same discipline as compact_topk_rollup — r9 ADVICE)
+            .localCheckpoint(eager=True)
         )
     else:
         merged = fresh
@@ -532,6 +539,9 @@ def merge_inverted_index(spark: SparkSession, docs_batch: DataFrame, path: str) 
                 ).alias("postings"),
             )
         )
+        # sever lineage from the path we dynamically overwrite (same
+        # discipline as compact_topk_rollup — r9 ADVICE)
+        merged = merged.localCheckpoint(eager=True)
     else:
         merged = fresh.select("term", "bucket", "postings")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -144,11 +144,19 @@ def _sharded_rank_apply(
     spec = [F.col(c) for c in pcols] + [
         F.asc(c) if asc else F.desc(c) for c, asc in order_spec
     ]
+    # persist, NOT localCheckpoint: the totals collect below materializes
+    # the cache in the same job (localCheckpoint(eager) burned one extra
+    # full-data pass just to write blocks, and its lineage-severed blocks
+    # are only freed when the ContextCleaner catches up — the suspected
+    # source of the r9 sf1.0 min/median variance). MEMORY_AND_DESER
+    # blocks spill to disk under pressure, never recompute-with-resample,
+    # so the collected offsets always describe the data the final Arrow
+    # pass reads.
     ranged = (
         df.repartitionByRange(n_shards, *spec)
         .withColumn("__pid", F.spark_partition_id())
         .sortWithinPartitions(*spec)
-        .localCheckpoint(eager=True)
+        .persist()
     )
     totals = (
         ranged.groupBy("__pid", *pcols).count().limit(MAX_COLLECTED_GROUPS + 1).collect()
@@ -272,6 +280,19 @@ def sharded_prefix_sum(
     """
     from pyspark.sql import types as T
 
+    # val_col must be integral: the Arrow pass accumulates into int64 and
+    # the driver-side offsets use exact F.sum — a float weight column
+    # would be silently truncated per-row but not in the offsets,
+    # producing inconsistent prefixes (r9 ADVICE). Fail fast instead;
+    # scale fractional weights to integers (e.g. micro-units) upstream.
+    vt = df.schema[val_col].dataType
+    if not isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"sharded_prefix_sum({val_col!r}): integral column required, "
+            f"got {vt.simpleString()} — scale fractional weights to "
+            "integer units before the prefix pass"
+        )
+
     sort_exprs = [
         F.asc(c) if asc else F.desc(c) for c, asc in order_spec
     ]
@@ -279,11 +300,13 @@ def sharded_prefix_sum(
         max(2, df.sparkSession.sparkContext.defaultParallelism),
         max(2, df.rdd.getNumPartitions()),
     )
+    # persist (materialized by the totals job), not eager localCheckpoint
+    # — see _sharded_rank_apply for the rationale
     ranged = (
         df.repartitionByRange(n_shards, *sort_exprs)
         .withColumn("__pid", F.spark_partition_id())
         .sortWithinPartitions(*sort_exprs)
-        .localCheckpoint(eager=True)
+        .persist()
     )
     totals = {
         r["__pid"]: r["t"] or 0
@@ -313,3 +336,118 @@ def sharded_prefix_sum(
             yield out
 
     return ranged.mapInPandas(local_prefix, schema=out_schema)
+
+
+def sharded_rank_multi(
+    df: DataFrame,
+    order_spec: Sequence[tuple[str, bool]],
+    tasks: Sequence[tuple[Sequence[str], object, str, object, str]],
+) -> DataFrame:
+    """Several rank-derived window columns over ONE range shuffle.
+
+    Each task is ``(partition_cols, rank_fn, out_col, out_type,
+    np_dtype)`` — e.g. a global ntile(4) and a per-status ntile(10) —
+    all sharing the same ``order_spec``. Where :func:`_sharded_rank_apply`
+    range-partitions on (pcols + order) and so needs one shuffle PER
+    distinct pcols, this partitions on the order key alone: within a
+    shard, a task's groups interleave, but the global order restricted
+    to any group is still monotone in shard id, so per-(shard, group)
+    counts give exact offsets and a grouped cumcount gives local ranks.
+    One shuffle + one tiny count collect + one Arrow pass replaces N of
+    each (window_ntile_buckets at sf1.0 was paying the chained version's
+    double materialization — the r9 scaling flag).
+
+    Same bounded-key contract as :func:`_sharded_rank_apply`: the count
+    table is (n_shards x product of all partition-key domains) rows,
+    capped at :data:`MAX_COLLECTED_GROUPS`.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_shards = min(
+        max(2, spark.sparkContext.defaultParallelism),
+        max(2, df.rdd.getNumPartitions()),
+    )
+    spec = [F.asc(c) if asc else F.desc(c) for c, asc in order_spec]
+    all_pcols: list[str] = []
+    for pcols, *_ in tasks:
+        for c in pcols:
+            if c not in all_pcols:
+                all_pcols.append(c)
+    ranged = (
+        df.repartitionByRange(n_shards, *spec)
+        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions(*spec)
+        .persist()
+    )
+    totals = (
+        ranged.groupBy("__pid", *all_pcols)
+        .count()
+        .limit(MAX_COLLECTED_GROUPS + 1)
+        .collect()
+    )
+    if len(totals) > MAX_COLLECTED_GROUPS:
+        raise ValueError(
+            f"sharded_rank_multi over {all_pcols}: more than "
+            f"{MAX_COLLECTED_GROUPS} (shard, group) combinations — "
+            "partition keys must be bounded-cardinality"
+        )
+    # per task: group -> [(pid, count)] -> offsets + group totals
+    offsets: list[dict] = []
+    n_by_group: list[dict] = []
+    for pcols, *_ in tasks:
+        by_group = defaultdict(lambda: defaultdict(int))
+        for r in totals:
+            g = tuple(_norm_key(r[c]) for c in pcols)
+            by_group[g][r["__pid"]] += r["count"]
+        offs, nbg = {}, {}
+        for g, shard_counts in by_group.items():
+            acc = 0
+            for pid in sorted(shard_counts):
+                offs[(pid, g)] = acc
+                acc += shard_counts[pid]
+            nbg[g] = acc
+        offsets.append(offs)
+        n_by_group.append(nbg)
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(oc, ot, False) for _, _, oc, ot, _ in tasks]
+    )
+
+    def compute(batches):
+        import numpy as np
+
+        runs = [dict() for _ in tasks]
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            res = pdf.drop(columns=["__pid"]).copy()
+            for ti, (pcols, rank_fn, out_col, _, np_dtype) in enumerate(tasks):
+                out = np.empty(len(pdf), dtype=np_dtype)
+                if not pcols:
+                    base = runs[ti].get((), offsets[ti].get((pid, ()), 0))
+                    ranks = base + np.arange(1, len(pdf) + 1, dtype="int64")
+                    runs[ti][()] = base + len(pdf)
+                    out[:] = rank_fn(ranks, n_by_group[ti][()])
+                else:
+                    # groups interleave within the shard: grouped
+                    # cumcount + per-group broadcast offset; order
+                    # within each group is preserved by pandas groupby
+                    gb = pdf.groupby(list(pcols), sort=False, dropna=False)
+                    cum = gb.cumcount().to_numpy()
+                    for key, idx in gb.indices.items():
+                        if not isinstance(key, tuple):
+                            key = (key,)
+                        g = tuple(_norm_key(k) for k in key)
+                        base = runs[ti].get(g, offsets[ti].get((pid, g), 0))
+                        ranks = base + cum[idx] + 1
+                        runs[ti][g] = base + len(idx)
+                        out[idx] = rank_fn(ranks, n_by_group[ti][g])
+                res[out_col] = out
+            yield res
+
+    return ranged.mapInPandas(compute, schema=out_schema)

@@ -71,15 +71,22 @@ def all_queries() -> dict[str, Query]:
     #
     # r8 verdict item 3: the interleave alone made the SAME ~50 names
     # land in the prefix every round, so 132 queries were only ever
-    # locally verified. Each family queue is now ROTATED by a per-round
-    # offset (derived from the newest CORRECTNESS_r{N}.json the driver
-    # left in the repo root; override with SPARK_GRAFT_SAMPLE_OFFSET)
-    # so successive rounds surface different members of every family to
-    # the driver's prefix sample. Still a pure reordering — every query
-    # is always present exactly once.
+    # locally verified. r9 rotated each family queue by a per-round
+    # offset, surfacing ~25 new names per round — full driver coverage
+    # of ~200 queries would still take ~8 rounds (r9 verdict item 4).
+    # r10: the ordering is now COVERAGE-AWARE — the driver's own
+    # CORRECTNESS_r{N}.json artifacts record exactly which names it has
+    # hash-checked, so queries it has NEVER checked sort first (family-
+    # interleaved and offset-rotated for deterministic within-round
+    # diversity) and already-green names follow. Every round the prefix
+    # window is 100% never-checked names until the registry is
+    # exhausted (~3 rounds for ~200 queries). Still a pure reordering —
+    # every query is always present exactly once; override the offset
+    # with SPARK_GRAFT_SAMPLE_OFFSET for tests.
     from collections import defaultdict
 
     offset = _sample_offset()
+    checked = _driver_checked_names()
     families: dict[str, list[Query]] = defaultdict(list)
     for name, q in REGISTRY.items():
         families[name.split("_", 1)[0]].append(q)
@@ -87,13 +94,43 @@ def all_queries() -> dict[str, Query]:
     for qlist in families.values():
         r = offset % len(qlist)
         queues.append(qlist[r:] + qlist[:r])
-    interleaved: dict[str, Query] = {}
+    fresh: dict[str, Query] = {}
+    seen: dict[str, Query] = {}
     while any(queues):
         for qlist in queues:
             if qlist:
                 q = qlist.pop(0)
-                interleaved[q.name] = q
-    return interleaved
+                (seen if q.name in checked else fresh)[q.name] = q
+    fresh.update(seen)
+    return fresh
+
+
+def _driver_checked_names() -> set[str]:
+    """Names the driver's correctness gate has already hash-checked, from
+    every ``CORRECTNESS_r{N}.json`` it left in the repo root. Only names
+    whose record shows a clean hash match count — a query that errored or
+    mismatched stays in the front (never-checked) band for re-checking."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    checked: set[str] = set()
+    for p in root.glob("CORRECTNESS_r*.json"):
+        if not re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name):
+            continue
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if isinstance(rec, dict) and rec.get("err") is None and (
+                rec.get("hash_match") or rec.get("rows_match")
+            ):
+                checked.add(name)
+    return checked
 
 
 def _sample_offset() -> int:

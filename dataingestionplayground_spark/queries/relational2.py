@@ -411,20 +411,23 @@ def window_range_frame(spark, sf):
     #
     # The SQL frame (`COUNT(*) OVER (ORDER BY price RANGE 1000
     # PRECEDING)`) is a GLOBAL unpartitioned window — every orders row
-    # on one reducer, corpus-sized output: a scale-killer, so the Spark
-    # plan computes the same value shuffle-free-after-one-range-exchange:
-    # range-partition by price, replicate ONLY the <=$1000-wide boundary
-    # slice of each shard into the groups whose windows can reach it,
-    # then per-group sorted-array searchsorted counts (O(n log n) local,
-    # no quadratic self-join, no single-partition stage).
+    # on one reducer, corpus-sized output: a scale-killer. The Spark
+    # plan computes the same value with ONE range exchange and zero row
+    # replication (r10 — the r9 version replicated boundary rows via a
+    # corpus x bounds BroadcastNestedLoopJoin plus a SECOND full
+    # shuffle, the round's flagged sf1.0 scaling row): range-partition
+    # by price, COLLECT only the <=$1000-wide boundary slice of each
+    # shard (n_shards x window-width x boundary-density values — never
+    # corpus-sized), broadcast the sorted slice arrays, and count per
+    # row as local-searchsorted + foreign-slice-searchsorted. A row's
+    # [x-1000, x] window reaches other shards only through those
+    # slices: earlier shards contribute their tails above
+    # lo_next - 1000, later shards only boundary ties.
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    # r7 verdict item 4 (constant factor): one persist materialized by
-    # the span collect replaces the eager localCheckpoint + separate
-    # span job, and the physical-planning-only .rdd partition probe is
-    # gone — shard count comes straight from the scheduler
     n_shards = max(2, o.sparkSession.sparkContext.defaultParallelism)
     ranged = (
         o.repartitionByRange(n_shards, F.asc("o_totalprice"), F.asc("o_orderkey"))
@@ -434,43 +437,9 @@ def window_range_frame(spark, sf):
     span = ranged.groupBy("__pid").agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    # a row (pid p, price v) is context for shard q != p when v falls in
-    # [lo_q - 1000, hi_q]: below-boundary window reach, plus boundary
-    # ties that the range partitioner may split across shards
-    bounds = [
+    bounds = sorted(
         (int(r["__pid"]), float(r["lo"]), float(r["hi"])) for r in span.collect()
-    ]
-    main = ranged.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.col("__pid").alias("__grp"),
-        F.lit(True).alias("__emit"),
     )
-    if len(bounds) <= 1:
-        # one non-empty shard: every row is already co-located — no
-        # boundary replication, no second shuffle
-        grouped = main.sortWithinPartitions("__grp", "o_totalprice", "o_orderkey")
-    else:
-        bdf = spark.createDataFrame(bounds, "q int, lo double, hi double")
-        ctx = (
-            ranged.join(
-                F.broadcast(bdf),
-                (F.col("q") != F.col("__pid"))
-                & (F.col("o_totalprice") >= F.col("lo") - 1000.0)
-                & (F.col("o_totalprice") <= F.col("hi")),
-            )
-            .select(
-                "o_orderkey",
-                "o_totalprice",
-                F.col("q").alias("__grp"),
-                F.lit(False).alias("__emit"),
-            )
-        )
-        grouped = (
-            main.unionByName(ctx)
-            .repartition(n_shards, "__grp")
-            .sortWithinPartitions("__grp", "o_totalprice", "o_orderkey")
-        )
     out_schema = T.StructType(
         [
             o.schema["o_orderkey"],
@@ -478,34 +447,76 @@ def window_range_frame(spark, sf):
             T.StructField("n_within_1k", T.LongType(), False),
         ]
     )
+    slices: dict[int, np.ndarray] = {}
+    if len(bounds) > 1:
+        # shard q's tail slice [lo_next(q) - 1000, hi_q] covers every
+        # window reaching q from a later shard (lo_p >= lo_next(q));
+        # boundary-tie rows (price == lo_q == hi of the previous shard,
+        # chains included) cover windows reaching q from EARLIER shards,
+        # whose only in-range values are ties at their own hi.
+        rows = []
+        for i, (pid, lo, hi) in enumerate(bounds):
+            thresh = bounds[i + 1][1] - 1000.0 if i + 1 < len(bounds) else None
+            tie = lo if i > 0 and lo == bounds[i - 1][2] else None
+            rows.append((pid, thresh, tie))
+        bdf = spark.createDataFrame(rows, "__pid int, thresh double, tie double")
+        sliced = (
+            ranged.join(F.broadcast(bdf), "__pid")  # broadcast HASH join
+            .filter(
+                (F.col("o_totalprice") >= F.col("thresh"))
+                | (F.col("o_totalprice") == F.col("tie"))
+            )
+            .groupBy("__pid")
+            .agg(F.sort_array(F.collect_list("o_totalprice")).alias("vals"))
+            .collect()
+        )
+        slices = {int(r["__pid"]): np.asarray(r["vals"], dtype="float64") for r in sliced}
+        total = sum(len(v) for v in slices.values())
+        # contract: window width x boundary density stays driver-sized
+        # (at sf1.0: ~90k doubles). A window spanning a large corpus
+        # fraction has no partitioned evaluation at all — fail loudly.
+        if total > 20_000_000:
+            raise ValueError(
+                f"range-frame boundary slices hold {total} rows — the "
+                "frame width covers too much of the value domain for "
+                "sharded evaluation"
+            )
+    s_all = np.sort(np.concatenate(list(slices.values()))) if slices else np.empty(0)
+    bc = spark.sparkContext.broadcast((s_all, slices))
 
     def count_in_range(batches):
-        import numpy as np
-
-        # a hash partition may hold several groups, and one group may
-        # span batches — accumulate per partition, flush per group
+        s_all_v, own_v = bc.value
+        # one shard may span several Arrow batches — the local count
+        # needs the whole partition's price array, so accumulate
         acc = []
         for pdf in batches:
-            acc.append(pdf)
+            if len(pdf):
+                acc.append(pdf)
         if not acc:
             return
         pdf = pd.concat(acc, ignore_index=True)
-        for _, g in pdf.groupby("__grp", sort=False):
-            prices = g["o_totalprice"].to_numpy(dtype="float64")  # sorted
-            emit = g[g["__emit"]]
-            x = emit["o_totalprice"].to_numpy(dtype="float64")
-            n = np.searchsorted(prices, x, side="right") - np.searchsorted(
-                prices, x - 1000.0, side="left"
-            )
-            yield pd.DataFrame(
-                {
-                    "o_orderkey": emit["o_orderkey"],
-                    "o_totalprice": emit["o_totalprice"],
-                    "n_within_1k": n.astype("int64"),
-                }
+        pid = int(pdf["__pid"].iloc[0])
+        x = pdf["o_totalprice"].to_numpy(dtype="float64")
+        prices = np.sort(x)
+        own = own_v.get(pid, np.empty(0))
+
+        def rangecount(arr, q):
+            return np.searchsorted(arr, q, side="right") - np.searchsorted(
+                arr, q - 1000.0, side="left"
             )
 
-    return grouped.mapInPandas(count_in_range, schema=out_schema)
+        # foreign = all boundary-slice values minus this shard's own
+        # contribution to them (those rows are already counted locally)
+        n = rangecount(prices, x) + rangecount(s_all_v, x) - rangecount(own, x)
+        yield pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_totalprice": pdf["o_totalprice"],
+                "n_within_1k": n.astype("int64"),
+            }
+        )
+
+    return ranged.mapInPandas(count_in_range, schema=out_schema)
 
 
 @register(
@@ -670,17 +681,38 @@ def window_ntile_buckets(spark, sf):
     # ntile(4) would move every orders row to one reducer, and the
     # per-status ntile(10) partitions on a 3-value key (~|orders|/3 per
     # reducer) — both corpus-sized single/skewed-partition WindowExecs
-    # at 100x scale. Both buckets instead come from the sharded exact
-    # prefix-count (operators/prefix.py): range-partition on the sort
-    # key, per-(shard, group) counts collected (tiny), local cumcount +
-    # broadcast offset = exact rank, ntile arithmetic from rank.
-    from dataingestionplayground_spark.operators.prefix import sharded_ntile
+    # at 100x scale. Both buckets come from the sharded exact
+    # prefix-count (operators/prefix.py) in ONE pass: range-partition on
+    # the shared sort key, per-(shard, status) counts collected (tiny —
+    # they also roll up to the global per-shard counts), local grouped
+    # cumcount + broadcast offset = exact rank, ntile arithmetic from
+    # rank. r10: the r9 version chained two sharded_ntile calls (two
+    # range shuffles, two materializations) and was the round's flagged
+    # sf1.0 scaling row; sharded_rank_multi halves that.
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.operators.prefix import (
+        _ntile_buckets,
+        sharded_rank_multi,
+    )
 
     o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
     order = [("o_totalprice", True), ("o_orderkey", True)]
-    with_q = sharded_ntile(o, 4, order, (), "quartile")
-    with_d = sharded_ntile(with_q, 10, order, ("o_orderstatus",), "decile_in_status")
-    return with_d.select("o_orderkey", "quartile", "decile_in_status")
+    out = sharded_rank_multi(
+        o,
+        order,
+        [
+            ((), lambda r, n: _ntile_buckets(r, n, 4), "quartile", T.IntegerType(), "int32"),
+            (
+                ("o_orderstatus",),
+                lambda r, n: _ntile_buckets(r, n, 10),
+                "decile_in_status",
+                T.IntegerType(),
+                "int32",
+            ),
+        ],
+    )
+    return out.select("o_orderkey", "quartile", "decile_in_status")
 
 
 @register(

@@ -258,10 +258,27 @@ def stream_psi_monitor(
             .cast("int")
             .alias("bucket"),
         ).groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("cur_n"))
-        # the reference grid IS the densified domain: types or buckets
-        # the reference never saw contribute through smoothing only
-        dense = ref.join(cur, ["event_type", "bucket"], "left").fillna(
-            0, subset=["cur_n"]
+        # densified domain = (reference types UNION batch types) x all
+        # 10 buckets — an r9-ADVICE fix: a ref-LEFT-join dropped event
+        # types the frozen reference never saw, a monitoring blind spot
+        # for brand-new types. Now an unseen type gets ref_n=0 rows and
+        # its add-one-smoothed PSI is maximal, so it surfaces as drift
+        # (the batch twin densifies over all types seen in either
+        # window — same semantics). Both sides of the grid are
+        # types-x-10-sized, never batch-sized.
+        grid = (
+            ref.select("event_type")
+            .union(cur.select("event_type"))
+            .distinct()
+            .crossJoin(
+                sess.range(0, 10).select(F.col("id").cast("int").alias("bucket"))
+            )
+        )
+        dense = (
+            grid.join(ref.select("event_type", "bucket", "ref_n"),
+                      ["event_type", "bucket"], "left")
+            .join(cur, ["event_type", "bucket"], "left")
+            .fillna(0, subset=["ref_n", "cur_n"])
         )
         out = psi_from_dense(dense).withColumn(
             "epoch_id", F.lit(int(epoch_id)).cast("long")

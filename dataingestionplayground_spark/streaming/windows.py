@@ -340,7 +340,12 @@ def stream_ema_smooth(events: DataFrame) -> DataFrame:
                 "n_window": m.astype(np.int32),
                 "ema_num": num,
                 "ema_den": den.astype(np.int64),
-                "ema": np.round(num / den / 100.0, 6),
+                # HALF_UP like the batch twin's F.round (np.round is
+                # half-to-even — r9 ADVICE: a value landing exactly on
+                # a 6dp half boundary would break bit-for-bit parity);
+                # the ratio is positive so floor(x*1e6 + 0.5) is
+                # exactly Spark's half-away-from-zero
+                "ema": np.floor(num / den / 100.0 * 1e6 + 0.5) / 1e6,
             }
         )
         state.update(([int(v) for v in x[-19:]],))

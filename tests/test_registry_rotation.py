@@ -45,6 +45,22 @@ def test_rotation_moves_new_names_into_the_prefix_window():
     assert len(first50[10] - first50[0]) >= 20
 
 
+def test_prefix_window_prefers_never_driver_checked_names():
+    # r9 verdict item 4: the ordering is coverage-aware — names the
+    # driver has already hash-checked (recorded in CORRECTNESS_r*.json)
+    # sort AFTER never-checked ones, so each round's first-50 window is
+    # spent entirely on fresh names until the registry is exhausted
+    from dataingestionplayground_spark.queries import _driver_checked_names
+
+    checked = _driver_checked_names()
+    if not checked:  # fresh clone without driver artifacts
+        return
+    names = _with_offset(10)
+    n_unchecked = len([n for n in names if n not in checked])
+    window = names[: min(50, n_unchecked)]
+    assert all(n not in checked for n in window)
+
+
 def test_rotation_keeps_family_interleave_in_prefix():
     # the prefix window must still cover many families (the original
     # interleave guarantee) at any offset

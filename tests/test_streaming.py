@@ -608,6 +608,93 @@ def test_stream_psi_monitor_matches_batch_and_is_epoch_keyed(spark, tmp_path):
     assert got0 == want
 
 
+def _psi_drop(watch, name, rows):
+    import json as _json
+
+    with open(watch / name, "w") as f:
+        for r in rows:
+            f.write(
+                _json.dumps(
+                    {
+                        "event_id": r[0],
+                        "ts": r[1],
+                        "user_id": r[2],
+                        "event_type": r[3],
+                        "value": r[4],
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_stream_psi_monitor_replay_identity_and_negative_control(spark, tmp_path):
+    """PSI drift-log exactly-once (r9 verdict item 8 — same evidence
+    grade as the frequency rollup): replaying epoch 0 from a wiped
+    checkpoint rewrites its own epoch partition to the identical rows
+    (dynamic partition overwrite, not append), while the SAME events
+    re-delivered as a NEW file land under a fresh epoch and add rows —
+    proving the retry safety is the epoch keying, not the data."""
+    import shutil
+
+    from dataingestionplayground_spark.streaming.ingest import stream_psi_monitor
+
+    ref = [("click", b, 10) for b in range(10)]
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    rows = [(i, "2024-02-01T00:00:00", 1, "click", 470.0 + i) for i in range(20)]
+    _psi_drop(watch, "b0.json", rows)
+    log = str(tmp_path / "drift_log")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_psi_monitor(spark, str(watch), ref, log, ckpt)
+    q.awaitTermination(60)
+    first = sorted(map(tuple, spark.read.parquet(log).collect()))
+    assert len(first) == 1 and first[0][-1] == 0  # one type, epoch 0
+
+    # replay identity: wipe the checkpoint so the SAME file re-runs as
+    # epoch 0 again — the epoch-keyed dynamic overwrite converges to
+    # the identical log (an append-mode log would now hold 2 rows)
+    shutil.rmtree(ckpt)
+    q2 = stream_psi_monitor(spark, str(watch), ref, log, ckpt)
+    q2.awaitTermination(60)
+    assert sorted(map(tuple, spark.read.parquet(log).collect())) == first
+
+    # negative control: identical events under a NEW epoch add rows
+    _psi_drop(watch, "b1.json", rows)
+    q3 = stream_psi_monitor(spark, str(watch), ref, log, ckpt)
+    q3.awaitTermination(60)
+    log_df = spark.read.parquet(log)
+    assert log_df.count() == 2
+    assert log_df.select("epoch_id").distinct().count() == 2
+    # both epochs carry the same PSI for the same data
+    psis = {r["epoch_id"]: r["psi"] for r in log_df.collect()}
+    assert psis[min(psis)] == psis[max(psis)]
+
+
+def test_stream_psi_monitor_surfaces_unseen_event_types(spark, tmp_path):
+    """A type the frozen reference never saw must surface as maximal
+    drift, not vanish (r9 ADVICE: the old ref-LEFT-join densification
+    dropped it from the log entirely — a monitoring blind spot)."""
+    from dataingestionplayground_spark.streaming.ingest import stream_psi_monitor
+
+    ref = [("click", b, 10) for b in range(10)]
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    rows = [(i, "2024-02-01T00:00:00", 1, "brand_new", 470.0) for i in range(30)]
+    _psi_drop(watch, "b0.json", rows)
+    log = str(tmp_path / "drift_log")
+    q = stream_psi_monitor(spark, str(watch), ref, log, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    got = {r["event_type"]: r for r in spark.read.parquet(log).collect()}
+    assert set(got) == {"click", "brand_new"}
+    new = got["brand_new"]
+    assert new["ref_total"] == 0 and new["cur_total"] == 30
+    assert new["drifted"] and new["psi"] > 0.25
+    # the known-but-absent type stays in the log too; with a UNIFORM
+    # reference its add-one-smoothed zero counts are also uniform, so
+    # its PSI is exactly 0 — absence of data is not distribution drift
+    assert got["click"]["cur_total"] == 0 and got["click"]["psi"] == 0.0
+
+
 def test_stream_ema_carries_ring_buffer_across_microbatches(spark, tmp_path):
     """Two time-split micro-batches must reproduce the batch EMA's exact
     integers (ema_num/ema_den) for every event: the carried <=19-value
