@@ -1322,3 +1322,229 @@ def events_rfm_segments(spark, sf):
         .otherwise("regular")
         .alias("segment"),
     )
+
+
+@register(
+    "events_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, day
+    ), bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), spine AS (
+      SELECT t.event_type, g.day
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                                (SELECT hi FROM bounds))) AS day) g
+    ), series AS (
+      SELECT s.event_type, s.day, CAST(coalesce(d.cnt, 0) AS BIGINT) AS cnt
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.day = s.day
+    ), mean AS (
+      SELECT event_type,
+             CAST(SUM(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mu,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM series GROUP BY event_type
+    ), dev AS (
+      SELECT s.event_type, s.day, CAST(s.cnt AS DOUBLE) - m.mu AS dv,
+             m.n_days
+      FROM series s JOIN mean m ON m.event_type = s.event_type
+    ), denom AS (
+      SELECT event_type,
+             CAST(SUM(CAST(round(dv * dv, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+             MAX(n_days) AS n_days
+      FROM dev GROUP BY event_type
+    ), num AS (
+      SELECT a.event_type, l.lg,
+             CAST(SUM(CAST(round(a.dv * b.dv, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp
+      FROM dev a
+      CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lg) l
+      JOIN dev b ON b.event_type = a.event_type AND b.day = a.day - l.lg
+      GROUP BY a.event_type, l.lg
+    )
+    SELECT n.event_type, CAST(n.lg AS INTEGER) AS lag, d.n_days,
+           round(n.sp / d.ss, 6) AS acf
+    FROM num n JOIN denom d ON d.event_type = n.event_type
+    """,
+)
+def events_autocorrelation(spark, sf):
+    # Per-type autocorrelation of the DAILY event-count series at lags
+    # 1..7 — the standard seasonality/trend detector (a weekly cycle
+    # shows as a lag-7 peak) that complements events_seasonal_dow_index
+    # (which assumes the period; ACF discovers it). The series is
+    # gap-filled with zero-count days over the global day span so a
+    # missing day damps correlation instead of silently splicing the
+    # series. Plan: ONE corpus-sized hash agg to (type, day, cnt);
+    # everything after runs on |types| x |days| rows — spine crossjoin,
+    # broadcast per-type means, and a (type, day-lag) equi-join for the
+    # 7 numerators. Portability: mean = exact decimal sum / count; the
+    # per-term products are rounded to 6 dp and summed as DECIMAL
+    # (order-independent); the final acf is ONE division of two
+    # settled doubles (the repo's ratio rule).
+    e = t(spark, sf, "events")
+    daily = e.select(
+        "event_type",
+        F.floor(PF.epoch_seconds("ts") / 86400).cast("long").alias("day"),
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    series = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    mean = series.groupBy("event_type").agg(
+        (PF.dsum(F.col("cnt").cast("double")) / F.count(F.lit(1)).cast("double")).alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    dev = series.join(F.broadcast(mean), "event_type").select(
+        "event_type", "day", (F.col("cnt").cast("double") - F.col("mu")).alias("dv")
+    )
+    denom = dev.groupBy("event_type").agg(
+        F.sum(F.round(F.col("dv") * F.col("dv"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    num = (
+        dev.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            dev.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") == F.col("a.day") - F.col("lag")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.sum(F.round(F.col("a.dv") * F.col("b.dv"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sp")
+        )
+    )
+    return (
+        num.join(F.broadcast(denom), "event_type")
+        .join(F.broadcast(mean.select("event_type", "n_days")), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "n_days",
+            F.round(F.col("sp") / F.col("ss"), 6).alias("acf"),
+        )
+    )
+
+
+def _markov_oracle() -> str:
+    # 3 UNROLLED renormalized power-iteration stages over the
+    # row-stochastic transition matrix (the TextRank proof pattern):
+    # each contribution pi(i) * P(i,j) is rounded to 6 dp and summed as
+    # DECIMAL so both engines walk identical numbers; each stage then
+    # renormalizes by the (settled-double) stage total and rounds.
+    it = """
+    , raw{k} AS (
+      SELECT p.nxt AS state,
+             CAST(SUM(CAST(round(v.pi * p.prob, 6) AS DECIMAL(38,6))) AS DOUBLE) AS r
+      FROM pmat p JOIN v{p} v ON v.state = p.prev GROUP BY p.nxt
+    ), v{k} AS (
+      SELECT state, round(r / (SELECT CAST(SUM(CAST(round(r, 6) AS DECIMAL(38,6)))
+                                       AS DOUBLE) FROM raw{k}), 6) AS pi
+      FROM raw{k}
+    )"""
+    its = "".join(it.format(k=k, p=k - 1) for k in range(1, 4))
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), states AS (
+      SELECT DISTINCT prev_type AS state FROM seq WHERE prev_type IS NOT NULL
+    ), trans AS (
+      SELECT s.prev_type AS prev, s.event_type AS nxt, COUNT(*) AS n
+      FROM seq s JOIN states st ON st.state = s.event_type
+      WHERE s.prev_type IS NOT NULL
+      GROUP BY s.prev_type, s.event_type
+    ), outs AS (
+      SELECT prev, SUM(n) AS n_out FROM trans GROUP BY prev
+    ), pmat AS (
+      SELECT t.prev, t.nxt,
+             round(CAST(t.n AS DOUBLE) / CAST(o.n_out AS DOUBLE), 6) AS prob
+      FROM trans t JOIN outs o ON o.prev = t.prev
+    ), nstates AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states
+    ), v0 AS (
+      SELECT state, round(1.0 / (SELECT n FROM nstates), 6) AS pi FROM states
+    ){its}
+    SELECT v.state AS event_type, CAST(o.n_out AS BIGINT) AS n_out, v.pi
+    FROM v3 v JOIN outs o ON o.prev = v.state
+    """
+
+
+@register("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark, sf):
+    # Stationary distribution of the first-order event-type Markov
+    # chain — where events_type_transitions stops at raw counts, this
+    # row-normalizes them into a stochastic matrix (restricted to the
+    # closed set of types that occur as a predecessor, so no mass
+    # leaks to terminal-only states) and runs 3 renormalized power
+    # iterations from the uniform vector: the long-run share of time a
+    # user's session spends in each event type, the standard engagement
+    # summary a funnel can't give. ITERATIVE, hash-matched by an
+    # iteration-UNROLLED SQL oracle (the TextRank/BPE proof pattern):
+    # per-contribution 6dp rounding + decimal sums keep both engines on
+    # identical numbers. Scale shape: ONE per-user window pass over the
+    # corpus (same shuffle as events_type_transitions); every iteration
+    # joins |types|^2-bounded frames — broadcast-sized at any corpus.
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    states = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .select(F.col("prev_type").alias("state"))
+        .distinct()
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .join(F.broadcast(states), seq["event_type"] == states["state"])
+        .groupBy(F.col("prev_type").alias("prev"), F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outs = trans.groupBy("prev").agg(F.sum("n").alias("n_out"))
+    pmat = trans.join(F.broadcast(outs), "prev").select(
+        "prev",
+        "nxt",
+        F.round(F.col("n").cast("double") / F.col("n_out").cast("double"), 6).alias(
+            "prob"
+        ),
+    )
+    n_states = states.count()  # |event types|: bounded, never corpus-sized
+    v = states.select("state", F.round(F.lit(1.0 / n_states), 6).alias("pi"))
+    for _ in range(3):
+        raw = (
+            pmat.join(v.withColumnRenamed("state", "prev"), "prev")
+            .select(
+                F.col("nxt").alias("state"),
+                F.round(F.col("pi") * F.col("prob"), 6)
+                .cast("decimal(38,6)")
+                .alias("c"),
+            )
+            .groupBy("state")
+            .agg(F.sum("c").cast("double").alias("r"))
+        )
+        total = raw.agg(
+            F.sum(F.round(F.col("r"), 6).cast("decimal(38,6)")).cast("double").alias("t")
+        )
+        v = raw.crossJoin(F.broadcast(total)).select(
+            "state", F.round(F.col("r") / F.col("t"), 6).alias("pi")
+        )
+    return v.join(F.broadcast(outs), v["state"] == outs["prev"]).select(
+        F.col("state").alias("event_type"), "n_out", "pi"
+    )

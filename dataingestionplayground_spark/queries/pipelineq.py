@@ -1647,3 +1647,49 @@ def sample_stratified_neyman(spark, sf):
         .filter(F.col("rk") <= F.col("n_alloc"))
         .select("source", "doc_id", "n_alloc")
     )
+
+
+_RES_MOD = 1_000_003
+_RES_U = f"(CAST(({_md5_mod('cast(doc_id as string)', _RES_MOD)}) + 1 AS DOUBLE) / {_RES_MOD + 1}.0)"
+_RES_U_SQL = f"(CAST(({_md5_mod_sql('CAST(doc_id AS VARCHAR)', _RES_MOD)}) + 1 AS DOUBLE) / {_RES_MOD + 1}.0)"
+
+
+@register(
+    "sample_reservoir_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars, round(res_key, 6) AS res_key,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT doc_id, n_chars,
+             ln({_RES_U_SQL}) / CAST(n_chars AS DOUBLE) AS res_key,
+             row_number() OVER (
+               ORDER BY ln({_RES_U_SQL}) / CAST(n_chars AS DOUBLE) DESC,
+                        doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= 100
+    """,
+)
+def sample_reservoir_weighted(spark, sf):
+    # Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-ES):
+    # each item draws key = u^(1/w) — equivalently rank by ln(u)/w —
+    # and the k largest keys are a without-replacement sample with
+    # inclusion probability proportional to weight. The portable twin
+    # of PPS sampling that needs NO total-weight pass or prefix sums
+    # (contrast sample_weighted_systematic): one scan, one top-k.
+    # u comes from the cross-engine md5 hash (deterministic and
+    # replayable, like every sampler in this module); weight = n_chars.
+    # Scale shape: the keyed projection is embarrassingly parallel and
+    # orderBy+limit executes as TakeOrderedAndProject — per-partition
+    # partial top-100 then a 100-row driver merge, no global sort, no
+    # corpus shuffle. Selection compares RAW doubles (identical
+    # expression tree both engines); only the output key is rounded.
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
+
+    d = t(spark, sf, "documents")
+    key = F.expr(f"ln({_RES_U})") / F.col("n_chars").cast("double")
+    keyed = d.select("doc_id", "n_chars", key.alias("res_key"))
+    top = keyed.orderBy(F.desc("res_key"), F.asc("doc_id")).limit(100)
+    ranked = bounded_rank(top, [("res_key", False), ("doc_id", True)], "rk")
+    return ranked.select(
+        "doc_id", "n_chars", F.round("res_key", 6).alias("res_key"), "rk"
+    )

@@ -423,3 +423,129 @@ def retrieval_hybrid_rrf(spark, sf):
         [("rrf", False), ("doc_id", True)],
         "rk",
     )
+
+
+def _ndcg_oracle() -> str:
+    # the ranking CTEs are byte-for-byte the text_bm25_topk oracle's;
+    # rel/dcg/idcg are stacked on top (graded relevance = how many of
+    # the fixed query's terms the document contains at all)
+    terms_list = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), toks AS (
+      SELECT b.doc_id, u.term FROM base b, unnest(b.tk) AS u(term)
+      WHERE u.term IN {str(tuple(_BM25_TERMS))}
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), parts AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * {_K1 + 1.0}
+               / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * l.dl / s.avgdl)) AS part
+      FROM tf
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dl l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id,
+             round(  coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[0]}' THEN part END), 0)
+                   + coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[1]}' THEN part END), 0)
+                   + coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[2]}' THEN part END), 0), 6)
+               AS score
+      FROM parts GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored
+    ), rel AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(list_distinct(tk), {terms_list})) AS BIGINT) AS rel
+      FROM base
+    ), dcg AS (
+      SELECT CAST(SUM(CAST(round(
+               (power(2.0, r.rel) - 1.0) / log2(CAST(k.rk + 1 AS DOUBLE)), 6)
+             AS DECIMAL(38,6))) AS DOUBLE) AS dcg10,
+             CAST(SUM(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top
+      FROM ranked k JOIN rel r ON r.doc_id = k.doc_id WHERE k.rk <= 10
+    ), ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rk FROM rel
+    ), idcg AS (
+      SELECT CAST(SUM(CAST(round(
+               (power(2.0, rel) - 1.0) / log2(CAST(rk + 1 AS DOUBLE)), 6)
+             AS DECIMAL(38,6))) AS DOUBLE) AS idcg10
+      FROM ideal WHERE rk <= 10
+    ), nrel AS (
+      SELECT CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+      FROM rel
+    )
+    SELECT round(d.dcg10, 6) AS dcg10, round(i.idcg10, 6) AS idcg10,
+           round(d.dcg10 / i.idcg10, 6) AS ndcg10,
+           round(CAST(d.n_rel_top AS DOUBLE) / 10.0, 6) AS precision10,
+           n.n_relevant
+    FROM dcg d CROSS JOIN idcg i CROSS JOIN nrel n
+    """
+
+
+@register("retrieval_eval_ndcg", oracle=_ndcg_oracle())
+def retrieval_eval_ndcg(spark, sf):
+    # Ranking-quality evaluation of the BM25 retriever: nDCG@10,
+    # precision@10, and the DCG/IDCG components against a graded
+    # relevance label (how many of the fixed query's terms the document
+    # contains, 0..3) — the standard eval harness every retrieval stack
+    # runs next to its index (Jarvelin & Kekalainen 2002). The ranking
+    # is text_bm25_topk's own (same function), so the metric grades the
+    # production scorer, not a re-implementation. Scale shape: BM25's
+    # shuffles (term-filtered tf agg + broadcast df/stats + TakeOrdered
+    # top-10) plus ONE relevance agg over in-row token intersection;
+    # DCG terms are 6dp-rounded and decimal-summed over <= 10 rows, the
+    # ideal ranking is a TakeOrdered over the (tiny) relevance frame.
+    top = text_bm25_topk(spark, sf)  # (doc_id, score, rk) — k-bounded
+    d = t(spark, sf, "documents").select("doc_id", TX.tokens("text").alias("tk"))
+    terms_arr = F.array(*[F.lit(x) for x in _BM25_TERMS])
+    rel = d.select(
+        "doc_id",
+        F.size(F.array_intersect(F.array_distinct("tk"), terms_arr))
+        .cast("long")
+        .alias("rel"),
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / F.log2(
+        F.col("rk").cast("double") + F.lit(1.0)
+    )
+    dcg = (
+        top.join(rel, "doc_id")
+        .agg(
+            F.sum(F.round(gain, 6).cast("decimal(38,6)")).cast("double").alias("dcg10"),
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("n_rel_top"),
+        )
+    )
+    ideal_top = rel.orderBy(F.desc("rel"), F.asc("doc_id")).limit(10)
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
+
+    ideal = bounded_rank(ideal_top, [("rel", False), ("doc_id", True)], "rk")
+    idcg = ideal.agg(
+        F.sum(F.round(gain, 6).cast("decimal(38,6)")).cast("double").alias("idcg10")
+    )
+    nrel = rel.agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("n_relevant")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            F.round("dcg10", 6).alias("dcg10"),
+            F.round("idcg10", 6).alias("idcg10"),
+            F.round(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg10"),
+            F.round(F.col("n_rel_top").cast("double") / 10.0, 6).alias("precision10"),
+            "n_relevant",
+        )
+    )

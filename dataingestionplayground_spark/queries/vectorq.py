@@ -831,3 +831,120 @@ def vector_pca_project(spark, sf):
     from dataingestionplayground_spark.operators.pca import pca_project
 
     return pca_project(t(spark, sf, "embeddings"), "vec_id", "embedding", k=8)
+
+
+_KC_K = 8
+
+
+_KC_SQD = (
+    # squared L2 between the row's embedding and the cross-joined
+    # center column cemb — double-cast per element, sequential
+    # left-to-right fold (identical order to Spark's aggregate()).
+    # The center rides in via CROSS JOIN of a 1-row CTE: DuckDB
+    # rejects subqueries inside lambda bodies, plain columns are fine.
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len(embedding)), i -> "
+    "(CAST(embedding[i] AS DOUBLE) - CAST(cemb[i] AS DOUBLE))"
+    " * (CAST(embedding[i] AS DOUBLE) - CAST(cemb[i] AS DOUBLE)))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _kcenter_oracle() -> str:
+    # k-1 UNROLLED greedy stages: m{j} carries every point's running
+    # min-distance to the first j centers; c{j+1} is its argmax. The
+    # selection compares RAW doubles (bit-identical on both engines:
+    # same cast-to-double elements, same sequential fold), ties broken
+    # by vec_id; only the reported gap is rounded.
+    parts = [
+        """
+    WITH pts AS (
+      SELECT vec_id, embedding FROM embeddings
+    ), c1 AS (
+      SELECT vec_id, embedding AS cemb FROM pts ORDER BY vec_id LIMIT 1
+    ), m1 AS (
+      SELECT p.vec_id, p.embedding, {d} AS mind FROM pts p CROSS JOIN c1
+    )""".format(d=_KC_SQD)
+    ]
+    for j in range(2, _KC_K + 1):
+        parts.append(
+            """
+    , c{j} AS (
+      SELECT vec_id, embedding AS cemb, mind FROM m{p}
+      ORDER BY mind DESC, vec_id ASC LIMIT 1
+    ), m{j} AS (
+      SELECT m.vec_id, m.embedding, least(m.mind, {d}) AS mind
+      FROM m{p} m CROSS JOIN c{j}
+    )""".format(j=j, p=j - 1, d=_KC_SQD)
+        )
+    sel = " UNION ALL ".join(
+        ["SELECT 1 AS sel_order, vec_id, 0.0 AS gap FROM c1"]
+        + [
+            f"SELECT {j} AS sel_order, vec_id, round(mind, 6) AS gap FROM c{j}"
+            for j in range(2, _KC_K + 1)
+        ]
+    )
+    return "".join(parts) + f"""
+    , sel AS ({sel})
+    SELECT CAST(sel_order AS INTEGER) AS sel_order, vec_id, gap,
+           round((SELECT max(mind) FROM m{_KC_K}), 6) AS coverage_radius
+    FROM sel
+    """
+
+
+@register("vector_coreset_kcenter", oracle=_kcenter_oracle())
+def vector_coreset_kcenter(spark, sf):
+    # Greedy k-center coreset selection (Gonzalez 1985; the farthest-
+    # point data-selection strategy behind active-learning coresets,
+    # Sener & Savarese 2018): seed with the lowest vec_id, then k-1
+    # times pick the point farthest (squared L2) from every selected
+    # center. Returns the k centers in selection order, the coverage
+    # gap each one closed, and the final corpus coverage radius — the
+    # diversity-maximizing counterpart of the similarity-driven
+    # samplers in pipelineq. ITERATIVE, hash-matched by a stage-
+    # UNROLLED SQL oracle (the TextRank pattern): selection compares
+    # raw doubles computed by the identical cast-and-fold expression on
+    # both engines. Scale shape: k passes over the corpus, each a
+    # narrow map against ONE broadcast 64-float literal + a TakeOrdered
+    # argmax (no shuffle at all); the running min-distance column is
+    # persisted so pass j never recomputes passes 1..j-1. Driver state
+    # is k rows — never corpus-sized.
+    emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def sqd_to(vec: list[float]):
+        arr = "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+        return F.expr(
+            "aggregate(sequence(1, size(embedding)), cast(0.0 as double), "
+            f"(acc, i) -> acc + (cast(element_at(embedding, i) as double) "
+            f"- element_at({arr}, i)) * (cast(element_at(embedding, i) as double) "
+            f"- element_at({arr}, i)))"
+        )
+
+    seed = emb.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    selected = [(1, int(seed["vec_id"]), 0.0)]
+    cur = emb.withColumn("mind", sqd_to(list(seed["embedding"]))).persist()
+    prev = None
+    for j in range(2, _KC_K + 1):
+        far = cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        selected.append((j, int(far["vec_id"]), float(far["mind"])))
+        nxt = cur.withColumn(
+            "mind", F.least(F.col("mind"), sqd_to(list(far["embedding"])))
+        ).persist()
+        if prev is not None:
+            prev.unpersist()
+        prev, cur = cur, nxt
+    radius = cur.agg(F.max("mind").alias("r")).collect()[0]["r"]
+    cur.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    # raw doubles into the frame; the single F.round below is the only
+    # rounding (HALF_UP, same as the oracle's round())
+    sel = spark.createDataFrame(
+        selected, "sel_order int, vec_id bigint, gap double"
+    )
+    return sel.select(
+        "sel_order",
+        "vec_id",
+        F.round("gap", 6).alias("gap"),
+        F.round(F.lit(radius), 6).alias("coverage_radius"),
+    )
