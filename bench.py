@@ -340,11 +340,32 @@ def main():
         samples = []
         for _ in range(3):
             t0 = _time.perf_counter()
+            # r10: a SHUFFLE-path probe — exchange + hash agg over a
+            # fixed synthetic frame. The r10 host drift (+15-30% on
+            # every shuffle-bearing row while the codegen and Python
+            # probes moved <5%) showed the probe pair is blind to the
+            # shuffle machinery (serialization, disk, task dispatch);
+            # this one pins it so future host factors scale the rows
+            # that actually drift. bench_compare geomeans whatever
+            # probes both artifacts share, so pre-r10 archives still
+            # compare on the old pair.
+            spark.range(20_000_000).selectExpr(
+                "id % 100000 as k", "id as v"
+            ).groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
+            samples.append(_time.perf_counter() - t0)
+        shuffle = min(samples)
+        samples = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
             acc = 0
             for i in range(5_000_000):
                 acc += i * i
             samples.append(_time.perf_counter() - t0)
-        return {"jvm_range_sum": round(jvm, 3), "py_spin": round(min(samples), 3)}
+        return {
+            "jvm_range_sum": round(jvm, 3),
+            "jvm_shuffle_agg": round(shuffle, 3),
+            "py_spin": round(min(samples), 3),
+        }
 
     calibration = _calibrate()
 

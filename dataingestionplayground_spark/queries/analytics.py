@@ -1548,3 +1548,69 @@ def events_markov_stationary(spark, sf):
     return v.join(F.broadcast(outs), v["state"] == outs["prev"]).select(
         F.col("state").alias("event_type"), "n_out", "pi"
     )
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, epoch(ts) - epoch(lag(ts) OVER w) AS gap
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), stats AS (
+      SELECT user_id,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(round(gap, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(round(gap * gap, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sq
+      FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+    ), cv AS (
+      SELECT user_id, n_gaps, s / n_gaps AS mean_gap,
+             sqrt(greatest(sq / n_gaps - (s / n_gaps) * (s / n_gaps), 0.0))
+               / nullif(s / n_gaps, 0.0) AS cvg
+      FROM stats WHERE n_gaps >= 4
+    )
+    SELECT user_id, n_gaps, round(mean_gap, 6) AS mean_gap,
+           round(cvg, 6) AS cv_gap,
+           coalesce(round(cvg, 6) < 0.3, TRUE) AS bot_like
+    FROM cv
+    """,
+)
+def events_bot_regularity(spark, sf):
+    # Inter-arrival-time regularity per user: the coefficient of
+    # variation of successive event gaps. Human activity is bursty
+    # (cv ~ 1 for Poisson, > 1 with sessions); machine traffic fires on
+    # a timer (cv -> 0) — the standard first-pass bot filter a
+    # training-data pipeline runs before trusting behavioral signals.
+    # Only users with >= 5 events (4 gaps) are scored; an all-identical
+    # timestamp user (mean 0) is flagged via the NULL-cv coalesce. One
+    # per-user sort-shuffle (same shape the skew bench proves out) +
+    # one hash agg of decimal-exact (n, sum, sum-of-squares) — the
+    # gap products are 6dp-rounded so partial aggregation stays
+    # order-independent; cv is derived from SETTLED doubles row-wise
+    # on a |users|-sized frame.
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (PF.epoch_seconds("ts") - PF.epoch_seconds(F.lag("ts").over(w))).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.sum(F.round("gap", 6).cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("gap") * F.col("gap"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("s") / F.col("n_gaps")
+    cvg = F.sqrt(
+        F.greatest(F.col("sq") / F.col("n_gaps") - mean * mean, F.lit(0.0))
+    ) / F.nullif(mean, F.lit(0.0))
+    return (
+        stats.filter(F.col("n_gaps") >= 4)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(mean, 6).alias("mean_gap"),
+            F.round(cvg, 6).alias("cv_gap"),
+            F.coalesce(F.round(cvg, 6) < 0.3, F.lit(True)).alias("bot_like"),
+        )
+    )

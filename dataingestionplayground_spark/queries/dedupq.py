@@ -566,3 +566,96 @@ def dedup_soft_weights(spark, sf):
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
     )
+
+
+@register(
+    "dedup_eval_lsh_pr",
+    oracle=f"""
+    WITH {_WIDE_SIG}, bands AS ({_BANDS}), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), truth AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ) i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.n_common AS DOUBLE)
+            / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE) >= 0.5
+    ), m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS tp
+    )
+    SELECT n_candidates, n_truth, tp,
+           round(CAST(tp AS DOUBLE) / nullif(CAST(n_candidates AS DOUBLE), 0.0), 6)
+             AS precision,
+           round(CAST(tp AS DOUBLE) / nullif(CAST(n_truth AS DOUBLE), 0.0), 6)
+             AS recall,
+           round(2.0 * CAST(tp AS DOUBLE)
+                 / nullif(CAST(n_candidates + n_truth AS DOUBLE), 0.0), 6) AS f1
+    FROM m
+    """,
+)
+def dedup_eval_lsh_pr(spark, sf):
+    # Candidate-quality evaluation of the PRODUCTION MinHash/LSH
+    # blocking stage (same minhash_lsh_pairs call, same 8x2-banded
+    # config as dedup_minhash_lsh_pairs) against exact shingle-Jaccard
+    # >= 0.5 ground truth: precision / recall / F1 of the banding as a
+    # retrieval problem — the dedup counterpart of retrieval_eval_ndcg
+    # (an operator is only done when its quality is MEASURED next to
+    # its latency). F1's usual 2PR/(P+R) is computed as the equivalent
+    # 2*tp/(n_cand + n_truth) — exact integer inputs, one division.
+    # Scale shape: ground truth comes from the shingle EQUI-join (only
+    # pairs sharing a shingle can clear any positive Jaccard bar), not
+    # an all-pairs scan, so both legs are hash joins; at eval time this
+    # runs on a corpus slice the same way the recall floors sample.
+    docs = t(spark, sf, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("n_common")).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    tp = (
+        cand.join(truth, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    out = n_cand.crossJoin(F.broadcast(n_truth)).crossJoin(F.broadcast(tp))
+    p = F.col("tp").cast("double") / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+    r = F.col("tp").cast("double") / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+    f1 = (F.lit(2.0) * F.col("tp").cast("double")) / F.nullif(
+        (F.col("n_candidates") + F.col("n_truth")).cast("double"), F.lit(0.0)
+    )
+    return out.select(
+        "n_candidates",
+        "n_truth",
+        "tp",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -35,9 +35,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def _topk_sets(rows, id_col):
+    # stringify both sides: the store keys are vec_id CAST TO STRING
+    # while brute-force returns the raw long (same rule as bench.py)
     out = {}
     for r in rows:
-        out.setdefault(r["query_id"], set()).add(r[id_col])
+        out.setdefault(str(r["query_id"]), set()).add(str(r[id_col]))
     return out
 
 

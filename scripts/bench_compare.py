@@ -75,7 +75,11 @@ def host_factor(old: dict, new: dict) -> float | None:
     co, cn = old.get("calibration"), new.get("calibration")
     if not co or not cn:
         return None
-    ratios = [cn[k] / co[k] for k in ("jvm_range_sum", "py_spin") if co.get(k) and cn.get(k)]
+    ratios = [
+        cn[k] / co[k]
+        for k in ("jvm_range_sum", "jvm_shuffle_agg", "py_spin")
+        if co.get(k) and cn.get(k)
+    ]
     if not ratios:
         return None
     prod = 1.0

@@ -64,6 +64,13 @@ SHOW = [
     ("window_median_sliding", "sliding median: bounded collect_list frame + in-row sorted-array median — per-user partitioned window (r9)"),
     ("events_rate_limit_burst", "rate-limit burst: event-time RANGE frame over epoch micros, per-user partitioned (r9)"),
     ("text_inverted_index", "inverted index: per-doc in-row term dedup before the explode, one hash agg, ordered postings (r9)"),
+    ("window_range_frame", "global RANGE frame without replication: one range exchange, broadcast boundary-slice arrays, searchsorted Arrow pass (r10)"),
+    ("events_autocorrelation", "ACF: ONE corpus hash agg to (type, day); spine/mean/lag joins all run on the days-x-types frame (r10)"),
+    ("events_markov_stationary", "Markov stationary: one per-user window pass; transition matrix + 3 power iterations are |types|^2 broadcast joins (r10)"),
+    ("sample_reservoir_weighted", "A-ES weighted reservoir: keyed projection + TakeOrderedAndProject — one scan, no total-weight pass, no shuffle (r10)"),
+    ("retrieval_eval_ndcg", "nDCG eval: BM25's own shuffles + one in-row relevance agg; DCG/IDCG on k-bounded frames (r10)"),
+    ("events_bot_regularity", "bot regularity: one per-user sort-shuffle for gaps, one decimal-sufficient-stats hash agg, |users|-sized cv math (r10)"),
+    ("dedup_eval_lsh_pr", "LSH candidate P/R: band equi-join candidates vs shingle equi-join truth — two hash joins, never all-pairs (r10)"),
 ]
 
 INTERESTING = re.compile(
