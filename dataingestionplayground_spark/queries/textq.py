@@ -1149,3 +1149,105 @@ def text_collocation_pmi(spark, sf):
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(100)
     )
+
+
+@register(
+    "text_interpolated_perplexity",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {TX.tokens_sql('lower(text)')} AS tk FROM documents
+      WHERE len({TX.tokens_sql('lower(text)')}) >= 2
+    ), idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM docs
+    ), bigr AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM idx
+    ), ctx AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bigr GROUP BY w1
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bigr GROUP BY w1, w2
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+      FROM (SELECT unnest(tk) AS w FROM docs) GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(cw) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS v FROM uni
+    ), scored AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(exp(-CAST(SUM(CAST(round(ln(
+                     0.7 * (CAST(k.c12 + 1 AS DOUBLE) / CAST(c.c1 + t.v AS DOUBLE))
+                   + 0.3 * (CAST(u.cw + 1 AS DOUBLE) / CAST(t.nt + t.v AS DOUBLE))
+                   ), 6) AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+             6) AS ppl
+      FROM bigr b
+      JOIN ctx c ON b.w1 = c.w1
+      JOIN bc k ON b.w1 = k.w1 AND b.w2 = k.w2
+      JOIN uni u ON b.w2 = u.w
+      CROSS JOIN tot t
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl, ppl <= 25.0 AS keep FROM scored
+    """,
+)
+def text_interpolated_perplexity(spark, sf):
+    # Jelinek-Mercer interpolated LM perplexity: p(w2|w1) =
+    # 0.7 * p_bigram + 0.3 * p_unigram (both add-one smoothed) — the
+    # classic backoff that keeps the bigram model's word-order
+    # sensitivity (text_bigram_perplexity) without its cliff on unseen
+    # bigrams, where pure add-one collapses to ~1/V and one rare
+    # transition dominates a short doc's score. Same shapes as the
+    # bigram query plus ONE more broadcastable count table: a token
+    # explode feeds context/bigram/unigram hash aggs (all map-side
+    # partial), the bigram stream equi-joins its three count tables,
+    # per-term ln is 6dp-rounded and decimal-summed per doc. The mixed
+    # probability is evaluated with the identical expression tree on
+    # both engines (two divisions, one weighted add) BEFORE the single
+    # rounded log — deterministic, no ordering exposure.
+    d = t(spark, sf, "documents")
+    docs = d.select("doc_id", TX.tokens("lower(text)").alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    bigr = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    ctx = bigr.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    uni = (
+        docs.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    )
+    tot = uni.agg(
+        F.sum("cw").cast("long").alias("nt"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    p_mix = F.lit(0.7) * (
+        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+    ) + F.lit(0.3) * (
+        (F.col("cw") + 1).cast("double") / (F.col("nt") + F.col("v")).cast("double")
+    )
+    scored = (
+        bigr.join(ctx, "w1")
+        .join(bc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    -F.sum(F.round(F.log(p_mix), 6).cast("decimal(38,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "ppl", (F.col("ppl") <= 25.0).alias("keep")
+    )

@@ -339,3 +339,49 @@ def stream_maintain_inverted_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_with_index(
+    spark: SparkSession,
+    watch_dir: str,
+    store: CollectionStore,
+    collection: str,
+    checkpoint_dir: str,
+    index_kinds: tuple = ("pq",),
+    **chunk_kwargs,
+):
+    """Streaming ingest that keeps the ANN indexes FRESH: each
+    micro-batch runs the bounded ingest pipeline (parse -> chunk ->
+    embed -> idempotent collection write, exactly as
+    :func:`stream_ingest_markdown`) and then ``ensure_index`` for each
+    requested index kind — searches against the store never lag the
+    stream by more than one micro-batch. Returns the StreamingQuery.
+
+    Exactly-once composition, leg by leg: the collection write is the
+    keyed incremental anti-join (re-delivered documents produce zero
+    new chunk rows), and index refresh encodes ONLY chunks without a
+    code/assignment row (another anti-join against the frozen
+    codebook/centroids) — so a replayed batch finds nothing to encode
+    and the code tables never hold duplicate keys. Maintenance cost is
+    O(batch) encode + an append into the code table's documentid (or
+    cell) partitions; the codebook itself stays frozen (retraining is
+    an offline rebuild, the store-backed index contract)."""
+    from dataingestionplayground_spark.ingest.ann_index import ensure_index
+
+    raw = spark.readStream.schema(RAW_SCHEMA).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        elements = parse_markdown_df(batch_df)
+        records = build_chunk_records(elements, **chunk_kwargs)
+        store.write(records, collection, incremental=True)
+        for kind in index_kinds:
+            ensure_index(spark, store, collection, kind)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -361,3 +361,84 @@ def stream_ema_smooth(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_bot_regularity(events: DataFrame) -> DataFrame:
+    """Streaming twin of the inter-arrival-regularity bot filter
+    (queries/analytics.py events_bot_regularity): per-user state is the
+    previous event's micros plus the decimal-exact sufficient stats
+    (n_gaps, sum, sum-of-squares) in integer MICRO-UNITS, carried with
+    ``applyInPandasWithState`` — O(4 ints) per user forever. Each
+    micro-batch computes gaps exactly as the batch side does
+    (epoch-seconds doubles differenced, per-term HALF-UP rounding to
+    6 dp realized as floor(x*1e6 + 0.5) on the non-negative terms,
+    summed as integers = the batch's DECIMAL(38,6) sums), re-derives
+    mean/cv from the settled totals, and emits the user's CURRENT
+    (n_gaps, mean_gap, cv_gap, bot_like) row — so after any bounded
+    stream, each user's LAST emission equals the batch row bit for bit
+    however the stream was split (parity-tested across a two-file
+    time split)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+
+    def half_up6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    def fn(key, pdfs, state: GroupState):
+        prev_us, n, s_us, sq_us = state.get if state.exists else (None, 0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["us", "event_id"], kind="mergesort"
+        )
+        us = pdf["us"].to_numpy(np.int64)
+        # the batch computes gap = (us1/1e6) - (us0/1e6) in doubles —
+        # NOT (us1-us0)/1e6, which differs in the low bits; replicate
+        # the exact expression tree
+        e = us.astype(np.float64) / 1e6
+        if prev_us is not None:
+            e_prev = np.concatenate(([np.float64(prev_us) / 1e6], e[:-1]))
+            gaps = e - e_prev
+        else:
+            gaps = e[1:] - e[:-1]
+        if len(gaps):
+            n += len(gaps)
+            s_us += int(np.floor(gaps * 1e6 + 0.5).astype(np.int64).sum())
+            sq_us += int(np.floor(gaps * gaps * 1e6 + 0.5).astype(np.int64).sum())
+        state.update((int(us[-1]), int(n), int(s_us), int(sq_us)))
+        if n < 4:
+            return
+        s = np.float64(s_us) / 1e6  # decimal -> double, correctly rounded
+        sq = np.float64(sq_us) / 1e6
+        mean = s / n
+        var = max(sq / n - mean * mean, 0.0)
+        if mean == 0.0:
+            cv_out, bot = None, True
+        else:
+            cv = float(half_up6(np.sqrt(var) / mean))
+            cv_out, bot = cv, bool(cv < 0.3)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_gaps": [int(n)],
+                "mean_gap": [float(half_up6(mean))],
+                "cv_gap": [cv_out],
+                "bot_like": [bot],
+            }
+        )
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_gaps long, mean_gap double, "
+            "cv_gap double, bot_like boolean"
+        ),
+        stateStructType="prev_us bigint, n bigint, s_us bigint, sq_us bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -747,3 +747,139 @@ def test_stream_ema_carries_ring_buffer_across_microbatches(spark, tmp_path):
         eid for eid, (m, *_rest) in stream_rows.items() if 1 < m <= 19
     ]
     assert spanning
+
+
+def test_stream_bot_regularity_parity_across_split(spark, tmp_path):
+    """Two time-split micro-batches must leave every user's LAST
+    emission bit-identical to the batch events_bot_regularity row: the
+    carried (prev_us, n, sum, sum-of-squares) state supplies exactly
+    the boundary gap and the decimal-exact totals."""
+    import os
+
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.streaming.windows import stream_bot_regularity
+
+    sf = "/root/testdata/sf0.001"
+    full = spark.read.parquet(f"{sf}/events.parquet")
+    cut = full.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) c"
+    ).first()["c"]
+    d = tmp_path / "bot_2files"
+    d.mkdir()
+    early = full.filter(F.expr("unix_micros(cast(ts as timestamp))") <= cut)
+    late = full.filter(F.expr("unix_micros(cast(ts as timestamp))") > cut)
+    early.coalesce(1).write.parquet(str(d / "f0"))
+    late.coalesce(1).write.parquet(str(d / "f1"))
+    src = tmp_path / "bot_src"
+    src.mkdir()
+    n = 0
+    for fname in ("f0", "f1"):
+        for fn in sorted(os.listdir(d / fname)):
+            if fn.endswith(".parquet"):
+                target = d / fname / fn
+                os.utime(target, (1_700_000_000 + n, 1_700_000_000 + n))
+                os.symlink(str(target), str(src / f"part-{n}.parquet"))
+                n += 1
+    assert n == 2
+    events = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    name = _run(stream_bot_regularity(events), "t_bot2", "update")
+    # update mode emits one row per user per touching batch — the
+    # monotone n_gaps picks each user's LAST (cumulative) emission
+    emitted = spark.sql(f"select * from {name}").collect()
+    last = {}
+    for r in emitted:
+        if r.user_id not in last or r.n_gaps > last[r.user_id].n_gaps:
+            last[r.user_id] = r
+    stream_rows = {
+        u: (r.n_gaps, r.mean_gap, r.cv_gap, r.bot_like) for u, r in last.items()
+    }
+    batch_rows = {
+        r.user_id: (r.n_gaps, r.mean_gap, r.cv_gap, r.bot_like)
+        for r in all_queries()["events_bot_regularity"].fn(spark, sf).collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+    # the split must genuinely exercise the carry: some user has events
+    # on both sides of the cut
+    both = (
+        early.select("user_id").distinct().join(
+            late.select("user_id").distinct(), "user_id"
+        ).count()
+    )
+    assert both > 0
+
+
+def test_stream_ingest_with_index_keeps_codes_fresh_and_replay_safe(spark, tmp_path):
+    """Streaming ingest + index maintenance: after each drop the PQ code
+    table covers exactly the collection's chunks (search never lags the
+    stream by more than a batch), and a checkpoint-wiped replay finds
+    nothing to encode — no duplicate code rows."""
+    import json as _json
+    import shutil
+
+    from dataingestionplayground_spark.ingest.ann_index import (
+        index_staleness,
+        pq_search_indexed,
+        read_pq_codes,
+    )
+    from dataingestionplayground_spark.ingest.store import CollectionStore
+    from dataingestionplayground_spark.streaming.ingest import stream_ingest_with_index
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    (watch / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": "d1", "content": "# T1\n\nalpha beta gamma delta"})
+        + "\n"
+        + _json.dumps({"doc_id": "d2", "content": "# T2\n\nepsilon zeta eta theta"})
+        + "\n"
+    )
+    store = CollectionStore(str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest_with_index(
+        spark, str(watch), store, "live", ckpt, max_tokens=8, overlap=0
+    )
+    q.awaitTermination()
+    n_chunks = store.read(spark, "live").count()
+    codes = read_pq_codes(spark, store, "live")
+    assert codes.count() == n_chunks > 0
+    stale = index_staleness(spark, store, "live")
+    assert stale["missing"] == 0 and stale["orphaned"] == 0
+
+    # second drop: index grows with the collection, by exactly the delta
+    (watch / "b2.jsonl").write_text(
+        _json.dumps({"doc_id": "d3", "content": "# T3\n\niota kappa lambda mu"}) + "\n"
+    )
+    q2 = stream_ingest_with_index(
+        spark, str(watch), store, "live", ckpt, max_tokens=8, overlap=0
+    )
+    q2.awaitTermination()
+    n_chunks2 = store.read(spark, "live").count()
+    codes2 = read_pq_codes(spark, store, "live")
+    assert n_chunks2 > n_chunks and codes2.count() == n_chunks2
+    assert codes2.select("key").distinct().count() == n_chunks2
+
+    # replay both files from a wiped checkpoint: the anti-join legs find
+    # nothing to ingest or encode — counts unchanged, keys still unique
+    shutil.rmtree(ckpt)
+    q3 = stream_ingest_with_index(
+        spark, str(watch), store, "live", ckpt, max_tokens=8, overlap=0
+    )
+    q3.awaitTermination()
+    codes3 = read_pq_codes(spark, store, "live")
+    assert store.read(spark, "live").count() == n_chunks2
+    assert codes3.count() == n_chunks2
+    assert codes3.select("key").distinct().count() == n_chunks2
+
+    # and the maintained index actually searches
+    from pyspark.sql import functions as F
+
+    qv = (
+        store.read(spark, "live")
+        .limit(1)
+        .select(
+            F.lit("q0").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+    hits = pq_search_indexed(spark, store, "live", qv, k=3).collect()
+    assert len(hits) > 0
