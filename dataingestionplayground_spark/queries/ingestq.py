@@ -382,3 +382,138 @@ def multimodal_ahash_pairs(spark, sf):
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= 6
     )
+
+
+def _dct_basis() -> list:
+    """Flat 8x8 integer DCT-II basis: C[u][x] = round(1e4 *
+    cos(pi*(2x+1)u/16)). Computed ONCE here and embedded as literals in
+    BOTH engines' expressions, so the hash is pure int64 arithmetic —
+    no engine-libm cos() in the data path (Math.cos and libm cos can
+    disagree in the last ulp, which a median-compare would amplify
+    into flipped bits)."""
+    import math
+
+    return [
+        round(math.cos(math.pi * (2 * x + 1) * u / 16.0) * 10_000)
+        for u in range(8)
+        for x in range(8)
+    ]
+
+
+def _phash_oracle() -> str:
+    from dataingestionplayground_spark.queries.pipelineq import _md5_mod_sql
+
+    def mm(expr, mod):
+        return _md5_mod_sql(expr, mod)
+
+    base_i = mm("concat(CAST(doc_id % 50 AS VARCHAR), ':px:', CAST(i AS VARCHAR))", 256)
+    pp = [mm(f"concat(CAST(doc_id AS VARCHAR), ':pp:{j}')", 64) for j in range(3)]
+    pv = [mm(f"concat(CAST(doc_id AS VARCHAR), ':pv:{j}')", 256) for j in range(3)]
+    cb = "[" + ", ".join(f"CAST({c} AS BIGINT)" for c in _dct_basis()) + "]"
+    coeffs = (
+        "list_transform(generate_series(0, 63), k -> "
+        "list_sum(list_transform(generate_series(0, 63), i -> "
+        f"gs[i + 1] * cb[(k % 8) * 8 + (i % 8) + 1]"
+        f" * cb[(k // 8) * 8 + (i // 8) + 1])))"
+    )
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             {pp[0]} AS p0, {pv[0]} AS v0,
+             {pp[1]} AS p1, {pv[1]} AS v1,
+             {pp[2]} AS p2, {pv[2]} AS v2,
+             list_transform(generate_series(0, 63), i -> CAST({base_i} AS BIGINT)) AS base
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), i ->
+               CASE WHEN i = p2 THEN CAST(v2 AS BIGINT)
+                    WHEN i = p1 THEN CAST(v1 AS BIGINT)
+                    WHEN i = p0 THEN CAST(v0 AS BIGINT)
+                    ELSE base[i + 1] END) AS gs
+      FROM px
+    ), dct AS (
+      SELECT doc_id, co[1] AS dc_coeff,
+             list_sort(co[2:64])[32] AS med, co
+      FROM (SELECT doc_id, {coeffs} AS co
+            FROM (SELECT doc_id, gs, {cb} AS cb FROM g))
+    )
+    SELECT doc_id, CAST(dc_coeff AS BIGINT) AS dc_coeff,
+           CAST(med AS BIGINT) AS med,
+           CAST(list_sum(list_transform(generate_series(1, 63), k ->
+             CASE WHEN co[k + 1] > med THEN (CAST(1 AS BIGINT) << (k - 1))
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+    FROM dct
+    """
+
+
+@register("multimodal_phash_dct", oracle=_phash_oracle())
+def multimodal_phash_dct(spark, sf):
+    # DCT perceptual hash over the SAME real-BMP image corpus as
+    # multimodal_ahash_pairs: build deterministic 8x8 grayscale BMP
+    # bytes, decode them through the engine's zero-dependency parser
+    # (a decode bug breaks the oracle match), 2D DCT-II against a
+    # shared INTEGER basis (cos values scaled to 1e4 and rounded at
+    # build time — see _dct_basis: no engine-libm trig in the data
+    # path), then the classic pHash bit rule: bit k = AC coefficient k
+    # above the median of the 63 AC coefficients. Where ahash responds
+    # to per-pixel brightness, pHash responds to the image's frequency
+    # STRUCTURE — robust to uniform brightness shifts that flip every
+    # ahash bit. |coeff| <= 255 * 1e4 * 1e4 * 64 ~ 1.6e15: exact int64
+    # on both engines. Scale: one Arrow pass, 8 bytes of output state
+    # per image, no shuffle at all.
+    import hashlib
+
+    import pandas as pd
+
+    def mm(s: str, mod: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    basis = _dct_basis()
+
+    def build_and_hash(batches):
+        import struct
+
+        import numpy as np
+
+        from dataingestionplayground_spark.sources.multimodal import bmp_pixels
+
+        C = np.array(basis, dtype=np.int64).reshape(8, 8)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gid = doc_id % 50
+                g = [mm(f"{gid}:px:{i}", 256) for i in range(64)]
+                for j in range(3):
+                    g[mm(f"{doc_id}:pp:{j}", 64)] = mm(f"{doc_id}:pv:{j}", 256)
+                rows = b"".join(
+                    bytes(b for c in range(8) for b in (g[r * 8 + c],) * 3)
+                    for r in range(7, -1, -1)
+                )
+                data = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0,
+                                  len(rows), 2835, 2835, 0, 0)
+                    + rows
+                )
+                _w, _h, rgb = bmp_pixels(data)
+                G = rgb[:, :, 0].astype(np.int64).reshape(8, 8)
+                # M[v, u] = sum_{x,y} G[y, x] * C[u][x] * C[v][y]
+                M = (C @ G @ C.T).ravel()
+                ac = np.sort(M[1:])
+                med = int(ac[31])  # lower median of the 63 AC coeffs
+                phash = 0
+                for k in range(1, 64):
+                    if int(M[k]) > med:
+                        phash |= 1 << (k - 1)
+                out.append((doc_id, int(M[0]), med, phash))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "dc_coeff", "med", "phash"]
+            )
+
+    d = t(spark, sf, "documents").select("doc_id")
+    return d.mapInPandas(
+        build_and_hash, "doc_id long, dc_coeff long, med long, phash long"
+    )
