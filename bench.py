@@ -106,6 +106,14 @@ BIG_HEADLINE = [
     "sample_token_budget",
     "agg_theta_set_algebra",
     "agg_kll_quantiles",
+    # r10: scaling rows for the round's new shapes — daily-series ACF
+    # (one corpus agg then days-x-types math), the one-scan weighted
+    # reservoir (TakeOrdered), the per-user gap-stats bot filter, and
+    # the three-count-table interpolated LM
+    "events_autocorrelation",
+    "sample_reservoir_weighted",
+    "events_bot_regularity",
+    "text_interpolated_perplexity",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -123,6 +131,11 @@ BIG2_HEADLINE = [
     "sample_token_budget",
     "agg_theta_set_algebra",
     "agg_kll_quantiles",
+    # r10: 2x-step ratios for the new shapes
+    "events_autocorrelation",
+    "sample_reservoir_weighted",
+    "events_bot_regularity",
+    "text_interpolated_perplexity",
 ]
 
 
@@ -455,7 +468,14 @@ def main():
         skew_dir = str(Path(__file__).resolve().parent / ".benchdata" / "skew0.5")
         if not os.path.isdir(os.path.join(skew_dir, "events.parquet")):
             build_zipf_events(spark, sf_dir, skew_dir, copies=5)
-        skew_names = ["events_sessionize", "events_changepoint_cusum"]
+        # r10: the bot filter joins the skew block — same per-user
+        # window + hash-agg shape whose hot-key absorption the r9
+        # evidence established for sessionize/CUSUM
+        skew_names = [
+            "events_sessionize",
+            "events_changepoint_cusum",
+            "events_bot_regularity",
+        ]
         uni_t, uni_m = _bench_block(spark, registry, skew_names, big_dir, n_runs=3)
         hot_t, hot_m = _bench_block(spark, registry, skew_names, skew_dir, n_runs=3)
         skew = {

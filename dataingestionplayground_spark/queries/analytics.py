@@ -1614,3 +1614,96 @@ def events_bot_regularity(spark, sf):
             F.coalesce(F.round(cvg, 6) < 0.3, F.lit(True)).alias("bot_like"),
         )
     )
+
+
+@register(
+    "events_feature_pit_join",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_type AS status, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, status, sec AS valid_from, event_id
+      FROM obs WHERE prev IS NULL OR prev <> status
+    ), dim AS (
+      SELECT user_id, status, valid_from,
+             CAST(row_number() OVER w AS BIGINT) AS version
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    ), probes AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.sec,
+           round(p.value, 6) AS value, d.status, d.version
+    FROM probes p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.sec
+     AND d.version = (SELECT max(d2.version) FROM dim d2
+                      WHERE d2.user_id = p.user_id AND d2.valid_from <= p.sec)
+    """,
+)
+def events_feature_pit_join(spark, sf):
+    # Point-in-time (feature-store) join: each 'purchase' probe event is
+    # enriched with the SCD2 status version that was VALID AT THE
+    # EVENT'S TIME — the temporal-correctness join that prevents
+    # feature leakage in training-data assembly (joining tomorrow's
+    # attribute onto today's example). The dimension is the same change
+    # -point history events_scd2_history builds; the lookup is the
+    # as-of operator (operators/asof.py union+window), NOT an
+    # inequality range join — ONE sort-shuffle on (user, ts) total,
+    # no BroadcastNestedLoop, no per-version fan-out, and the oracle's
+    # O(dim^2) correlated-subquery formulation is the independent
+    # algorithm the hash match proves equivalent. version ties on the
+    # same second resolve to the LATEST version (max tie rule), exactly
+    # like the scalar-subquery max.
+    from dataingestionplayground_spark.operators.asof import asof_join
+
+    e = t(spark, sf, "events")
+    w_obs = W.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "event_id",
+        F.floor(PF.epoch_seconds("ts")).cast("long").alias("sec"),
+        F.lag("event_type").over(w_obs).alias("prev"),
+    )
+    changes = obs.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("status"))
+    ).select("user_id", "status", F.col("sec").alias("valid_from"), "event_id")
+    w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = changes.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.floor(PF.epoch_seconds("ts")).cast("long").alias("sec"),
+    )
+    joined = asof_join(
+        probes,
+        dim,
+        on=["user_id"],
+        left_ts="sec",
+        right_ts="valid_from",
+        value_cols=["status", "version"],
+        direction="backward",
+        tie_col="version",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.round("value", 6).alias("value"),
+        "status",
+        "version",
+    )
