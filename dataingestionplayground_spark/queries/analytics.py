@@ -1707,3 +1707,185 @@ def events_feature_pit_join(spark, sf):
         "status",
         "version",
     )
+
+
+@register(
+    "events_anomaly_seasonal_zscore",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                  AS BIGINT) AS dow
+      FROM events
+    ), seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dow_mean
+      FROM base GROUP BY event_type, dow
+    ), resid AS (
+      SELECT b.event_id, b.event_type, b.dow, b.value,
+             b.value - s.dow_mean AS r
+      FROM base b JOIN seas s
+        ON s.event_type = b.event_type AND s.dow = b.dow
+    ), spread AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(r, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(round(r * r, 6) AS DECIMAL(38,6))) AS DOUBLE) AS srr
+      FROM resid GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, CAST(r.dow AS INTEGER) AS dow,
+           round(r.value, 6) AS value,
+           round(r.r / sqrt(greatest(s.srr / s.n - (s.sr / s.n) * (s.sr / s.n),
+                                     1e-12)), 6) AS seasonal_z
+    FROM resid r JOIN spread s ON s.event_type = r.event_type
+    WHERE abs(round(r.r / sqrt(greatest(s.srr / s.n - (s.sr / s.n) * (s.sr / s.n),
+                                        1e-12)), 6)) > 3.0
+    """,
+)
+def events_anomaly_seasonal_zscore(spark, sf):
+    # Seasonality-AWARE anomaly detection: where events_anomaly_zscore
+    # flags deviations from a flat per-type center (so a normal weekend
+    # lull reads as anomalous), this subtracts the (type, day-of-week)
+    # mean FIRST and z-scores the residual against the type's residual
+    # spread — the two-stage decomposition events_seasonal_dow_index
+    # motivates, closed into a detector. dow = days-since-epoch mod 7
+    # (the engine-agreement convention; both dayofweek() builtins
+    # disagree on week start). Plan: two hash aggs over one base
+    # projection (|types| x 7 and |types| rows, both broadcast back)
+    # and a row-wise z — the corpus itself is never shuffled, same as
+    # the MAD detector. Residual products are 6dp-rounded into decimal
+    # sums; the z is derived from settled doubles with the identical
+    # expression tree (floor variance at 1e-12 guards a constant type).
+    e = t(spark, sf, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+        .cast("long")
+        .alias("dow"),
+    )
+    seas = base.groupBy("event_type", "dow").agg(
+        (PF.dsum("value") / F.count(F.lit(1)).cast("double")).alias("dow_mean")
+    )
+    resid = base.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_id",
+        "event_type",
+        "dow",
+        "value",
+        (F.col("value") - F.col("dow_mean")).alias("r"),
+    )
+    spread = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round("r", 6).cast("decimal(38,6)")).cast("double").alias("sr"),
+        F.sum(F.round(F.col("r") * F.col("r"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("srr"),
+    )
+    mean_r = F.col("sr") / F.col("n")
+    z = F.round(
+        F.col("r")
+        / F.sqrt(
+            F.greatest(
+                F.col("srr") / F.col("n") - mean_r * mean_r, F.lit(1e-12)
+            )
+        ),
+        6,
+    )
+    return (
+        resid.join(F.broadcast(spread), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.round("value", 6).alias("value"),
+            z.alias("seasonal_z"),
+        )
+        .filter(F.abs(F.col("seasonal_z")) > 3.0)
+    )
+
+
+@register(
+    "events_itemset_lift",
+    oracle="""
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), nu AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ue GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) / CAST(u.n_users AS DOUBLE), 6) AS support,
+           round(CAST(p.n_ab AS DOUBLE) / CAST(ma.n_t AS DOUBLE), 6) AS confidence_a_b,
+           round(CAST(p.n_ab AS DOUBLE) * CAST(u.n_users AS DOUBLE)
+                 / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN m ma ON ma.event_type = p.item_a
+    JOIN m mb ON mb.event_type = p.item_b
+    CROSS JOIN nu u
+    WHERE CAST(p.n_ab AS DOUBLE) / CAST(u.n_users AS DOUBLE) >= 0.05
+    """,
+)
+def events_itemset_lift(spark, sf):
+    # 2-itemset association mining over per-user event-type baskets
+    # (Agrawal-Srikant support/confidence plus lift): which behaviors
+    # co-occur in the same users beyond what their individual
+    # frequencies predict — the market-basket primitive behind
+    # recommendation and segmentation features. Baskets are the
+    # DISTINCT (user, type) pairs, so the pair join fans each user to
+    # at most |types| choose 2 rows (in-row bounded — the self-join key
+    # is user_id, high-cardinality and unskewed); margins and the user
+    # count are |types|- and 1-row broadcasts; every ratio divides two
+    # settled exact integers once. Min support 5% of users.
+    e = t(spark, sf, "events")
+    ue = e.select("user_id", "event_type").distinct()
+    nu = e.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    m = ue.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    pairs = (
+        ue.alias("a")
+        .join(
+            ue.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ma = m.select(F.col("event_type").alias("item_a"), F.col("n_t").alias("n_a"))
+    mb = m.select(F.col("event_type").alias("item_b"), F.col("n_t").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_users").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence_a_b"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_users").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.filter(
+        F.col("n_ab").cast("double") / F.col("n_users").cast("double") >= 0.05
+    )

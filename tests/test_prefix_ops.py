@@ -179,3 +179,77 @@ def test_sharded_prefix_sum_keeps_columns_and_no_windowexec(spark, skewed_df):
     out = sharded_prefix_sum(df, [("id", True)], "w", "before")
     assert set(out.columns) == set(df.columns) | {"before"}
     assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sharded_rank_multi_matches_two_windows(spark, skewed_df):
+    """sharded_rank_multi computes BOTH a global and a grouped ntile
+    over one range shuffle; each column must equal the corresponding
+    WindowExec result — including ties straddling shard boundaries and
+    groups interleaving within a shard (the property the single-shuffle
+    design leans on)."""
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.operators.prefix import (
+        _ntile_buckets,
+        sharded_rank_multi,
+    )
+
+    got = sharded_rank_multi(
+        skewed_df,
+        [("v", True), ("id", True)],
+        [
+            ((), lambda r, n: _ntile_buckets(r, n, 4), "q4", T.IntegerType(), "int32"),
+            (("g",), lambda r, n: _ntile_buckets(r, n, 10), "d10", T.IntegerType(), "int32"),
+        ],
+    ).select("g", "v", "id", "q4", "d10")
+    w_glob = W.orderBy("v", "id")
+    w_grp = W.partitionBy("g").orderBy("v", "id")
+    want = skewed_df.select(
+        "g", "v", "id",
+        F.ntile(4).over(w_glob).alias("q4"),
+        F.ntile(10).over(w_grp).alias("d10"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sharded_rank_multi_randomized_vs_windows(spark):
+    """Seeded randomized sweep: random sizes, tie densities, and group
+    fans must all reproduce the WindowExec semantics exactly (the
+    multi-task offsets share one count table — an off-by-one in the
+    per-(shard, group) bookkeeping would show here)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.operators.prefix import (
+        _ntile_buckets,
+        sharded_rank_multi,
+    )
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 400)
+        n_groups = rng.randrange(1, 6)
+        tie_mod = rng.choice([1, 2, 5, 50])
+        k1, k2 = rng.randrange(1, 9), rng.randrange(1, 12)
+        rows = [
+            (f"g{rng.randrange(n_groups)}", rng.randrange(tie_mod), i)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "g string, v int, id long").repartition(7)
+        got = sharded_rank_multi(
+            df,
+            [("v", True), ("id", True)],
+            [
+                ((), lambda r, nn, k=k1: _ntile_buckets(r, nn, k), "a", T.IntegerType(), "int32"),
+                (("g",), lambda r, nn, k=k2: _ntile_buckets(r, nn, k), "b", T.IntegerType(), "int32"),
+            ],
+        ).select("g", "v", "id", "a", "b")
+        want = df.select(
+            "g", "v", "id",
+            F.ntile(k1).over(W.orderBy("v", "id")).alias("a"),
+            F.ntile(k2).over(W.partitionBy("g").orderBy("v", "id")).alias("b"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"seed {seed} (n={n}, groups={n_groups}, ties={tie_mod}, k={k1},{k2})"
