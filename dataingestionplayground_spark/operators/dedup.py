@@ -324,3 +324,58 @@ def line_dedup(
         F.sum(F.col("kept").cast("long")).cast("long").alias("n_lines_kept"),
         F.array_join(F.transform(ordered, lambda x: x["line"]), sep).alias("clean_text"),
     )
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric banded LSH: candidate near-duplicate pairs between an
+    ARRIVING batch (``new_df``) and an EXISTING corpus (``old_df``) —
+    the join an incremental ingest pipeline actually runs, where the
+    self-join form would re-pair the whole corpus against itself every
+    batch. Returns (new_id, old_id) candidates.
+
+    Scale shape: the batch side's band table is O(batch x n_bands) —
+    usually broadcastable; the corpus side shuffles once on the band
+    key (at warehouse scale its signatures live as a maintained table,
+    the inverted-index pattern, so only the batch side is computed
+    per run). Identical band keys mean near-identical docs, so the
+    equi-join stays skew-safe under AQE like the self-join form.
+    """
+    if num_hashes > 8:
+        raise ValueError("lane scheme provides 8 hashes; extend _lane_expr for more")
+    n_bands = num_hashes // rows_per_band
+    band_rows = []
+    for b in range(n_bands):
+        lanes = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
+        band_rows.append(f"{b}, concat_ws('|', {', '.join(lanes)})")
+
+    def bands_of(df):
+        sig_wide = _shingle_rows(df, id_col, text_col, shingle_n).groupBy(id_col).agg(
+            *[F.expr(f"min({_lane_expr(i)})").alias(f"mh{i}") for i in range(num_hashes)]
+        )
+        return sig_wide.select(
+            id_col,
+            F.expr(f"stack({n_bands}, {', '.join(band_rows)}) as (band, band_key)"),
+        )
+
+    nb = bands_of(new_df).alias("n")
+    ob = bands_of(old_df).alias("o")
+    return (
+        nb.join(
+            ob,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"o.{id_col}").alias("old_id"),
+        )
+        .distinct()
+    )

@@ -1889,3 +1889,107 @@ def events_itemset_lift(spark, sf):
     return out.filter(
         F.col("n_ab").cast("double") / F.col("n_users").cast("double") >= 0.05
     )
+
+
+@register(
+    "events_xcorr_lead_lag",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, event_type
+      FROM events
+    ), x AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM hourly
+      WHERE event_type = 'click' GROUP BY h
+    ), y AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM hourly
+      WHERE event_type = 'purchase' GROUP BY h
+    ), bounds AS (
+      SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi)) AS h FROM bounds
+    ), sx AS (
+      SELECT s.h, coalesce(x.c, 0) AS v FROM spine s LEFT JOIN x ON x.h = s.h
+    ), sy AS (
+      SELECT s.h, coalesce(y.c, 0) AS v FROM spine s LEFT JOIN y ON y.h = s.h
+    ), lags AS (
+      SELECT unnest(generate_series(0, 6)) AS lag
+    ), pairs AS (
+      SELECT l.lag, sx.v AS xv, sy.v AS yv
+      FROM lags l
+      JOIN sx ON TRUE
+      JOIN sy ON sy.h = sx.h + l.lag
+    ), sums AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xv) AS BIGINT) AS s_x, CAST(SUM(yv) AS BIGINT) AS s_y,
+             CAST(SUM(xv * yv) AS BIGINT) AS s_xy,
+             CAST(SUM(xv * xv) AS BIGINT) AS s_xx,
+             CAST(SUM(yv * yv) AS BIGINT) AS s_yy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag_hours, n AS n_pairs,
+           round((CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)
+                  - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)
+                         - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)
+                           - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))),
+                 6) AS r
+    FROM sums
+    """,
+)
+def events_xcorr_lead_lag(spark, sf):
+    # Lead-lag cross-correlation between two event streams: Pearson r of
+    # hourly click counts vs purchase counts shifted 0..6 hours later —
+    # the "does activity in X predict Y k hours out" diagnostic
+    # (autocorrelation's two-series sibling, events_autocorrelation).
+    # Shape: the corpus collapses to an HOURS-sized series in one hash
+    # agg (time-range-bounded — ~9k rows/year regardless of corpus
+    # size); the spine gap-fills missing hours to 0 via sequence() off
+    # a one-row bounds agg; the 7-lag frame cross-joins as a literal
+    # bounded side (plan-lint rule 3); moment sums are exact BIGINTs so
+    # only the final double division needs the shared-rounding contract.
+    e = t(spark, sf, "events")
+    hourly = e.select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        "event_type",
+    )
+    x = (
+        hourly.filter(F.col("event_type") == "click")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    y = (
+        hourly.filter(F.col("event_type") == "purchase")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = (
+        hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("h"))
+    )
+    sx = spine.join(x, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).alias("xv")
+    )
+    sy = spine.join(y, "h", "left").select(
+        F.col("h").alias("h2"), F.coalesce("c", F.lit(0)).alias("yv")
+    )
+    lags = spark.range(0, 7).select(F.col("id").cast("int").alias("lag_hours"))
+    pairs = sx.crossJoin(F.broadcast(lags)).join(
+        sy, F.col("h2") == F.col("h") + F.col("lag_hours")
+    )
+    sums = pairs.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("xv").cast("long").alias("s_x"),
+        F.sum("yv").cast("long").alias("s_y"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("s_xy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("s_xx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("s_yy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx_, sy_ = F.col("s_x").cast("double"), F.col("s_y").cast("double")
+    sxy = F.col("s_xy").cast("double")
+    sxx, syy = F.col("s_xx").cast("double"), F.col("s_yy").cast("double")
+    r = (n * sxy - sx_ * sy_) / F.sqrt(
+        (n * sxx - sx_ * sx_) * (n * syy - sy_ * sy_)
+    )
+    return sums.select("lag_hours", "n_pairs", F.round(r, 6).alias("r"))

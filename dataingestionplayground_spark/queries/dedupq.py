@@ -659,3 +659,162 @@ def dedup_eval_lsh_pr(spark, sf):
         F.round(r, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+@register(
+    "dedup_lsh_incremental",
+    oracle=f"""
+    WITH nsh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+      WHERE doc_id % 10 = 0
+    ), osh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+      WHERE doc_id % 10 <> 0
+    ), nw AS (
+      SELECT doc_id,
+             {', '.join(f'min({_lane_expr_duck(i)}) AS mh{i}' for i in range(8))}
+      FROM nsh GROUP BY doc_id
+    ), ow AS (
+      SELECT doc_id,
+             {', '.join(f'min({_lane_expr_duck(i)}) AS mh{i}' for i in range(8))}
+      FROM osh GROUP BY doc_id
+    ), nb AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, concat_ws('|', mh{2 * b}, mh{2 * b + 1}) AS band_key FROM nw" for b in range(4))}
+    ), ob AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, concat_ws('|', mh{2 * b}, mh{2 * b + 1}) AS band_key FROM ow" for b in range(4))}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM nb n JOIN ob o ON n.band = o.band AND n.band_key = o.band_key
+    ), sizes_n AS (
+      SELECT doc_id, COUNT(*) AS sz FROM nsh GROUP BY doc_id
+    ), sizes_o AS (
+      SELECT doc_id, COUNT(*) AS sz FROM osh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.new_id, c.old_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN nsh x ON x.doc_id = c.new_id
+      JOIN osh y ON y.doc_id = c.old_id AND y.shingle = x.shingle
+      GROUP BY c.new_id, c.old_id
+    )
+    SELECT i.new_id, i.old_id,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sn.sz + so.sz - i.n_common AS DOUBLE) AS jaccard,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sn.sz + so.sz - i.n_common AS DOUBLE) >= 0.5 AS would_drop
+    FROM inter i
+    JOIN sizes_n sn ON sn.doc_id = i.new_id
+    JOIN sizes_o so ON so.doc_id = i.old_id
+    WHERE CAST(i.n_common AS DOUBLE)
+          / CAST(sn.sz + so.sz - i.n_common AS DOUBLE) >= 0.3
+    """,
+)
+def dedup_lsh_incremental(spark, sf):
+    # Incremental near-dup screening: an ARRIVING batch (doc_id % 10
+    # == 0, the 10% "new" slice) banded-joined against the EXISTING
+    # corpus — the asymmetric form an ingest pipeline runs per batch,
+    # where the self-join would re-pair the whole corpus against
+    # itself every time. Candidates verify by exact packed-set Jaccard
+    # (>= 0.3 reported, >= 0.5 flagged for drop), so the expensive
+    # stage touches only banded collisions. Scale: the batch-side band
+    # table is O(batch); the corpus side shuffles once on the band key
+    # (as a maintained signature table at warehouse scale, zero per-run
+    # corpus work); verify shuffles candidate PAIRS with packed sets,
+    # never exploded shingles.
+    from dataingestionplayground_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    d = t(spark, sf, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    old = d.filter(F.col("doc_id") % 10 != 0)
+    cand = minhash_lsh_pairs_between(
+        new, old, "doc_id", "text", num_hashes=8, rows_per_band=2
+    ).localCheckpoint(eager=True)
+
+    def packed(side, idn):
+        ids = cand.select(F.col(idn).alias("doc_id")).distinct()
+        return (
+            side.join(ids, "doc_id", "left_semi")
+            .select("doc_id", TX.tokens("text").alias("__w"))
+            .select(
+                F.col("doc_id").alias(idn),
+                F.array_distinct(TX.shingles_from_tokens("__w", 3)).alias(
+                    f"set_{idn}"
+                ),
+            )
+            .withColumn(f"sz_{idn}", F.size(f"set_{idn}"))
+        )
+
+    j = (
+        cand.join(packed(new, "new_id"), "new_id")
+        .join(packed(old, "old_id"), "old_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("set_new_id", "set_old_id"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_new_id") + F.col("sz_old_id") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+    return j.select(
+        "new_id", "old_id", "jaccard", (F.col("jaccard") >= 0.5).alias("would_drop")
+    )
+
+
+@register(
+    "dedup_normalized_exact",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                 lower(text), '\\s+', ' ', 'g'), '[^a-z ]', '', 'g'),
+                 ' +', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp,
+           CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_n,
+           doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+    FROM norm
+    """,
+)
+def dedup_normalized_exact(spark, sf):
+    # CCNet/Gopher-style AGGRESSIVE normalization dedup: lowercase, strip
+    # everything but letters and spaces (punctuation, digits), collapse
+    # whitespace — then hash-group. Catches reformatted copies (changed
+    # dates, renumbered lists, re-punctuated text) that the conservative
+    # whitespace-only fingerprint of dedup_exact treats as distinct; the
+    # coarser sibling of MinHash near-dup, at exact-dedup cost. Plan:
+    # per-row JVM regexps + md5, then ONE window sort-shuffle keyed by
+    # the fingerprint — key cardinality grows with the corpus and
+    # rows-per-key is the duplicate-group size (bounded), so the shape
+    # survives 100 TB (plan-lint rule 2 measures exactly this).
+    d = t(spark, sf, "documents")
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " "),
+                    r"[^a-z ]",
+                    "",
+                ),
+                r" +",
+                " ",
+            )
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wfp = W.partitionBy("fp")
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .select(
+            "doc_id",
+            "fp",
+            F.count(F.lit(1)).over(wfp).cast("long").alias("group_n"),
+            (F.col("doc_id") == F.min("doc_id").over(wfp)).alias("keep"),
+        )
+    )

@@ -291,3 +291,71 @@ def events_rate_limit_burst(spark, sf):
         .filter(F.col("n_6h") >= 4)
         .select("user_id", "event_id", "event_type", "n_6h")
     )
+
+
+@register(
+    "events_asof_forward_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), buys AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT c.event_id, b.purchase_id,
+             epoch_us(b.ts) - epoch_us(c.ts) AS gap_us,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY b.ts ASC, b.purchase_id ASC) AS rn
+      FROM clicks c JOIN buys b
+        ON b.user_id = c.user_id AND b.ts >= c.ts
+    ), nearest AS (
+      SELECT event_id, purchase_id, gap_us FROM ranked WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN n.gap_us <= 1800000000 THEN n.purchase_id END AS purchase_id,
+           CASE WHEN n.gap_us <= 1800000000 THEN n.gap_us END AS gap_us,
+           coalesce(n.gap_us <= 1800000000, FALSE) AS converted
+    FROM clicks c LEFT JOIN nearest n ON n.event_id = c.event_id
+    """,
+)
+def events_asof_forward_tolerance(spark, sf):
+    # FORWARD as-of join with a tolerance horizon: each click gets the
+    # same user's NEXT purchase, but only if it lands within 30 minutes
+    # — the time-to-convert / attribution primitive (pandas
+    # merge_asof(direction='forward', tolerance=...) at cluster scale).
+    # Same union+window single-sort-shuffle operator as the backward
+    # form (operators/asof.py:19, direction='forward'); the tolerance
+    # is a POST-filter on the matched gap, so it adds zero shuffles —
+    # out-of-horizon matches null out rather than falling back to a
+    # later row (merge_asof semantics). Gap is integer epoch-micros:
+    # exact on both engines, no float boundary risk at the horizon.
+    e = t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    j = asof_join(
+        clicks,
+        buys,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["purchase_id", "p_ts"],
+        direction="forward",
+        tie_col="purchase_id",
+    )
+    gap = F.expr("unix_micros(cast(p_ts as timestamp))") - F.expr(
+        "unix_micros(cast(ts as timestamp))"
+    )
+    within = gap <= F.lit(1_800_000_000)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("purchase_id")).alias("purchase_id"),
+        F.when(within, gap).alias("gap_us"),
+        F.coalesce(within, F.lit(False)).alias("converted"),
+    )

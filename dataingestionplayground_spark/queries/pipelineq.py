@@ -1693,3 +1693,127 @@ def sample_reservoir_weighted(spark, sf):
     return ranked.select(
         "doc_id", "n_chars", F.round("res_key", 6).alias("res_key"), "rk"
     )
+
+
+@register(
+    "pipeline_join_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ), bucketed AS (
+      SELECT CAST(length(bin(cnt)) AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM per_key GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS top1
+      FROM per_key
+    )
+    SELECT b.bucket, b.n_keys, b.n_rows, b.max_key_rows,
+           round(CAST(b.n_rows AS DOUBLE) / CAST(t.total_rows AS DOUBLE), 6)
+             AS pct_rows,
+           round(CAST(t.top1 AS DOUBLE) / CAST(t.total_rows AS DOUBLE), 6)
+             AS top1_share
+    FROM bucketed b CROSS JOIN tot t
+    """,
+)
+def pipeline_join_skew_report(spark, sf):
+    # Join-key skew diagnosis — the report you run BEFORE deciding
+    # whether a key needs salting (operators/skew.py) or AQE skew-join:
+    # per-key row counts folded into power-of-two buckets (bucket =
+    # bit-length of the count, so bucket b holds keys with 2^(b-1)..
+    # 2^b-1 rows), with each bucket's key count, row mass, share of
+    # total rows, and the single hottest key's share. No global sort and
+    # no corpus-sized state: corpus -> per-key counts (one hash agg,
+    # partial-aggregatable) -> ~64 bucket rows -> broadcast one-row
+    # total. The bit-length bucketing is integer arithmetic on both
+    # engines — no floor(log2(x)) float-boundary risk at exact powers.
+    e = t(spark, sf, "events")
+    per_key = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    bucketed = per_key.groupBy(
+        F.length(F.bin("cnt")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("top1"),
+    )
+    return bucketed.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("total_rows").cast("double"), 6
+        ).alias("pct_rows"),
+        F.round(
+            F.col("top1").cast("double") / F.col("total_rows").cast("double"), 6
+        ).alias("top1_share"),
+    )
+
+
+_POISSON_TARGET = 100  # expected sample size (docs)
+
+
+@register(
+    "sample_poisson_inclusion",
+    oracle=f"""
+    WITH tot AS (
+      SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+    ), probs AS (
+      SELECT d.doc_id, d.n_chars,
+             least(1.0, {_POISSON_TARGET}.0 * CAST(d.n_chars AS DOUBLE)
+                        / CAST(t.total_chars AS DOUBLE)) AS pi
+      FROM documents d CROSS JOIN tot t
+    )
+    SELECT doc_id, n_chars, round(pi, 6) AS pi,
+           CAST({_md5_mod_sql("CAST(doc_id AS VARCHAR)", 1_000_000)} AS DOUBLE)
+             / 1000000.0 < pi AS sampled,
+           round(1.0 / pi, 6) AS ht_weight
+    FROM probs
+    """,
+)
+def sample_poisson_inclusion(spark, sf):
+    # Poisson PPS sampling: each document enters independently with
+    # inclusion probability pi proportional to its size (capped at 1),
+    # calibrated so E[sample size] = the target — with the 1/pi
+    # Horvitz-Thompson weight that keeps downstream token statistics
+    # unbiased. The fixed-size cousins are Madow systematic PPS
+    # (sample_weighted_systematic, shared prefix-sum grid) — Poisson
+    # trades exact size for full independence and ZERO coordination:
+    # no sort, no prefix pass, just one broadcast total and a per-row
+    # deterministic md5 uniform, so it composes with any upstream
+    # operator and any partitioning at 100 TB. Every doc is returned
+    # with its flag so the oracle checks the whole inclusion vector,
+    # not one realization's survivors.
+    d = t(spark, sf, "documents")
+    tot = d.agg(F.sum("n_chars").cast("long").alias("total_chars"))
+    probs = d.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_chars",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(_POISSON_TARGET))
+            * F.col("n_chars").cast("double")
+            / F.col("total_chars").cast("double"),
+        ).alias("pi"),
+    )
+    u = (
+        F.expr(_md5_mod("cast(doc_id as string)", 1_000_000)).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    return probs.select(
+        "doc_id",
+        "n_chars",
+        F.round("pi", 6).alias("pi"),
+        (u < F.col("pi")).alias("sampled"),
+        F.round(F.lit(1.0) / F.col("pi"), 6).alias("ht_weight"),
+    )

@@ -815,3 +815,122 @@ def fuzzy_join_qgram_overlap(spark, sf):
         .filter(F.col("overlap") >= T)
         .select("id_a", "id_b", "overlap")
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _corr_sql(a: str, b: str) -> str:
+    """Pearson r of two lineitem columns from decimal-exact power sums
+    (same one-pass moment formulation as agg_variance_moments)."""
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return (
+        f"round(({n} * {dsum_expr(f'{a} * {b}')} "
+        f"       - {dsum_expr(a)} * {dsum_expr(b)})"
+        f" / sqrt(({n} * {dsum_expr(f'{a} * {a}')} - {dsum_expr(a)} * {dsum_expr(a)})"
+        f"      * ({n} * {dsum_expr(f'{b} * {b}')} - {dsum_expr(b)} * {dsum_expr(b)})),"
+        f" 6)"
+    )
+
+
+@register(
+    "agg_corr_pairs",
+    oracle=f"""
+    {' UNION ALL '.join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, {_corr_sql(a, b)} AS corr FROM lineitem"
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    )}
+    """,
+)
+def agg_corr_pairs(spark, sf):
+    # Pairwise Pearson correlation matrix (upper triangle) over the
+    # lineitem measures — the feature-analysis pass a training pipeline
+    # runs before picking de-correlated features or sampling weights.
+    # NOT Spark's corr(): that computes per-partition co-moments in
+    # float (order-dependent low bits vs a sequential engine); instead
+    # the one-pass power sums route through DECIMAL(38,6) (exact,
+    # associative — partial aggregation stays enabled) and only the
+    # final r is derived in double and rounded. ONE scan computes all
+    # nine sums (grand agg, map-side partial); the 3-row matrix
+    # materializes driver-free via an in-plan stack of the one agg row.
+    li = t(spark, sf, "lineitem")
+
+    def s(e):
+        return dsum(e)
+
+    c = {a: F.col(a) for a in _CORR_COLS}
+    agg = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[s(c[a]).alias(f"s_{a}") for a in _CORR_COLS],
+        *[
+            s(c[a] * c[b]).alias(f"s_{a}_{b}")
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i:]
+        ],
+    )
+
+    def r_expr(a, b):
+        n = F.col("n")
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+        sab = F.col(f"s_{a}_{b}")
+        saa, sbb = F.col(f"s_{a}_{a}"), F.col(f"s_{b}_{b}")
+        return F.round(
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            6,
+        )
+
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    stack_args = ", ".join(f"'{a}', '{b}', r_{a}_{b}" for a, b in pairs)
+    withr = agg.select(
+        *[r_expr(a, b).alias(f"r_{a}_{b}") for a, b in pairs]
+    )
+    return withr.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) as (col_x, col_y, corr)")
+    )
+
+
+@register(
+    "hierarchy_rollup_ancestors",
+    oracle="""
+    WITH chain AS (
+      SELECT p_retailprice,
+             unnest([p_partkey // 1, p_partkey // 10, p_partkey // 100,
+                     p_partkey // 1000, p_partkey // 10000,
+                     p_partkey // 100000, p_partkey // 1000000]) AS node
+      FROM part
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM chain WHERE node > 0 GROUP BY node
+    """,
+)
+def hierarchy_rollup_ancestors(spark, sf):
+    # Hierarchy (BOM-style) subtree rollup WITHOUT a recursive CTE or an
+    # iterative join: the part keyspace forms a decimal-trie hierarchy
+    # (parent(k) = k div 10), so every node's full ancestor chain is
+    # computable IN-ROW as the prefix divisions k div 10^i — explode
+    # the (depth<=7)-element chain, one hash agg, and each node holds
+    # its descendant count and price mass. The general lesson for
+    # 100 TB: when the parent function is arithmetic (tries, geo-cells,
+    # time-grain ladders, org codes), the O(depth * n) explode beats
+    # any fixpoint join — no iteration, no driver loop, partial-agg
+    # friendly. Cf. operators/graph.py pointer-jumping for hierarchies
+    # that are DATA (arbitrary parent pointers), where iteration is
+    # unavoidable.
+    p = t(spark, sf, "part")
+    chain = F.array(
+        *[F.expr(f"CAST(p_partkey DIV {10 ** i} AS BIGINT)") for i in range(7)]
+    )
+    return (
+        p.select("p_retailprice", F.explode(chain).alias("node"))
+        .filter(F.col("node") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_desc"),
+            dsum("p_retailprice").alias("total_price"),
+        )
+    )

@@ -549,3 +549,98 @@ def retrieval_eval_ndcg(spark, sf):
             "n_relevant",
         )
     )
+
+
+_QL_MU = 300.0  # Dirichlet prior mass (Zhai & Lafferty 2001 ballpark)
+
+
+@register(
+    "retrieval_query_likelihood",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base
+    ), coll AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) AS total_toks FROM dl
+    ), toks AS (
+      SELECT b.doc_id, u.term FROM base b, unnest(b.tk) AS u(term)
+      WHERE u.term IN {str(tuple(_BM25_TERMS))}
+    ), cf AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf FROM toks GROUP BY term
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), grid AS (
+      SELECT d.doc_id, d.dl, c.term, c.cf, coalesce(t.tf, 0.0) AS tf
+      FROM dl d CROSS JOIN cf c
+      LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = c.term
+    ), parts AS (
+      SELECT g.doc_id, g.term,
+             ln((g.tf + {_QL_MU} * g.cf / s.total_toks) / (g.dl + {_QL_MU}))
+               AS part
+      FROM grid g CROSS JOIN coll s
+    ), scored AS (
+      SELECT doc_id,
+             round(  coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[0]}' THEN part END), 0)
+                   + coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[1]}' THEN part END), 0)
+                   + coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[2]}' THEN part END), 0), 6)
+               AS score
+      FROM parts GROUP BY doc_id
+    )
+    SELECT doc_id, score, rk FROM (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+)
+def retrieval_query_likelihood(spark, sf):
+    # Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001)
+    # — the language-model leg of lexical retrieval, next to BM25's
+    # probabilistic-relevance leg: score(d) = sum over query terms of
+    # ln((tf + mu*p(t|C)) / (|d| + mu)). Unlike BM25, ABSENT terms
+    # still contribute (the smoothed collection probability), so the
+    # score grid is docs x query-terms — built by cross-joining the
+    # corpus-sized dl table with the 3-row broadcast cf table (bounded
+    # side, lint rule 3) and LEFT-joining tf, never by densifying the
+    # vocabulary. Collection stats are one-row broadcasts; the final
+    # top-10 is TakeOrderedAndProject. Per-doc summation runs in fixed
+    # term order (bm25's determinism pattern) so double addition
+    # hash-matches the sequential oracle.
+    d = t(spark, sf, "documents").select("doc_id", TX.tokens("text").alias("tk"))
+    dl = d.select("doc_id", F.size("tk").cast("double").alias("dl"))
+    coll = dl.agg(F.sum("dl").alias("total_toks"))
+    toks = d.select("doc_id", F.explode("tk").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    grid = (
+        dl.crossJoin(F.broadcast(cf))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id", "dl", "term", "cf", F.coalesce("tf", F.lit(0.0)).alias("tf")
+        )
+    )
+    parts = grid.crossJoin(F.broadcast(coll)).select(
+        "doc_id",
+        "term",
+        F.log(
+            (F.col("tf") + F.lit(_QL_MU) * F.col("cf") / F.col("total_toks"))
+            / (F.col("dl") + F.lit(_QL_MU))
+        ).alias("part"),
+    )
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == term, F.col("part"))), F.lit(0.0)
+        )
+        for term in _BM25_TERMS
+    ]
+    total = per_term[0]
+    for p in per_term[1:]:
+        total = total + p
+    scored = parts.groupBy("doc_id").agg(F.round(total, 6).alias("score"))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    return bounded_rank(top, [("score", False), ("doc_id", True)], "rk")

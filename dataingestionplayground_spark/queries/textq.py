@@ -1251,3 +1251,64 @@ def text_interpolated_perplexity(spark, sf):
     return scored.select(
         "doc_id", "n_bigrams", "ppl", (F.col("ppl") <= 25.0).alias("keep")
     )
+
+
+@register(
+    "text_flesch_readability",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                 4) AS flesch
+    FROM counts WHERE n_words > 0
+    """,
+)
+def text_flesch_readability(spark, sf):
+    # Flesch reading-ease per document — the classic readability prior
+    # a curation pipeline mixes into quality scoring (very low scores
+    # flag legalese/boilerplate, implausibly high ones flag word-salad).
+    # Syllables use the standard large-corpus approximation (count of
+    # vowel-group runs, y vocalic) — exact hyphenation is dictionary
+    # work; the approximation is the published way to run Flesch at
+    # corpus scale and is pinned as the contract here. All three counts
+    # are per-row JVM regexps (no shuffle at all until the driver
+    # collects); sentence count floors at 1 so fragment-only docs stay
+    # defined. Integer counts -> one final double expression, rounded.
+    d = t(spark, sf, "documents")
+    counts = d.select(
+        "doc_id",
+        F.size(TX.tokens("text")).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    return counts.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(flesch, 4).alias("flesch"),
+    )

@@ -207,3 +207,95 @@ def test_skewed_window_lint_catches_fixed_key(spark):
         )
 
     assert _skewed_window_keys(spark, naive)
+
+
+# ---------------------------------------------------------------- rule 3
+# r10: "never all-pairs" as a regression guard. A condition-free Join
+# (cross product) is a scale-killer unless one side is BOUNDED — and
+# boundedness is MEASURED, not assumed (the rule-2 philosophy): each
+# cross-join side is counted at two scale points, and a side whose row
+# count stays flat across the 10x data growth (a grand-total aggregate,
+# a literal frame, a fixed dim, a top-k) is bounded, while a side that
+# grows with the corpus is not. Two unbounded sides = O(n*m) at any
+# scale = fail. The scale points are sf0.01 -> sf0.1 (NOT the
+# sf0.001 -> sf0.01 pair rules 1-2 use): documents/embeddings are
+# row-identical at the two smallest SFs (TESTDATA.md), so only the
+# sf0.1 step exposes their growth.
+
+SF_DIR_XL = "/root/testdata/sf0.1"
+# rule-local growth bound: at the sf0.01 -> sf0.1 step the slowest-
+# growing corpus table (embeddings) grows exactly 4x, so rules 1-2's
+# 4.0 would pass it; bounded sides stay ~1x, making 3.0 a clean cut.
+CROSS_GROWTH_BOUND = 3.0
+
+
+def _cross_join_sides(df):
+    """JVM logical sub-plans (left, right) of every condition-free or
+    CROSS-typed Join in the optimized plan, in traversal order."""
+    out = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        p = stack.pop()
+        cls = p.getClass().getName()
+        if cls == "org.apache.spark.sql.catalyst.plans.logical.Join":
+            no_cond = p.condition().isEmpty()
+            jt = p.joinType().toString().lower()
+            if no_cond or "cross" in jt:
+                out.append((p.children().head(), p.children().last()))
+        it = p.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return out
+
+
+def _plan_count(spark, jvm_plan) -> int:
+    D = spark._jvm.org.apache.spark.sql.classic.Dataset
+    return D.ofRows(spark._jsparkSession, jvm_plan).count()
+
+
+def _unbounded_cross_joins(spark, fn) -> list[str]:
+    small = _cross_join_sides(fn(spark, SF_DIR_BIG))
+    big = _cross_join_sides(fn(spark, SF_DIR_XL))
+    if len(small) != len(big):  # plan shape changed across SFs: flag for a look
+        return [f"cross-join count differs across SFs ({len(small)} vs {len(big)})"]
+    bad = []
+    for (ls, rs), (lb, rb) in zip(small, big):
+        def bounded(s_plan, b_plan):
+            cb = _plan_count(spark, b_plan)
+            if cb <= ABS_FLOOR:
+                return True
+            cs = max(_plan_count(spark, s_plan), 1)
+            return cb / cs <= CROSS_GROWTH_BOUND
+        if not (bounded(ls, lb) or bounded(rs, rb)):
+            bad.append("cross join with both sides growing with the corpus")
+    return bad
+
+
+@pytest.mark.parametrize("name,fn", _registry(), ids=[n for n, _ in _registry()])
+def test_no_unbounded_cross_joins(spark, name, fn):
+    bad = _unbounded_cross_joins(spark, fn)
+    assert not bad, (
+        f"{name}: {bad} — a cross product of two corpus-sized relations is "
+        "O(n*m) at any scale. Broadcast a bounded side (grand-total "
+        "aggregate, GlobalLimit, literal frame) or re-key the join."
+    )
+
+
+def test_cross_join_lint_catches_unbounded_product(spark):
+    # the rule must fire on a genuine all-pairs plan over corpus tables
+    def naive(spark_, sf_dir):
+        d = spark_.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        e = spark_.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+        return d.crossJoin(e)
+
+    assert _unbounded_cross_joins(spark, naive)
+
+    # ...and stay quiet when one side is a grand total or a top-k limit
+    def fine(spark_, sf_dir):
+        d = spark_.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        tot = spark_.read.parquet(f"{sf_dir}/embeddings.parquet").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return d.crossJoin(tot)
+
+    assert not _unbounded_cross_joins(spark, fine)
