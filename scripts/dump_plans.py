@@ -71,6 +71,12 @@ SHOW = [
     ("retrieval_eval_ndcg", "nDCG eval: BM25's own shuffles + one in-row relevance agg; DCG/IDCG on k-bounded frames (r10)"),
     ("events_bot_regularity", "bot regularity: one per-user sort-shuffle for gaps, one decimal-sufficient-stats hash agg, |users|-sized cv math (r10)"),
     ("dedup_eval_lsh_pr", "LSH candidate P/R: band equi-join candidates vs shingle equi-join truth — two hash joins, never all-pairs (r10)"),
+    ("dedup_lsh_incremental", "incremental LSH: batch-side bands vs corpus-side bands equi-join, packed-set Jaccard verify on candidates only (r10)"),
+    ("retrieval_query_likelihood", "Dirichlet QL: docs x 3-term broadcast grid, left-joined tf, one-row collection stats broadcast, TakeOrdered top-10 (r10)"),
+    ("hierarchy_rollup_ancestors", "hierarchy rollup: in-row ancestor-chain explode (depth<=7) + ONE hash agg — no recursion, no iteration (r10)"),
+    ("events_xcorr_lead_lag", "lead-lag xcorr: corpus collapses to an hours-sized series in one agg; spine + 7-lag literal frame joins are time-bounded (r10)"),
+    ("pipeline_join_skew_report", "skew report: per-key hash agg, ~64-bucket bit-length agg, one-row total broadcast — no global sort (r10)"),
+    ("agg_corr_pairs", "corr matrix: ONE scan computing nine decimal power sums map-side partial; 3-row stack of the single agg row (r10)"),
 ]
 
 INTERESTING = re.compile(
