@@ -1993,3 +1993,140 @@ def events_xcorr_lead_lag(spark, sf):
         (n * sxx - sx_ * sx_) * (n * syy - sy_ * sy_)
     )
     return sums.select("lag_hours", "n_pairs", F.round(r, 6).alias("r"))
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(floor((epoch(MAX(ts)) - epoch(MIN(ts))) / 86400.0)
+               AS BIGINT) AS dur,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ), obs AS (
+      SELECT MAX(ts) AS horizon FROM events
+    ), labeled AS (
+      SELECT u.dur,
+             CASE WHEN epoch(o.horizon) - epoch(u.last_ts) > 604800.0
+                  THEN 1 ELSE 0 END AS churned
+      FROM per_user u CROSS JOIN obs o
+    ), steps AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_ending,
+             CAST(SUM(churned) AS BIGINT) AS d
+      FROM labeled GROUP BY dur
+    ), folded AS (
+      SELECT s1.dur,
+             CAST(SUM(CASE WHEN s2.dur >= s1.dur THEN s2.n_ending END)
+               AS BIGINT) AS n_at_risk,
+             CAST(MAX(CASE WHEN s2.dur = s1.dur THEN s2.d END)
+               AS BIGINT) AS n_churned,
+             CAST(SUM(CASE WHEN s2.dur <= s1.dur AND s2.d > 0
+                        AND s2.d < (SELECT SUM(s3.n_ending) FROM steps s3
+                                    WHERE s3.dur >= s2.dur)
+                       THEN CAST(round(ln(1.0 - CAST(s2.d AS DOUBLE)
+                             / CAST((SELECT SUM(s3.n_ending) FROM steps s3
+                                     WHERE s3.dur >= s2.dur) AS DOUBLE)), 6)
+                            AS DECIMAL(38,6)) END) AS DOUBLE) AS cum_ln,
+             CAST(MAX(CASE WHEN s2.dur <= s1.dur AND s2.d > 0
+                        AND s2.d = (SELECT SUM(s3.n_ending) FROM steps s3
+                                    WHERE s3.dur >= s2.dur)
+                       THEN 1 ELSE 0 END) AS INTEGER) AS died_out
+      FROM steps s1 JOIN steps s2 ON TRUE
+      GROUP BY s1.dur
+    )
+    SELECT dur AS duration_days, n_at_risk, n_churned,
+           CASE WHEN died_out = 1 THEN 0.0
+                ELSE round(exp(coalesce(cum_ln, 0.0)), 6) END AS survival
+    FROM folded
+    """,
+)
+def events_survival_km(spark, sf):
+    # Kaplan-Meier survival curve over user lifetimes WITH censoring —
+    # the retention analysis that events_cohort_retention approximates
+    # without: duration = days between a user's first and last event;
+    # a user still active in the final week of the observation window
+    # is CENSORED (they leave the at-risk pool at their duration but
+    # never count as a death — dropping them, or counting them as
+    # churned, both bias S(t) low). S(t) = prod over death-steps u<=t
+    # of (1 - d_u/n_u). Shape: the corpus collapses to per-user rows
+    # (one keyed agg), then to a DURATIONS-sized step table (bounded
+    # by the observation window in days, NOT by the corpus) — the
+    # suffix at-risk counts and the cumulative log-product fold over a
+    # conditioned steps x steps self-join (days^2, time-bounded), not
+    # an unpartitioned window. Determinism: each ln step is rounded to
+    # 6dp and summed as DECIMAL(38,6) (exact, associative — the
+    # engines may visit steps in any order), exp'd once at the end; a
+    # step where everyone at risk dies sends S to exactly 0 instead of
+    # ln(0).
+    e = t(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.floor(
+            (F.max(PF.epoch_seconds("ts")) - F.min(PF.epoch_seconds("ts")))
+            / 86400.0
+        )
+        .cast("long")
+        .alias("dur"),
+        F.max(PF.epoch_seconds("ts")).alias("last_s"),
+    )
+    obs = e.agg(F.max(PF.epoch_seconds("ts")).alias("horizon_s"))
+    labeled = per_user.crossJoin(F.broadcast(obs)).select(
+        "dur",
+        F.when(F.col("horizon_s") - F.col("last_s") > 604800.0, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    steps = labeled.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ending"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    # suffix at-risk per step, via a second conditioned self-join
+    # (computed once here, reused in the fold below as a plain column)
+    risk = (
+        steps.alias("a")
+        .join(steps.alias("b"), F.col("b.dur") >= F.col("a.dur"))
+        .groupBy(F.col("a.dur").alias("dur"))
+        .agg(F.sum("b.n_ending").cast("long").alias("n_at_risk"))
+    )
+    sr = steps.join(risk, "dur").select(
+        "dur",
+        "n_ending",
+        "d",
+        "n_at_risk",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+                ),
+                6,
+            ),
+        ).alias("ln_step"),
+        ((F.col("d") > 0) & (F.col("d") == F.col("n_at_risk")))
+        .cast("int")
+        .alias("full_death"),
+    )
+    folded = (
+        sr.alias("s1")
+        .join(sr.alias("s2"), F.col("s2.dur") <= F.col("s1.dur"))
+        .groupBy(F.col("s1.dur").alias("duration_days"))
+        .agg(
+            F.max(F.col("s1.n_at_risk")).alias("n_at_risk"),
+            F.max(F.when(F.col("s2.dur") == F.col("s1.dur"), F.col("s2.d")))
+            .cast("long")
+            .alias("n_churned"),
+            F.sum(F.col("s2.ln_step").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("cum_ln"),
+            F.max("s2.full_death").cast("int").alias("died_out"),
+        )
+    )
+    return folded.select(
+        "duration_days",
+        "n_at_risk",
+        "n_churned",
+        F.when(F.col("died_out") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.coalesce(F.col("cum_ln"), F.lit(0.0))), 6))
+        .alias("survival"),
+    )
