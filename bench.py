@@ -114,6 +114,10 @@ BIG_HEADLINE = [
     "sample_reservoir_weighted",
     "events_bot_regularity",
     "text_interpolated_perplexity",
+    # r10 continuation: the batch-vs-corpus LSH screen (the corpus side
+    # is the scale risk) and the docs-x-terms Dirichlet QL grid
+    "dedup_lsh_incremental",
+    "retrieval_query_likelihood",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -136,6 +140,9 @@ BIG2_HEADLINE = [
     "sample_reservoir_weighted",
     "events_bot_regularity",
     "text_interpolated_perplexity",
+    # r10 continuation
+    "dedup_lsh_incremental",
+    "retrieval_query_likelihood",
 ]
 
 

@@ -359,3 +359,72 @@ def events_asof_forward_tolerance(spark, sf):
         F.when(within, gap).alias("gap_us"),
         F.coalesce(within, F.lit(False)).alias("converted"),
     )
+
+
+@register(
+    "events_period_over_period",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             {dsum_expr('value')} AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.week, c.n_events, round(c.total_value, 6)
+             AS total_value,
+           p.n_events AS prev_n_events,
+           round((CAST(c.n_events AS DOUBLE) - CAST(p.n_events AS DOUBLE))
+                 / CAST(p.n_events AS DOUBLE), 6) AS wow_growth
+    FROM weekly c LEFT JOIN weekly p
+      ON p.event_type = c.event_type AND p.week = c.week - 1
+    """,
+)
+def events_period_over_period(spark, sf):
+    # Week-over-week KPI growth per event type — the period-comparison
+    # report every warehouse runs, built WITHOUT a lag() window: the
+    # corpus collapses to a (types x weeks)-sized weekly rollup in one
+    # hash agg (time-bounded, never corpus-sized), and "previous
+    # period" is a self equi-join on week-1 — broadcastable, no
+    # fixed-cardinality window partition for rows to pile into
+    # (plan-lint rule 2 is why: PARTITION BY event_type ORDER BY week
+    # puts all of a type's history on one reducer; the rollup-then-join
+    # form never does). Weeks are epoch-aligned (floor(epoch/604800)) —
+    # timezone- and calendar-proof on both engines.
+    e = t(spark, sf, "events")
+    weekly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    cur = weekly.alias("c")
+    prev = weekly.select(
+        F.col("event_type").alias("p_type"),
+        F.col("week").alias("p_week"),
+        F.col("n_events").alias("prev_n_events"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("p_type") == F.col("event_type"))
+            & (F.col("p_week") == F.col("week") - 1),
+            "left",
+        )
+        .select(
+            "event_type",
+            "week",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+            "prev_n_events",
+            F.round(
+                (
+                    F.col("n_events").cast("double")
+                    - F.col("prev_n_events").cast("double")
+                )
+                / F.col("prev_n_events").cast("double"),
+                6,
+            ).alias("wow_growth"),
+        )
+    )

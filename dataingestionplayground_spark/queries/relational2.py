@@ -934,3 +934,68 @@ def hierarchy_rollup_ancestors(spark, sf):
             dsum("p_retailprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH pq AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_returnflag, SUM(w) AS tw FROM pq GROUP BY 1
+    ), folded AS (
+      SELECT a.l_returnflag, a.qty, SUM(b.w) AS cum
+      FROM pq a JOIN pq b
+        ON b.l_returnflag = a.l_returnflag AND b.qty <= a.qty
+      GROUP BY a.l_returnflag, a.qty
+    )
+    SELECT f.l_returnflag,
+           CAST(MIN(f.qty) AS BIGINT) AS w_median_qty,
+           round(CAST(MAX(t.tw) AS DOUBLE), 6) AS total_weight
+    FROM folded f JOIN tot t ON t.l_returnflag = f.l_returnflag
+    WHERE 2 * f.cum >= t.tw
+    GROUP BY f.l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf):
+    # Weighted median (price-mass-weighted quantity) per return flag —
+    # the order statistic where HALF THE REVENUE sits at or below the
+    # answer, not half the rows. No unpartitioned window and no
+    # per-group sort of corpus rows: the corpus collapses first to a
+    # (flag x distinct-quantity) weight table (50 distinct quantities —
+    # bounded by the MEASURE's domain, not the corpus), the cumulative
+    # fold is a conditioned self-join on that bounded table, and the
+    # median is the smallest value whose doubled cumulative weight
+    # clears the group total. Weights stay DECIMAL(38,6) end-to-end —
+    # the 2*cum >= total comparison is exact on both engines, no float
+    # boundary at the median cut.
+    li = t(spark, sf, "lineitem")
+    pq = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("w"))
+    tot = pq.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    folded = (
+        pq.alias("a")
+        .join(
+            pq.select(
+                F.col("l_returnflag").alias("b_flag"),
+                F.col("qty").alias("b_qty"),
+                F.col("w").alias("b_w"),
+            ),
+            (F.col("b_flag") == F.col("l_returnflag"))
+            & (F.col("b_qty") <= F.col("qty")),
+        )
+        .groupBy("l_returnflag", "qty")
+        .agg(F.sum("b_w").alias("cum"))
+    )
+    return (
+        folded.join(tot, "l_returnflag")
+        .filter(F.lit(2) * F.col("cum") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("qty").cast("long").alias("w_median_qty"),
+            F.round(F.max("tw").cast("double"), 6).alias("total_weight"),
+        )
+    )
