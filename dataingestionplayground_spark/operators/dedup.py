@@ -326,6 +326,35 @@ def line_dedup(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) LSH band rows for every document — the
+    self-contained signature a maintained near-dup table stores: two
+    corpora banded with the same parameters are screenable against
+    each other by a plain equi-join on (band, band_key), no access to
+    the original text required."""
+    if num_hashes > 8:
+        raise ValueError("lane scheme provides 8 hashes; extend _lane_expr for more")
+    n_bands = num_hashes // rows_per_band
+    band_rows = []
+    for b in range(n_bands):
+        lanes = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
+        band_rows.append(f"{b}, concat_ws('|', {', '.join(lanes)})")
+    sig_wide = _shingle_rows(df, id_col, text_col, shingle_n).groupBy(id_col).agg(
+        *[F.expr(f"min({_lane_expr(i)})").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    return sig_wide.select(
+        id_col,
+        F.expr(f"stack({n_bands}, {', '.join(band_rows)}) as (band, band_key)"),
+    )
+
+
 def minhash_lsh_pairs_between(
     new_df: DataFrame,
     old_df: DataFrame,
@@ -345,24 +374,15 @@ def minhash_lsh_pairs_between(
     usually broadcastable; the corpus side shuffles once on the band
     key (at warehouse scale its signatures live as a maintained table,
     the inverted-index pattern, so only the batch side is computed
-    per run). Identical band keys mean near-identical docs, so the
-    equi-join stays skew-safe under AQE like the self-join form.
+    per run — :func:`minhash_bands` +
+    ``streaming.ingest.stream_lsh_screen``). Identical band keys mean
+    near-identical docs, so the equi-join stays skew-safe under AQE
+    like the self-join form.
     """
-    if num_hashes > 8:
-        raise ValueError("lane scheme provides 8 hashes; extend _lane_expr for more")
-    n_bands = num_hashes // rows_per_band
-    band_rows = []
-    for b in range(n_bands):
-        lanes = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
-        band_rows.append(f"{b}, concat_ws('|', {', '.join(lanes)})")
 
     def bands_of(df):
-        sig_wide = _shingle_rows(df, id_col, text_col, shingle_n).groupBy(id_col).agg(
-            *[F.expr(f"min({_lane_expr(i)})").alias(f"mh{i}") for i in range(num_hashes)]
-        )
-        return sig_wide.select(
-            id_col,
-            F.expr(f"stack({n_bands}, {', '.join(band_rows)}) as (band, band_key)"),
+        return minhash_bands(
+            df, id_col, text_col, num_hashes, rows_per_band, shingle_n
         )
 
     nb = bands_of(new_df).alias("n")

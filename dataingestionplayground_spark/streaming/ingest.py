@@ -385,3 +385,114 @@ def stream_ingest_with_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_lsh_screen(
+    spark: SparkSession,
+    watch_dir: str,
+    bands_path: str,
+    log_path: str,
+    checkpoint_dir: str,
+):
+    """Continuously screen arriving documents for near-duplicates
+    against a MAINTAINED corpus bands table — the streaming form of
+    :func:`~dataingestionplayground_spark.operators.dedup.minhash_lsh_pairs_between`,
+    where the corpus side is never re-banded: each micro-batch of
+    (doc_id, text) JSON-lines (1) bands the batch (O(batch) work), (2)
+    equi-joins those bands against the bands table to log candidate
+    pairs, and (3) folds the batch's bands INTO the table so later
+    batches screen against it. Returns the StreamingQuery.
+
+    Exactly-once, leg by leg (the repo's maintained-artifact ledger):
+
+    - the bands-table append is a keyed ANTI-JOIN on doc_id — a
+      replayed batch's documents are already present and add zero
+      rows (same retry-safety class as the collection write, no epoch
+      bookkeeping);
+    - the candidate log is partitioned by epoch_id and written with
+      dynamic partition overwrite — a replayed epoch rewrites its own
+      partition with identical content instead of appending a second
+      copy (the stream_psi_monitor discipline).
+
+    Because screening runs BEFORE the batch's own bands land in the
+    table, a batch never pairs with itself; intra-batch duplicates are
+    the batch-local self-join's job (cheap — the batch is bounded) and
+    out of this artifact's contract. Candidates are banded COLLISIONS
+    (>= 1 identical band = near-identical under 2-row bands); exact
+    Jaccard verification joins candidates back to the corpus store,
+    exactly as the batch query does.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.operators.dedup import minhash_bands
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    raw = spark.readStream.schema(schema).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        # sever lineage before the table we read from is overwritten
+        bands = minhash_bands(batch_df, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        have_table = os.path.isdir(bands_path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(bands_path)
+        )
+        if have_table:
+            existing = sess.read.parquet(bands_path)
+            # screen against the table MINUS this batch's own ids: on a
+            # replay whose append already committed, the batch's docs
+            # are in the table — without this anti-join they would pair
+            # against their own committed copies and the replayed
+            # epoch's log would differ from the original. With it, the
+            # log is a pure function of (batch, table-before-batch),
+            # so replay converges bit-identically in every crash window.
+            before = existing.join(
+                F.broadcast(bands.select("doc_id").distinct()),
+                "doc_id",
+                "left_anti",
+            )
+            pairs = (
+                bands.alias("n")
+                .join(
+                    before.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.band_key") == F.col("o.band_key")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_id"),
+                    F.col("o.doc_id").alias("old_id"),
+                )
+                .distinct()
+            )
+            fresh = bands.join(
+                existing.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        else:
+            pairs = sess.createDataFrame([], "new_id long, old_id long")
+            fresh = bands
+        out = pairs.withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("epoch_id").parquet(log_path)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        fresh.localCheckpoint(eager=True).write.mode("append").parquet(bands_path)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -883,3 +883,91 @@ def test_stream_ingest_with_index_keeps_codes_fresh_and_replay_safe(spark, tmp_p
     )
     hits = pq_search_indexed(spark, store, "live", qv, k=3).collect()
     assert len(hits) > 0
+
+
+def _lsh_drop(watch, name, docs):
+    import json as _json
+
+    with open(watch / name, "w") as f:
+        for doc_id, text in docs:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+_LSH_A = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm stove and the rain falls softly on the old tin roof "
+    "of the quiet house by the river bend where children play"
+)
+_LSH_B = (
+    "completely different text about spark shuffles and broadcast "
+    "joins in distributed query engines running columnar scans over "
+    "parquet files stored across many partitioned directories today"
+)
+_LSH_C = (
+    "unrelated gibberish zeta omega kappa lambda iota theta epsilon "
+    "delta gamma beta alpha sigma tau upsilon phi chi psi words never "
+    "seen anywhere else in this tiny corpus of test documents"
+)
+
+
+def test_stream_lsh_screen_cross_batch_and_replay(spark, tmp_path):
+    """The maintained-bands near-dup screen: a later batch's copy of an
+    earlier document is flagged against the TABLE (the earlier batch is
+    never re-banded); a checkpoint-wiped replay converges to the
+    identical log and an identical bands table (keyed anti-join + the
+    screen-against-table-minus-batch rule)."""
+    import shutil
+
+    from dataingestionplayground_spark.streaming.ingest import stream_lsh_screen
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    bands = str(tmp_path / "bands")
+    log = str(tmp_path / "pairs_log")
+    ckpt = str(tmp_path / "ckpt")
+
+    def read_pairs():
+        import glob
+
+        if not glob.glob(f"{log}/epoch_id=*/*.parquet"):
+            return spark.createDataFrame(
+                [], "new_id long, old_id long, epoch_id long"
+            )
+        return spark.read.parquet(log)
+
+    _lsh_drop(watch, "b0.json", [(1, _LSH_A), (2, _LSH_B)])
+    stream_lsh_screen(spark, str(watch), bands, log, ckpt).awaitTermination(60)
+    # nothing to screen against: a zero-pair epoch writes no partition
+    assert read_pairs().count() == 0
+    assert (
+        spark.read.parquet(bands).select("doc_id").distinct().count() == 2
+    )
+
+    _lsh_drop(watch, "b1.json", [(100, _LSH_A), (101, _LSH_C)])
+    stream_lsh_screen(spark, str(watch), bands, log, ckpt).awaitTermination(60)
+    pairs = {
+        (r["new_id"], r["old_id"]) for r in read_pairs().collect()
+    }
+    assert (100, 1) in pairs
+    assert all(n != 101 for n, _ in pairs)
+    assert (
+        spark.read.parquet(bands).select("doc_id").distinct().count() == 4
+    )
+    first_log = sorted(
+        map(tuple, read_pairs().drop("epoch_id").collect())
+    )
+    first_bands = sorted(map(tuple, spark.read.parquet(bands).collect()))
+
+    # replay both files from a wiped checkpoint: every doc is already
+    # in the bands table (anti-join appends nothing) and each replayed
+    # epoch screens against the table minus its own batch, so the log
+    # partitions rewrite to the same pair set
+    shutil.rmtree(ckpt)
+    stream_lsh_screen(spark, str(watch), bands, log, ckpt).awaitTermination(60)
+    assert (
+        sorted(map(tuple, spark.read.parquet(bands).collect())) == first_bands
+    )
+    assert (
+        sorted(map(tuple, read_pairs().drop("epoch_id").collect()))
+        == first_log
+    )
