@@ -988,3 +988,111 @@ def hamming_sign_ann(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "hamming", "score", "rank")
     )
+
+
+def _l2_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    vec: str,
+    id_col: str,
+    dims: int,
+    keep: int,
+) -> DataFrame:
+    """Nearest-centroid L2 assignment carrying the RESIDUAL vector:
+    broadcast the tiny centroid table, exact-multiplication squared-L2
+    JVM-side ((x-y)*(x-y), never pow — identical IEEE on every engine),
+    keep the ``keep`` best cells per row with ties to the lowest
+    centroid id. Output columns: ``id_col, centroid_id, __res`` (the
+    double-valued x - centroid difference the residual quantizer
+    consumes)."""
+    dist = (
+        f"aggregate(sequence(1, {dims}), cast(0.0 as double), "
+        f"(acc, i) -> acc + (cast(element_at({vec}, i) as double) "
+        f"- cast(element_at(cent_vec, i) as double)) "
+        f"* (cast(element_at({vec}, i) as double) "
+        f"- cast(element_at(cent_vec, i) as double)))"
+    )
+    res = (
+        f"zip_with({vec}, cent_vec, "
+        f"(x, y) -> cast(x as double) - cast(y as double))"
+    )
+    scored = (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("__d", F.expr(dist))
+        .withColumn("__res", F.expr(res))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("__d"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= keep)
+        .select(id_col, "centroid_id", "__res")
+    )
+
+
+def ivf_pq_residual_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    pq_k: int = 8,
+    dims: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, the FAISS ``IVFx,PQy`` composition):
+    coarse-quantize the corpus into ``n_cells`` inverted lists, PQ-encode
+    each vector's RESIDUAL against its cell centroid, and answer queries
+    by probing the ``n_probe`` nearest cells with a per-(query, cell)
+    ADC lookup table built from the QUERY residual.
+
+    Why residuals: after subtracting the cell centroid the vectors the
+    codebook must cover live in a ball around zero instead of spread
+    across the whole space, so the same m x k codebook spends its
+    precision on local structure — the accuracy step that turns IVF +
+    PQ from two independent filters into the production index layout.
+
+    Scale shape: centroids and codebook are two tiny broadcast tables;
+    assignment and encoding are single corpus scans (per-row
+    expressions, zero corpus shuffles); a query touches only its probed
+    cells' code rows (int codes, not float payloads — the inverted-list
+    read pattern), and the only shuffle anywhere is the final bounded
+    per-query top-k. Deterministic end to end: seeds are lowest-id
+    rows, argmin ties break to the lowest centroid id, so the whole
+    index is SQL-replicable (the registry oracle re-derives it).
+    """
+    cents = _seed_centroids(corpus, corpus_id, corpus_vec, n_cells)
+    asg = _l2_assign(corpus, cents, corpus_vec, corpus_id, dims, keep=1)
+    residuals = asg.withColumnRenamed("__res", "res")
+    codebook = _pq_codebook(residuals, m, pq_k, dims, corpus_id, "res", "seed")
+    enc = pq_encode_with_codebook(
+        residuals, codebook, m, dims, corpus_id, "res",
+        extra_cols=("centroid_id",),
+    )
+    qasg = _l2_assign(queries, cents, query_vec, query_id, dims, keep=n_probe)
+    dsub = dims // m
+    diff = f"(element_at(__res, c.s * {dsub} + i) - element_at(c.v, i))"
+    lut_expr = (
+        f"transform(cents, c -> aggregate(sequence(1, {dsub}), "
+        f"cast(0.0 as double), (acc, i) -> acc + {diff} * {diff}))"
+    )
+    q_lut = (
+        qasg.crossJoin(F.broadcast(codebook))
+        .withColumn("lut", F.expr(lut_expr))
+        .select(query_id, "centroid_id", "lut")
+    )
+    score = " + ".join(
+        f"element_at(lut, {s * pq_k} + code_{s} + 1)" for s in range(m)
+    )
+    scored = enc.join(F.broadcast(q_lut), "centroid_id").withColumn(
+        "adc_dist", F.expr(score)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("adc_dist", 9).alias("adc_dist"), "rank")
+    )

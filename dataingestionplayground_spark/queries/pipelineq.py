@@ -1817,3 +1817,105 @@ def sample_poisson_inclusion(spark, sf):
         (u < F.col("pi")).alias("sampled"),
         F.round(F.lit(1.0) / F.col("pi"), 6).alias("ht_weight"),
     )
+
+
+@register(
+    "sample_coordinated_join",
+    oracle=f"""
+    WITH so AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE {md5_mod_sql("CAST(o_orderkey AS VARCHAR)", 16)} = 0
+    ), sl AS (
+      SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+      WHERE {md5_mod_sql("CAST(l_orderkey AS VARCHAR)", 16)} = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue_sample,
+           round({dsum_expr('l_extendedprice * (1 - l_discount)')} * 16.0, 6) AS revenue_ht
+    FROM so JOIN sl ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_coordinated_join(spark, sf):
+    # COORDINATED sampling (join synopses, Acharya et al. 1999): sample
+    # both fact tables by the SAME deterministic hash of the JOIN KEY, so
+    # the join of the samples IS a sample of the join — independent
+    # Bernoulli samples of two tables would keep only p^2 of the join's
+    # rows and bias every per-group estimate. Here orders and lineitem
+    # each keep the 1/16 of keys where md5(orderkey) % 16 = 0: every
+    # lineitem of a sampled order survives, the joined sample is an exact
+    # 1/16-of-keys cluster sample, and Horvitz-Thompson scale-up is a
+    # single multiply. At 100 TB this is how you run join-heavy
+    # exploration without touching the full fact tables; the hash
+    # predicate pushes to the parquet scan on both sides, and because the
+    # sample is a pure key predicate it composes with bucketing (a
+    # bucketed-by-orderkey layout joins the samples with no shuffle at
+    # all). md5 (not Spark hash()) keeps the sample reproducible in any
+    # engine.
+    o = t(spark, sf, "orders").filter(
+        F.expr(f"{md5_mod('cast(o_orderkey as string)', 16)} = 0")
+    ).select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf, "lineitem").filter(
+        F.expr(f"{md5_mod('cast(l_orderkey as string)', 16)} = 0")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        rev.alias("revenue_sample"),
+        F.round(rev * F.lit(16.0), 6).alias("revenue_ht"),
+    )
+
+
+@register(
+    "pipeline_outlier_winsorize",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           round({dsum_expr('least(greatest(l_extendedprice, lo), hi)')}
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS winsor_mean
+    FROM lineitem JOIN b USING (l_returnflag)
+    GROUP BY l_returnflag
+    """,
+)
+def pipeline_outlier_winsorize(spark, sf):
+    # Per-group winsorization (clip to [p05, p95]) — the robust-scaling
+    # prefilter for numeric feature columns: outliers are clamped to the
+    # group's quantile bounds rather than dropped, preserving row counts
+    # for downstream joins. Two passes: (1) a per-group quantile agg
+    # whose output is |groups|-sized (broadcast at any corpus scale),
+    # (2) one scan that clips against the broadcast bounds and
+    # re-aggregates — no row ever shuffles on a value, only the tiny
+    # bounds table moves. Exact percentile() keeps the oracle
+    # bit-identical (same linear interpolation as quantile_cont); at
+    # 100 TB swap stage (1) to approx_percentile/KLL (the sketch path,
+    # agg_kll_quantiles) — stage (2) is unchanged, which is the point of
+    # the broadcast-bounds shape.
+    li = t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0)
+        ).alias("n_clipped_lo"),
+        F.sum(
+            F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0)
+        ).alias("n_clipped_hi"),
+        F.round(dsum(clipped) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "winsor_mean"
+        ),
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions import text as TX
-from dataingestionplayground_spark.functions.portable import davg_expr
+from dataingestionplayground_spark.functions.portable import davg_expr, md5_mod, md5_mod_sql
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
 
@@ -1311,4 +1311,137 @@ def text_flesch_readability(spark, sf):
         "n_sentences",
         "n_syllables",
         F.round(flesch, 4).alias("flesch"),
+    )
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    SELECT doc_id, {md5_mod_sql('term', 64)} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, unnest({TX.tokens_sql('lower(text)')}) AS term FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def text_feature_hashing(spark, sf):
+    # The hashing trick (Weinberger et al. 2009): project an unbounded
+    # vocabulary onto a FIXED 64-dim count vector by hashing each token
+    # to a bucket — the no-vocabulary feature extractor for linear
+    # quality/language classifiers at corpus scale. There is no term
+    # dictionary to build, broadcast, or keep consistent across runs:
+    # the feature space is defined by the hash alone, so two corpora
+    # (or two dates of the same corpus) are featurized independently
+    # and remain comparable. One explode + one hash-agg (map-side
+    # partial) — the same shape as a token count, no join anywhere.
+    # md5-derived buckets (functions/portable.md5_mod) keep the vector
+    # reproducible across engines, unlike Spark's hash()/xxhash64().
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens("lower(text)")).alias("term")
+    )
+    return (
+        toks.withColumn("bucket", F.expr(md5_mod("term", 64)))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_kneser_ney_perplexity",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {TX.tokens_sql('lower(text)')} AS tk FROM documents
+      WHERE len({TX.tokens_sql('lower(text)')}) >= 2
+    ), idx AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM docs
+    ), bigr AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM idx
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bigr GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM bc GROUP BY w1
+    ), bwd AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bc GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bc
+    ), scored AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(exp(-CAST(SUM(CAST(round(ln(
+                 (CAST(k.c12 AS DOUBLE) - 0.75) / CAST(c.c1 AS DOUBLE)
+               + (0.75 * CAST(c.n1f AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+                 * (CAST(d2.n1b AS DOUBLE) / CAST(t.nb AS DOUBLE))
+               ), 6) AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+             6) AS ppl
+      FROM bigr b
+      JOIN ctx c ON b.w1 = c.w1
+      JOIN bc k ON b.w1 = k.w1 AND b.w2 = k.w2
+      JOIN bwd d2 ON b.w2 = d2.w2
+      CROSS JOIN tot t
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl FROM scored
+    """,
+)
+def text_kneser_ney_perplexity(spark, sf):
+    # Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995,
+    # absolute discount D = 0.75) — the LM-smoothing gold standard the
+    # Jelinek-Mercer query approximates: instead of backing off to raw
+    # unigram frequency, the lower-order model is the CONTINUATION
+    # probability n1+(.w2)/|bigram types| ("in how many contexts does
+    # w2 complete a bigram"), which stops high-frequency-but-
+    # context-bound words (the "San Francisco" effect: 'francisco' is
+    # frequent yet predicts almost nothing outside one context) from
+    # inflating backoff mass. p(w2|w1) = (c12 - D)/c1 +
+    # (D * n1+(w1.)/c1) * p_cont(w2). Every term comes from the SAME
+    # bigram-type table the JM query already builds — c1 and the two
+    # type counts are rollups of bc, so the plan is one bigram explode,
+    # one (w1,w2) hash-agg, two tiny rollup aggs, three
+    # vocabulary-sized (broadcastable) equi-joins. Scored bigrams all
+    # have c12 >= 1 > D, so the discounted term stays positive and the
+    # rounded-ln/decimal-sum determinism discipline applies unchanged.
+    d = t(spark, sf, "documents")
+    docs = d.select("doc_id", TX.tokens("lower(text)").alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    bigr = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    bwd = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    p_kn = (F.col("c12").cast("double") - F.lit(0.75)) / F.col("c1").cast(
+        "double"
+    ) + (
+        F.lit(0.75) * F.col("n1f").cast("double") / F.col("c1").cast("double")
+    ) * (
+        F.col("n1b").cast("double") / F.col("nb").cast("double")
+    )
+    return (
+        bigr.join(ctx, "w1")
+        .join(bc, ["w1", "w2"])
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    -F.sum(F.round(F.log(p_kn), 6).cast("decimal(38,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("ppl"),
+        )
     )

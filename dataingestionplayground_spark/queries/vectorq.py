@@ -15,6 +15,7 @@ from dataingestionplayground_spark.functions.vector import cosine_sql, l2_norm, 
 from dataingestionplayground_spark.operators.similarity import (
     hamming_sign_ann,
     ivf_ann,
+    ivf_pq_residual_search,
     knn_brute_force,
     lsh_bucket_ann,
     pq_adc_search,
@@ -947,4 +948,119 @@ def vector_coreset_kcenter(spark, sf):
         "vec_id",
         F.round("gap", 6).alias("gap"),
         F.round(F.lit(radius), 6).alias("coverage_radius"),
+    )
+
+
+_IVFPQ_C, _IVFPQ_PROBE, _IVFPQ_M, _IVFPQ_K, _IVFPQ_D = 4, 2, 4, 8, 64
+_IVFPQ_DSUB = _IVFPQ_D // _IVFPQ_M
+
+
+def _ivfpq_l2_duck(vec: str) -> str:
+    """Squared L2 of (vec - cv) as a left fold — (x-y)*(x-y), never pow."""
+    d = f"(CAST({vec}[i] AS DOUBLE) - c.cv[i])"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_IVFPQ_D}), i -> {d} * {d})), "
+        f"(acc, b) -> acc + b)"
+    )
+
+
+def _ivfpq_res_dists_duck(s: int) -> str:
+    """Per-subspace squared-L2 of a residual vs each codebook entry."""
+    d = f"(x.res[{s * _IVFPQ_DSUB} + i] - (c['v'])[i])"
+    return (
+        f"list_transform(list_filter(cents, c -> c['s'] = {s}), c -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_IVFPQ_DSUB}), i -> {d} * {d})), "
+        f"(acc, b) -> acc + b))"
+    )
+
+
+def _ivfpq_oracle() -> str:
+    subs = ", ".join(str(s) for s in range(_IVFPQ_M))
+    code_cols = ", ".join(
+        f"CAST(list_position({_ivfpq_res_dists_duck(s)}, "
+        f"list_min({_ivfpq_res_dists_duck(s)})) - 1 AS INTEGER) AS code_{s}"
+        for s in range(_IVFPQ_M)
+    )
+    lut_d = f"(qres[c['s'] * {_IVFPQ_DSUB} + i] - (c['v'])[i])"
+    lut = (
+        f"list_transform(cents, c -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_IVFPQ_DSUB}), i -> {lut_d} * {lut_d})), "
+        f"(acc, b) -> acc + b))"
+    )
+    adc = " + ".join(
+        f"lut[{s * _IVFPQ_K} + code_{s} + 1]" for s in range(_IVFPQ_M)
+    )
+    return f"""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_IVFPQ_C})
+    ), asg AS (
+      SELECT vec_id, centroid_id, res FROM (
+        SELECT e.vec_id, c.centroid_id,
+               list_transform(generate_series(1, {_IVFPQ_D}),
+                              i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS res,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_ivfpq_l2_duck('e.embedding')} ASC, c.centroid_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1
+    ), seeds AS (
+      SELECT res, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM asg ORDER BY vec_id LIMIT {_IVFPQ_K})
+    ), cb AS (
+      SELECT list(struct_pack(s := s, cid := cid, v := v) ORDER BY s, cid) AS cents
+      FROM (SELECT u.s AS s, cid,
+                   res[u.s*{_IVFPQ_DSUB}+1 : u.s*{_IVFPQ_DSUB}+{_IVFPQ_DSUB}] AS v
+            FROM seeds, (SELECT unnest([{subs}]) AS s) u)
+    ), coded AS (
+      SELECT x.vec_id, x.centroid_id, {code_cols}
+      FROM asg x CROSS JOIN cb
+    ), qasg AS (
+      SELECT query_id, centroid_id, qres FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               list_transform(generate_series(1, {_IVFPQ_D}),
+                              i -> CAST(q.embedding[i] AS DOUBLE) - c.cv[i]) AS qres,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_ivfpq_l2_duck('q.embedding')} ASC, c.centroid_id ASC) AS rk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c)
+      WHERE rk <= {_IVFPQ_PROBE}
+    ), qlut AS (
+      SELECT query_id, centroid_id, {lut} AS lut
+      FROM qasg CROSS JOIN cb
+    ), scored AS (
+      SELECT ql.query_id, cd.vec_id, ({adc}) AS adc
+      FROM coded cd JOIN qlut ql ON cd.centroid_id = ql.centroid_id
+    )
+    SELECT query_id, vec_id, round(adc, 9) AS adc_dist, "rank" FROM (
+      SELECT query_id, vec_id, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS "rank"
+      FROM scored) WHERE "rank" <= 10
+    """
+
+
+@register("vector_ivfpq_residual", oracle=_ivfpq_oracle())
+def vector_ivfpq_residual(spark, sf):
+    # IVFADC — inverted lists + residual product quantization (Jegou et
+    # al. 2011), the composition FAISS ships as IVFx,PQy and the layout
+    # a 100 TB vector corpus actually uses: the coarse quantizer prunes
+    # the scan to n_probe inverted lists, and the PQ codes the scan
+    # reads are RESIDUALS against each list's centroid, so the codebook
+    # models a zero-centered ball instead of the whole space. Centroids
+    # + codebook are two broadcast tables; encode is a per-row
+    # expression; the only shuffle is the bounded per-query top-k. The
+    # oracle re-derives the ENTIRE index (assignment, residuals,
+    # codebook, codes, probes, LUTs) in SQL — the hash match proves the
+    # index construction is deterministic, not just the search.
+    e = t(spark, sf, "embeddings")
+    return ivf_pq_residual_search(
+        e,
+        _queries_df(spark, sf),
+        k=10,
+        n_cells=_IVFPQ_C,
+        n_probe=_IVFPQ_PROBE,
+        m=_IVFPQ_M,
+        pq_k=_IVFPQ_K,
+        dims=_IVFPQ_D,
     )

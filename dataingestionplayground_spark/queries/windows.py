@@ -263,3 +263,43 @@ def window_median_sliding(spark, sf):
     return win.select(
         "user_id", "event_id", F.round(med, 6).alias("med10")
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS n_types_seen
+    FROM events
+    """,
+)
+def window_running_distinct(spark, sf):
+    # Running COUNT(DISTINCT) per user — the "how many distinct behaviors
+    # has this user shown so far" feature. Spark windows reject DISTINCT
+    # aggregates outright, and the naive emulation (collect_set over an
+    # unbounded frame, then size) carries O(frame) set state per row.
+    # Decompose instead: distinct-so-far == running SUM of a
+    # first-occurrence flag (row_number() == 1 over (user, type) by time).
+    # One explicit repartition on user_id satisfies BOTH window
+    # distributions — HashPartitioning([user]) clusters [user, type] too —
+    # so the plan is ONE exchange + two in-partition sorts, no second
+    # shuffle, and every frame is a plain running sum (O(1) state/row).
+    # Per-user partitioning keeps it skew-safe at 100 TB like the other
+    # event windows.
+    e = t(spark, sf, "events").select("event_id", "user_id", "ts", "event_type")
+    e = e.repartition("user_id")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.withColumn(
+            "__first",
+            F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("n_types_seen", F.sum("__first").over(w_run).cast("long"))
+        .select("event_id", "user_id", "n_types_seen")
+    )
