@@ -496,3 +496,43 @@ def stream_lsh_screen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_scd2_maintain(
+    spark: SparkSession,
+    watch_dir: str,
+    dim_path: str,
+    checkpoint_dir: str,
+):
+    """Continuously maintain an SCD2 dimension from a stream of status
+    observations (EVENT_SCHEMA JSON-lines) — the streaming form of the
+    oracle-checked ``events_scd2_history`` batch query. Returns the
+    StreamingQuery.
+
+    Each micro-batch folds into the stored dimension via
+    ``operators.incremental.merge_scd2_dimension``: keyed union of
+    change rows + deterministic recanonicalization of
+    (valid_to, version, is_current) over ONLY the touched user-hash
+    bucket partitions. Exactly-once sits in the set-union class of the
+    maintained-artifact ledger (replayed observations collapse on
+    their (user, valid_from, event_id) key; the derived columns are a
+    pure function of the row set), and the same recompute makes LATE
+    observations splice into history exactly as a full rebuild would —
+    the property plain close-and-append SCD2 merges lack.
+    """
+    from dataingestionplayground_spark.operators.incremental import (
+        merge_scd2_dimension,
+    )
+
+    raw = spark.readStream.schema(EVENT_SCHEMA).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_scd2_dimension(spark, batch_df, dim_path)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -971,3 +971,130 @@ def test_stream_lsh_screen_cross_batch_and_replay(spark, tmp_path):
         sorted(map(tuple, read_pairs().drop("epoch_id").collect()))
         == first_log
     )
+
+
+def _scd2_read(spark, dim):
+    from dataingestionplayground_spark.operators.incremental import (
+        read_scd2_dimension,
+    )
+
+    return {
+        (r["user_id"], r["version"]): (
+            r["status"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in read_scd2_dimension(spark, dim).collect()
+    }
+
+
+def test_stream_scd2_maintain_cross_batch_and_late_data(spark, tmp_path):
+    """The maintained dimension equals the full-history SCD2 build after
+    every batch — including a LATE batch whose observation lands between
+    two already-stored versions and reveals one of them as a non-change
+    (the case close-and-append merges get wrong)."""
+    from dataingestionplayground_spark.streaming.ingest import stream_scd2_maintain
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: user 1 goes view -> click; user 2 stays view
+    _psi_drop(
+        watch,
+        "b0.json",
+        [
+            (1, "2024-01-01T00:00:10", 1, "view", 1.0),
+            (2, "2024-01-01T00:01:40", 1, "click", 1.0),
+            (3, "2024-01-01T00:00:20", 2, "view", 1.0),
+            (4, "2024-01-01T00:02:00", 2, "view", 1.0),
+        ],
+    )
+    stream_scd2_maintain(spark, str(watch), dim, ckpt).awaitTermination(60)
+    t0 = 1704067200  # 2024-01-01T00:00:00 UTC
+    assert _scd2_read(spark, dim) == {
+        (1, 1): ("view", t0 + 10, t0 + 100, False),
+        (1, 2): ("click", t0 + 100, None, True),
+        (2, 1): ("view", t0 + 20, None, True),
+    }
+
+    # batch 1: user 1 returns to view; user 2 finally clicks
+    _psi_drop(
+        watch,
+        "b1.json",
+        [
+            (5, "2024-01-01T00:05:00", 1, "view", 1.0),
+            (6, "2024-01-01T00:06:00", 2, "click", 1.0),
+        ],
+    )
+    stream_scd2_maintain(spark, str(watch), dim, ckpt).awaitTermination(60)
+    assert _scd2_read(spark, dim) == {
+        (1, 1): ("view", t0 + 10, t0 + 100, False),
+        (1, 2): ("click", t0 + 100, t0 + 300, False),
+        (1, 3): ("view", t0 + 300, None, True),
+        (2, 1): ("view", t0 + 20, t0 + 360, False),
+        (2, 2): ("click", t0 + 360, None, True),
+    }
+
+    # LATE batch: user 1 was already 'click' at 00:00:50 — the stored
+    # version 2 (click @ +100) becomes a non-change and must DISAPPEAR,
+    # with the click interval re-opened at +50. A full rebuild over all
+    # six observations gives exactly this.
+    _psi_drop(watch, "b2.json", [(7, "2024-01-01T00:00:50", 1, "click", 1.0)])
+    stream_scd2_maintain(spark, str(watch), dim, ckpt).awaitTermination(60)
+    assert _scd2_read(spark, dim) == {
+        (1, 1): ("view", t0 + 10, t0 + 50, False),
+        (1, 2): ("click", t0 + 50, t0 + 300, False),
+        (1, 3): ("view", t0 + 300, None, True),
+        (2, 1): ("view", t0 + 20, t0 + 360, False),
+        (2, 2): ("click", t0 + 360, None, True),
+    }
+
+
+def test_stream_scd2_maintain_replay_identity_and_negative_control(spark, tmp_path):
+    """Checkpoint-wiped replay of every batch converges to the identical
+    dimension (keyed union + canonicalization); the negative control
+    shows the dedup key is load-bearing — without it a replayed batch
+    inflates the change-row set."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.streaming.ingest import stream_scd2_maintain
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [
+        (1, "2024-01-01T00:00:10", 1, "view", 1.0),
+        (2, "2024-01-01T00:01:40", 1, "click", 1.0),
+        (3, "2024-01-01T00:00:20", 2, "view", 1.0),
+    ]
+    _psi_drop(watch, "b0.json", rows)
+    stream_scd2_maintain(spark, str(watch), dim, ckpt).awaitTermination(60)
+    first = _scd2_read(spark, dim)
+
+    shutil.rmtree(ckpt)
+    stream_scd2_maintain(spark, str(watch), dim, ckpt).awaitTermination(60)
+    assert _scd2_read(spark, dim) == first
+
+    # negative control: the standard close-and-APPEND SCD2 merge (no
+    # recanonicalization) replays a batch by appending its change rows a
+    # second time — (user_id, version) keys collide and the row count
+    # doubles. Build that table and prove the keyed read CAN see the
+    # corruption the maintained table never exhibits.
+    stored = spark.read.parquet(dim).drop("bucket")
+    naive = stored.unionByName(stored)  # append-only replay
+    n_keys = naive.select("user_id", "version").distinct().count()
+    assert naive.count() == 2 * len(first)  # replay doubled the rows
+    assert n_keys < naive.count()  # (user, version) keys collide
+    maintained = spark.read.parquet(dim)
+    assert (
+        maintained.select("user_id", "version").distinct().count()
+        == maintained.count()
+        == len(first)
+    )
