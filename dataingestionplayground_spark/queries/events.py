@@ -428,3 +428,141 @@ def events_period_over_period(spark, sf):
             ).alias("wow_growth"),
         )
     )
+
+
+@register(
+    "events_decay_counters",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(exp(-(1706745600 - floor(epoch(ts))) * 0.000008), 6)
+                 AS DECIMAL(38,6))) AS DOUBLE), 6) AS decayed_n
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def events_decay_counters(spark, sf):
+    # Exponentially time-decayed counters at a fixed reference instant —
+    # the feature-store staple ("how active was this user on this event
+    # type, weighted toward now"): each event contributes
+    # exp(-rate * age_seconds), so the counter is a half-life-weighted
+    # count (rate 8e-6/s ~ a day-scale half-life) that never needs a
+    # windowed recompute. One hash agg with map-side partials — the
+    # decayed sum is associative, so at 100 TB it also maintains
+    # incrementally (new batch terms just add) and rolls up across time
+    # partitions, unlike a sliding-window activity count. Determinism:
+    # the per-event weight is rounded to 6dp and summed as
+    # DECIMAL(38,6) (the rounded-transcendental discipline every ln/exp
+    # query here uses); rate and reference time are exact double
+    # literals, so the exp argument is bit-identical on both engines.
+    e = t(spark, sf, "events")
+    from dataingestionplayground_spark.functions.portable import epoch_seconds
+
+    age = F.lit(1706745600) - F.floor(epoch_seconds("ts"))
+    w = F.round(F.exp(-age * F.lit(0.000008)), 6).cast("decimal(38,6)")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(w).cast("double"), 6).alias("decayed_n"),
+    )
+
+
+@register(
+    "events_entropy_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ), n AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+      FROM c GROUP BY user_id
+    )
+    SELECT c.user_id, any_value(n.n) AS n, any_value(n.k) AS n_types,
+           round(-CAST(SUM(CAST(round(
+             (CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
+             AS DECIMAL(38,6))) AS DOUBLE), 6) AS entropy
+    FROM c JOIN n ON c.user_id = n.user_id
+    GROUP BY c.user_id
+    """,
+)
+def events_entropy_profile(spark, sf):
+    # Per-user behavioral entropy H = -sum p ln p over the user's
+    # event-type distribution — the bot/monoculture signal (a scripted
+    # account hammering one endpoint scores ~0; organic users spread
+    # mass). Two hash aggs: (user, type) counts, then a per-user rollup
+    # — n and k come from the counts table itself, so the raw corpus is
+    # scanned ONCE and everything after is |users x types|-sized. The
+    # per-type plogp term is rounded to 6dp and decimal-summed (the
+    # rounded-ln discipline), keeping the agg associative and partial.
+    e = t(spark, sf, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(p * F.log(p), 6).cast("decimal(38,6)")
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.any_value("k").alias("n_types"),
+            F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "events_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS BIGINT) AS rk
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           round(2.0 * CAST(SUM(CAST(rk * value AS DECIMAL(38,6))) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE))
+                 - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS gini
+    FROM ranked GROUP BY event_type
+    """,
+)
+def events_gini_concentration(spark, sf):
+    # Gini coefficient of value concentration per event type (the
+    # rank-sum identity G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n on
+    # ascending ranks) — "does 1% of the traffic carry 90% of the
+    # spend". The SQL rank is a PARTITION BY event_type window — a
+    # handful-of-reducers sort at corpus scale — so the Spark side
+    # ranks through operators/prefix.sharded_rank_multi instead: ONE
+    # range exchange on (value, event_id), per-(shard, type) counts
+    # broadcast back, exact in-shard grouped cumcount. Equal values
+    # permute freely within a rank run without changing sum(i*x_i), so
+    # the statistic is tie-stable; i*x products are 6dp-decimal summed
+    # for cross-engine associativity.
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.operators.prefix import sharded_rank_multi
+
+    e = t(spark, sf, "events").select("event_id", "event_type", "value")
+    ranked = sharded_rank_multi(
+        e,
+        [("value", True), ("event_id", True)],
+        [(("event_type",), lambda r, n: r, "rk", T.LongType(), "int64")],
+    )
+    n = F.count(F.lit(1))
+    siw = F.sum((F.col("rk") * F.col("value")).cast("decimal(38,6)")).cast("double")
+    sx = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    return ranked.groupBy("event_type").agg(
+        n.cast("long").alias("n"),
+        F.round(
+            F.lit(2.0) * siw / (n.cast("double") * sx)
+            - (n.cast("double") + F.lit(1.0)) / n.cast("double"),
+            6,
+        ).alias("gini"),
+    )

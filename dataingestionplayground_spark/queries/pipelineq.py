@@ -1919,3 +1919,56 @@ def pipeline_outlier_winsorize(spark, sf):
             "winsor_mean"
         ),
     )
+
+
+@register(
+    "pipeline_target_encoding",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    ), p AS (
+      SELECT {davg_expr('o_totalprice')} AS prior FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           round((s - o_totalprice + 10.0 * prior)
+                 / (CAST(n AS DOUBLE) - 1.0 + 10.0), 6) AS te
+    FROM orders JOIN g USING (o_orderpriority) CROSS JOIN p
+    """,
+)
+def pipeline_target_encoding(spark, sf):
+    # Leave-one-out target encoding with additive smoothing (the
+    # category -> number featurizer for high-cardinality categoricals):
+    # each row's encoding is the mean target of its OWN category
+    # excluding itself, shrunk toward the global prior by m = 10
+    # pseudo-observations — LOO kills the self-leakage that makes plain
+    # mean encoding overfit, and the shrinkage keeps rare categories
+    # from memorizing their few labels. Plan: one per-category agg
+    # (|categories| rows — broadcast), one 1-row prior agg, then a pure
+    # per-row expression over a single scan; nothing corpus-sized ever
+    # shuffles, which is exactly how a feature pipeline encodes at
+    # 100 TB. Decimal-routed sums make (s - x)/(n - 1 + m) bit-identical
+    # across engines.
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        dsum("o_totalprice").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    p = o.agg(davg("o_totalprice").alias("prior"))
+    return (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .crossJoin(F.broadcast(p))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("s") - F.col("o_totalprice") + F.lit(10.0) * F.col("prior"))
+                / (F.col("n").cast("double") - F.lit(1.0) + F.lit(10.0)),
+                6,
+            ).alias("te"),
+        )
+    )
