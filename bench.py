@@ -84,6 +84,12 @@ HEADLINE = [
     # banded Hamming self-join)
     "events_changepoint_cusum",
     "multimodal_ahash_pairs",
+    # r10 second continuation: IVFADC (coarse assign + residual PQ +
+    # probed ADC — two broadcast tables, zero corpus shuffles before
+    # the bounded top-k) and the running-distinct window (one exchange,
+    # two sorts)
+    "vector_ivfpq_residual",
+    "window_running_distinct",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,
@@ -118,6 +124,12 @@ BIG_HEADLINE = [
     # is the scale risk) and the docs-x-terms Dirichlet QL grid
     "dedup_lsh_incremental",
     "retrieval_query_likelihood",
+    # r10 second continuation: Kneser-Ney (the 4-join LM — one more
+    # count-table join than the interpolated LM row above), IVFADC, and
+    # the sharded-rank Gini
+    "text_kneser_ney_perplexity",
+    "vector_ivfpq_residual",
+    "events_gini_concentration",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -143,6 +155,10 @@ BIG2_HEADLINE = [
     # r10 continuation
     "dedup_lsh_incremental",
     "retrieval_query_likelihood",
+    # r10 second continuation
+    "text_kneser_ney_perplexity",
+    "vector_ivfpq_residual",
+    "events_gini_concentration",
 ]
 
 

@@ -566,3 +566,82 @@ def events_gini_concentration(spark, sf):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "events_benford_deviation",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM events WHERE value >= 0.01
+    ), obs AS (
+      SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS o
+      FROM d GROUP BY event_type, digit
+    ), n AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS n FROM obs GROUP BY event_type
+    ), grid AS (
+      SELECT event_type, u.digit, round(ln(1.0 + 1.0 / u.digit) / ln(10.0), 6) AS p
+      FROM n, (SELECT unnest(generate_series(1, 9)) AS digit) u
+    )
+    SELECT g.event_type, any_value(n.n) AS n,
+           round(CAST(SUM(CAST(round(
+             (CAST(coalesce(obs.o, 0) AS DOUBLE) - CAST(n.n AS DOUBLE) * g.p)
+             * (CAST(coalesce(obs.o, 0) AS DOUBLE) - CAST(n.n AS DOUBLE) * g.p)
+             / (CAST(n.n AS DOUBLE) * g.p), 6) AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS chi2
+    FROM grid g
+    JOIN n ON g.event_type = n.event_type
+    LEFT JOIN obs ON obs.event_type = g.event_type AND obs.digit = g.digit
+    GROUP BY g.event_type
+    """,
+)
+def events_benford_deviation(spark, sf):
+    # Benford's-law conformance per event type: chi-square of the
+    # leading-digit distribution against p(d) = log10(1 + 1/d) — the
+    # fabricated-data / instrumentation-bug smell test a pipeline runs
+    # over numeric columns. Leading-digit extraction is INTEGER-exact
+    # on both engines (floor(value*100) -> string -> first char; no
+    # float formatting), the nine expected probabilities are rounded
+    # constants, and the per-digit chi-square terms are 6dp-decimal
+    # summed. Shapes: one conditional-count hash agg over the corpus,
+    # then everything is |types x 9|-sized — the grid densify (types x
+    # digits, zero-filled) is the PSI-drift pattern, so absent digits
+    # still contribute their expected mass to the statistic.
+    e = t(spark, sf, "events")
+    d = e.filter(F.col("value") >= 0.01).select(
+        "event_type",
+        F.substring(
+            F.floor(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    obs = d.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    n = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("n"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    grid = n.crossJoin(F.broadcast(digits)).select(
+        "event_type",
+        "n",
+        "digit",
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            / F.log(F.lit(10.0)),
+            6,
+        ).alias("p"),
+    )
+    dense = grid.join(obs, ["event_type", "digit"], "left").fillna(
+        0, subset=["o"]
+    )
+    exp = F.col("n").cast("double") * F.col("p")
+    term = F.round(
+        (F.col("o").cast("double") - exp) * (F.col("o").cast("double") - exp) / exp,
+        6,
+    ).cast("decimal(38,6)")
+    return dense.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )

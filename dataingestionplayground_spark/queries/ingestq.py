@@ -517,3 +517,46 @@ def multimodal_phash_dct(spark, sf):
     return d.mapInPandas(
         build_and_hash, "doc_id long, dc_coeff long, med long, phash long"
     )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, u.i AS i,
+             ((doc_id * 7 + u.i * 13) % 4096) - 2048 AS v
+      FROM documents, (SELECT unnest(generate_series(0, 1023)) AS i) u
+    ), lagged AS (
+      SELECT doc_id, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM s
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(i // 256 AS INTEGER) AS frame_idx,
+           round(sqrt(CAST(SUM(v * v) AS DOUBLE) / 256.0), 6) AS rms,
+           CAST(SUM(CASE WHEN i % 256 > 0 AND (v >= 0) <> (prev >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+    FROM lagged
+    GROUP BY doc_id, i // 256
+    """,
+)
+def multimodal_audio_energy(spark, sf):
+    # Audio plumbing end to end: a deterministic PCM16 payload is packed
+    # into REAL little-endian int16 bytes (sources/multimodal.synth_pcm16,
+    # one Arrow pass), then a second Arrow pass unpacks the BINARY
+    # column, frames it (4 x 256 samples), and emits per-frame RMS
+    # energy + zero-crossing counts — the feature-extraction stage an
+    # audio corpus runs before language-ID/VAD filtering. The oracle
+    # recomputes both metrics from the sample CLOSED FORM, so a hash
+    # match proves the pack -> bytes -> unpack -> frame path is
+    # byte-exact (sum-of-squares and crossings are integer-exact; rms
+    # is the only rounded double). Scale: per-row bounded work, no
+    # shuffle in either Arrow stage — partitioning flows through from
+    # the scan, like the BMP decode pipeline.
+    from dataingestionplayground_spark.sources.multimodal import (
+        audio_frame_features,
+        synth_pcm16,
+    )
+
+    d = t(spark, sf, "documents")
+    return audio_frame_features(synth_pcm16(d, "doc_id"))

@@ -1445,3 +1445,73 @@ def text_kneser_ney_perplexity(spark, sf):
             ).alias("ppl"),
         )
     )
+
+
+@register(
+    "text_vocab_overlap_sources",
+    oracle=f"""
+    WITH tv AS (
+      SELECT DISTINCT source, unnest({TX.tokens_sql('lower(text)')}) AS term
+      FROM documents
+    ), sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM tv GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS both
+      FROM tv a JOIN tv b ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.v AS v_a, sb.v AS v_b, i.both,
+           round(CAST(i.both AS DOUBLE)
+                 / CAST(sa.v + sb.v - i.both AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    """,
+)
+def text_vocab_overlap_sources(spark, sf):
+    # Pairwise vocabulary Jaccard between corpus sources — the "how
+    # different are these datasets really" diagnostic you run before
+    # choosing mixture weights (two crawls with 0.9 vocabulary overlap
+    # add less diversity than their row counts suggest). The corpus is
+    # scanned ONCE into a (source, term) distinct table; after that,
+    # every join is vocabulary-sized: per-source sizes are a tiny agg,
+    # and the pairwise intersection is a self-equi-join ON TERM (never
+    # a doc-level cross product) whose output is bounded by
+    # |vocab| x |sources choose 2|. At 100 TB sources is a handful and
+    # vocab is df-capped, so this stays a broadcast-class analysis.
+    d = t(spark, sf, "documents")
+    tv = d.select(
+        "source", F.explode(TX.tokens("lower(text)")).alias("term")
+    ).distinct()
+    sz = tv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = tv.alias("a")
+    b = tv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("both"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("v").alias("v_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "v_a",
+            "v_b",
+            "both",
+            F.round(
+                F.col("both").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -257,3 +257,105 @@ def extract_features(media: DataFrame, decoder: Decoder = decode_stub) -> DataFr
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_SAMPLES = 1024
+AUDIO_FRAME = 256
+
+
+def synth_pcm16(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic little-endian PCM16 payload per row — the audio
+    twin of the BMP builder: sample_i = ((id*7 + i*13) % 4096) - 2048,
+    packed into REAL int16 bytes (numpy .tobytes()) so downstream
+    stages exercise a genuine binary decode, while an SQL oracle can
+    recompute every sample from the closed form. Output: (media_id,
+    media_type='audio/pcm16', content binary)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    i = np.arange(AUDIO_SAMPLES, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype(str),
+                    "media_type": "audio/pcm16",
+                    "content": [
+                        ((d * 7 + i * 13) % 4096 - 2048)
+                        .astype("<i2")
+                        .tobytes()
+                        for d in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def audio_frame_features(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Frame-level audio features over BINARY PCM16 content: per
+    ``frame``-sample frame, RMS energy (sqrt of the exact integer
+    sum-of-squares / frame) and the zero-crossing count (adjacent
+    sign-flip pairs inside the frame, sign(x) := x >= 0). Arrow-batched
+    mapInPandas, one output row per frame — the per-row work is bounded
+    by the payload size and no shuffle is introduced, so the stage
+    scales exactly like the image decode. Errors isolate per item
+    (odd-length or NULL payloads yield no frames, the job survives)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("n_zero_cross", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.content is None:
+                    continue
+                buf = bytes(r.content)
+                if len(buf) % 2:
+                    continue  # not PCM16 — isolate, don't fail the job
+                s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                n_frames = len(s) // frame
+                for fi in range(n_frames):
+                    fr = s[fi * frame : (fi + 1) * frame]
+                    sq = int((fr * fr).sum())  # exact integer
+                    nz = int(((fr[1:] >= 0) != (fr[:-1] >= 0)).sum())
+                    # HALF_UP on the non-negative rms, like SQL round()
+                    # (Python round() is half-to-even — the EMA-parity rule)
+                    rms = float(np.floor(np.sqrt(sq / frame) * 1e6 + 0.5) / 1e6)
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": fi,
+                            "rms": rms,
+                            "n_zero_cross": nz,
+                        }
+                    )
+            yield (
+                pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                if rows
+                else pd.DataFrame(columns=[f.name for f in schema.fields])
+            )
+
+    return media.mapInPandas(run, schema=schema)

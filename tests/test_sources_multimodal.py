@@ -233,3 +233,59 @@ def test_bmp_decoder_matches_pil_when_available():
 
     bmp = _make_bmp([[(12, 200, 7), (0, 9, 255), (128, 128, 128)]])
     assert bmp_decoder("image/bmp", bmp) == pil_decoder("image/bmp", bmp)
+
+
+def test_synth_pcm16_bytes_are_real_int16le():
+    """The packed payload is genuine little-endian PCM16: unpacking with
+    stdlib struct (independent of the numpy pack path) reproduces the
+    closed-form samples."""
+    import struct
+
+    import numpy as np
+
+    from dataingestionplayground_spark.sources.multimodal import (
+        AUDIO_SAMPLES,
+    )
+
+    doc_id = 42
+    i = np.arange(AUDIO_SAMPLES, dtype=np.int64)
+    expected = ((doc_id * 7 + i * 13) % 4096 - 2048).tolist()
+    buf = ((doc_id * 7 + i * 13) % 4096 - 2048).astype("<i2").tobytes()
+    assert len(buf) == 2 * AUDIO_SAMPLES
+    unpacked = list(struct.unpack(f"<{AUDIO_SAMPLES}h", buf))
+    assert unpacked == expected
+
+
+def test_audio_frame_features_exact_and_isolated(spark):
+    """Frame metrics match a hand computation on a tiny payload, and a
+    malformed (odd-length) payload yields no frames instead of failing
+    the job."""
+    import math
+    import struct
+
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.sources.multimodal import (
+        audio_frame_features,
+    )
+
+    # 4 samples, frame=2: frames [3, -3] and [0, 5]
+    good = struct.pack("<4h", 3, -3, 0, 5)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = spark.createDataFrame(
+        [("a", bytearray(good)), ("bad", bytearray(b"\x01")), ("nul", None)],
+        schema,
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): (r["rms"], r["n_zero_cross"])
+        for r in audio_frame_features(media, frame=2).collect()
+    }
+    rms0 = math.floor(math.sqrt((9 + 9) / 2) * 1e6 + 0.5) / 1e6
+    rms1 = math.floor(math.sqrt((0 + 25) / 2) * 1e6 + 0.5) / 1e6
+    # sign(x) := x >= 0, so 3 -> -3 flips; 0 -> 5 does not (both >= 0)
+    assert rows == {("a", 0): (rms0, 1), ("a", 1): (rms1, 0)}
