@@ -644,3 +644,193 @@ def retrieval_query_likelihood(spark, sf):
     scored = parts.groupBy("doc_id").agg(F.round(total, 6).alias("score"))
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     return bounded_rank(top, [("score", False), ("doc_id", True)], "rk")
+
+
+_RM3_LAMBDA = 0.5  # original-query mass; 1-lambda goes to the feedback model
+_RM3_EXP = 5       # expansion terms kept from the relevance model
+
+
+def _rm3_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    terms_in = str(tuple(_BM25_TERMS))
+    terms_list = ", ".join(f"'{x}'" for x in _BM25_TERMS)
+    return f"""
+    WITH bm AS ({_R['text_bm25_topk'].oracle}),
+    fbsum AS (
+      SELECT CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS s FROM bm
+    ), base AS (
+      SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base
+    ), fbtoks AS (
+      SELECT b.doc_id, u.term
+      FROM base b JOIN bm USING (doc_id), unnest(b.tk) AS u(term)
+      WHERE len(u.term) >= 3
+    ), fbtf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM fbtoks GROUP BY doc_id, term
+    ), prm AS (
+      SELECT term,
+             CAST(SUM(CAST(round((t.tf / l.dl) * (f.score / s.s), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS p_rm
+      FROM fbtf t
+      JOIN dl l USING (doc_id)
+      JOIN bm f USING (doc_id)
+      CROSS JOIN fbsum s
+      GROUP BY term
+    ), exp5 AS (
+      SELECT term, p_rm FROM (
+        SELECT term, p_rm,
+               row_number() OVER (ORDER BY p_rm DESC, term ASC) AS erk
+        FROM prm WHERE term NOT IN {terms_in})
+      WHERE erk <= {_RM3_EXP}
+    ), qterms AS (
+      SELECT q.term,
+             {_RM3_LAMBDA} / 3.0 + {1.0 - _RM3_LAMBDA} * coalesce(p.p_rm, 0.0) AS wt
+      FROM (SELECT unnest([{terms_list}]) AS term) q
+      LEFT JOIN prm p ON p.term = q.term
+      UNION ALL
+      SELECT term, {1.0 - _RM3_LAMBDA} * p_rm AS wt FROM exp5
+    ), coll AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) AS total_toks FROM dl
+    ), toks AS (
+      SELECT b.doc_id, u.term FROM base b, unnest(b.tk) AS u(term)
+      WHERE u.term IN (SELECT term FROM qterms)
+    ), cf AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf FROM toks GROUP BY term
+    ), tf2 AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), grid AS (
+      SELECT d.doc_id, d.dl, q.term, q.wt, c.cf, coalesce(t.tf, 0.0) AS tf
+      FROM dl d
+      CROSS JOIN qterms q
+      JOIN cf c ON c.term = q.term
+      LEFT JOIN tf2 t ON t.doc_id = d.doc_id AND t.term = q.term
+    ), parts AS (
+      SELECT g.doc_id,
+             round(g.wt * round(ln((g.tf + {_QL_MU} * g.cf / s.total_toks)
+                                   / (g.dl + {_QL_MU})), 6), 9) AS part
+      FROM grid g CROSS JOIN coll s
+    ), scored AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(part AS DECIMAL(38,9))) AS DOUBLE), 6)
+               AS rm3_score
+      FROM parts GROUP BY doc_id
+    )
+    SELECT doc_id, rm3_score, rk FROM (
+      SELECT doc_id, rm3_score,
+             CAST(row_number() OVER (ORDER BY rm3_score DESC, doc_id ASC)
+               AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 10
+    """
+
+
+@register("retrieval_rm3_expansion", oracle=_rm3_oracle())
+def retrieval_rm3_expansion(spark, sf):
+    # RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    # models, the classic query-expansion loop): (1) BM25 retrieves 10
+    # feedback docs; (2) their tokens induce a relevance model
+    # p(w|R) = sum_D p(w|D) * score_D / sum(score) — rank-weighted
+    # maximum-likelihood term distributions; (3) the top-5 non-query
+    # terms join the original query, original mass lambda = 0.5; (4)
+    # the EXPANDED query re-ranks the whole corpus with Dirichlet QL
+    # scoring. Scale shapes: the feedback side is 10-docs-bounded
+    # (every prm/expansion table broadcasts), the corpus-side rescan
+    # filters tokens against the 8-row expanded-term broadcast before
+    # any agg, and the docs x 8 grid is the lint-safe bounded
+    # cross-join the QL query already uses. Determinism with a
+    # DATA-DEPENDENT term set: per-(doc, term) parts are rounded then
+    # DECIMAL(38,9)-summed, so no fixed-order case-sum is needed —
+    # the discipline that lets the term list come from the data.
+    d = t(spark, sf, "documents").select("doc_id", TX.tokens("text").alias("tk"))
+    dl = d.select("doc_id", F.size("tk").cast("double").alias("dl"))
+    fb = text_bm25_topk(spark, sf).select("doc_id", "score")
+    fbsum = fb.agg(
+        F.sum(F.col("score").cast("decimal(38,6)")).cast("double").alias("s")
+    )
+    fbtoks = (
+        d.join(F.broadcast(fb.select("doc_id")), "doc_id")
+        .select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.length("term") >= 3)
+    )
+    fbtf = fbtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    prm = (
+        fbtf.join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(fb), "doc_id")
+        .crossJoin(F.broadcast(fbsum))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("tf") / F.col("dl")) * (F.col("score") / F.col("s")), 9
+                ).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("p_rm")
+        )
+    )
+    exp5 = bounded_rank(
+        prm.filter(~F.col("term").isin(*_BM25_TERMS))
+        .orderBy(F.desc("p_rm"), F.asc("term"))
+        .limit(_RM3_EXP),
+        [("p_rm", False), ("term", True)],
+        "erk",
+    ).drop("erk")
+    orig = spark.createDataFrame([(x,) for x in _BM25_TERMS], "term string")
+    qterms = (
+        orig.join(prm, "term", "left")
+        .select(
+            "term",
+            (
+                F.lit(_RM3_LAMBDA / 3.0)
+                + F.lit(1.0 - _RM3_LAMBDA) * F.coalesce("p_rm", F.lit(0.0))
+            ).alias("wt"),
+        )
+        .unionByName(
+            exp5.select(
+                "term", (F.lit(1.0 - _RM3_LAMBDA) * F.col("p_rm")).alias("wt")
+            )
+        )
+    )
+    coll = dl.agg(F.sum("dl").alias("total_toks"))
+    toks = d.select("doc_id", F.explode("tk").alias("term")).join(
+        F.broadcast(qterms.select("term")), "term"
+    )
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    tf2 = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    grid = (
+        dl.crossJoin(F.broadcast(qterms))
+        .join(F.broadcast(cf), "term")
+        .join(tf2, ["doc_id", "term"], "left")
+        .select(
+            "doc_id", "dl", "term", "wt", "cf",
+            F.coalesce("tf", F.lit(0.0)).alias("tf"),
+        )
+    )
+    parts = grid.crossJoin(F.broadcast(coll)).select(
+        "doc_id",
+        F.round(
+            F.col("wt")
+            * F.round(
+                F.log(
+                    (F.col("tf") + F.lit(_QL_MU) * F.col("cf") / F.col("total_toks"))
+                    / (F.col("dl") + F.lit(_QL_MU))
+                ),
+                6,
+            ),
+            9,
+        ).alias("part"),
+    )
+    scored = parts.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("part").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("rm3_score")
+    )
+    top = scored.orderBy(F.desc("rm3_score"), F.asc("doc_id")).limit(10)
+    return bounded_rank(top, [("rm3_score", False), ("doc_id", True)], "rk")
