@@ -686,3 +686,118 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
 def read_scd2_dimension(spark: SparkSession, path: str) -> DataFrame:
     """Read the maintained dimension back (bucket column dropped)."""
     return spark.read.parquet(path).drop("bucket")
+
+
+# --------------------------------------- incremental decayed counters
+
+_DECAY_REF = 1706745600   # the fixed reference instant of events_decay_counters
+_DECAY_RATE = 0.000008    # per-second decay, ~day-scale half-life
+_DECAY_BUCKETS = 64
+
+
+def decay_counter_rollup(events: DataFrame) -> DataFrame:
+    """Per-(user, type) partial state for the decayed-activity counter:
+    event count + the EXACT decimal sum of 6dp-rounded per-event decay
+    weights (the same terms ``events_decay_counters`` sums). Kept as
+    DECIMAL — decimal addition is associative, so partial rows merge
+    across epochs/partitions without drift; the double cast happens
+    once at read time."""
+    from dataingestionplayground_spark.functions import portable as PF
+
+    age = F.lit(_DECAY_REF) - F.floor(PF.epoch_seconds("ts"))
+    w = F.round(F.exp(-age * F.lit(_DECAY_RATE)), 6).cast("decimal(38,6)")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(w).cast("decimal(38,6)").alias("decayed"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)"
+                f" as bigint) % {_DECAY_BUCKETS}"
+            ),
+        )
+    )
+
+
+def merge_decay_rollup(
+    spark: SparkSession, batch: DataFrame, path: str, epoch_id: int
+) -> int:
+    """Epoch-keyed streaming maintenance for the decayed counters — the
+    SUMMABLE-counter member of the maintained-artifact ledger (same
+    class as the topk rollup: re-adding a replayed batch would
+    double-count, so exactly-once comes from staging, not from set
+    semantics). Each user-hash bucket partition holds one partial row
+    set per micro-batch epoch; merging epoch E drops rows already
+    tagged E in the touched buckets, then writes the fresh partials —
+    a foreachBatch retry converges to the identical table. Query-time
+    combine (:func:`read_decay_rollup`) is an exact decimal sum across
+    epoch rows. Returns bucket partitions touched."""
+    import os
+
+    fresh = decay_counter_rollup(batch).withColumn(
+        "epoch_id", F.lit(int(epoch_id)).cast("long")
+    )
+    buckets = [int(r["bucket"]) for r in fresh.select("bucket").distinct().collect()]
+    if not buckets:
+        return 0
+    if os.path.isdir(path) and any(e.startswith("bucket=") for e in os.listdir(path)):
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .filter(F.col("bucket").isin(buckets))
+        )
+        if "epoch_id" not in existing.columns:
+            existing = existing.withColumn("epoch_id", F.lit(None).cast("long"))
+        kept = existing.filter(
+            F.col("epoch_id").isNull() | (F.col("epoch_id") != int(epoch_id))
+        ).select("user_id", "event_type", "n", "decayed", "epoch_id", "bucket")
+        merged = kept.unionByName(fresh).localCheckpoint(eager=True)
+    else:
+        merged = fresh
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(buckets)
+
+
+def read_decay_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Combine the per-epoch partials into the counter table — column
+    for column the output of the oracle-checked ``events_decay_counters``
+    batch query (exact decimal combine, one double cast at the end)."""
+    rollup = spark.read.option("mergeSchema", "true").parquet(path)
+    return rollup.groupBy("user_id", "event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("decayed").cast("double"), 6).alias("decayed_n"),
+    )
+
+
+def compact_decay_rollup(spark: SparkSession, path: str) -> int:
+    """Fold each bucket's per-epoch partials into one epoch-NULL row per
+    (user, type). Same commit caveat as compact_topk_rollup: run only
+    after the maintaining stream's checkpoint holds the folded epochs.
+    Returns bucket partitions rewritten."""
+    rollup = spark.read.option("mergeSchema", "true").parquet(path)
+    merged = (
+        rollup.groupBy("bucket", "user_id", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("decayed").cast("decimal(38,6)").alias("decayed"),
+        )
+        .withColumn("epoch_id", F.lit(None).cast("long"))
+        .select("user_id", "event_type", "n", "decayed", "epoch_id", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    buckets = merged.select("bucket").distinct().count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return buckets

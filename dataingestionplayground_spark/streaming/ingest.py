@@ -536,3 +536,40 @@ def stream_scd2_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_decay_counters(
+    spark: SparkSession,
+    watch_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+):
+    """Continuously maintain the exponentially-decayed activity counters
+    (the streaming twin of the oracle-checked ``events_decay_counters``)
+    from EVENT_SCHEMA JSON-lines. Returns the StreamingQuery.
+
+    Decay weights against a FIXED reference instant are associative
+    (each event's term is a constant), so maintenance is pure addition
+    of per-batch partials — but summable partials are NOT
+    replay-idempotent, so this sits on the epoch-keyed-staging side of
+    the exactly-once ledger with the topk rollup:
+    ``merge_decay_rollup`` replaces same-epoch rows instead of
+    re-adding them, and the decimal partials combine exactly at read
+    time (``read_decay_rollup`` == the batch query, bit for bit).
+    """
+    from dataingestionplayground_spark.operators.incremental import (
+        merge_decay_rollup,
+    )
+
+    raw = spark.readStream.schema(EVENT_SCHEMA).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_decay_rollup(spark, batch_df, rollup_path, epoch_id)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

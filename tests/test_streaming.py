@@ -1098,3 +1098,89 @@ def test_stream_scd2_maintain_replay_identity_and_negative_control(spark, tmp_pa
         == maintained.count()
         == len(first)
     )
+
+
+def test_stream_decay_counters_parity_replay_and_epoch_guard(spark, tmp_path):
+    """Streaming the sf0.001 events table in two batches reproduces the
+    oracle-checked events_decay_counters output bit-for-bit; a
+    foreachBatch RETRY (same epoch id, same data — the crash-recovery
+    semantic epoch-keyed staging guarantees, per the topk-rollup
+    contract; a checkpoint WIPE re-batches and is out of contract)
+    replaces rather than re-adds; compaction preserves the combine; and
+    the negative control shows the guard is the epoch key — the same
+    data under a DIFFERENT epoch id double-counts."""
+    from dataingestionplayground_spark.operators.incremental import (
+        compact_decay_rollup,
+        merge_decay_rollup,
+        read_decay_rollup,
+    )
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.session import load_table
+    from dataingestionplayground_spark.streaming.ingest import stream_decay_counters
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, chunk):
+        _psi_drop(
+            watch,
+            name,
+            [
+                (
+                    r["event_id"],
+                    r["ts"].isoformat(),
+                    r["user_id"],
+                    r["event_type"],
+                    r["value"],
+                )
+                for r in chunk
+            ],
+        )
+
+    drop("b0.json", rows[:half])
+    stream_decay_counters(spark, str(watch), rollup, ckpt).awaitTermination(120)
+    drop("b1.json", rows[half:])
+    stream_decay_counters(spark, str(watch), rollup, ckpt).awaitTermination(120)
+
+    def table(df):
+        return {
+            (r["user_id"], r["event_type"]): (r["n"], r["decayed_n"])
+            for r in df.collect()
+        }
+
+    batch = table(all_queries()["events_decay_counters"].fn(spark, sf))
+    assert table(read_decay_rollup(spark, rollup)) == batch
+
+    # foreachBatch retry: re-merge batch 1 under its ORIGINAL epoch id
+    # (what a crash between the write and the checkpoint commit causes)
+    # — the staging rows are replaced, the table is unchanged
+    b1 = spark.read.schema(ev.schema).json(str(watch / "b1.json"))
+    merge_decay_rollup(spark, b1, rollup, epoch_id=1)
+    assert table(read_decay_rollup(spark, rollup)) == batch
+
+    # compaction folds epochs without changing the combine
+    compact_decay_rollup(spark, rollup)
+    assert table(read_decay_rollup(spark, rollup)) == batch
+
+    # negative control: the same data under a NEW epoch id is "new" by
+    # design — counts inflate, proving the retry identity above really
+    # came from the epoch key, not from accidental idempotence
+    b0 = spark.read.schema(ev.schema).json(str(watch / "b0.json"))
+    merge_decay_rollup(spark, b0, rollup, epoch_id=999)
+    doubled = table(read_decay_rollup(spark, rollup))
+    assert doubled != batch
+    k0 = {
+        (r["user_id"], r["event_type"])
+        for r in b0.select("user_id", "event_type").distinct().collect()
+    }
+    for key in k0:
+        assert doubled[key][0] > batch[key][0]  # counts inflated
