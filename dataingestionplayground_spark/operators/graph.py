@@ -168,3 +168,58 @@ def dedup_clusters(
         )
         .withColumn("is_kept", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iters: int = 2,
+    node_col: str = "u",
+) -> DataFrame:
+    """Semi-synchronous label propagation (Raghavan et al. 2007) with a
+    deterministic tie rule: each round, every node adopts the most
+    frequent label among its neighbors (ties -> smallest label;
+    isolated nodes keep their own). ``edges`` is an undirected (u, v)
+    pair table (one row per unordered pair); ``nodes`` a one-column
+    frame of node ids.
+
+    Determinism is the whole design: classic LPA breaks ties randomly
+    and is order-sensitive — here every round is a pure function of the
+    previous labeling (synchronous update, total tie order), so the
+    result is reproducible across engines and cluster layouts, and an
+    iteration-UNROLLED SQL oracle can replay it exactly (the TextRank
+    evidence pattern). Scale shape per round: one neighbor equi-join
+    (labels are 1 row/node; the symmetric edge table shuffles on the
+    neighbor key), one (node, label) hash agg with map-side partials,
+    one per-node top-1 window (high-cardinality partition key). Rounds
+    are FIXED (n_iters), not run to convergence — LPA on a fixed
+    synchronous schedule may oscillate, and a training-data pipeline
+    wants a bounded, replayable artifact rather than a fixed point.
+    """
+    from pyspark.sql import Window as W
+
+    sym = edges.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionByName(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    labels = nodes.select(F.col(node_col).alias("n"), F.col(node_col).alias("lbl"))
+    w = W.partitionBy("n").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(n_iters):
+        nb = (
+            sym.join(
+                labels.select(F.col("n").alias("d"), "lbl"), "d"
+            )
+            .groupBy(F.col("s").alias("n"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            nb.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("n", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            nodes.select(F.col(node_col).alias("n"))
+            .join(top, "n", "left")
+            .join(labels.select("n", F.col("lbl").alias("old_lbl")), "n")
+            .select("n", F.coalesce("new_lbl", "old_lbl").alias("lbl"))
+        )
+    return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("community"))

@@ -645,3 +645,114 @@ def events_benford_deviation(spark, sf):
         F.any_value("n").alias("n"),
         F.round(F.sum(term).cast("double"), 6).alias("chi2"),
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    WITH w0 AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 600) AS BIGINT) AS win
+      FROM events
+    ), w AS (
+      SELECT user_id, event_type, win FROM w0
+      QUALIFY COUNT(*) OVER (PARTITION BY event_type, win) <= 32
+    ), edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM w a JOIN w b
+        ON a.event_type = b.event_type AND a.win = b.win
+       AND a.user_id < b.user_id
+    ), sym AS (
+      SELECT u AS s, v AS d FROM edges
+      UNION ALL SELECT v AS s, u AS d FROM edges
+    ), nodes AS (
+      SELECT DISTINCT user_id AS n FROM events
+    ), l0 AS (
+      SELECT n, n AS lbl FROM nodes
+    ), n1 AS (
+      SELECT s.s AS n, l.lbl, COUNT(*) AS c
+      FROM sym s JOIN l0 l ON l.n = s.d GROUP BY s.s, l.lbl
+    ), p1 AS (
+      SELECT n, lbl FROM (
+        SELECT n, lbl, row_number() OVER (PARTITION BY n
+                                          ORDER BY c DESC, lbl ASC) AS rk
+        FROM n1) WHERE rk = 1
+    ), l1 AS (
+      SELECT nd.n, coalesce(p.lbl, nd.n) AS lbl
+      FROM nodes nd LEFT JOIN p1 p ON p.n = nd.n
+    ), n2 AS (
+      SELECT s.s AS n, l.lbl, COUNT(*) AS c
+      FROM sym s JOIN l1 l ON l.n = s.d GROUP BY s.s, l.lbl
+    ), p2 AS (
+      SELECT n, lbl FROM (
+        SELECT n, lbl, row_number() OVER (PARTITION BY n
+                                          ORDER BY c DESC, lbl ASC) AS rk
+        FROM n2) WHERE rk = 1
+    ), l2 AS (
+      SELECT nd.n, coalesce(p.lbl, l1.lbl) AS lbl
+      FROM nodes nd
+      LEFT JOIN p2 p ON p.n = nd.n
+      JOIN l1 ON l1.n = nd.n
+    )
+    SELECT l2.n AS user_id, l2.lbl AS community, sz.cs AS community_size
+    FROM l2 JOIN (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cs FROM l2 GROUP BY lbl
+    ) sz ON sz.lbl = l2.lbl
+    """,
+)
+def graph_label_propagation(spark, sf):
+    # Community detection by deterministic label propagation over the
+    # CO-ACTIVITY graph: users are linked when they perform the same
+    # event type inside the same 10-minute window (the interaction
+    # graph fraud/segmentation teams actually build), then 2
+    # synchronous LPA rounds with most-frequent-neighbor-label updates,
+    # ties to the smallest label. The edge build is a bucketed
+    # self-join on (type, window), and HUB CELLS (> 32 co-active users)
+    # are dropped before pairing — the df-cap discipline from the
+    # shingle pipeline: a window everyone was active in carries no
+    # pairwise signal, and without the cap per-cell pair counts grow
+    # QUADRATICALLY with corpus density (the 100 TB failure mode).
+    # Each LPA round is
+    # a neighbor join + hash agg + per-node top-1 (operators/graph.py:
+    # label_propagation). The oracle UNROLLS both rounds in SQL, so
+    # the hash match replays the exact label dynamics, not just the
+    # final community sizes.
+    e = t(spark, sf, "events")
+    from dataingestionplayground_spark.functions import portable as PF
+    from dataingestionplayground_spark.operators.graph import label_propagation
+
+    w0 = e.select(
+        "user_id",
+        "event_type",
+        F.floor(PF.epoch_seconds("ts") / 600).cast("long").alias("win"),
+    ).distinct()
+    cell = w0.groupBy("event_type", "win").agg(
+        F.count(F.lit(1)).alias("__cell_n")
+    )
+    w = (
+        w0.join(cell, ["event_type", "win"])
+        .filter(F.col("__cell_n") <= 32)
+        .drop("__cell_n")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    labels = label_propagation(edges, nodes, n_iters=2, node_col="u")
+    sz = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.select(
+        F.col("u").alias("user_id"), "community"
+    ).join(F.broadcast(sz), "community").select(
+        "user_id", "community", "community_size"
+    )
