@@ -77,6 +77,14 @@ SHOW = [
     ("events_xcorr_lead_lag", "lead-lag xcorr: corpus collapses to an hours-sized series in one agg; spine + 7-lag literal frame joins are time-bounded (r10)"),
     ("pipeline_join_skew_report", "skew report: per-key hash agg, ~64-bucket bit-length agg, one-row total broadcast — no global sort (r10)"),
     ("agg_corr_pairs", "corr matrix: ONE scan computing nine decimal power sums map-side partial; 3-row stack of the single agg row (r10)"),
+    ("vector_ivfpq_residual", "IVFADC: broadcast centroids + residual-PQ codebook, per-row encode, probed ADC LUT join, bounded top-k is the only shuffle (r10b)"),
+    ("window_running_distinct", "running COUNT(DISTINCT): first-occurrence flag + running sum — ONE exchange satisfies both window distributions (r10b)"),
+    ("text_kneser_ney_perplexity", "Kneser-Ney LM: one bigram-type hash agg; c1/type counts are rollups of it; three vocabulary-sized equi-joins (r10b)"),
+    ("sample_coordinated_join", "coordinated sampling: md5 key predicate pushed to BOTH parquet scans; join of samples = key cluster sample of join (r10b)"),
+    ("events_gini_concentration", "Gini: sharded_rank_multi range exchange replaces the low-cardinality-partition rank window; decimal rank-sum agg (r10b)"),
+    ("graph_label_propagation", "LPA: hub-capped (type, window) cell self-join edges; per round one neighbor join + hash agg + per-node top-1 (r10b)"),
+    ("retrieval_rm3_expansion", "RM3: 10-doc feedback side fully broadcast; corpus rescan filtered by the 8-term broadcast before any agg (r10b)"),
+    ("pipeline_target_encoding", "LOO target encoding: per-category agg + 1-row prior broadcast, then a pure per-row expression — zero corpus shuffles (r10b)"),
 ]
 
 INTERESTING = re.compile(
