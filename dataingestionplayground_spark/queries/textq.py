@@ -1480,8 +1480,12 @@ def text_vocab_overlap_sources(spark, sf):
     # |vocab| x |sources choose 2|. At 100 TB sources is a handful and
     # vocab is df-capped, so this stays a broadcast-class analysis.
     d = t(spark, sf, "documents")
+    # in-row dedup BEFORE the explode (the inverted-index discipline):
+    # the cross-doc distinct still shuffles, but on per-doc term SETS
+    # rather than raw token occurrences
     tv = d.select(
-        "source", F.explode(TX.tokens("lower(text)")).alias("term")
+        "source",
+        F.explode(F.array_distinct(TX.tokens("lower(text)"))).alias("term"),
     ).distinct()
     sz = tv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
     a = tv.alias("a")
