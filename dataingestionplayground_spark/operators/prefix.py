@@ -451,3 +451,78 @@ def sharded_rank_multi(
             yield res
 
     return ranged.mapInPandas(compute, schema=out_schema)
+
+
+def sharded_prefix_multi(
+    df: DataFrame,
+    order_spec: Sequence[tuple[str, bool]],
+    val_cols: Sequence[str],
+    out_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Several EXCLUSIVE global running sums over ONE range shuffle —
+    the N-column generalization of :func:`sharded_prefix_sum` (same
+    two-pass scheme: per-shard totals collected once per column, narrow
+    Arrow cumsums + broadcast offsets; same integral-type contract).
+    The shape every rank-statistic needs: a two-sample KS/Mann-Whitney
+    pass wants cumulative counts of BOTH groups at every sorted point,
+    and running the single-column operator twice would pay the range
+    exchange twice."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    if out_cols is None:
+        out_cols = [f"cum_{c}_before" for c in val_cols]
+    if len(out_cols) != len(val_cols):
+        raise ValueError("out_cols must match val_cols")
+    for c in val_cols:
+        vt = df.schema[c].dataType
+        if not isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            raise TypeError(
+                f"sharded_prefix_multi({c!r}): integral column required, "
+                f"got {vt.simpleString()}"
+            )
+    sort_exprs = [F.asc(c) if asc else F.desc(c) for c, asc in order_spec]
+    n_shards = min(
+        max(2, df.sparkSession.sparkContext.defaultParallelism),
+        max(2, df.rdd.getNumPartitions()),
+    )
+    ranged = (
+        df.repartitionByRange(n_shards, *sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions(*sort_exprs)
+        .persist()
+    )
+    totals = {
+        r["__pid"]: [r[f"t{i}"] or 0 for i in range(len(val_cols))]
+        for r in ranged.groupBy("__pid")
+        .agg(*[F.sum(c).alias(f"t{i}") for i, c in enumerate(val_cols)])
+        .collect()
+    }
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(val_cols)
+    for p in sorted(totals):
+        offsets[p] = list(acc)
+        for i, t in enumerate(totals[p]):
+            acc[i] += t
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(oc, T.LongType(), True) for oc in out_cols]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def local_prefix(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = list(offsets.get(int(pdf["__pid"].iloc[0]), [0] * len(val_cols)))
+            out = pdf[in_cols].copy()
+            for i, (c, oc) in enumerate(zip(val_cols, out_cols)):
+                v = pdf[c].to_numpy(dtype="int64")
+                csum = v.cumsum()
+                out[oc] = run[i] + csum - v
+                run[i] = int(run[i] + csum[-1]) if len(csum) else run[i]
+            yield out
+
+    return ranged.mapInPandas(local_prefix, schema=out_schema)

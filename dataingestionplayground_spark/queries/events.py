@@ -756,3 +756,177 @@ def graph_label_propagation(spark, sf):
     ).join(F.broadcast(sz), "community").select(
         "user_id", "community", "community_size"
     )
+
+
+@register(
+    "events_ks_two_sample",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY value
+    ), c AS (
+      SELECT value, a, b,
+             SUM(a) OVER (ORDER BY value) AS ca,
+             SUM(b) OVER (ORDER BY value) AS cb
+      FROM g
+    ), n AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2 FROM g
+    )
+    SELECT n.n1, n.n2,
+           round(MAX(abs(CAST(ca AS DOUBLE) / CAST(n.n1 AS DOUBLE)
+                         - CAST(cb AS DOUBLE) / CAST(n.n2 AS DOUBLE))), 6) AS d_stat
+    FROM c CROSS JOIN n GROUP BY n.n1, n.n2
+    """,
+)
+def events_ks_two_sample(spark, sf):
+    # Two-sample Kolmogorov-Smirnov: sup |F1 - F2| between week-1 and
+    # week-2 purchase values — the distribution-shift gate that catches
+    # shape changes a mean/variance monitor misses (PSI's exact,
+    # binning-free sibling). The textbook implementation sorts the
+    # union on ONE reducer; here the corpus first collapses to the
+    # VALUE level (one hash agg -> per-value counts of both groups,
+    # which also lands the CDF evaluation at value boundaries so tie
+    # runs never overstate D), then BOTH cumulative counts come from
+    # operators/prefix.sharded_prefix_multi — one range exchange, two
+    # prefix columns, no unpartitioned window. D is a max over
+    # identically-computed doubles, so the hash match is exact.
+    from dataingestionplayground_spark.operators.prefix import sharded_prefix_multi
+
+    e = t(spark, sf, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    )
+    split = F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    g = e.groupBy("value").agg(
+        F.sum(F.when(split, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(~split, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    c = sharded_prefix_multi(g, [("value", True)], ["a", "b"], ["ba", "bb"])
+    c = c.select(
+        ((F.col("ba") + F.col("a")).cast("double")).alias("ca"),
+        ((F.col("bb") + F.col("b")).cast("double")).alias("cb"),
+        "a",
+        "b",
+    )
+    n = g.agg(
+        F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("n1").cast("double")
+                        - F.col("cb") / F.col("n2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("d_stat")
+        )
+    )
+
+
+@register(
+    "events_mannwhitney_u",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY value
+    ), w AS (
+      SELECT value, a, b, a + b AS tc,
+             SUM(a + b) OVER (ORDER BY value) - (a + b) AS bf
+      FROM g
+    ), s AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+             CAST(SUM(CAST(CAST(a AS DOUBLE)
+                           * (CAST(bf AS DOUBLE) + (CAST(tc AS DOUBLE) + 1.0) / 2.0)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS r1,
+             CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3
+      FROM w
+    )
+    SELECT n1, n2,
+           round(r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 6) AS u1,
+           round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0), 6) AS u2,
+           round(((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                        * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
+                 6) AS z
+    FROM s
+    """,
+)
+def events_mannwhitney_u(spark, sf):
+    # Mann-Whitney U (Wilcoxon rank-sum) with tie-corrected normal
+    # approximation — the nonparametric A/B test for "did week 2's
+    # purchase values shift", robust where the z-test's normality
+    # assumption fails. Same scale skeleton as the KS query: collapse
+    # to per-value group counts (one hash agg), ONE
+    # sharded_prefix_multi pass for the rank prefix; average ranks for
+    # tie runs come from the closed form before + (t+1)/2, so no
+    # per-row rank materialization ever happens — the rank SUM per
+    # group is an exact-decimal agg over value-level rows (rank
+    # averages are exact halves, tie^3 terms exact integers).
+    from dataingestionplayground_spark.operators.prefix import sharded_prefix_multi
+
+    e = t(spark, sf, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    )
+    split = F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    g = e.groupBy("value").agg(
+        F.sum(F.when(split, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(~split, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    g = g.withColumn("tc", (F.col("a") + F.col("b")).cast("long"))
+    w = sharded_prefix_multi(g, [("value", True)], ["tc"], ["bf"])
+    rank_avg = F.col("bf").cast("double") + (F.col("tc").cast("double") + F.lit(1.0)) / 2.0
+    s = w.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.sum(
+            (F.col("a").cast("double") * rank_avg).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("r1"),
+        F.sum(
+            F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = F.col("r1") - n1d * (n1d + F.lit(1.0)) / F.lit(2.0)
+    sigma = F.sqrt(
+        (n1d * n2d / F.lit(12.0))
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie3").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round(n1d * n2d - u1, 6).alias("u2"),
+        F.round((u1 - n1d * n2d / F.lit(2.0)) / sigma, 6).alias("z"),
+    )

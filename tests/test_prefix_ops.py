@@ -253,3 +253,41 @@ def test_sharded_rank_multi_randomized_vs_windows(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), f"seed {seed} (n={n}, groups={n_groups}, ties={tie_mod}, k={k1},{k2})"
+
+
+def test_sharded_prefix_multi_matches_window(spark):
+    """Both exclusive prefix columns equal the unpartitioned-window
+    cumsum-minus-self, across seeds with heavy ties and empty-ish
+    shards; non-integral columns fail fast."""
+    import random
+
+    import pytest
+
+    from dataingestionplayground_spark.operators.prefix import (
+        sharded_prefix_multi,
+    )
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 300)
+        rows = [
+            (rng.randrange(5), rng.randrange(4), rng.randrange(4), i)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k int, x int, y int, id long").repartition(7)
+        got = sharded_prefix_multi(
+            df, [("k", True), ("id", True)], ["x", "y"], ["cx", "cy"]
+        ).select("id", "cx", "cy")
+        w = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, -1)
+        want = df.select(
+            "id",
+            F.coalesce(F.sum("x").over(w), F.lit(0)).alias("cx"),
+            F.coalesce(F.sum("y").over(w), F.lit(0)).alias("cy"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"seed {seed} (n={n})"
+
+    bad = spark.createDataFrame([(1.0, 1)], "f double, id long")
+    with pytest.raises(TypeError, match="integral column required"):
+        sharded_prefix_multi(bad, [("id", True)], ["f"])
