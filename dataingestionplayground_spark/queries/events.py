@@ -930,3 +930,79 @@ def events_mannwhitney_u(spark, sf):
         F.round(n1d * n2d - u1, 6).alias("u2"),
         F.round((u1 - n1d * n2d / F.lit(2.0)) / sigma, 6).alias("z"),
     )
+
+
+@register(
+    "events_forecast_seasonal_naive",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day
+    ), j AS (
+      SELECT cur.event_type, cur.day, cur.n,
+             coalesce(prev.n, 0) AS forecast
+      FROM d cur LEFT JOIN d prev
+        ON prev.event_type = cur.event_type AND prev.day = cur.day - 7
+      WHERE cur.day >= (SELECT MIN(day) FROM d) + 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(abs(n - forecast)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+           round(CAST(SUM(CAST(round(CAST(abs(n - forecast) AS DOUBLE)
+                                     / CAST(n AS DOUBLE), 6)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mape
+    FROM j GROUP BY event_type
+    """,
+)
+def events_forecast_seasonal_naive(spark, sf):
+    # Seasonal-naive forecast baseline with its OWN error scorecard:
+    # predict each day's per-type event count with the same weekday a
+    # week earlier, report MAE and MAPE per type — the floor every
+    # fancier traffic forecaster must beat, and the pattern for
+    # backtesting any forecaster in-engine (forecast = a self-join on
+    # the shifted key, scoring = one agg). The corpus collapses to the
+    # (type, day) level in one hash agg; the lag-7 self-join and the
+    # error aggs run on that days-x-types frame, so nothing downstream
+    # of the first agg scales with raw volume. Integer counts make MAE
+    # exact; per-day MAPE terms are 6dp-decimal summed.
+    from dataingestionplayground_spark.functions import portable as PF
+
+    e = t(spark, sf, "events")
+    d = e.select(
+        "event_type",
+        F.floor(PF.epoch_seconds("ts") / 86400).cast("long").alias("day"),
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lo = d.agg(F.min("day").alias("d0"))
+    cur = d.alias("cur")
+    prev = d.select(
+        F.col("event_type").alias("event_type"),
+        (F.col("day") + 7).alias("day"),
+        F.col("n").alias("pn"),
+    ).alias("prev")
+    j = (
+        cur.join(prev, ["event_type", "day"], "left")
+        .crossJoin(F.broadcast(lo))
+        .filter(F.col("day") >= F.col("d0") + 7)
+        .select(
+            "event_type",
+            "n",
+            F.coalesce("pn", F.lit(0)).cast("long").alias("forecast"),
+        )
+    )
+    err = F.abs(F.col("n") - F.col("forecast"))
+    mape_term = F.round(
+        err.cast("double") / F.col("n").cast("double"), 6
+    ).cast("decimal(38,6)")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum(err).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mae"),
+        F.round(
+            F.sum(mape_term).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mape"),
+    )

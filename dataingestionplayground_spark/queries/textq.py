@@ -1519,3 +1519,60 @@ def text_vocab_overlap_sources(spark, sf):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "text_lang_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, lang, {_lang_score_sqls()} FROM documents),
+    pred AS (SELECT lang AS actual, {_PRED_CASE} AS pred FROM scored),
+    cm AS (
+      SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY actual, pred
+    ), per_actual AS (
+      SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual FROM cm GROUP BY actual
+    ), per_pred AS (
+      SELECT pred, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY pred
+    )
+    SELECT cm.actual, cm.pred, cm.n,
+           round(CAST(cm.n AS DOUBLE) / CAST(a.n_actual AS DOUBLE), 6) AS recall_share,
+           round(CAST(cm.n AS DOUBLE) / CAST(p.n_pred AS DOUBLE), 6) AS precision_share
+    FROM cm
+    JOIN per_actual a ON a.actual = cm.actual
+    JOIN per_pred p ON p.pred = cm.pred
+    """,
+)
+def text_lang_confusion_matrix(spark, sf):
+    # The eval harness for the language-ID heuristic: full confusion
+    # matrix (actual x predicted) with per-cell recall and precision
+    # shares — grading the PRODUCTION classifier expression (the same
+    # _PRED_CASE text_language_id ships) against the labeled lang
+    # column, the retrieval_eval_ndcg pattern applied to
+    # classification. One scan scores every doc; everything after is
+    # |langs|^2-sized (the matrix and both marginals broadcast at any
+    # corpus scale).
+    d = t(spark, sf, "documents")
+    scored = d.select("lang", *_lang_score_cols())
+    pred = scored.select(
+        F.col("lang").alias("actual"), F.expr(_PRED_CASE).alias("pred")
+    )
+    cm = pred.groupBy("actual", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pa = cm.groupBy("actual").agg(F.sum("n").cast("long").alias("n_actual"))
+    pp = cm.groupBy("pred").agg(F.sum("n").cast("long").alias("n_pred"))
+    return (
+        cm.join(F.broadcast(pa), "actual")
+        .join(F.broadcast(pp), "pred")
+        .select(
+            "actual",
+            "pred",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_actual").cast("double"), 6
+            ).alias("recall_share"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_pred").cast("double"), 6
+            ).alias("precision_share"),
+        )
+    )
