@@ -1006,3 +1006,125 @@ def events_forecast_seasonal_naive(spark, sf):
             F.sum(mape_term).cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("mape"),
     )
+
+
+@register(
+    "events_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), buys AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), prevm AS (
+      SELECT event_id, purchase_id, gap_us FROM (
+        SELECT c.event_id, b.purchase_id,
+               epoch_us(c.ts) - epoch_us(b.ts) AS gap_us,
+               row_number() OVER (PARTITION BY c.event_id
+                                  ORDER BY b.ts DESC, b.purchase_id ASC) AS rn
+        FROM clicks c JOIN buys b
+          ON b.user_id = c.user_id AND b.ts <= c.ts) WHERE rn = 1
+    ), nextm AS (
+      SELECT event_id, purchase_id, gap_us FROM (
+        SELECT c.event_id, b.purchase_id,
+               epoch_us(b.ts) - epoch_us(c.ts) AS gap_us,
+               row_number() OVER (PARTITION BY c.event_id
+                                  ORDER BY b.ts ASC, b.purchase_id ASC) AS rn
+        FROM clicks c JOIN buys b
+          ON b.user_id = c.user_id AND b.ts > c.ts) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN p.purchase_id IS NOT NULL
+                     AND (n.purchase_id IS NULL OR p.gap_us <= n.gap_us)
+                THEN p.purchase_id ELSE n.purchase_id END AS purchase_id,
+           CASE WHEN p.purchase_id IS NOT NULL
+                     AND (n.purchase_id IS NULL OR p.gap_us <= n.gap_us)
+                THEN p.gap_us ELSE n.gap_us END AS gap_us,
+           CASE WHEN p.purchase_id IS NULL AND n.purchase_id IS NULL THEN NULL
+                WHEN p.purchase_id IS NOT NULL
+                     AND (n.purchase_id IS NULL OR p.gap_us <= n.gap_us)
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM clicks c
+    LEFT JOIN prevm p ON p.event_id = c.event_id
+    LEFT JOIN nextm n ON n.event_id = c.event_id
+    """,
+)
+def events_asof_nearest(spark, sf):
+    # NEAREST as-of join, completing the direction family (backward /
+    # forward-with-tolerance / nearest — pandas merge_asof's third
+    # mode): each click pairs with the same user's temporally closest
+    # purchase in EITHER direction; |gap| ties prefer the earlier
+    # (backward) purchase, equal-timestamp ties the smallest id. ONE
+    # sort-shuffle serves both directions: in the (user, time)-sorted
+    # union, the previous purchase is max(struct(us, -id)) over the
+    # preceding frame and the next is min(struct(us, id)) over the
+    # following frame — struct ordering encodes both tie rules, buys
+    # sort before clicks at equal timestamps so exact matches land in
+    # the preceding frame (gap 0), and no second exchange or per-key
+    # Python ever runs. The oracle specifies the same semantics
+    # independently via two ranked joins.
+    e = t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    u = clicks.unionByName(buys).withColumn(
+        "bstruct",
+        F.when(
+            F.col("side") == 0,
+            F.struct(
+                F.col("us").alias("bus"),
+                (-F.col("purchase_id")).alias("negid"),
+                F.col("purchase_id").alias("pid"),
+            ),
+        ),
+    ).withColumn(
+        "nstruct",
+        F.when(
+            F.col("side") == 0,
+            F.struct(F.col("us").alias("bus"), F.col("purchase_id").alias("pid")),
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    order = [F.asc("us"), F.asc("side"), F.asc("purchase_id"), F.asc("event_id")]
+    w_prev = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    matched = (
+        u.withColumn("prev", F.max("bstruct").over(w_prev))
+        .withColumn("nxt", F.min("nstruct").over(w_next))
+        .filter(F.col("side") == 1)
+    )
+    gap_prev = F.col("us") - F.col("prev.bus")
+    gap_next = F.col("nxt.bus") - F.col("us")
+    take_prev = F.col("prev").isNotNull() & (
+        F.col("nxt").isNull() | (gap_prev <= gap_next)
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.when(take_prev, F.col("prev.pid"))
+        .otherwise(F.col("nxt.pid"))
+        .alias("purchase_id"),
+        F.when(take_prev, gap_prev).otherwise(gap_next).alias("gap_us"),
+        F.when(F.col("prev").isNull() & F.col("nxt").isNull(), F.lit(None))
+        .when(take_prev, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

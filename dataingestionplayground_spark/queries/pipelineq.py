@@ -1972,3 +1972,47 @@ def pipeline_target_encoding(spark, sf):
             ).alias("te"),
         )
     )
+
+
+@register(
+    "pipeline_dataset_fingerprint",
+    oracle=f"""
+    WITH h AS (
+      SELECT {md5_mod_sql(
+          "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+          "CAST(floor(o_totalprice * 100) AS BIGINT))", 4294967296)} AS rh
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                % 9223372036854775783 AS BIGINT) AS checksum
+    FROM h
+    """,
+)
+def pipeline_dataset_fingerprint(spark, sf):
+    # Order-invariant dataset fingerprint: per-row portable hash (md5 of
+    # the canonicalized row string), SUMMED — addition commutes, so two
+    # copies of a table fingerprint identically regardless of
+    # partitioning, file order, or engine, which is how you verify a
+    # migration / replication / snapshot at 100 TB WITHOUT sorting or
+    # shuffling anything: one scan, one map-side-partial agg, one row
+    # out. (A concat- or xor-of-sorted-hashes scheme would need a global
+    # sort; xor alone misses duplicate-row pairs — a decimal sum mod a
+    # 63-bit prime keeps every row's contribution and stays exact at any
+    # row count.) Doubles enter the row string as floor(x*100) integers
+    # — float formatting differs across engines, integer strings don't.
+    o = t(spark, sf, "orders")
+    rh = F.expr(
+        md5_mod(
+            "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+            "cast(floor(o_totalprice * 100) as bigint))",
+            4294967296,
+        )
+    )
+    return o.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(F.col("rh").cast("decimal(38,0)")).cast("decimal(38,0)")
+         % F.lit(9223372036854775783).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("checksum"),
+    )
