@@ -381,25 +381,34 @@ def ensure_index(
     """Front door for index-backed search (the CLI path): build the
     ``kind`` index if absent, refresh it if stale, no-op if current.
     Returns {"built": bool, "appended": n, "removed": n}."""
-    if kind not in ("pq", "ivf"):
-        raise ValueError(f"unknown index kind {kind!r} (expected 'pq' or 'ivf')")
-    load = _load_meta if kind == "pq" else _load_ivf_meta
+    if kind not in ("pq", "ivf", "ivfpq"):
+        raise ValueError(
+            f"unknown index kind {kind!r} (expected 'pq', 'ivf', or 'ivfpq')"
+        )
+    load = {"pq": _load_meta, "ivf": _load_ivf_meta, "ivfpq": _load_ivfpq_meta}[kind]
     try:
         load(store, collection)
     except FileNotFoundError:
-        if kind == "pq":
+        if kind in ("pq", "ivfpq"):
             first = store.read(spark, collection).select("embedding").first()
             dims = len(first["embedding"]) if first else 384
             build_kwargs.setdefault("dims", dims)
-            build_pq_index(spark, store, collection, **build_kwargs)
+            build = build_pq_index if kind == "pq" else build_ivfpq_index
+            build(spark, store, collection, **build_kwargs)
         else:
             build_ivf_index(spark, store, collection, **build_kwargs)
         return {"built": True, "appended": 0, "removed": 0}
-    stale = (index_staleness if kind == "pq" else ivf_index_staleness)(
-        spark, store, collection
-    )
+    stale = {
+        "pq": index_staleness,
+        "ivf": ivf_index_staleness,
+        "ivfpq": ivfpq_index_staleness,
+    }[kind](spark, store, collection)
     if stale["missing"] or stale["orphaned"]:
-        refresh = refresh_pq_index if kind == "pq" else refresh_ivf_index
+        refresh = {
+            "pq": refresh_pq_index,
+            "ivf": refresh_ivf_index,
+            "ivfpq": refresh_ivfpq_index,
+        }[kind]
         return {"built": False, **refresh(spark, store, collection)}
     return {"built": False, "appended": 0, "removed": 0}
 
@@ -550,6 +559,324 @@ def ivf_search_indexed(
     w = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("score"), F.asc("key"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "key", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ index: the third member — the IVFADC composition (Jégou et al.
+# 2011) as a PERSISTED artifact. Where the PQ index compresses the scan
+# and the IVF index prunes it, IVFPQ does both: the stored table holds
+# residual-PQ codes PARTITIONED BY COARSE CELL, so a probed search
+# partition-prunes to n_probe cells AND reads only int codes inside
+# them. Same lifecycle contract: centroids + residual codebook FROZEN
+# at build (ivfpq.json); refresh assigns/encodes only new chunks
+# against the frozen quantizers (anti-join); deletion rewrites only the
+# affected cell partitions.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_META = "ivfpq.json"
+
+
+def _ivfpq_dir(store: CollectionStore, collection: str) -> str:
+    store._path(collection)
+    return os.path.join(store.base_path, "_indexes", collection, "ivfpq")
+
+
+def _residualize(chunks: DataFrame, cents_df: DataFrame, dims: int) -> DataFrame:
+    """(key, documentid, cell, res) — L2 nearest coarse cell (ties to
+    the lowest id) + the double-valued residual, via the broadcast
+    expression assigner shared with the batch operator."""
+    from dataingestionplayground_spark.operators.similarity import _l2_assign
+
+    cents = cents_df.select("centroid_id", "cent_vec")
+    asg = _l2_assign(
+        chunks.select("key", "documentid", "embedding"),
+        cents,
+        "embedding",
+        "key",
+        dims,
+        keep=1,
+    )
+    ids = chunks.select("key", "documentid")
+    return (
+        asg.withColumnRenamed("__res", "res")
+        .withColumnRenamed("centroid_id", "cell")
+        .join(ids, "key")
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    n_cells: int = 8,
+    m: int = 8,
+    n_centroids: int = 16,
+    dims: int = 384,
+    centroid_mode: str = "kmeans",
+    kmeans_iters: int = 2,
+    codebook_mode: str = "kmeans",
+) -> dict:
+    """Derive coarse centroids, PQ-train the RESIDUAL codebook, encode
+    every chunk, persist codes partitioned by cell + frozen quantizers.
+    Residual training is the accuracy step: after subtracting the cell
+    centroid the codebook models a zero-centered ball, so the same m x k
+    budget spends its precision on local structure."""
+    from dataingestionplayground_spark.operators.similarity import (
+        _pq_codebook,
+        _seed_centroids,
+        kmeans_centroids,
+    )
+
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    chunks = store.read(spark, collection).select("key", "documentid", "embedding")
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(chunks, n_cells, kmeans_iters, "key", "embedding")
+    elif centroid_mode == "seed":
+        cents = _seed_centroids(chunks, "key", "embedding", n_cells)
+    else:
+        raise ValueError(f"centroid_mode must be 'seed' or 'kmeans': {centroid_mode!r}")
+    coarse = [
+        [float(x) for x in r["cent_vec"]]
+        for r in cents.orderBy("centroid_id").collect()
+    ]
+    cents_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(coarse)], "centroid_id int, cent_vec array<float>"
+    )
+    residuals = _residualize(chunks, cents_df, dims)
+    codebook = _pq_codebook(residuals, m, n_centroids, dims, "key", "res", codebook_mode)
+    cb_rows = codebook.collect()[0]["cents"]
+    effective = len(cb_rows) // m
+    meta = {
+        "n_cells": len(coarse),
+        "m": m,
+        "n_centroids": effective,
+        "dims": dims,
+        "centroid_mode": centroid_mode,
+        "codebook_mode": codebook_mode,
+        "coarse": coarse,
+        "cents": [(c["s"], c["cid"], [float(x) for x in c["v"]]) for c in cb_rows],
+    }
+    codes = pq_encode_with_codebook(
+        residuals, _codebook_df(spark, meta), m, dims, "key", "res",
+        extra_cols=("documentid", "cell"),
+    )
+    idx = _ivfpq_dir(store, collection)
+    (
+        codes.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(os.path.join(idx, "codes"))
+    )
+    os.makedirs(idx, exist_ok=True)
+    with open(os.path.join(idx, _IVFPQ_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _load_ivfpq_meta(store: CollectionStore, collection: str) -> dict:
+    path = os.path.join(_ivfpq_dir(store, collection), _IVFPQ_META)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no IVFPQ index for collection {collection!r}; run build_ivfpq_index first"
+        )
+    return json.load(open(path))
+
+
+def read_ivfpq_codes(
+    spark: SparkSession, store: CollectionStore, collection: str
+) -> DataFrame:
+    codes = os.path.join(_ivfpq_dir(store, collection), "codes")
+    has_data = any(
+        f.endswith(".parquet") for _, _, files in os.walk(codes) for f in files
+    )
+    if not has_data:
+        meta = _load_ivfpq_meta(store, collection)
+        cols = ", ".join(f"code_{s} int" for s in range(meta["m"]))
+        return spark.createDataFrame([], f"key string, documentid string, {cols}, cell int")
+    return spark.read.parquet(codes)
+
+
+def ivfpq_index_staleness(
+    spark: SparkSession, store: CollectionStore, collection: str
+) -> dict:
+    keys = store.read(spark, collection).select("key")
+    codes = read_ivfpq_codes(spark, store, collection).select("key")
+    return {
+        "missing": keys.join(codes, "key", "left_anti").count(),
+        "orphaned": codes.join(keys, "key", "left_anti").count(),
+    }
+
+
+def refresh_ivfpq_index(
+    spark: SparkSession, store: CollectionStore, collection: str
+) -> dict:
+    """Incremental maintenance against BOTH frozen quantizers: new
+    chunks (anti-join on key) are assigned to their frozen coarse cell,
+    residual-encoded with the frozen codebook, and appended into their
+    cell partitions; deleted chunks rewrite only the cells that held
+    them (the IVF deletion pattern, emptied partitions dropped)."""
+    meta = _load_ivfpq_meta(store, collection)
+    idx = _ivfpq_dir(store, collection)
+    codes_path = os.path.join(idx, "codes")
+    chunks = store.read(spark, collection).select("key", "documentid", "embedding")
+    codes = read_ivfpq_codes(spark, store, collection)
+
+    new = chunks.join(codes.select("key"), "key", "left_anti")
+    appended = new.count()
+    if appended:
+        cents_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(meta["coarse"])],
+            "centroid_id int, cent_vec array<float>",
+        )
+        residuals = _residualize(new, cents_df, meta["dims"])
+        (
+            pq_encode_with_codebook(
+                residuals, _codebook_df(spark, meta), meta["m"], meta["dims"],
+                "key", "res", extra_cols=("documentid", "cell"),
+            )
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .option("compression", "zstd")
+            .parquet(codes_path)
+        )
+        codes = read_ivfpq_codes(spark, store, collection)
+
+    orphans = codes.join(chunks.select("key"), "key", "left_anti")
+    removed = orphans.count()
+    if removed:
+        hot_cells = [r["cell"] for r in orphans.select("cell").distinct().collect()]
+        kept = (
+            codes.filter(F.col("cell").isin(hot_cells))
+            .join(chunks.select("key"), "key", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        survivors = {r["cell"] for r in kept.select("cell").distinct().collect()}
+        if survivors:
+            (
+                kept.repartition("cell")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell")
+                .option("compression", "zstd")
+                .parquet(codes_path)
+            )
+        for c in hot_cells:
+            if c not in survivors:
+                shutil.rmtree(
+                    os.path.join(codes_path, f"cell={c}"), ignore_errors=True
+                )
+    return {"appended": appended, "removed": removed}
+
+
+def ivfpq_search_indexed(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    rerank: int | str | None = "auto",
+) -> DataFrame:
+    """IVFADC search off the persisted index: probe cells and the
+    per-(query, cell) residual ADC lookup tables are computed
+    DRIVER-SIDE from the tiny query set against the frozen quantizers
+    (queries x n_probe x m x k doubles), the code scan carries a
+    LITERAL cell filter (static parquet partition pruning), and scoring
+    is m array lookups per code row. ``rerank='auto'`` (16*k) fetches
+    full-precision vectors for the shortlist only and reranks by exact
+    cosine — the same recall-recovery contract as pq_search_indexed.
+    Returns (query_id, key, score, rank) with rerank, else
+    (query_id, key, adc_dist, rank)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.functions import vector as V
+
+    if rerank == "auto":
+        rerank = 16 * k
+    meta = _load_ivfpq_meta(store, collection)
+    m, K, dims = meta["m"], meta["n_centroids"], meta["dims"]
+    dsub = dims // m
+    C = np.asarray(meta["coarse"], dtype=np.float64)
+    # codebook as [s][cid] -> dsub vector (cents sorted by (s, cid))
+    cb = np.zeros((m, K, dsub), dtype=np.float64)
+    for s, cid, v in meta["cents"]:
+        cb[int(s)][int(cid)] = np.asarray(v, dtype=np.float64)
+
+    qid_field = queries.schema[query_id]
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    qid_field,
+                    T.StructField("key", T.StringType(), True),
+                    T.StructField("score" if rerank else "adc_dist", T.DoubleType(), True),
+                    T.StructField("rank", T.IntegerType(), True),
+                ]
+            ),
+        )
+    lut_rows = []
+    for r in q_rows:
+        q = np.asarray(r[query_vec], dtype=np.float64)
+        d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+        order = np.argsort(d2, kind="stable")[:n_probe]  # ties -> lowest cell
+        for c in order:
+            qres = q - C[int(c)]
+            lut = []
+            for s in range(m):
+                sub = qres[s * dsub : (s + 1) * dsub]
+                lut.extend(((cb[s] - sub[None, :]) ** 2).sum(axis=1).tolist())
+            lut_rows.append((r[query_id], int(c), lut))
+    all_cells = sorted({c for _, c, _ in lut_rows})
+    lut_df = F.broadcast(
+        spark.createDataFrame(
+            lut_rows,
+            T.StructType(
+                [
+                    qid_field,
+                    T.StructField("cell", T.IntegerType(), False),
+                    T.StructField("lut", T.ArrayType(T.DoubleType()), False),
+                ]
+            ),
+        )
+    )
+    codes = read_ivfpq_codes(spark, store, collection).filter(
+        F.col("cell").isin(all_cells)  # literal -> static partition pruning
+    )
+    score = " + ".join(f"element_at(lut, {s * K} + code_{s} + 1)" for s in range(m))
+    depth = max(k, rerank) if rerank else k
+    scored = codes.join(lut_df, "cell").withColumn("adc_dist", F.expr(score))
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc("key"))
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= depth)
+        .select(query_id, "key", F.round("adc_dist", 9).alias("adc_dist"), "rank")
+    )
+    if not rerank:
+        return adc
+    short = adc.select(query_id, "key")
+    rescored = (
+        store.read(spark, collection)
+        .select("key", "embedding")
+        .join(F.broadcast(short), "key")
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("score", V.cosine_similarity("embedding", query_vec))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("score"), F.asc("key"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id, "key", "score", "rank")
     )

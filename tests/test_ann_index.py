@@ -345,3 +345,129 @@ def test_ivf_refresh_survives_total_deletion(spark, md_elements, tmp_path):
         read_ivf_assignments(spark, store, "ivf").filter(F.col("cell").isNull()).count()
         == 0
     )
+
+
+def _ivfpq_fixture(spark, md_elements, tmp_path, coll="ivfpq", **kw):
+    from dataingestionplayground_spark.ingest.ann_index import build_ivfpq_index
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, coll, max_tokens=8, overlap=0)
+    kw.setdefault("n_cells", 4)
+    kw.setdefault("m", M)
+    kw.setdefault("n_centroids", K)
+    kw.setdefault("dims", DIMS)
+    meta = build_ivfpq_index(spark, store, coll, **kw)
+    return store, meta
+
+
+def test_ivfpq_rerank_recall_vs_bruteforce_and_adc_shortlist(spark, md_elements, tmp_path):
+    """Reranked IVFADC search over ALL cells (n_probe = n_cells) must
+    return exactly the brute-force cosine top-k: with every cell probed
+    and a shortlist >= corpus, ADC pruning removes nothing and the
+    exact-cosine rerank decides everything — validating LUT alignment,
+    residual encode, and the fetch-join end to end."""
+    from dataingestionplayground_spark.ingest.ann_index import ivfpq_search_indexed
+    from dataingestionplayground_spark.operators.similarity import knn_brute_force
+
+    store, meta = _ivfpq_fixture(spark, md_elements, tmp_path)
+    assert meta["n_cells"] == 4 and meta["n_centroids"] == K
+    q = _queries_df(spark, ["machine learning algorithms", "the roman empire"])
+    n = store.read(spark, "ivfpq").count()
+    got = ivfpq_search_indexed(
+        spark, store, "ivfpq", q, k=5, n_probe=4, rerank=n
+    ).collect()
+    chunks = store.read(spark, "ivfpq").select("key", "embedding")
+    want = knn_brute_force(
+        chunks, q, k=5, corpus_id="key", corpus_vec="embedding"
+    ).collect()
+    assert sorted((r["query_id"], r["key"], r["rank"]) for r in got) == sorted(
+        (r["query_id"], r["key"], r["rank"]) for r in want
+    )
+    # ADC-only mode returns distances ascending, depth k
+    adc = ivfpq_search_indexed(
+        spark, store, "ivfpq", q, k=5, n_probe=4, rerank=None
+    ).collect()
+    assert len(adc) > 0 and all(r["adc_dist"] >= 0 for r in adc)
+    assert store.list_collections() == ["ivfpq"]
+
+
+def test_ivfpq_scan_is_partition_pruned_and_code_only(spark, md_elements, tmp_path):
+    """The probed-cells literal must reach the codes scan as a
+    PartitionFilter, and the ADC scan must read codes, never embeddings."""
+    from dataingestionplayground_spark.ingest.ann_index import ivfpq_search_indexed
+    from dataingestionplayground_spark.plans import physical_plan
+
+    store, _ = _ivfpq_fixture(spark, md_elements, tmp_path)
+    q = _queries_df(spark, ["machine learning algorithms"])
+    plan = physical_plan(
+        ivfpq_search_indexed(spark, store, "ivfpq", q, k=3, n_probe=1, rerank=None),
+        "formatted",
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+    scan_lines = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln or "ReadSchema" in ln
+    ]
+    assert any("code_0" in ln for ln in scan_lines)
+    assert not any("embedding" in ln for ln in scan_lines)
+
+
+def test_ivfpq_refresh_appends_only_new_drops_orphans_and_ensure(
+    spark, md_elements, tmp_path
+):
+    """Refresh encodes ONLY anti-joined new chunks against the frozen
+    quantizers; deletions rewrite only affected cells; ensure_index
+    routes the ivfpq kind through build -> refresh -> no-op."""
+    from dataingestionplayground_spark.ingest.ann_index import (
+        ensure_index,
+        ivfpq_index_staleness,
+        ivfpq_search_indexed,
+        read_ivfpq_codes,
+    )
+
+    ids = sorted(r.doc_id for r in md_elements.select("doc_id").distinct().collect())
+    first, later = ids[:4], ids[4:]
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(
+        md_elements.filter(F.col("doc_id").isin(first)), store, "inc",
+        max_tokens=8, overlap=0,
+    )
+    r = ensure_index(
+        spark, store, "inc", "ivfpq", n_cells=4, m=M, n_centroids=K,
+        codebook_mode="seed", centroid_mode="seed",
+    )
+    assert r["built"] is True
+    n0 = read_ivfpq_codes(spark, store, "inc").count()
+    base = {
+        (row["key"], tuple(row[f"code_{s}"] for s in range(M)))
+        for row in read_ivfpq_codes(spark, store, "inc").collect()
+    }
+
+    # later docs arrive: refresh appends, existing codes byte-stable
+    ingest_corpus(
+        md_elements.filter(F.col("doc_id").isin(later)), store, "inc",
+        max_tokens=8, overlap=0, incremental=True,
+    )
+    r2 = ensure_index(spark, store, "inc", "ivfpq")
+    assert r2["built"] is False and r2["appended"] > 0 and r2["removed"] == 0
+    after = {
+        (row["key"], tuple(row[f"code_{s}"] for s in range(M)))
+        for row in read_ivfpq_codes(spark, store, "inc").collect()
+    }
+    assert base <= after and len(after) == n0 + r2["appended"]
+    st = ivfpq_index_staleness(spark, store, "inc")
+    assert st == {"missing": 0, "orphaned": 0}
+    # a fresh index is a no-op
+    r3 = ensure_index(spark, store, "inc", "ivfpq")
+    assert r3 == {"built": False, "appended": 0, "removed": 0}
+
+    # deletion: drop one document's chunks -> its code rows disappear
+    victim = later[0] if later else first[0]
+    store.delete_documents(spark, "inc", [victim])
+    r4 = ensure_index(spark, store, "inc", "ivfpq")
+    assert r4["removed"] > 0
+    keys_left = {row["key"] for row in read_ivfpq_codes(spark, store, "inc").collect()}
+    live = {row["key"] for row in store.read(spark, "inc").select("key").collect()}
+    assert keys_left == live
+    # search still works over the maintained table
+    q = _queries_df(spark, ["machine learning algorithms"])
+    assert len(ivfpq_search_indexed(spark, store, "inc", q, k=3).collect()) > 0
