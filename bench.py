@@ -203,10 +203,13 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
 
     from dataingestionplayground_spark.ingest.ann_index import (
         build_ivf_index,
+        build_ivfpq_index,
         build_pq_index,
         ivf_search_indexed,
+        ivfpq_search_indexed,
         pq_search_indexed,
         refresh_ivf_index,
+        refresh_ivfpq_index,
         refresh_pq_index,
     )
     from dataingestionplayground_spark.ingest.store import CollectionStore
@@ -319,6 +322,45 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
     meta["recall_at_10_vs_l2"] = _recall_at_10(exact_l2, pq_top)
     meta["rerank_recall_at_10"] = _recall_at_10(exact_cos, pq_rr_top)
     meta["ivf"]["recall_at_10"] = _recall_at_10(exact_cos, ivf_top)
+
+    # r10b: the composed IVFADC index — 16 kmeans cells probed 4-deep
+    # (the IVF pruning fraction) over 16x16 kmeans RESIDUAL codes (the
+    # PQ scan compression), exact-cosine rerank at auto depth. Graded
+    # like the rerank path: against the exact cosine top-k.
+    ivfpq_cfg = {"n_cells": 16, "m": 16, "n_centroids": 16,
+                 "centroid_mode": "kmeans", "codebook_mode": "kmeans"}
+    ivfpq_meta_path = os.path.join(
+        idx_base, "_indexes", "embeddings", "ivfpq", "ivfpq.json"
+    )
+    ivfpq_stale = True
+    if os.path.exists(ivfpq_meta_path):
+        old_ipq = json.load(open(ivfpq_meta_path))
+        ivfpq_stale = any(old_ipq.get(k) != v for k, v in ivfpq_cfg.items())
+    if ivfpq_stale:
+        build_ivfpq_index(spark, store, "embeddings", dims=64, **ivfpq_cfg)
+    t0 = time.perf_counter()
+    ivfpq_refreshed = refresh_ivfpq_index(spark, store, "embeddings")
+    ivfpq_refresh_sec = round(time.perf_counter() - t0, 3)
+
+    def run_ivfpq():
+        ivfpq_search_indexed(
+            spark, store, "embeddings", q, k=10, n_probe=4, rerank="auto"
+        ).write.format("noop").mode("overwrite").save()
+
+    timings["vector_ivfpq_index_search"], medians["vector_ivfpq_index_search"] = (
+        _timed_runs(spark, run_ivfpq, 3)
+    )
+    ivfpq_top = _topk_sets(
+        ivfpq_search_indexed(
+            spark, store, "embeddings", q, k=10, n_probe=4, rerank="auto"
+        ).collect(),
+        "key",
+    )
+    meta["ivfpq"] = {
+        "refresh_sec": ivfpq_refresh_sec,
+        **ivfpq_refreshed,
+        "recall_at_10": _recall_at_10(exact_cos, ivfpq_top),
+    }
     return meta
 
 

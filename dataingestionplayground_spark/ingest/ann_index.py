@@ -649,11 +649,22 @@ def build_ivfpq_index(
     residuals = _residualize(chunks, cents_df, dims)
     codebook = _pq_codebook(residuals, m, n_centroids, dims, "key", "res", codebook_mode)
     cb_rows = codebook.collect()[0]["cents"]
-    effective = len(cb_rows) // m
+    # kmeans refinement DROPS a seed that wins no vectors, and residual
+    # distributions (concentrated near zero) make that common — so the
+    # codebook can be RAGGED across subspaces. Codes index into each
+    # subspace's cid-sorted PRESENT entries (that is what the encoder's
+    # filtered array_position produces), so search must address the flat
+    # LUT with per-subspace cumulative offsets, not a fixed m x k stride.
+    sub_counts = [0] * m
+    for c in cb_rows:
+        sub_counts[int(c["s"])] += 1
+    if any(n == 0 for n in sub_counts):
+        raise ValueError(f"subspace with empty codebook: counts {sub_counts}")
     meta = {
         "n_cells": len(coarse),
         "m": m,
-        "n_centroids": effective,
+        "n_centroids": max(sub_counts),
+        "sub_counts": sub_counts,
         "dims": dims,
         "centroid_mode": centroid_mode,
         "codebook_mode": codebook_mode,
@@ -805,13 +816,20 @@ def ivfpq_search_indexed(
     if rerank == "auto":
         rerank = 16 * k
     meta = _load_ivfpq_meta(store, collection)
-    m, K, dims = meta["m"], meta["n_centroids"], meta["dims"]
+    m, dims = meta["m"], meta["dims"]
     dsub = dims // m
     C = np.asarray(meta["coarse"], dtype=np.float64)
-    # codebook as [s][cid] -> dsub vector (cents sorted by (s, cid))
-    cb = np.zeros((m, K, dsub), dtype=np.float64)
-    for s, cid, v in meta["cents"]:
-        cb[int(s)][int(cid)] = np.asarray(v, dtype=np.float64)
+    # codebook per subspace: cid-SORTED present entries — codes index
+    # into this list (the encoder's filtered array_position), and the
+    # flat LUT is addressed by per-subspace cumulative offsets because
+    # kmeans refinement can leave the codebook ragged
+    sub_entries: list[list] = [[] for _ in range(m)]
+    for s, cid, v in sorted(meta["cents"], key=lambda c: (int(c[0]), int(c[1]))):
+        sub_entries[int(s)].append(np.asarray(v, dtype=np.float64))
+    cb = [np.vstack(e) for e in sub_entries]
+    offs = [0] * m
+    for s in range(1, m):
+        offs[s] = offs[s - 1] + len(cb[s - 1])
 
     qid_field = queries.schema[query_id]
     q_rows = queries.select(query_id, query_vec).collect()
@@ -838,7 +856,7 @@ def ivfpq_search_indexed(
             for s in range(m):
                 sub = qres[s * dsub : (s + 1) * dsub]
                 lut.extend(((cb[s] - sub[None, :]) ** 2).sum(axis=1).tolist())
-            lut_rows.append((r[query_id], int(c), lut))
+            lut_rows.append((r[query_id], int(c), lut))  # flat, offs-addressed
     all_cells = sorted({c for _, c, _ in lut_rows})
     lut_df = F.broadcast(
         spark.createDataFrame(
@@ -855,7 +873,9 @@ def ivfpq_search_indexed(
     codes = read_ivfpq_codes(spark, store, collection).filter(
         F.col("cell").isin(all_cells)  # literal -> static partition pruning
     )
-    score = " + ".join(f"element_at(lut, {s * K} + code_{s} + 1)" for s in range(m))
+    score = " + ".join(
+        f"element_at(lut, {offs[s]} + code_{s} + 1)" for s in range(m)
+    )
     depth = max(k, rerank) if rerank else k
     scored = codes.join(lut_df, "cell").withColumn("adc_dist", F.expr(score))
     w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc("key"))
