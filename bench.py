@@ -374,9 +374,17 @@ def _bench_block(spark, registry, names, data_dir: str, n_runs: int):
 
         # iterative queries localCheckpoint per round and the async
         # ContextCleaner can lag, inflating the next query's first run —
-        # nudge a GC so freed checkpoint blocks are actually dropped
+        # nudge a GC so freed checkpoint blocks are actually dropped;
+        # also drop the sharded-prefix persists (they are only reused
+        # WITHIN a query — across queries they would accumulate blocks
+        # for the session lifetime, ADVICE r10)
         import gc
 
+        from dataingestionplayground_spark.operators.prefix import (
+            release_prefix_caches,
+        )
+
+        release_prefix_caches()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         timings[name], medians[name] = _timed_runs(spark, run, n_runs)

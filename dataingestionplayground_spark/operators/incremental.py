@@ -591,33 +591,41 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
     warehouse MERGE that keeps ``events_scd2_history`` semantics
     without a full-history recompute.
 
-    Maintained state is the SET of change rows (user_id, status,
-    valid_from, event_id); the derived columns (valid_to, version,
-    is_current) are recomputed per write from that set. Per batch:
+    Maintained state is the SET of ALL observations (user_id, status,
+    valid_from, event_id) — change rows AND same-status repeats — with
+    the derived SCD2 columns (is_change, valid_to, version, is_current)
+    recomputed per write from that set. Storing only change rows (the
+    r10 design) silently diverged from a full-history rebuild under
+    late data: a discarded same-status repeat (view@t1, view@t2 → only
+    view@t1 kept) must RE-OPEN a version when a late intervening change
+    (click@t1.5) arrives, but a change-row-only store can no longer see
+    it (ADVICE r10, medium). Per batch:
 
     1. read ONLY the user-hash bucket partitions the batch touches
        (partition-pruned — a batch never pays for the dimension's full
        width);
-    2. union the stored change rows with the batch's observations and
+    2. union the stored observations with the batch's and
        dropDuplicates on (user, valid_from, event_id), so a replayed
        observation collapses into the row it already created before
-       ordering ever sees the tie (belt; the braces: even without the
-       dedup, step 3's change detection drops an adjacent equal-status
-       duplicate as a non-change);
+       ordering ever sees the tie;
     3. re-run change-point detection per user over (valid_from,
-       event_id) order and re-derive valid_to/version/is_current.
+       event_id) order and re-derive is_change/valid_to/version/
+       is_current; non-change observations persist with
+       ``is_change = false`` and null derived columns (the reader
+       filters them out).
 
     Step 3 makes the result a pure function of the observation SET, so
     the ledger entry is "keyed union + deterministic canonicalization":
     replays converge bit-identically (exactly-once without epoch
-    bookkeeping), and LATE data is not merely tolerated but CORRECT —
-    an out-of-order observation re-opens its user's history and the
-    recompute splices it in exactly where a full rebuild would (a
-    stored version that the late row reveals as a non-change is
-    dropped, which plain append-style SCD2 merges get wrong). Cost
-    stays bounded: recompute touches only affected buckets, and
-    per-user row counts are ~constant as the corpus grows, so the
-    window passes never see a skewed reducer.
+    bookkeeping), and LATE data is CORRECT in full generality — the
+    recompute sees every observation a full rebuild would, so any late
+    row splices in identically (plain append-style SCD2 merges get
+    this wrong; so did the change-rows-only store). Cost stays
+    bounded: recompute touches only affected buckets; state grows with
+    observations rather than change rows, which is the price of exact
+    late-data parity — per-user observation counts still stay far
+    below any skewed-reducer threshold because the window key
+    (user_id) scales with the data.
 
     Returns the number of bucket partitions touched.
     """
@@ -654,14 +662,17 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
         base = existing.unionByName(obs)
     rows = base.dropDuplicates(["user_id", "valid_from", "event_id"])
     w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
-    changed = (
-        rows.withColumn("__prev", F.lag("status").over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("status")))
-        .drop("__prev")
+    flagged = rows.withColumn(
+        "is_change",
+        F.lag("status").over(w).isNull()
+        | (F.lag("status").over(w) != F.col("status")),
     )
     # event_id stays in the stored table: it is the merge's dedup key
-    # (and the lineage pointer to the observation that opened the version)
-    canon = changed.select(
+    # (and the lineage pointer to the observation that opened the version).
+    # Derived SCD2 columns are windowed over CHANGE rows only; the
+    # non-change observations are retained (is_change=false, null
+    # derived cols) so a future late row can re-open them — see docstring.
+    changed = flagged.filter(F.col("is_change")).select(
         "user_id",
         "status",
         "valid_from",
@@ -670,7 +681,20 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
         F.row_number().over(w).cast("long").alias("version"),
         F.lead("valid_from").over(w).isNull().alias("is_current"),
         "bucket",
+        "is_change",
     )
+    unchanged = flagged.filter(~F.col("is_change")).select(
+        "user_id",
+        "status",
+        "valid_from",
+        "event_id",
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("boolean").alias("is_current"),
+        "bucket",
+        "is_change",
+    )
+    canon = changed.unionByName(unchanged)
     # materialize BEFORE overwriting: the plan reads the very files the
     # dynamic overwrite replaces (same rule as merge_keyed_table)
     merged = canon.localCheckpoint(eager=True)
@@ -684,8 +708,13 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
 
 
 def read_scd2_dimension(spark: SparkSession, path: str) -> DataFrame:
-    """Read the maintained dimension back (bucket column dropped)."""
-    return spark.read.parquet(path).drop("bucket")
+    """Read the maintained dimension back: SCD2 change rows only (the
+    retained non-change observations are merge-state, not dimension
+    rows), bucket and is_change columns dropped."""
+    df = spark.read.parquet(path)
+    if "is_change" in df.columns:
+        df = df.filter(F.col("is_change")).drop("is_change")
+    return df.drop("bucket")
 
 
 # --------------------------------------- incremental decayed counters

@@ -21,7 +21,7 @@ The reference has no windows at all (SURVEY.md §2.5); this is the
 
 from __future__ import annotations
 
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -32,6 +32,39 @@ from pyspark.sql import functions as F
 # sources, n_shards ~ cores); a high-cardinality key would collect
 # n_shards x n_groups rows driver-side and OOM it — fail fast instead.
 MAX_COLLECTED_GROUPS = 200_000
+
+# Live persisted range-shuffled frames (ADVICE r10 low: SQL persist()
+# registers in the CacheManager with a strong reference, so without
+# explicit unpersist the cached/spilled blocks of EVERY sharded-prefix
+# call accumulate for the session lifetime — a bench run executes
+# hundreds). A bounded FIFO evicts the oldest cache as new calls arrive,
+# and release_prefix_caches() drops them all (bench/oracle loops call it
+# between queries). Early unpersist is CORRECTNESS-safe, not just
+# probably-fine: the repartitionByRange SHUFFLE FILES are the stable
+# materialization (recompute re-reads them — range bounds are not
+# resampled), and the post-shuffle sortWithinPartitions is deterministic
+# under the contract's total order, so a result consumed after its cache
+# was evicted recomputes bit-identical ranks and merely pays a re-sort.
+_LIVE_CACHES: deque = deque()
+_MAX_LIVE_CACHES = 8
+
+
+def _track_cache(df: DataFrame) -> None:
+    _LIVE_CACHES.append(df)
+    while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
+        _LIVE_CACHES.popleft().unpersist(blocking=False)
+
+
+def release_prefix_caches() -> int:
+    """Unpersist every live sharded-prefix cache; returns how many were
+    released. Call between queries in long-lived sessions (bench and the
+    oracle checker do); results not yet consumed stay correct — see the
+    _LIVE_CACHES note."""
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.popleft().unpersist(blocking=False)
+        n += 1
+    return n
 
 
 def _norm_key(v):
@@ -158,6 +191,7 @@ def _sharded_rank_apply(
         .sortWithinPartitions(*spec)
         .persist()
     )
+    _track_cache(ranged)
     totals = (
         ranged.groupBy("__pid", *pcols).count().limit(MAX_COLLECTED_GROUPS + 1).collect()
     )
@@ -308,6 +342,7 @@ def sharded_prefix_sum(
         .sortWithinPartitions(*sort_exprs)
         .persist()
     )
+    _track_cache(ranged)
     totals = {
         r["__pid"]: r["t"] or 0
         for r in ranged.groupBy("__pid").agg(F.sum(val_col).alias("t")).collect()
@@ -381,6 +416,7 @@ def sharded_rank_multi(
         .sortWithinPartitions(*spec)
         .persist()
     )
+    _track_cache(ranged)
     totals = (
         ranged.groupBy("__pid", *all_pcols)
         .count()
@@ -492,6 +528,7 @@ def sharded_prefix_multi(
         .sortWithinPartitions(*sort_exprs)
         .persist()
     )
+    _track_cache(ranged)
     totals = {
         r["__pid"]: [r[f"t{i}"] or 0 for i in range(len(val_cols))]
         for r in ranged.groupBy("__pid")

@@ -1084,8 +1084,16 @@ def ivf_pq_residual_search(
         .withColumn("lut", F.expr(lut_expr))
         .select(query_id, "centroid_id", "lut")
     )
+    # Stride by the EFFECTIVE per-subspace entry count (size(lut) div m),
+    # not pq_k: a corpus with fewer than pq_k rows underfills the seed
+    # codebook uniformly across subspaces, and a fixed s*pq_k stride
+    # would read subspace s's entries from the wrong offsets (ADVICE
+    # r10 low — the persisted IVFPQ path already guards this with
+    # per-subspace offsets; seed-mode codebooks are uniform, so one
+    # inline stride suffices and costs no extra scan).
     score = " + ".join(
-        f"element_at(lut, {s * pq_k} + code_{s} + 1)" for s in range(m)
+        f"element_at(lut, cast({s} * (size(lut) div {m}) + code_{s} + 1 as int))"
+        for s in range(m)
     )
     scored = enc.join(F.broadcast(q_lut), "centroid_id").withColumn(
         "adc_dist", F.expr(score)

@@ -978,8 +978,8 @@ def psi_from_dense(dense):
     )
     SELECT user_id, event_id,
            CAST(len(l) AS INTEGER) AS n_window,
-           list_sum(list_transform(l,
-             (x, i) -> x * ((1::BIGINT) << (19 - len(l) + i)))) AS ema_num,
+           CAST(list_sum(list_transform(l,
+             (x, i) -> x * ((1::BIGINT) << (19 - len(l) + i)))) AS BIGINT) AS ema_num,
            ((1::BIGINT) << 20) - ((1::BIGINT) << (20 - len(l))) AS ema_den,
            ROUND(CAST(list_sum(list_transform(l,
                    (x, i) -> x * ((1::BIGINT) << (19 - len(l) + i)))) AS DOUBLE)

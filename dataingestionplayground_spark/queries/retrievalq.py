@@ -287,70 +287,151 @@ def dedup_containment_pairs(spark, sf):
     )
 
 
-# Iterative greedy selection — genuinely non-SQL-expressible, so rows-only
-# at the driver gate; exact parity vs an independent NumPy reference is
-# pinned in tests/test_retrieval_ops.py instead.
-@register("vector_mmr_diversify", oracle=None)
-def vector_mmr_diversify(spark, sf, n_candidates: int = 32, k: int = 10, lam: float = 0.7):
-    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
-    of the brute-force top-``n_candidates`` for query vec_id=0.
+_MMR_CAND, _MMR_K = 32, 10
+# lam and (1-lam) as SEPARATE literals: 1 - 0.7 is 0.30000000000000004 in
+# binary64, so deriving the penalty weight would silently diverge from an
+# oracle writing 0.3 — both engines get the literal pair instead.
+_MMR_W_REL, _MMR_W_PEN = 0.7, 0.3
 
-    MMR_i = lam * cos(q, d_i) - (1 - lam) * max_{s in S} cos(d_s, d_i),
-    greedily picking argmax (ties -> lowest vec_id) until k selections.
+
+def _mmr_oracle() -> str:
+    # k-1 UNROLLED greedy stages (the k-center oracle pattern): cand is
+    # the brute-force top-32 for vec_id=0 (same contract the hash-green
+    # vector_knn_bruteforce pins), sims the candidate-candidate cosines;
+    # m{j} carries each unpicked candidate's running max-sim penalty, and
+    # s{j+1} is the argmax of 0.7*rel - 0.3*pen (exact double compare,
+    # ties -> lowest vec_id). Every cosine is the same sequential
+    # left-fold as Spark's aggregate(), so scores are bit-identical and
+    # only the REPORTED columns are rounded. Every CTE is MATERIALIZED:
+    # DuckDB inlines plain CTEs, and each stage references its
+    # predecessor ~3x, so the unrolled chain would otherwise expand
+    # 3^k subtrees and reopen the parquet thousands of times.
+    from dataingestionplayground_spark.functions.vector import cosine_sql
+
+    parts = [
+        """
+    WITH q AS MATERIALIZED (
+      SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0
+    ), scored AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, {cs} AS rel
+      FROM embeddings e CROSS JOIN q
+    ), cand AS MATERIALIZED (
+      SELECT vec_id, embedding, rel FROM scored
+      ORDER BY rel DESC, vec_id ASC LIMIT {n}
+    ), sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {ab} AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), s1 AS MATERIALIZED (
+      SELECT vec_id, rel,
+             CAST({wr} AS DOUBLE) * rel - CAST({wp} AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr
+      FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ), m1 AS MATERIALIZED (
+      SELECT c.vec_id, c.rel, s.sim AS pen
+      FROM cand c JOIN sims s
+        ON s.ia = c.vec_id AND s.ib = (SELECT vec_id FROM s1)
+    )""".format(
+            cs=cosine_sql("e.embedding", "q.query_vec"),
+            ab=cosine_sql("a.embedding", "b.embedding"),
+            n=_MMR_CAND,
+            wr=_MMR_W_REL,
+            wp=_MMR_W_PEN,
+        )
+    ]
+    for j in range(2, _MMR_K + 1):
+        parts.append(
+            """
+    , s{j} AS MATERIALIZED (
+      SELECT vec_id, rel,
+             CAST({wr} AS DOUBLE) * rel - CAST({wp} AS DOUBLE) * pen AS mmr
+      FROM m{p} ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    ), m{j} AS MATERIALIZED (
+      SELECT m.vec_id, m.rel, greatest(m.pen, s.sim) AS pen
+      FROM m{p} m JOIN sims s
+        ON s.ia = m.vec_id AND s.ib = (SELECT vec_id FROM s{j})
+      WHERE m.vec_id <> (SELECT vec_id FROM s{j})
+    )""".format(j=j, p=j - 1, wr=_MMR_W_REL, wp=_MMR_W_PEN)
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS select_rank, vec_id, "
+        f"round(rel, 6) AS relevance, round(mmr, 6) AS mmr_score FROM s{j}"
+        for j in range(1, _MMR_K + 1)
+    )
+    return "".join(parts) + sel
+
+
+# r11 (r10 verdict item 9): converted from rows-only to oracle-checked.
+# The greedy loop itself runs driver-side on the k-bounded candidate
+# table, but every NUMBER it compares (relevance + pairwise cosines) is
+# computed ENGINE-side with the sequential-fold cosine both engines share
+# bit-for-bit (the numpy matmul it replaces had BLAS summation order), so
+# the unrolled-CTE oracle reproduces the selection exactly.
+@register("vector_mmr_diversify", oracle=_mmr_oracle())
+def vector_mmr_diversify(spark, sf):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of the brute-force top-32 for query vec_id=0.
+
+    MMR_i = 0.7 * cos(q, d_i) - 0.3 * max_{s in S} cos(d_s, d_i),
+    greedily picking argmax (ties -> lowest vec_id) until 10 selections.
 
     Scale split: candidate generation is the DISTRIBUTED part (two-phase
     partial top-k over the full corpus — knn_brute_force, shuffle bounded
-    by k x n_partitions); the greedy selection is inherently sequential
-    but only ever touches the k-bounded candidate table, so it runs
-    driver-side on n_candidates rows regardless of corpus size — the
-    same bounded-collect contract as the centroid/codebook tables.
+    by k x n_partitions); the pairwise-cosine table is a broadcast
+    self-join of the 32-row candidate set; the greedy selection is
+    inherently sequential but only ever touches those bounded tables, so
+    it runs driver-side regardless of corpus size — the same
+    bounded-collect contract as the centroid/codebook tables. Both
+    bounded tables are computed JVM-side with the portable fold-order
+    cosine, so the driver-side doubles are bit-identical to the oracle's.
     """
+    from dataingestionplayground_spark.functions import vector as V
     from dataingestionplayground_spark.operators.similarity import knn_brute_force
 
     e = t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    top = knn_brute_force(e, q, k=n_candidates)
-    # bounded collect: n_candidates rows x dim floats
-    cand = (
-        top.join(e.select("vec_id", "embedding"), "vec_id")
-        .select("vec_id", "score", "embedding")
+    top = knn_brute_force(e, q, k=_MMR_CAND)
+    # bounded collects: 32 candidate rows + their 32x31 cosine pairs
+    cset = top.join(e.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", "score", "embedding"
+    )
+    cand = cset.select("vec_id", "score").collect()
+    ca = cset.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    cb = cset.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    sim_rows = (
+        ca.join(F.broadcast(cb), F.col("ia") != F.col("ib"))
+        .select("ia", "ib", V.cosine_similarity("ea", "eb").alias("sim"))
         .collect()
     )
-    import numpy as np
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in sim_rows}
+    rel = {r["vec_id"]: r["score"] for r in cand}
+    ids = sorted(rel)  # ascending scan order = lowest-id tie-break
 
-    ids = np.array([r["vec_id"] for r in cand])
-    rel = np.array([r["score"] for r in cand], dtype=np.float64)
-    mat = np.array([r["embedding"] for r in cand], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = 1.0
-    unit = mat / norms[:, None]
-    sim = unit @ unit.T  # candidate-candidate cosine, n_candidates^2
-
-    order = np.argsort(ids)  # deterministic scan order for ties
     selected: list[int] = []
     rows = []
-    for step in range(min(k, len(ids))):
-        best_j, best_score = -1, -np.inf
-        for j in order:
-            if j in selected:
+    for step in range(min(_MMR_K, len(ids))):
+        best_v, best_score = None, None
+        for v in ids:
+            if v in selected:
                 continue
-            penalty = max(sim[j][s] for s in selected) if selected else 0.0
-            score = lam * rel[j] - (1.0 - lam) * penalty
-            if score > best_score + 1e-12:
-                best_j, best_score = j, score
-        selected.append(best_j)
-        rows.append(
-            (
-                step + 1,
-                int(ids[best_j]),
-                round(float(rel[best_j]), 6),
-                round(float(best_score), 6),
-            )
-        )
-    return spark.createDataFrame(
+            pen = max(sim[(v, s)] for s in selected) if selected else 0.0
+            score = _MMR_W_REL * rel[v] - _MMR_W_PEN * pen
+            # strict > on raw doubles (no epsilon): both engines computed
+            # these exact bits, so the oracle's ORDER BY mmr DESC,
+            # vec_id ASC picks the same row
+            if best_score is None or score > best_score:
+                best_v, best_score = v, score
+        selected.append(best_v)
+        rows.append((step + 1, best_v, rel[best_v], best_score))
+    out = spark.createDataFrame(
         rows, "select_rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )
+    # round ENGINE-side (Spark round == DuckDB round on identical bits)
+    return out.select(
+        "select_rank",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
     )
 
 

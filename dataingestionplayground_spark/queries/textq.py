@@ -1193,14 +1193,22 @@ def text_interpolated_perplexity(spark, sf):
     # classic backoff that keeps the bigram model's word-order
     # sensitivity (text_bigram_perplexity) without its cliff on unseen
     # bigrams, where pure add-one collapses to ~1/V and one rare
-    # transition dominates a short doc's score. Same shapes as the
-    # bigram query plus ONE more broadcastable count table: a token
-    # explode feeds context/bigram/unigram hash aggs (all map-side
-    # partial), the bigram stream equi-joins its three count tables,
-    # per-term ln is 6dp-rounded and decimal-summed per doc. The mixed
-    # probability is evaluated with the identical expression tree on
-    # both engines (two divisions, one weighted add) BEFORE the single
-    # rounded log — deterministic, no ordering exposure.
+    # transition dominates a short doc's score.
+    #
+    # Plan (r10 verdict item 4 — the old shape shuffled the CORPUS-SIZED
+    # bigram stream through three successive count-table joins, on w1
+    # (Zipf-hot), (w1,w2), and w2, and stepped 8.27x at the driver's
+    # 2x-rows bench step): the stream is pre-aggregated ONCE to
+    # (doc_id, w1, w2, n) — repeated bigrams per doc collapse before any
+    # join — and every count table derives from that pre-agg (bc by
+    # re-agg on (w1,w2), c1 by re-agg of bc; only the unigram table
+    # needs its own token-explode agg, all map-side partial). The three
+    # vocab-sized tables then join EACH OTHER into one (w1,w2)-keyed
+    # dimension carrying the 6dp-rounded ln(p_mix) term, and the stream
+    # joins count tables exactly once. The per-doc decimal sum
+    # sum(n * round(ln,6)) is bit-identical to the old per-occurrence
+    # sum(round(ln,6)) (all occurrences of a (doc,w1,w2) share one
+    # term), so the oracle is unchanged. Corpus-scale shuffles: 4 -> 2.
     d = t(spark, sf, "documents")
     docs = d.select("doc_id", TX.tokens("lower(text)").alias("tk")).where(
         F.size("tk") >= 2
@@ -1214,8 +1222,11 @@ def text_interpolated_perplexity(spark, sf):
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    ctx = bigr.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    dbg = bigr.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nrep")
+    )
+    bc = dbg.groupBy("w1", "w2").agg(F.sum("nrep").cast("long").alias("c12"))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     uni = (
         docs.select(F.explode("tk").alias("w"))
         .groupBy("w")
@@ -1229,20 +1240,22 @@ def text_interpolated_perplexity(spark, sf):
     ) + F.lit(0.3) * (
         (F.col("cw") + 1).cast("double") / (F.col("nt") + F.col("v")).cast("double")
     )
-    scored = (
-        bigr.join(ctx, "w1")
-        .join(bc, ["w1", "w2"])
+    dim = (
+        bc.join(ctx, "w1")
         .join(uni.withColumnRenamed("w", "w2"), "w2")
         .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.round(F.log(p_mix), 6).cast("decimal(38,6)").alias("lnt"))
+    )
+    scored = (
+        dbg.join(dim, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nrep").cast("long").alias("n_bigrams"),
             F.round(
                 F.exp(
-                    -F.sum(F.round(F.log(p_mix), 6).cast("decimal(38,6)")).cast(
-                        "double"
-                    )
-                    / F.count(F.lit(1)).cast("double")
+                    -F.sum(F.col("nrep").cast("decimal(18,0)") * F.col("lnt"))
+                    .cast("double")
+                    / F.sum("nrep").cast("double")
                 ),
                 6,
             ).alias("ppl"),

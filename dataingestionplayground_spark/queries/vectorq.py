@@ -538,10 +538,24 @@ def vector_semdedup(spark, sf):
     # lower-id neighbor. Pair work is an equi-join bounded by cell
     # size, never all-pairs. Threshold 0.35 exercises real drops on the
     # synthetic corpus (max pairwise cos ~0.51); production default 0.9.
+    #
+    # Scale guard (r10 verdict item 6): the oracle pins n_cells=16, so
+    # cell sizes grow linearly with the corpus and the in-cell matmul is
+    # quadratic — the r10 bench stepped 2.3-2.8x per 2x rows. The budget
+    # below makes the recursive cell split ENGAGE at the bench scales
+    # (sf0.5 cells ~660 rows -> ~217k pairs > 100k) while sf<=0.1 stays
+    # split-free (hottest sf0.1 cell: 148 rows = 10.9k pairs), so the
+    # sf0.01 oracle comparison is untouched. split_factor=2 (not the
+    # default 8) makes final cell sizes land in (sqrt(2B)/2, sqrt(2B)]
+    # at EVERY scale — per-cell work is budget-bounded and total pair
+    # work grows ~linearly instead of sawtoothing 4x between doublings.
     return semantic_dedup(
         t(spark, sf, "embeddings"),
         threshold=_SD_THRESH,
         n_cells=_SD_CELLS,
+        max_cell_pairs=100_000,
+        split_factor=2,
+        max_split_rounds=16,
     )
 
 

@@ -441,8 +441,15 @@ def stream_lsh_screen(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
+        # a doc_id arriving in TWO files of the same micro-batch would
+        # band twice and the anti-join (which only screens against the
+        # EXISTING table) would append both — table bloat, and
+        # conflicting band rows if the payloads differ (ADVICE r10).
+        # Deterministic in-batch dedup: one canonical text per doc_id
+        # (min(), not dropDuplicates — the latter keeps an arbitrary row)
+        batch_one = batch_df.groupBy("doc_id").agg(F.min("text").alias("text"))
         # sever lineage before the table we read from is overwritten
-        bands = minhash_bands(batch_df, "doc_id", "text").localCheckpoint(
+        bands = minhash_bands(batch_one, "doc_id", "text").localCheckpoint(
             eager=True
         )
         have_table = os.path.isdir(bands_path) and any(

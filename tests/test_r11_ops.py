@@ -1,0 +1,106 @@
+"""Round-11 fixes: ADVICE r10 regression pins + verdict scale proofs.
+
+* ivf_pq_residual_search ADC LUT addressing with an UNDERFILLED seed
+  codebook (corpus rows < pq_k) — the fixed s*pq_k stride read subspace
+  entries from the wrong offsets (nulls past the array end).
+* vector_semdedup's split guard must ENGAGE at bench scale (r10 verdict
+  item 6) with the registry's exact budget, bounding in-cell pair work.
+* sharded prefix operators must not leak persisted blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_ivfpq_residual_underfilled_codebook_exact(spark):
+    """5 corpus rows < pq_k=8: every residual is its own sub-centroid, so
+    reconstruction is perfect and adc_dist must equal the EXACT L2² to
+    each corpus vector. Before the stride fix, subspace s>0 lookups read
+    past its entries (s*8 vs the real s*5 offset) and produced nulls /
+    wrong sums."""
+    from dataingestionplayground_spark.operators.similarity import (
+        ivf_pq_residual_search,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus_np = rng.normal(size=(5, 8)).round(3)
+    queries_np = rng.normal(size=(2, 8)).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in corpus_np[i]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in queries_np[i]]) for i in range(2)],
+        "query_id long, query_vec array<double>",
+    )
+    out = ivf_pq_residual_search(
+        corpus, queries, k=5, n_cells=1, n_probe=1, m=4, pq_k=8, dims=8
+    ).collect()
+    assert len(out) == 10
+    got = {(r["query_id"], r["vec_id"]): (r["adc_dist"], r["rank"]) for r in out}
+    for qi in range(2):
+        exact = {
+            ci: float(((queries_np[qi] - corpus_np[ci]) ** 2).sum())
+            for ci in range(5)
+        }
+        order = sorted(exact, key=lambda c: (exact[c], c))
+        for rank, ci in enumerate(order, start=1):
+            dist, got_rank = got[(qi, ci)]
+            assert dist is not None
+            assert got_rank == rank
+            assert dist == pytest.approx(exact[ci], abs=1e-6)
+
+
+def test_semdedup_split_guard_engages_at_bench_scale(spark):
+    """r10 verdict item 6: with the registry's exact parameters
+    (n_cells=16, max_cell_pairs=100k, split_factor=2), a sf0.5-sized
+    corpus (5x sf0.1 replicas ~= 10k rows, hottest top cell ~740 rows =
+    273k pairs) MUST trigger the recursive cell split, and every final
+    cell must satisfy the pair budget — the documented bound on the
+    quadratic in-cell stage. sf<=0.1 corpora stay split-free (the
+    oracle-checked path)."""
+    from dataingestionplayground_spark.operators.similarity import semantic_dedup
+    from dataingestionplayground_spark.session import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    replicas = base
+    for k in range(1, 5):
+        replicas = replicas.unionByName(
+            base.select(
+                (F.col("vec_id") + F.lit(k * 1_000_000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    out = semantic_dedup(
+        replicas,
+        threshold=0.35,
+        n_cells=16,
+        max_cell_pairs=100_000,
+        split_factor=2,
+        max_split_rounds=16,
+    )
+    sizes = out.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in sizes) == 10000
+    # the guard engaged: more final cells than the 16 top-level ones
+    assert len(sizes) > 16
+    # and every final cell is inside the pair budget
+    assert all(
+        r["count"] * (r["count"] - 1) / 2 <= 100_000 for r in sizes
+    )
+    # split-free at sf0.1 (the shape the oracle checks): same params,
+    # 2000 rows -> hottest cell 148 rows = 10.9k pairs < budget
+    out_small = semantic_dedup(
+        base,
+        threshold=0.35,
+        n_cells=16,
+        max_cell_pairs=100_000,
+        split_factor=2,
+        max_split_rounds=16,
+    )
+    assert out_small.select("cell").distinct().count() == 16

@@ -1,18 +1,29 @@
-"""Per-round rotation of the registry interleave (r8 verdict item 3).
+"""Per-round rotation of the registry interleave (r8/r9/r10 verdict items).
 
 The driver's correctness gate hashes only the FIRST ~50 registry
-entries; the family interleave guarantees coverage of every family in
-that prefix, but without rotation the SAME 50 names landed there every
-round, leaving the rest only locally verified. These tests pin the two
-properties the rotation must keep: it is a pure reordering (every query
-present exactly once at any offset), and different offsets genuinely
-move different family members into the prefix window.
+entries. The ordering must (a) be a pure reordering, (b) rotate fresh
+names into the prefix each round, (c) prefer never-driver-checked
+oracle-bearing names, and (d) NEVER spend a sample slot on a rows-only
+(oracle=None) query — the driver can only record `err: no_oracle` for
+those (r10 verdict item 3).
+
+r10 verdict item 2: these tests previously read the LIVE repo-root
+CORRECTNESS_r*.json artifacts, so the driver writing a new artifact
+broke the suite on exactly the tree it grades. Every coverage-aware
+assertion now runs against SYNTHETIC checked-sets via monkeypatch
+(empty / partial / near-exhausted), and the artifact parser is tested
+against fixture files in a tmp dir — nothing here depends on what the
+driver has or hasn't written.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
+import pytest
+
+import dataingestionplayground_spark.queries as Q
 from dataingestionplayground_spark.queries import all_queries
 
 
@@ -28,7 +39,30 @@ def _with_offset(offset: int) -> list[str]:
             os.environ["SPARK_GRAFT_SAMPLE_OFFSET"] = prev
 
 
-def test_rotation_is_a_pure_reordering():
+def _oracle_names() -> list[str]:
+    qs = all_queries()
+    return [n for n, q in qs.items() if q.oracle is not None]
+
+
+def _bare_names() -> set[str]:
+    qs = all_queries()
+    return {n for n, q in qs.items() if q.oracle is None}
+
+
+@pytest.fixture
+def checked(monkeypatch):
+    """Install a synthetic driver-checked set; returns the setter."""
+
+    def _set(names):
+        s = set(names)
+        monkeypatch.setattr(Q, "_driver_checked_names", lambda root=None: s)
+        return s
+
+    return _set
+
+
+def test_rotation_is_a_pure_reordering(checked):
+    checked([])
     base = _with_offset(0)
     for off in (1, 9, 137):
         rotated = _with_offset(off)
@@ -36,34 +70,102 @@ def test_rotation_is_a_pure_reordering():
         assert len(set(rotated)) == len(rotated)
 
 
-def test_rotation_moves_new_names_into_the_prefix_window():
+def test_rotation_moves_new_names_into_the_prefix_window(checked):
     # successive round offsets must surface a materially different
-    # first-50 sample (the driver's gate size); 20 is the verdict's
-    # "done" bar with headroom below the observed ~23
+    # first-50 sample (the driver's gate size) when nothing is checked
+    checked([])
     first50 = {off: set(_with_offset(off)[:50]) for off in (0, 9, 10)}
     assert len(first50[9] - first50[0]) >= 20
     assert len(first50[10] - first50[0]) >= 20
 
 
-def test_prefix_window_prefers_never_driver_checked_names():
-    # r9 verdict item 4: the ordering is coverage-aware — names the
-    # driver has already hash-checked (recorded in CORRECTNESS_r*.json)
-    # sort AFTER never-checked ones, so each round's first-50 window is
-    # spent entirely on fresh names until the registry is exhausted
-    from dataingestionplayground_spark.queries import _driver_checked_names
-
-    checked = _driver_checked_names()
-    if not checked:  # fresh clone without driver artifacts
-        return
-    names = _with_offset(10)
-    n_unchecked = len([n for n in names if n not in checked])
-    window = names[: min(50, n_unchecked)]
-    assert all(n not in checked for n in window)
-
-
-def test_rotation_keeps_family_interleave_in_prefix():
-    # the prefix window must still cover many families (the original
-    # interleave guarantee) at any offset
+def test_rotation_keeps_family_interleave_in_prefix(checked):
+    # with an EMPTY checked set the prefix window must still cover many
+    # families (the original interleave guarantee) at any offset
+    checked([])
     for off in (0, 9):
         fams = {n.split("_", 1)[0] for n in _with_offset(off)[:50]}
         assert len(fams) >= 12
+
+
+def test_prefix_window_prefers_never_checked_names_partial(checked):
+    # synthetic mid-campaign state: 125 names checked (the real r10
+    # cumulative count) -> the whole first-50 window is never-checked
+    oracle_names = _oracle_names()
+    cset = checked(oracle_names[:125])
+    names = _with_offset(10)
+    window = names[:50]
+    assert all(n not in cset for n in window)
+    assert all(n not in _bare_names() for n in window)
+
+
+def test_prefix_window_near_exhausted(checked):
+    # all but 30 oracle-bearing names checked: the 30 survivors lead,
+    # then green names re-fill the window; rows-only names still last
+    oracle_names = _oracle_names()
+    survivors = set(oracle_names[-30:])
+    cset = checked(set(oracle_names) - survivors)
+    names = _with_offset(11)
+    window = names[:50]
+    assert set(window[:30]) == survivors or all(
+        n in survivors for n in window if n not in cset
+    )
+    # the first 30 slots are exactly the unchecked names (order aside)
+    assert {n for n in window if n not in cset} == survivors
+    assert all(n not in _bare_names() for n in window)
+
+
+def test_rows_only_queries_never_occupy_sample_slots(checked):
+    # r10 verdict item 3: even with EVERYTHING checked, oracle=None
+    # queries sort behind every oracle-bearing name — the driver's
+    # 50-name window must contain zero of them at any offset
+    bare = _bare_names()
+    assert bare, "registry should have some rows-only queries"
+    for cset in (set(), set(_oracle_names())):
+        checked(cset)
+        for off in (0, 5, 11):
+            names = _with_offset(off)
+            assert not (set(names[:50]) & bare)
+            # still a pure reordering: rows-only names are present, last
+            assert bare <= set(names)
+            assert set(names[-len(bare):]) == bare
+
+
+def test_checked_names_parser_counts_no_oracle_rows_as_checked(tmp_path):
+    # the artifact parser itself, on fixture files in a tmp root:
+    # clean hash match -> checked; sampled rows-only -> checked;
+    # hash mismatch / spark error / zero-rows no_oracle -> NOT checked
+    art = {
+        "green_q": {"err": None, "hash_match": True, "rows_match": True,
+                    "spark_rows": 10, "oracle_rows": 10},
+        "rows_only_q": {"err": "no_oracle", "hash_match": None,
+                        "rows_match": None, "spark_rows": 500,
+                        "oracle_rows": None},
+        "red_q": {"err": None, "hash_match": False, "rows_match": False,
+                  "spark_rows": 10, "oracle_rows": 10},
+        # the r10 events_ema_smooth shape: rows matched, HASH failed —
+        # must re-front (NOT count as checked)
+        "hash_red_q": {"err": None, "hash_match": False, "rows_match": True,
+                       "spark_rows": 10, "oracle_rows": 10},
+        "err_q": {"err": "spark error", "hash_match": None,
+                  "rows_match": None, "spark_rows": 0, "oracle_rows": None},
+        "empty_rows_only_q": {"err": "no_oracle", "spark_rows": 0},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(art))
+    got = Q._driver_checked_names(root=tmp_path)
+    assert got == {"green_q", "rows_only_q"}
+
+
+def test_checked_names_parser_ignores_junk(tmp_path):
+    (tmp_path / "CORRECTNESS_r1.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_rX.json").write_text('{"a": {"err": null, "hash_match": true}}')
+    assert Q._driver_checked_names(root=tmp_path) == set()
+
+
+def test_live_artifacts_never_break_ordering():
+    # integration smoke WITHOUT brittle assertions: whatever the driver
+    # has written into the repo root, all_queries stays a complete,
+    # duplicate-free ordering with rows-only names out of the window
+    names = list(all_queries())
+    assert len(set(names)) == len(names)
+    assert not (set(names[:50]) & _bare_names())

@@ -973,6 +973,59 @@ def test_stream_lsh_screen_cross_batch_and_replay(spark, tmp_path):
     )
 
 
+def test_stream_lsh_screen_same_batch_duplicate_doc_id(spark, tmp_path):
+    """ADVICE r10 (low): a doc_id arriving in TWO files of the same
+    micro-batch must land ONCE in the maintained bands table (the
+    anti-join only screens against the pre-existing table, so without
+    in-batch dedup both copies append — bloat, and conflicting band rows
+    when the payloads differ). The canonical pick is deterministic
+    (min(text)), so the surviving bands are the min-payload's."""
+    from dataingestionplayground_spark.streaming.ingest import stream_lsh_screen
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    bands = str(tmp_path / "bands")
+    log = str(tmp_path / "pairs_log")
+    ckpt = str(tmp_path / "ckpt")
+
+    # same doc_id in two files of one availableNow batch, different text
+    _lsh_drop(watch, "f1.json", [(7, _LSH_A), (2, _LSH_B)])
+    _lsh_drop(watch, "f2.json", [(7, _LSH_C)])
+    stream_lsh_screen(spark, str(watch), bands, log, ckpt).awaitTermination(60)
+
+    stored = spark.read.parquet(bands)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in stored.groupBy("doc_id")
+        .agg(F.countDistinct("band", "band_key").alias("n_keys"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_doc) == {7, 2}
+    # one band set per doc: no duplicated (band, band_key) rows for 7
+    dup = (
+        stored.groupBy("doc_id", "band")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # deterministic representative: doc 7's bands equal a fresh banding
+    # of min(_LSH_A, _LSH_C)
+    from dataingestionplayground_spark.operators.dedup import minhash_bands
+
+    expect = minhash_bands(
+        spark.createDataFrame([(7, min(_LSH_A, _LSH_C))], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    got7 = sorted(
+        map(tuple, stored.filter(F.col("doc_id") == 7).select("band", "band_key").collect())
+    )
+    want7 = sorted(map(tuple, expect.select("band", "band_key").collect()))
+    assert got7 == want7
+
+
 def _scd2_read(spark, dim):
     from dataingestionplayground_spark.operators.incremental import (
         read_scd2_dimension,
@@ -1050,6 +1103,47 @@ def test_stream_scd2_maintain_cross_batch_and_late_data(spark, tmp_path):
         (1, 3): ("view", t0 + 300, None, True),
         (2, 1): ("view", t0 + 20, t0 + 360, False),
         (2, 2): ("click", t0 + 360, None, True),
+    }
+
+
+def test_stream_scd2_maintain_late_change_reopens_same_status_repeat(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): a same-status repeat (view@t1, view@t2) is a
+    non-change TODAY, but a late intervening change (click@t1.5) must
+    re-open it as a fresh version — a store that keeps only change rows
+    has discarded view@t2 and can never rebuild this. The maintained set
+    now retains every observation, so the recompute equals a full
+    rebuild over {view@+10, click@+60, view@+120}: three versions, with
+    the user CURRENT on view, not click."""
+    from dataingestionplayground_spark.streaming.ingest import stream_scd2_maintain
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = 1704067200  # 2024-01-01T00:00:00 UTC
+
+    # batch 0: user 1 views twice — the second observation is a
+    # non-change and used to be discarded
+    _psi_drop(
+        watch,
+        "b0.json",
+        [
+            (1, "2024-01-01T00:00:10", 1, "view", 1.0),
+            (2, "2024-01-01T00:02:00", 1, "view", 1.0),
+        ],
+    )
+    stream_scd2_maintain(spark, str(watch), dim, ckpt).awaitTermination(60)
+    assert _scd2_read(spark, dim) == {(1, 1): ("view", t0 + 10, None, True)}
+
+    # LATE batch: click@+60 lands BETWEEN the two views
+    _psi_drop(watch, "b1.json", [(3, "2024-01-01T00:01:00", 1, "click", 1.0)])
+    stream_scd2_maintain(spark, str(watch), dim, ckpt).awaitTermination(60)
+    assert _scd2_read(spark, dim) == {
+        (1, 1): ("view", t0 + 10, t0 + 60, False),
+        (1, 2): ("click", t0 + 60, t0 + 120, False),
+        (1, 3): ("view", t0 + 120, None, True),
     }
 
 
