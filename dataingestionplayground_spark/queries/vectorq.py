@@ -545,17 +545,20 @@ def vector_semdedup(spark, sf):
     # below makes the recursive cell split ENGAGE at the bench scales
     # (sf0.5 cells ~660 rows -> ~217k pairs > 100k) while sf<=0.1 stays
     # split-free (hottest sf0.1 cell: 148 rows = 10.9k pairs), so the
-    # sf0.01 oracle comparison is untouched. split_factor=2 (not the
-    # default 8) makes final cell sizes land in (sqrt(2B)/2, sqrt(2B)]
-    # at EVERY scale — per-cell work is budget-bounded and total pair
-    # work grows ~linearly instead of sawtoothing 4x between doublings.
+    # sf0.01 oracle comparison is untouched. split_factor stays at the
+    # default 8: a factor-2 variant (tried first for tighter budget
+    # utilization) was MEASURED needing 13 rounds at sf1.0 — the bench
+    # replicas repeat embeddings verbatim, making 2-seed splits badly
+    # lopsided, and per-round driver work (collects + checkpoint)
+    # dwarfed the pair work saved. Factor 8 converges in 1 round at
+    # sf0.5 / 2 rounds at sf1.0 with final cells at 330-440 rows (near
+    # the sqrt(2B)=448 target) and total in-cell pair work stepping
+    # 1.7x per 2x rows — numpy-simulated on the exact replica corpus.
     return semantic_dedup(
         t(spark, sf, "embeddings"),
         threshold=_SD_THRESH,
         n_cells=_SD_CELLS,
         max_cell_pairs=100_000,
-        split_factor=2,
-        max_split_rounds=16,
     )
 
 

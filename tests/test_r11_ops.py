@@ -57,12 +57,13 @@ def test_ivfpq_residual_underfilled_codebook_exact(spark):
 
 def test_semdedup_split_guard_engages_at_bench_scale(spark):
     """r10 verdict item 6: with the registry's exact parameters
-    (n_cells=16, max_cell_pairs=100k, split_factor=2), a sf0.5-sized
-    corpus (5x sf0.1 replicas ~= 10k rows, hottest top cell ~740 rows =
-    273k pairs) MUST trigger the recursive cell split, and every final
-    cell must satisfy the pair budget — the documented bound on the
-    quadratic in-cell stage. sf<=0.1 corpora stay split-free (the
-    oracle-checked path)."""
+    (n_cells=16, max_cell_pairs=100k, default split_factor=8), a
+    sf0.5-sized corpus (5x sf0.1 replicas = 10k rows with embeddings
+    repeated VERBATIM — the bench builder's dup-heavy shape, hottest
+    top cell ~740 rows = 273k pairs) MUST trigger the recursive cell
+    split in few rounds, and every final cell must satisfy the pair
+    budget — the documented bound on the quadratic in-cell stage.
+    sf<=0.1 corpora stay split-free (the oracle-checked path)."""
     from dataingestionplayground_spark.operators.similarity import semantic_dedup
     from dataingestionplayground_spark.session import load_table
 
@@ -82,8 +83,6 @@ def test_semdedup_split_guard_engages_at_bench_scale(spark):
         threshold=0.35,
         n_cells=16,
         max_cell_pairs=100_000,
-        split_factor=2,
-        max_split_rounds=16,
     )
     sizes = out.groupBy("cell").count().collect()
     assert sum(r["count"] for r in sizes) == 10000
@@ -100,7 +99,5 @@ def test_semdedup_split_guard_engages_at_bench_scale(spark):
         threshold=0.35,
         n_cells=16,
         max_cell_pairs=100_000,
-        split_factor=2,
-        max_split_rounds=16,
     )
     assert out_small.select("cell").distinct().count() == 16
