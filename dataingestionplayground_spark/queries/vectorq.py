@@ -143,6 +143,153 @@ def vector_norm_stats(spark, sf):
     )
 
 
+@register(
+    "vector_centroid_classifier",
+    oracle=f"""
+    WITH pos AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ), cm AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM pos GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS clabel, list(m ORDER BY pos) AS cent
+      FROM cm GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             {cosine_sql('e.embedding', 'c.cent')} AS cos
+      FROM embeddings e CROSS JOIN cent c
+    ), pred AS (
+      SELECT vec_id, label, clabel FROM (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, clabel ASC) AS rk
+        FROM scored) WHERE rk = 1
+    )
+    SELECT label AS true_label, clabel AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY label, clabel
+    """,
+)
+def vector_centroid_classifier(spark, sf):
+    # Nearest-class-mean (Rocchio) classifier eval over the labeled
+    # embeddings — the cheapest supervised signal a curation pipeline
+    # extracts from a labeled slice (domain/quality routing): per-label
+    # centroid, assign every vector to its most-cosine-similar class
+    # mean, emit the confusion matrix. Scale shape: the centroid build
+    # is ONE posexplode hash agg ((label, pos) keys — |labels|·dims
+    # rows out, map-side partials, the only corpus-sized shuffle);
+    # centroids re-assemble driver-free via collect_list into a
+    # |labels|-row broadcast; assignment is a per-row broadcast argmax
+    # (zero shuffle); the confusion matrix is a <=|labels|^2 agg.
+    # Portability: per-element means route through DECIMAL(38,6) sums
+    # (order-free) then ONE double division, so centroid arrays are
+    # bit-identical across engines and the fold-order cosine argmax
+    # (ties -> lowest label) picks the same class everywhere.
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "xf"))
+    cm = pos.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("xf").cast("double").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    cent = (
+        cm.groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+            .alias("cent")
+        )
+        .select(F.col("label").alias("clabel"), "cent")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", V.cosine_similarity("embedding", "cent")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc_nulls_last("cos"), F.asc("clabel"))
+    pred = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return pred.groupBy(
+        F.col("label").alias("true_label"), F.col("clabel").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "vector_knn_label_eval",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS query_vec, label AS true_label
+      FROM embeddings WHERE vec_id < 50
+    ), scored AS (
+      SELECT p.query_id, p.true_label, e.vec_id, e.label,
+             {cosine_sql('e.embedding', 'p.query_vec')} AS cos
+      FROM embeddings e JOIN probes p ON e.vec_id <> p.query_id
+    ), topk AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT query_id, true_label, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= 10
+    ), votes AS (
+      SELECT query_id, true_label, label AS pred_label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM topk GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, true_label, pred_label, n_votes,
+           pred_label = true_label AS correct
+    FROM (
+      SELECT query_id, true_label, pred_label, n_votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, pred_label ASC) AS vr
+      FROM votes) WHERE vr = 1
+    """,
+)
+def vector_knn_label_eval(spark, sf):
+    # k-NN label-vote eval (the standard embedding-quality probe: if
+    # 10-NN majority labels recover the true labels, the space separates
+    # the classes): 50 probe vectors, exact cosine 10-NN among the REST
+    # of the corpus, majority vote (ties -> lowest label). Scale shape:
+    # candidate generation is knn_brute_force's two-phase partial top-k
+    # (corpus never shuffles, probes broadcast) over-fetched to k+1 so
+    # the self-match can be dropped exactly (self is cos=1 = always in
+    # the top-11 of unique vectors; if duplicates push it out, the
+    # unfiltered and self-excluded top-10 coincide anyway); the vote and
+    # argmax run on k x |probes| bounded rows.
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("true_label"),
+    )
+    top = knn_brute_force(
+        e, probes.select("query_id", "query_vec"), k=11
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc_nulls_last("score"), F.asc("vec_id"))
+    top10 = (
+        top.withColumn("rk2", F.row_number().over(w))
+        .filter(F.col("rk2") <= 10)
+        .join(e.select("vec_id", "label"), "vec_id")
+    )
+    votes = top10.groupBy("query_id", F.col("label").alias("pred_label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("pred_label"))
+    best = votes.withColumn("vr", F.row_number().over(wv)).filter(F.col("vr") == 1)
+    return best.join(
+        F.broadcast(probes.select("query_id", "true_label")), "query_id"
+    ).select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 _KCOS = cosine_sql  # alias for readability in the long kmeans oracle
 
 
