@@ -763,6 +763,57 @@ def sample_train_val_test(spark, sf):
 
 
 @register(
+    "sample_leakage_safe_split",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY {TX.fingerprint_sql('text')})
+               AS rep_id,
+             CAST(COUNT(*) OVER (PARTITION BY {TX.fingerprint_sql('text')})
+               AS BIGINT) AS group_size
+      FROM documents
+    )
+    SELECT doc_id, rep_id, group_size,
+           CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, rep_id, group_size,
+             ({_md5_mod_sql("CAST(rep_id AS VARCHAR)", 1000)}) AS h
+      FROM g
+    )
+    """,
+)
+def sample_leakage_safe_split(spark, sf):
+    # Contamination-safe 80/10/10 split: plain per-doc hash splits (the
+    # sample_train_val_test shape) put two COPIES of the same document
+    # in train and test, leaking training text into eval — the classic
+    # benchmark-contamination bug. Here the split key is the exact-dup
+    # GROUP representative (min doc_id over the normalized-text
+    # fingerprint), so a whole duplicate group lands in one split by
+    # construction. Scale shape: ONE shuffle — a window over the
+    # fingerprint (high-cardinality key: most docs unique, dup groups
+    # tiny, no hot reducer), then the split is a per-row md5 expression.
+    # Generalizes to near-dup clusters by substituting the connected-
+    # components label (dedup_clusters) for the fingerprint.
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf, "documents")
+    w = W.partitionBy(TX.fingerprint("text"))
+    grouped = d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("rep_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+    h = F.expr(_md5_mod("cast(rep_id as string)", 1000))
+    return grouped.select(
+        "doc_id",
+        "rep_id",
+        "group_size",
+        F.when(h < 800, "train").when(h < 900, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
     "sample_token_budget",
     oracle=f"""
     WITH feats AS (

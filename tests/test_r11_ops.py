@@ -55,6 +55,38 @@ def test_ivfpq_residual_underfilled_codebook_exact(spark):
             assert dist == pytest.approx(exact[ci], abs=1e-6)
 
 
+def test_leakage_safe_split_keeps_dup_groups_together(spark, tmp_path):
+    """sample_leakage_safe_split's invariant on a corpus WITH planted
+    exact duplicates (the sf0.01 corpus has none; the bench replicas
+    have 10x): every member of a duplicate group gets the
+    representative's split, so no text can sit in train AND test. Also
+    pins that whitespace-normalized variants fingerprint together."""
+    from dataingestionplayground_spark.queries import all_queries
+
+    rows = []
+    texts = [f"unique document number {i} about spark joins" for i in range(20)]
+    did = 0
+    for i, base in enumerate(texts):
+        rows.append((did, base, "en", "web", len(base))); did += 1
+        if i < 8:  # plant dup groups: verbatim + whitespace-variant copies
+            rows.append((did, base, "en", "cc", len(base))); did += 1
+            rows.append((did, "  " + base.replace(" ", "  ") + " ", "en", "books", len(base))); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = all_queries()["sample_leakage_safe_split"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == len(rows)
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r["rep_id"], set()).add(r["split"])
+    # one split per duplicate group — the leakage invariant
+    assert all(len(s) == 1 for s in by_rep.values())
+    # the planted groups really grouped (8 groups of 3, rest singletons)
+    sizes = sorted(r["group_size"] for r in out)
+    assert sizes.count(3) == 24 and sizes.count(1) == 12
+
+
 def test_semdedup_split_guard_engages_at_bench_scale(spark):
     """r10 verdict item 6: with the registry's exact parameters
     (n_cells=16, max_cell_pairs=100k, default split_factor=8), a
