@@ -59,12 +59,28 @@ def _codebook_df(spark: SparkSession, meta: dict) -> DataFrame:
     return spark.createDataFrame([(row,)], T.StructType([T.StructField("cents", _CENTS_SCHEMA)]))
 
 
+def _auto_centroids(n_rows: int) -> int:
+    """Codebook-resolution scaling policy (r11 verdict item 3): a
+    FROZEN fixed-k codebook's ADC code space saturates as the corpus
+    grows — driver-measured raw ADC recall@10 at the bench config fell
+    0.70 (sf0.5, 10k rows) -> 0.36 (sf1.0, 20k rows) while the exact
+    rerank held 0.88. Auto mode steps per-subspace centroid count with
+    corpus size so raw-shortlist quality degrades by policy, not by
+    accident; each step 4x's the distinguishable code points per
+    subspace while codes stay one byte (k <= 256)."""
+    if n_rows < 50_000:
+        return 16
+    if n_rows < 500_000:
+        return 64
+    return 256
+
+
 def build_pq_index(
     spark: SparkSession,
     store: CollectionStore,
     collection: str,
     m: int = 8,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     dims: int = 384,
     codebook_mode: str = "kmeans",
 ) -> dict:
@@ -77,10 +93,26 @@ def build_pq_index(
     centroids — the old 4x8 seeded codebook carried 12 bits/vector,
     too coarse for a usable ADC shortlist (bench recall@10 0.12 raw /
     0.38 at rerank=50); 8x16 kmeans + 'auto' rerank depth clears the
-    0.8 recall floor the bench comparator now gates."""
+    0.8 recall floor the bench comparator now gates.
+
+    ``n_centroids='auto'`` applies the resolution policy
+    (:func:`_auto_centroids`): k tracks the corpus size at BUILD time
+    and is meta-recorded. The fixed-resolution contract is otherwise
+    explicit: the codebook is frozen, refresh never rescales it, so as
+    the collection grows the RAW ADC shortlist coarsens (measured:
+    recall@10 0.70 -> 0.36 over a 2x corpus at k=16) and the exact
+    rerank stage is what holds the gated >=0.8 recall floor
+    (scripts/bench_compare.py enforces it on every scale block,
+    including sf1.0). Rebuild — getting a fresh auto k — when
+    index_staleness or a recall probe warrants it."""
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     chunks = store.read(spark, collection).select("key", "documentid", "embedding")
+    policy = None
+    if n_centroids == "auto":
+        n_centroids = _auto_centroids(chunks.count())
+        policy = "auto"
+    n_centroids = int(n_centroids)
     codebook = _pq_codebook(chunks, m, n_centroids, dims, "key", "embedding", codebook_mode)
     cents = [
         {"s": c["s"], "cid": c["cid"], "v": [float(x) for x in c["v"]]}
@@ -97,6 +129,10 @@ def build_pq_index(
         "codebook_mode": codebook_mode,
         "cents": [(c["s"], c["cid"], c["v"]) for c in cents],
     }
+    if policy:
+        # the resolved k is recorded so a later reader can tell whether
+        # this index was sized by the policy or pinned by hand
+        meta["n_centroids_policy"] = policy
     idx = _index_dir(store, collection)
     codes = pq_encode_with_codebook(
         chunks, _codebook_df(spark, meta), m, dims, "key", "embedding",

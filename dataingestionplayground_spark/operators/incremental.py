@@ -585,7 +585,12 @@ def inverted_lookup(
 _SCD2_BUCKETS = 64
 
 
-def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str) -> int:
+def merge_scd2_dimension(
+    spark: SparkSession,
+    events_batch: DataFrame,
+    path: str,
+    max_lateness_s: int | None = None,
+) -> int:
     """Fold a bounded batch of status observations (event_id, ts,
     user_id, event_type) into a stored SCD2 dimension table — the
     warehouse MERGE that keeps ``events_scd2_history`` semantics
@@ -627,6 +632,20 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
     below any skewed-reducer threshold because the window key
     (user_id) scales with the data.
 
+    ``max_lateness_s`` bounds that state growth (ADVICE r11): with a
+    lateness horizon set, (a) incoming observations older than
+    ``watermark - max_lateness_s`` (watermark = max valid_from across
+    stored-touched-buckets + batch) are REJECTED explicitly, and (b)
+    retained non-change observations older than the same horizon are
+    COMPACTED away — safe because the only reason repeats are retained
+    is to re-open a version when a late INTERVENING change arrives,
+    and any such row older than the horizon is now rejected before it
+    can splice. Change rows are never compacted (they ARE the
+    dimension); dropping a repeat never flips a later row's is_change,
+    since a repeat carries the same status value its preceding change
+    row does. ``None`` (default) keeps the retain-everything exact
+    semantics.
+
     Returns the number of bucket partitions touched.
     """
     import os
@@ -650,16 +669,30 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
     buckets = [int(r["bucket"]) for r in obs.select("bucket").distinct().collect()]
     if not buckets:
         return 0
-    base = obs
+    existing = None
     if os.path.isdir(path) and any(
         e.startswith("bucket=") for e in os.listdir(path)
     ):
+        # mergeSchema: touched-bucket overwrites leave mixed bucket
+        # schemas behind after a format upgrade (see read_scd2_dimension)
         existing = (
-            spark.read.parquet(path)
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
             .filter(F.col("bucket").isin(buckets))
             .select("user_id", "status", "valid_from", "event_id", "bucket")
         )
-        base = existing.unionByName(obs)
+    base = obs if existing is None else existing.unionByName(obs)
+    horizon: int | None = None
+    if max_lateness_s is not None:
+        wm = base.agg(F.max("valid_from").alias("wm")).first()["wm"]
+        if wm is not None:
+            horizon = int(wm) - int(max_lateness_s)
+            # reject beyond-horizon BATCH rows (stored rows — including
+            # change rows older than the horizon, which are permanent
+            # dimension history — pass untouched): a rejected late row
+            # can never re-open a version whose repeats were compacted.
+            fresh = obs.filter(F.col("valid_from") >= F.lit(horizon))
+            base = fresh if existing is None else existing.unionByName(fresh)
     rows = base.dropDuplicates(["user_id", "valid_from", "event_id"])
     w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
     flagged = rows.withColumn(
@@ -683,7 +716,15 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
         "bucket",
         "is_change",
     )
-    unchanged = flagged.filter(~F.col("is_change")).select(
+    unchanged = flagged.filter(~F.col("is_change"))
+    if horizon is not None:
+        # compact: repeats older than the lateness horizon can never be
+        # re-opened (any row that would need them is rejected above), so
+        # they collapse out of the maintained state. Dropping a repeat
+        # never flips a later row's is_change — it carries the same
+        # status value as its preceding change row.
+        unchanged = unchanged.filter(F.col("valid_from") >= F.lit(horizon))
+    unchanged = unchanged.select(
         "user_id",
         "status",
         "valid_from",
@@ -710,10 +751,21 @@ def merge_scd2_dimension(spark: SparkSession, events_batch: DataFrame, path: str
 def read_scd2_dimension(spark: SparkSession, path: str) -> DataFrame:
     """Read the maintained dimension back: SCD2 change rows only (the
     retained non-change observations are merge-state, not dimension
-    rows), bucket and is_change columns dropped."""
-    df = spark.read.parquet(path)
+    rows), bucket and is_change columns dropped.
+
+    mergeSchema is REQUIRED here (ADVICE r11, medium): the merge's
+    dynamic partition overwrite rewrites only touched buckets, so a
+    table created by the r10 format (change rows only, no is_change
+    column) that has since been merged into has MIXED bucket schemas.
+    Without mergeSchema the sampled footer decides whether is_change
+    exists at all; with it, legacy-bucket rows read is_change = NULL —
+    and legacy rows are change rows by construction (the r10 store kept
+    nothing else), so NULL coalesces to true."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if "is_change" in df.columns:
-        df = df.filter(F.col("is_change")).drop("is_change")
+        df = df.filter(F.coalesce(F.col("is_change"), F.lit(True))).drop(
+            "is_change"
+        )
     return df.drop("bucket")
 
 

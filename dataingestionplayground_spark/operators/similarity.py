@@ -638,6 +638,12 @@ def _split_oversized_cells(
     after ``max_split_rounds`` — a cell that will not split is mass-
     duplicate input (run exact dedup first), and proceeding would melt
     a reducer at scale.
+
+    The input must carry a ``__top_cell`` column (the top-level
+    assignment); it is passed through untouched so the caller can
+    report the SF-stable top-level cell while grouping pair work by
+    the refined one (ADVICE r11: the output contract must not depend
+    on whether the split engaged).
     """
     for _ in range(max_split_rounds):
         hot_cells = [
@@ -652,7 +658,9 @@ def _split_oversized_cells(
         hot = assigned.filter(F.col("cell").isin(hot_cells))
         cold = assigned.filter(~F.col("cell").isin(hot_cells))
         # two-phase lowest-`split_factor` ids per hot cell
-        wl = Window.partitionBy("cell", F.spark_partition_id()).orderBy(F.asc(corpus_id))
+        wl = Window.partitionBy("cell", F.spark_partition_id()).orderBy(
+            F.asc(corpus_id)
+        )
         cand = (
             hot.withColumn("__rk", F.row_number().over(wl))
             .filter(F.col("__rk") <= split_factor)
@@ -678,11 +686,12 @@ def _split_oversized_cells(
             )
         cell_mats = {c: _np.vstack(vs) for c, vs in mats.items()}
         bc = assigned.sparkSession.sparkContext.broadcast(cell_mats)
-        hot_src = hot.select(corpus_id, corpus_vec, "cell")
+        hot_src = hot.select(corpus_id, corpus_vec, "__top_cell", "cell")
         out_schema = _T.StructType(
             [
                 hot_src.schema[corpus_id],
                 hot_src.schema[corpus_vec],
+                hot_src.schema["__top_cell"],
                 _T.StructField("cell", _T.LongType(), True),
             ]
         )
@@ -691,7 +700,7 @@ def _split_oversized_cells(
         def sub_assign(batches, _vec=corpus_vec, _id=corpus_id):
             cm = bc.value
             for pdf in batches:
-                out = pdf[[_id, _vec]].copy()
+                out = pdf[[_id, _vec, "__top_cell"]].copy()
                 if len(pdf) == 0:
                     out["cell"] = _pd.array([], dtype="Int64")
                     yield out
@@ -711,6 +720,7 @@ def _split_oversized_cells(
         cold2 = cold.select(
             corpus_id,
             corpus_vec,
+            "__top_cell",
             (F.col("cell").cast("long") * split_factor).alias("cell"),
         )
         assigned = hot2.unionByName(cold2)
@@ -753,7 +763,15 @@ def semantic_dedup(
     Cell assignment is one Arrow-batched numpy matmul stage against an
     ``sc.broadcast`` centroid matrix (no assignment shuffle); the pair search is
     an equi-join on the cell key — work bounded by cell size, never an
-    all-pairs product. Returns (id, cell, keep).
+    all-pairs product. Returns (id, cell, keep), where ``cell`` is
+    ALWAYS the top-level assignment — a pure function of (corpus,
+    n_cells), independent of whether the split guard engaged — so the
+    output schema and cell labels are stable across corpus sizes.
+    ``keep`` is computed on the REFINED clustering when the guard
+    splits a hot cell: two vectors separated into different sub-cells
+    are not compared, the standard SemDeDup locality approximation
+    (at sizes where no cell exceeds ``max_cell_pairs``, refined ==
+    top-level and keep is exact under the cell-local contract).
 
     Scale dials (round-2 verdict: in-cell search is quadratic in cell
     size, so the cell count MUST track the corpus):
@@ -782,6 +800,9 @@ def semantic_dedup(
     # expression form) — the interpreted N x n_cells Catalyst lambda it
     # replaces was super-linear in corpus size (round-5 verdict)
     assigned = _assign_cells_matmul(corpus, cents, corpus_id, corpus_vec)
+    # __top_cell: the SF-stable output label; "cell" from here on is the
+    # refined grouping key the split guard is allowed to rewrite
+    assigned = assigned.withColumn("__top_cell", F.col("cell"))
     # the assignment feeds BOTH self-join sides plus the output projection,
     # and Spark does not ReusedExchange across the differently-aliased
     # sides — materialize once so the corpus is scanned (and the argmax
@@ -809,10 +830,11 @@ def semantic_dedup(
     import pandas as pd
     from pyspark.sql import types as T
 
+    top_field = assigned.schema["__top_cell"]
     out_schema = T.StructType(
         [
             assigned.schema[corpus_id],
-            assigned.schema["cell"],
+            T.StructField("cell", top_field.dataType, top_field.nullable),
             T.StructField("keep", T.BooleanType(), False),
         ]
     )
@@ -820,7 +842,10 @@ def semantic_dedup(
 
     def cell_keep(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(corpus_id, kind="mergesort").reset_index(drop=True)
-        out = pdf[[corpus_id, "cell"]].copy()
+        # output label is the SF-stable top-level cell; the group key
+        # (refined "cell") only scopes which pairs get compared
+        out = pdf[[corpus_id]].copy()
+        out["cell"] = pdf["__top_cell"]
         n = len(pdf)
         if n <= 1 or pdf["cell"].isna().all():
             out["keep"] = True

@@ -1446,39 +1446,44 @@ def _markov_oracle() -> str:
     # each contribution pi(i) * P(i,j) is rounded to 6 dp and summed as
     # DECIMAL so both engines walk identical numbers; each stage then
     # renormalizes by the (settled-double) stage total and rounds.
+    # every stage AS MATERIALIZED (r11 verdict hygiene nit 2 / the
+    # repo's unrolled-CTE rule): DuckDB INLINES plain CTEs, and each
+    # v{k} references raw{k} twice (main + renormalization scalar
+    # subquery), so the un-materialized chain re-expanded the events
+    # window scan ~2^k times — 18.1s of pure gate latency at sf0.01
     it = """
-    , raw{k} AS (
+    , raw{k} AS MATERIALIZED (
       SELECT p.nxt AS state,
              CAST(SUM(CAST(round(v.pi * p.prob, 6) AS DECIMAL(38,6))) AS DOUBLE) AS r
       FROM pmat p JOIN v{p} v ON v.state = p.prev GROUP BY p.nxt
-    ), v{k} AS (
+    ), v{k} AS MATERIALIZED (
       SELECT state, round(r / (SELECT CAST(SUM(CAST(round(r, 6) AS DECIMAL(38,6)))
                                        AS DOUBLE) FROM raw{k}), 6) AS pi
       FROM raw{k}
     )"""
     its = "".join(it.format(k=k, p=k - 1) for k in range(1, 4))
     return f"""
-    WITH seq AS (
+    WITH seq AS MATERIALIZED (
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
       FROM events
-    ), states AS (
+    ), states AS MATERIALIZED (
       SELECT DISTINCT prev_type AS state FROM seq WHERE prev_type IS NOT NULL
-    ), trans AS (
+    ), trans AS MATERIALIZED (
       SELECT s.prev_type AS prev, s.event_type AS nxt, COUNT(*) AS n
       FROM seq s JOIN states st ON st.state = s.event_type
       WHERE s.prev_type IS NOT NULL
       GROUP BY s.prev_type, s.event_type
-    ), outs AS (
+    ), outs AS MATERIALIZED (
       SELECT prev, SUM(n) AS n_out FROM trans GROUP BY prev
-    ), pmat AS (
+    ), pmat AS MATERIALIZED (
       SELECT t.prev, t.nxt,
              round(CAST(t.n AS DOUBLE) / CAST(o.n_out AS DOUBLE), 6) AS prob
       FROM trans t JOIN outs o ON o.prev = t.prev
-    ), nstates AS (
+    ), nstates AS MATERIALIZED (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states
-    ), v0 AS (
+    ), v0 AS MATERIALIZED (
       SELECT state, round(1.0 / (SELECT n FROM nstates), 6) AS pi FROM states
     ){its}
     SELECT v.state AS event_type, CAST(o.n_out AS BIGINT) AS n_out, v.pi

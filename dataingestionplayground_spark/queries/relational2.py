@@ -718,18 +718,29 @@ def window_ntile_buckets(spark, sf):
 @register(
     "fuzzy_join_qgram_overlap",
     oracle="""
-    WITH g AS (
+    WITH g AS MATERIALIZED (
       SELECT p_partkey,
              list_sort(list_distinct(
                [substr(nm, i, 3) for i in range(1, len(nm) - 1)]
              )) AS grams
       FROM (SELECT p_partkey, lower(p_name) AS nm FROM part)
       WHERE len(nm) >= 3
+    ), gr AS MATERIALIZED (
+      SELECT p_partkey, unnest(grams) AS gram FROM g
     )
+    -- equi-join-on-gram + per-pair gram count == brute-force
+    -- list_intersect length EXACTLY: grams are distinct within a key,
+    -- so COUNT(*) per (a,b) IS |A n B|, and any pair with overlap >= 8
+    -- shares >= 8 grams, hence appears in the join (trivially lossless
+    -- blocking, INDEPENDENT of the engine's prefix-filter rule being
+    -- proved). Replaces the O(n^2) nested-loop theta join with two
+    -- per-pair list_intersect evaluations — 13.0s of the sf0.01 gate
+    -- (r11 verdict hygiene) for identical output.
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER) AS overlap
-    FROM g a JOIN g b ON a.p_partkey < b.p_partkey
-    WHERE len(list_intersect(a.grams, b.grams)) >= 8
+           CAST(COUNT(*) AS INTEGER) AS overlap
+    FROM gr a JOIN gr b ON a.gram = b.gram AND a.p_partkey < b.p_partkey
+    GROUP BY a.p_partkey, b.p_partkey
+    HAVING COUNT(*) >= 8
     """,
 )
 def fuzzy_join_qgram_overlap(spark, sf):

@@ -115,6 +115,22 @@ def agg_approx_top_users(spark, sf):
 
     e = t(spark, sf, "events")
     tk = e.agg(F.expr("approx_top_k(user_id, 4096, 100000)").alias("tk"))
+    # Exactness guard (ADVICE r11): the oracle equivalence is only sound
+    # while the sketch tracks EVERY distinct user (returned items < the
+    # 4096 we request — at 4096 the tracked list truncated and the
+    # emission-boundary tie hazard is back). assert_true raises
+    # engine-side (returns NULL when sound), so a future SF change that
+    # grows the user domain past the bound fails loudly instead of
+    # flaking the hash gate.
+    tk = tk.filter(
+        F.assert_true(
+            F.size("tk") < F.lit(4096),
+            F.lit(
+                "agg_approx_top_users: sketch truncated (>=4096 distinct"
+                " users) — exact-counts oracle no longer sound"
+            ),
+        ).isNull()
+    )
     flat = tk.select(F.explode("tk").alias("s")).select(
         F.col("s.item").cast("long").alias("user_id"),
         F.col("s.count").cast("long").alias("est_n"),

@@ -692,7 +692,19 @@ def vector_semdedup(spark, sf):
     # below makes the recursive cell split ENGAGE at the bench scales
     # (sf0.5 cells ~660 rows -> ~217k pairs > 100k) while sf<=0.1 stays
     # split-free (hottest sf0.1 cell: 148 rows = 10.9k pairs), so the
-    # sf0.01 oracle comparison is untouched. split_factor stays at the
+    # sf0.01 oracle comparison is untouched.
+    #
+    # Oracle contract (ADVICE r11, medium): the OUTPUT cell column is
+    # always the top-level 16-cell assignment — a pure function of the
+    # corpus, identical at every SF, matching the oracle's cell exactly.
+    # When the guard engages (sf>=0.5), `keep` is computed on the
+    # REFINED clustering: pairs the split separates into different
+    # sub-cells are not compared — the standard SemDeDup locality
+    # approximation, documented in QUERIES.md; the oracle's keep
+    # contract holds exactly wherever no cell exceeds max_cell_pairs
+    # (all sf<=0.1, where the hash gate runs).
+    #
+    # split_factor stays at the
     # default 8: a factor-2 variant (tried first for tighter budget
     # utilization) was MEASURED needing 13 rounds at sf1.0 — the bench
     # replicas repeat embeddings verbatim, making 2-seed splits badly

@@ -153,9 +153,15 @@ def sweep(spark, data_dir: str, depths, probes, n_runs: int = 3) -> dict:
 def main():
     from dataingestionplayground_spark.session import get_spark
 
+    # sf1.0 included by default since r12 (verdict item 3): the driver
+    # measured raw ADC recall@10 eroding to 0.36 at sf1.0 while rerank
+    # held 0.88 — the curve at sf1.0 is the documented evidence for the
+    # fixed-codebook-resolution contract, and bench_compare enforces the
+    # 0.8 rerank floor on every scale block including big2/sf1.0.
     dirs = sys.argv[1:] or [
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         str(ROOT / ".benchdata" / "sf0.5"),
+        str(ROOT / ".benchdata" / "sf1.0"),
     ]
     spark = get_spark("ann-curves")
     out = {"blocks": []}

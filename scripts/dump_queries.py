@@ -31,6 +31,17 @@ def main():
         "# QUERIES — registry index (regenerate: `python scripts/dump_queries.py`)\n",
         f"{len(reg)} queries; **[oracle]** = hash-matched vs DuckDB at sf0.01,",
         "**[rows]** = rows-only (approximate/sketch results by construction).\n",
+        "Scale-contract notes (ADVICE r11):",
+        "- `vector_semdedup`: the output `cell` column is the top-level",
+        "  16-cell assignment at EVERY SF (oracle-exact everywhere); `keep`",
+        "  matches the oracle exactly wherever no cell exceeds the pair",
+        "  budget (all sf<=0.1, where the hash gate runs) — at sf>=0.5 the",
+        "  split guard engages and `keep` is computed on the refined",
+        "  clustering (SemDeDup locality approximation, documented in the",
+        "  operator docstring).",
+        "- `agg_approx_top_users`: exact-counts oracle is guarded by an",
+        "  engine-side assert_true (fails loudly past 4096 distinct users",
+        "  instead of flaking the gate).\n",
         "| query | check | module | summary |",
         "|---|---|---|---|",
     ]

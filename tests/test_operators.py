@@ -607,8 +607,16 @@ def test_semantic_dedup_derives_n_cells(spark):
 
 def test_semantic_dedup_splits_dominant_cell(spark):
     """One dominant cell is recursively split until every cell fits the
-    pair budget — no quadratic blowup survives to the join."""
-    from dataingestionplayground_spark.operators.similarity import semantic_dedup
+    pair budget — no quadratic blowup survives to the join. The OUTPUT
+    cell column stays the top-level label (r12 contract: SF-stable
+    labels); the split shows up in the refined grouping the pair stage
+    runs on, checked through the split helper directly."""
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+        _seed_centroids,
+        _split_oversized_cells,
+        semantic_dedup,
+    )
 
     corpus = _circle_vecs(spark, 20)
     # n_cells=1: everything lands in one cell of 20 (190 pairs > 45)
@@ -617,7 +625,26 @@ def test_semantic_dedup_splits_dominant_cell(spark):
     ).localCheckpoint(eager=True)
     assert out.count() == 20
     assert out.filter(~F.col("keep")).count() == 0
-    sizes = [r["c"] for r in out.groupBy("cell").agg(F.count("*").alias("c")).collect()]
+    # output labels are the single top-level cell despite the split
+    assert out.select("cell").distinct().count() == 1
+    # the refined clustering the pair stage grouped by really did split
+    cents = _seed_centroids(corpus, "vec_id", "embedding", 1)
+    assigned = _assign_cells_matmul(
+        corpus, cents, "vec_id", "embedding"
+    ).withColumn("__top_cell", F.col("cell"))
+    refined = _split_oversized_cells(
+        assigned.localCheckpoint(eager=True),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        max_cell_pairs=45,
+        split_factor=8,
+        max_split_rounds=8,
+        materialize=True,
+    )
+    sizes = [
+        r["c"]
+        for r in refined.groupBy("cell").agg(F.count("*").alias("c")).collect()
+    ]
     assert all(c * (c - 1) / 2 <= 45 for c in sizes)
     assert len(sizes) > 1  # the dominant cell really was split
 
