@@ -112,3 +112,142 @@ def pca_project(
             F.sqrt(F.expr("aggregate(z, 0.0d, (a, x) -> a + x * x)")), 6
         ).alias("z_norm"),
     )
+
+
+def pca_power_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 2,
+    n_iters: int = 8,
+) -> DataFrame:
+    """Oracle-replayable PCA twin of :func:`pca_project` (r11 verdict
+    item 7): the top-``k`` axes by FIXED-ITERATION power iteration with
+    Hotelling deflation, every intermediate routed through rounded
+    DECIMAL sums — so a SQL engine can walk the exact same numbers and
+    the projection hash-matches bit-for-bit (the TextRank/Markov
+    unrolled-iteration proof pattern, applied to an eigenproblem).
+    :func:`pca_project` (eigh on driver-reduced sufficient statistics)
+    stays the production path; on a near-degenerate spectrum the
+    fixed-iteration axes are variance-near-optimal rather than
+    eigh-identical (pinned in tests/test_pipeline_extras.py — the top
+    axis is ill-conditioned there by definition).
+
+    Pipeline per component: covariance from a decimal-routed Gram
+    matrix (d x d rows — posexplode self-join keyed on the row id,
+    then ONE hash agg with map-side partials), v0 = uniform 1/sqrt(d),
+    ``n_iters`` of v <- round(normalize(Cov v), 6) with 9dp-decimal
+    matvec/norm sums, sign-canonicalized on the max-|entry| (ties ->
+    lowest pos), Rayleigh eigenvalue + rank-1 deflation, final per-row
+    projection with 6dp-decimal dot products.
+
+    Driver discipline: every number is ENGINE-computed; the d-bounded
+    v/mu/component vectors are collected and reinjected as
+    ``element_at(lit(array), pos+1)`` literals (the codebook pattern),
+    so each iteration is one tiny join-free aggregation job over the
+    checkpointed d^2-row covariance — no broadcast-join machinery, no
+    per-iteration checkpoint writes. Scale shape: the only corpus-sized
+    stages are the Gram agg and the projection agg (both keyed,
+    partial-aggregated); everything else is d- or d^2-bounded.
+    Returns (id_col, z1..zk).
+    """
+    spark = df.sparkSession
+    pos = df.select(
+        id_col, F.posexplode(vec_col).alias("pos", "xf")
+    ).select(id_col, "pos", F.col("xf").cast("double").alias("x"))
+    pos = pos.localCheckpoint(eager=True)  # feeds Gram, mu, projection
+    n = df.count()  # exact integer, embedded as a literal
+    if n < 2:
+        raise ValueError("pca_power_project: need >= 2 rows")
+    d9, d6 = "decimal(38,9)", "decimal(38,6)"
+    mu_df = pos.groupBy("pos").agg(
+        (F.sum(F.col("x").cast(d6)).cast("double") / F.lit(float(n))).alias("m")
+    )
+    mu_rows = sorted((int(r["pos"]), r["m"]) for r in mu_df.collect())
+    dims = len(mu_rows)
+    mu_arr = [m for _, m in mu_rows]
+
+    def at(arr, key):
+        # 0-based engine pos -> 1-based element_at over a literal array
+        return F.element_at(F.lit(arr), F.col(key) + 1)
+
+    a, b = pos.alias("a"), pos.alias("b")
+    g = (
+        a.join(b, id_col)
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.sum(F.round(F.col("a.x") * F.col("b.x"), 6).cast(d6))
+            .cast("double")
+            .alias("gij")
+        )
+    )
+    cov = g.select(
+        "i",
+        "j",
+        F.round(
+            (F.col("gij") - F.lit(float(n)) * at(mu_arr, "i") * at(mu_arr, "j"))
+            / F.lit(float(n - 1)),
+            6,
+        ).alias("cv"),
+    )
+    cov = cov.localCheckpoint(eager=True)  # d^2 rows, feeds every stage
+
+    comps = []
+    for _ in range(k):
+        v_arr = [round(1.0 / dims ** 0.5, 6)] * dims
+        for _t in range(n_iters):
+            w = cov.groupBy(F.col("i").alias("pos")).agg(
+                F.sum(F.round(F.col("cv") * at(v_arr, "j"), 9).cast(d9))
+                .cast("double")
+                .alias("wv")
+            )
+            nn = w.agg(
+                F.sqrt(
+                    F.sum(F.round(F.col("wv") * F.col("wv"), 9).cast(d9)).cast(
+                        "double"
+                    )
+                ).alias("nn")
+            )
+            v = w.crossJoin(F.broadcast(nn)).select(
+                "pos", F.round(F.col("wv") / F.col("nn"), 6).alias("vv")
+            )
+            rows = sorted((int(r["pos"]), r["vv"]) for r in v.collect())
+            v_arr = [vv for _, vv in rows]
+        # sign canonicalization on the collected engine values: flip by
+        # +-1 (exact) so the max-|entry| (ties -> lowest pos) is positive
+        top = max(enumerate(v_arr), key=lambda r: (abs(r[1]), -r[0]))
+        sg = -1.0 if top[1] < 0 else 1.0
+        c_arr = [vv * sg for vv in v_arr]
+        comps.append(c_arr)
+        lam = cov.agg(
+            F.sum(
+                F.round(F.col("cv") * at(c_arr, "i") * at(c_arr, "j"), 9).cast(d9)
+            )
+            .cast("double")
+            .alias("l")
+        )
+        cov = (
+            cov.crossJoin(F.broadcast(lam))
+            .select(
+                "i",
+                "j",
+                F.round(
+                    F.col("cv") - F.col("l") * at(c_arr, "i") * at(c_arr, "j"), 6
+                ).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    outs = [
+        F.sum(
+            F.round((F.col("x") - at(mu_arr, "pos")) * at(c_arr, "pos"), 6).cast(d6)
+        )
+        .cast("double")
+        .alias(f"__z{ci}")
+        for ci, c_arr in enumerate(comps, start=1)
+    ]
+    agg = pos.groupBy(id_col).agg(*outs)
+    return agg.select(
+        id_col,
+        *[F.round(F.col(f"__z{i}"), 6).alias(f"z{i}") for i in range(1, k + 1)],
+    )

@@ -2067,3 +2067,122 @@ def pipeline_dataset_fingerprint(spark, sf):
         .cast("long")
         .alias("checksum"),
     )
+
+
+def _ensemble_oracle() -> str:
+    # compose the three REGISTERED quality-signal oracles (same pattern
+    # as _nb_oracle reusing the perplexity gate): the ensemble's inputs
+    # can never drift from the queries they are checked by
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH nb AS MATERIALIZED (
+      SELECT doc_id, log_odds FROM ({_R['text_nb_quality_classifier'].oracle})
+    ), g AS MATERIALIZED (
+      SELECT doc_id,
+             CAST((n_words BETWEEN 10 AND 100000) AS INTEGER)
+             + CAST((mean_word_len BETWEEN 3.0 AND 10.0) AS INTEGER)
+             + CAST(alpha_word_ratio >= 0.8 AS INTEGER)
+             + CAST(symbol_to_word <= 0.1 AS INTEGER)
+             + CAST(bullet_line_frac <= 0.9 AS INTEGER)
+             + CAST(ellipsis_line_frac <= 0.3 AS INTEGER) AS n_rules
+      FROM ({_R['text_gopher_quality_rules'].oracle})
+    ), p AS MATERIALIZED (
+      SELECT doc_id, ppl FROM ({_R['text_unigram_perplexity'].oracle})
+    ), nbs AS MATERIALIZED (
+      SELECT min(log_odds) AS lo_min, max(log_odds) AS lo_max FROM nb
+    ), ps AS MATERIALIZED (
+      SELECT min(ppl) AS p_min, max(ppl) AS p_max FROM p
+    ), comp AS MATERIALIZED (
+      SELECT nb.doc_id,
+             round((nb.log_odds - lo_min) / nullif(lo_max - lo_min, 0.0), 6)
+               AS nb_score,
+             round((p_max - p.ppl) / nullif(p_max - p_min, 0.0), 6) AS ppl_score,
+             round(CAST(g.n_rules AS DOUBLE) / 6.0, 6) AS gopher_score
+      FROM nb JOIN g USING (doc_id) JOIN p USING (doc_id)
+      CROSS JOIN nbs CROSS JOIN ps
+    )
+    SELECT doc_id, nb_score, ppl_score, gopher_score,
+           round(0.4 * nb_score + 0.3 * ppl_score + 0.3 * gopher_score, 6)
+             AS quality,
+           round(0.4 * nb_score + 0.3 * ppl_score + 0.3 * gopher_score, 6) >= 0.5
+             AS keep
+    FROM comp
+    """
+
+
+@register("text_quality_ensemble", oracle=_ensemble_oracle())
+def text_quality_ensemble(spark, sf):
+    # Document-quality ensemble (r11 verdict item 6): a calibrated
+    # combination of the three oracle-checked quality signals — the
+    # trained NB classifier's log-odds, the Gopher rule panel, and the
+    # corpus unigram perplexity — into one [0,1] quality score, the
+    # "multiple weak judges beat one" setup production curation uses
+    # (e.g. combining fastText quality, heuristic rules, and LM
+    # perplexity before sampling). Calibration is corpus-relative:
+    # log_odds and ppl min-max-normalize against one-row broadcast
+    # extrema (settled doubles; ONE division then round — the repo's
+    # ratio rule), the Gopher panel contributes its pass fraction over
+    # the six rules (recomputed from the 6dp-rounded metrics, so both
+    # engines count identical booleans); weights 0.4/0.3/0.3 are
+    # literals. Plan shape at 100 TB: the three signal frames are
+    # per-doc aggregates the member queries already produce with
+    # map-side partials; the ensemble adds two broadcast one-row
+    # extrema joins and two doc-keyed joins (AQE-co-partitioned on the
+    # same key). The signals recompute here for composition clarity —
+    # a pipeline run would materialize them once and reuse.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    nb = _R["text_nb_quality_classifier"].fn(spark, sf).select("doc_id", "log_odds")
+    g = _R["text_gopher_quality_rules"].fn(spark, sf).select(
+        "doc_id",
+        (
+            F.col("n_words").between(10, 100000).cast("int")
+            + F.col("mean_word_len").between(3.0, 10.0).cast("int")
+            + (F.col("alpha_word_ratio") >= 0.8).cast("int")
+            + (F.col("symbol_to_word") <= 0.1).cast("int")
+            + (F.col("bullet_line_frac") <= 0.9).cast("int")
+            + (F.col("ellipsis_line_frac") <= 0.3).cast("int")
+        ).alias("n_rules"),
+    )
+    p = _R["text_unigram_perplexity"].fn(spark, sf).select("doc_id", "ppl")
+    nbs = nb.agg(
+        F.min("log_odds").alias("lo_min"), F.max("log_odds").alias("lo_max")
+    )
+    ps = p.agg(F.min("ppl").alias("p_min"), F.max("ppl").alias("p_max"))
+    comp = (
+        nb.join(g, "doc_id")
+        .join(p, "doc_id")
+        .crossJoin(F.broadcast(nbs))
+        .crossJoin(F.broadcast(ps))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("log_odds") - F.col("lo_min"))
+                / F.nullif(F.col("lo_max") - F.col("lo_min"), F.lit(0.0)),
+                6,
+            ).alias("nb_score"),
+            F.round(
+                (F.col("p_max") - F.col("ppl"))
+                / F.nullif(F.col("p_max") - F.col("p_min"), F.lit(0.0)),
+                6,
+            ).alias("ppl_score"),
+            F.round(F.col("n_rules").cast("double") / F.lit(6.0), 6).alias(
+                "gopher_score"
+            ),
+        )
+    )
+    quality = F.round(
+        F.lit(0.4) * F.col("nb_score")
+        + F.lit(0.3) * F.col("ppl_score")
+        + F.lit(0.3) * F.col("gopher_score"),
+        6,
+    )
+    return comp.select(
+        "doc_id",
+        "nb_score",
+        "ppl_score",
+        "gopher_score",
+        quality.alias("quality"),
+        (quality >= F.lit(0.5)).alias("keep"),
+    )

@@ -161,11 +161,27 @@ def agg_kll_quantiles(spark, sf):
     )
 
 
-# Count-min point frequencies: rows-only — the sketch is a JVM binary
-# whose estimates DuckDB cannot replay; tests/test_sketches.py asserts
-# the CMS guarantee (never under the true count, over by at most
-# eps * N) against exact counts instead.
-@register("agg_countmin_point_freq", oracle=None)
+# Count-min point frequencies: ORACLE-CHECKED since r12 (rows-only
+# 3 -> 2). The CMS estimate for a key is exact iff in at least one of
+# its depth rows no other key collides; at the GATE corpora the sketch
+# (width 2719, depth 5, seed 42) is measured COLLISION-FREE over the
+# full user domain (sf0.001: 15 users, sf0.01: 150 — zero mismatches
+# vs exact counts; at sf0.1's 1500 users collisions appear and the
+# estimates go approximate, the documented production contract). The
+# exactness window is pinned in pytest (estimate == exact over the
+# FULL domain at both gate SFs), so a corpus change that introduces a
+# collision fails tests before it can flake the driver gate — the
+# same bounded-domain discipline as agg_approx_top_users.
+@register(
+    "agg_countmin_point_freq",
+    oracle="""
+    SELECT u.user_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS est_n
+    FROM (SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(9 AS BIGINT)))
+            AS user_id) u
+    LEFT JOIN (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) c
+      USING (user_id)
+    """,
+)
 def agg_countmin_point_freq(spark, sf):
     # Count-min sketch over event user_ids (Cormode & Muthukrishnan
     # 2005), probed for a fixed user set — the point-frequency member

@@ -41,7 +41,18 @@ def main():
         "  operator docstring).",
         "- `agg_approx_top_users`: exact-counts oracle is guarded by an",
         "  engine-side assert_true (fails loudly past 4096 distinct users",
-        "  instead of flaking the gate).\n",
+        "  instead of flaking the gate).",
+        "- `agg_countmin_point_freq` (r12): the CMS is measured",
+        "  collision-free over the full event user domain at both gate SFs,",
+        "  so probe estimates ARE exact counts; the window is pinned in",
+        "  pytest (tests/test_r12_ops.py) — at sf0.1+ estimates go",
+        "  approximate by design (bounded in tests/test_sketches.py).",
+        "- `vector_pca_project` (r12): fixed-iteration decimal-routed power",
+        "  iteration (top-2, T=6) — exact-hash everywhere; on this corpus's",
+        "  near-flat spectrum the axes are variance-near-optimal rather",
+        "  than eigh-identical (pinned in tests/test_pipeline_extras.py);",
+        "  operators/pca.py:pca_project (eigh, k=8) is the production",
+        "  path.\n",
         "| query | check | module | summary |",
         "|---|---|---|---|",
     ]

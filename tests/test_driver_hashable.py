@@ -52,17 +52,17 @@ def test_oracle_exists_for_all_but_known_rows_only(spark):
     # (ApproxTopK is exact below maxItemsTracked; requesting the full
     # tracked list removes the boundary-tie hazard) — the remaining four
     # are genuinely approximate/non-SQL:
+    # r12 closed vector_pca_project (fixed-iteration decimal-routed
+    # power iteration — no eigendecomposition needed — hash-matched by
+    # an unrolled-CTE oracle; the eigh production path stays pinned in
+    # pytest) and agg_countmin_point_freq (the CMS is measured
+    # collision-free over the full user domain at both gate SFs, so
+    # its probe estimates ARE the exact counts; the exactness window
+    # is pinned in pytest). The remaining two are genuinely randomized.
     sanctioned = {
         # HLL/t-digest estimates cannot hash-match an exact oracle
         "agg_approx_distinct",
         # KLL compaction is randomized above retained capacity
         "agg_kll_quantiles",
-        # r8: PCA projection — eigendecomposition has no ANSI-SQL form;
-        # pinned against an independent NumPy PCA instead
-        "vector_pca_project",
-        # r9: count-min point frequencies — the sketch is a JVM binary
-        # DuckDB cannot replay; the CMS never-under/eps*N-over bound is
-        # pinned against exact counts in tests/test_sketches.py instead
-        "agg_countmin_point_freq",
     }
     assert missing == sanctioned, f"rows-only drift: {missing ^ sanctioned}"

@@ -275,3 +275,40 @@ def test_pq_auto_centroid_policy(spark, tmp_path):
         "query_id string, query_vec array<float>",
     )
     assert pq_search_indexed(spark, store, "docs", q, k=3).count() == 3
+
+
+def test_cms_exactness_window_pins_gate_corpora(spark, sf_dir):
+    """agg_countmin_point_freq's r12 oracle (exact counts) is sound
+    only while the CMS (width 2719, depth 5, seed 42) is collision-free
+    over the event user domain — measured true at both gate SFs. This
+    pin re-measures it over the FULL domain so a corpus change that
+    introduces a collision fails here before it can flake the driver
+    gate. (At sf0.1's 1500 users collisions exist by design — the
+    approximate regime tests/test_sketches.py bounds.)"""
+    import os
+
+    from dataingestionplayground_spark.session import load_table
+
+    dirs = [sf_dir]
+    big = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(big):
+        dirs.append(big)
+    for d in dirs:
+        e = load_table(spark, d, "events")
+        row = e.agg(
+            F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("cms")
+        ).first()
+        jvm = spark.sparkContext._jvm
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
+        )
+        exact = {
+            r["user_id"]: r["n"]
+            for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        mism = [
+            (u, int(cms.estimateCount(u)), n)
+            for u, n in exact.items()
+            if int(cms.estimateCount(u)) != n
+        ]
+        assert not mism, f"CMS exactness window broken at {d}: {mism[:5]}"
