@@ -1475,3 +1475,121 @@ def vector_embedding_drift(spark, sf):
             "centroid_shift",
         )
     )
+
+
+_TWONN_PROBES = 256
+
+
+def _l2sq_duck(a: str, b: str) -> str:
+    d = f"(CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), i -> {d} * {d})), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "vector_intrinsic_dimension",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+    ), probes AS MATERIALIZED (
+      SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT {_TWONN_PROBES}
+    ), d2 AS MATERIALIZED (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             {_l2sq_duck('a.embedding', 'b.embedding')} AS sq
+      FROM probes a JOIN pts b ON a.vec_id <> b.vec_id
+    ), rk AS MATERIALIZED (
+      SELECT qid, sq,
+             row_number() OVER (PARTITION BY qid ORDER BY sq ASC, nid ASC) AS rk
+      FROM d2
+    ), nn AS MATERIALIZED (
+      SELECT qid,
+             MIN(CASE WHEN rk = 1 THEN sq END) AS sq1,
+             MIN(CASE WHEN rk = 2 THEN sq END) AS sq2
+      FROM rk WHERE rk <= 2 GROUP BY qid
+    ), terms AS MATERIALIZED (
+      SELECT CAST(round(0.5 * ln(sq2 / sq1), 6) AS DECIMAL(38,6)) AS t
+      FROM nn WHERE sq1 > 0 AND sq2 IS NOT NULL
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6)
+             AS id_twonn
+    FROM terms
+    """,
+)
+def vector_intrinsic_dimension(spark, sf):
+    # TwoNN intrinsic-dimension estimator (Facco et al. 2017): for each
+    # point, mu = r2/r1 (the two nearest-neighbor distances); the MLE
+    # of the manifold dimension is n / sum(ln mu) — the standard
+    # embedding-space diagnostic ("is this 384-d space really ~12-d?")
+    # a curation pipeline reads before choosing PQ/IVF resolutions or
+    # dedup thresholds. ln(mu) = 0.5*ln(sq2/sq1) on SQUARED L2 (no
+    # sqrt), 6dp-rounded decimal terms; points with r1 = 0 (verbatim
+    # duplicates) are excluded per the estimator's definition. Scale
+    # shape: exact 2-NN via the two-phase partial top-k (per-partition
+    # min-2 window on the bounded (qid, partition) key, then min-2 of
+    # the k x partitions candidate set) over a broadcast-corpus
+    # crossjoin — the vector_knn_bruteforce discipline; at 100 TB the
+    # production path samples probes and/or routes through IVF cells,
+    # this registry entry keeps the exact contract the oracle proves.
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # probe set is GlobalLimit-BOUNDED (the sampled-probe TwoNN — the
+    # estimator is statistically valid on a probe subsample while
+    # neighbors search the FULL corpus): the broadcast side never grows
+    # with the data, so the pair stage is O(probes x n), not O(n^2)
+    q = (
+        e.orderBy(F.asc("vec_id"))
+        .limit(_TWONN_PROBES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    )
+    sqd = (
+        "aggregate(sequence(1, size(embedding)), cast(0.0 as double), "
+        "(acc, i) -> acc + (cast(element_at(embedding, i) as double) "
+        "- cast(element_at(qemb, i) as double)) "
+        "* (cast(element_at(embedding, i) as double) "
+        "- cast(element_at(qemb, i) as double)))"
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.expr(sqd).alias("sq"))
+    )
+    wl = W.partitionBy("qid", F.spark_partition_id()).orderBy(
+        F.asc("sq"), F.asc("vec_id")
+    )
+    cand = (
+        pairs.withColumn("__rk", F.row_number().over(wl))
+        .filter(F.col("__rk") <= 2)
+        .drop("__rk")
+    )
+    wg = W.partitionBy("qid").orderBy(F.asc("sq"), F.asc("vec_id"))
+    top2 = cand.withColumn("rk", F.row_number().over(wg)).filter(F.col("rk") <= 2)
+    nn = top2.groupBy("qid").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("sq"))).alias("sq1"),
+        F.min(F.when(F.col("rk") == 2, F.col("sq"))).alias("sq2"),
+    )
+    terms = nn.filter((F.col("sq1") > 0) & F.col("sq2").isNotNull()).select(
+        F.round(F.lit(0.5) * F.log(F.col("sq2") / F.col("sq1")), 6)
+        .cast("decimal(38,6)")
+        .alias("t")
+    )
+    n_points = e.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("long").alias("n_used"),
+            F.sum("t").cast("double").alias("__s"),
+        )
+        .crossJoin(F.broadcast(n_points))
+        .select(
+            "n_points",
+            "n_used",
+            F.round(
+                F.col("n_used").cast("double") / F.col("__s"), 6
+            ).alias("id_twonn"),
+        )
+    )

@@ -580,3 +580,215 @@ def stream_decay_counters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ----------------------------------------- streaming embedding drift
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def drift_reference(spark: SparkSession, sf_dir: str, n_cells: int = 16):
+    """Frozen drift reference from the embeddings table's reference
+    snapshot (even vec_ids — the same snapshot rule as the
+    oracle-checked batch twin ``vector_embedding_drift``): the seeded
+    cell centroids, the reference per-cell occupancy, and the
+    reference per-(cell, pos) DECIMAL element sums + counts (for the
+    read-time centroid-shift means). All three are cell/dims-bounded
+    and collected driver-side — train batch, ship the model as
+    literals (the psi_reference / codebook pattern)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+        _seed_centroids,
+    )
+    from dataingestionplayground_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    cents = _seed_centroids(ref, "vec_id", "embedding", n_cells)
+    cent_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["cent_vec"]])
+        for r in cents.collect()
+    ]
+    assigned = _assign_cells_matmul(ref, cents, "vec_id", "embedding")
+    occ = [
+        (int(r["cell"]) if r["cell"] is not None else None, int(r["n"]))
+        for r in assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    sums = [
+        (
+            int(r["cell"]) if r["cell"] is not None else None,
+            int(r["pos"]),
+            r["s"],  # decimal.Decimal from collect — exact transport
+            int(r["n"]),
+        )
+        for r in assigned.select("cell", F.posexplode("embedding").alias("pos", "xf"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum(F.col("xf").cast("double").cast("decimal(38,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    ]
+    return {"n_cells": n_cells, "cents": cent_rows, "occ": occ, "sums": sums}
+
+
+def stream_embedding_drift(
+    spark: SparkSession,
+    watch_dir: str,
+    reference: dict,
+    log_path: str,
+    checkpoint_dir: str,
+):
+    """Continuous embedding-distribution drift maintenance: per
+    micro-batch, assign the batch's vectors to the FROZEN reference
+    cells and append the epoch's per-cell occupancy and per-(cell,
+    pos) DECIMAL element sums to a log partitioned BY EPOCH with
+    dynamic partition overwrite — a replayed batch rewrites its own
+    epoch partition, so retries are exactly-once (the psi-monitor
+    discipline). Decimal sums are associative, so
+    :func:`read_embedding_drift`'s cross-epoch combine is EXACTLY the
+    batch twin's one-shot aggregation — replay-identity and
+    batch-parity are pinned in tests. Per-epoch state is
+    cells x (1 + dims) rows regardless of batch size."""
+    from pyspark.sql import functions as F
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        from dataingestionplayground_spark.operators.similarity import (
+            _assign_cells_matmul,
+        )
+
+        cents = sess.createDataFrame(
+            [(cid, v) for cid, v in reference["cents"]],
+            "centroid_id int, cent_vec array<double>",
+        )
+        assigned = _assign_cells_matmul(
+            batch_df.select("vec_id", "embedding"), cents, "vec_id", "embedding"
+        ).localCheckpoint(eager=True)  # feeds both aggs below once
+        occ = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("cur_n")
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "xf"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("xf").cast("double").cast("decimal(38,6)")).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+        out = (
+            occ.select(
+                "cell",
+                F.lit(None).cast("int").alias("pos"),
+                F.lit(None).cast("decimal(38,6)").alias("s"),
+                F.col("cur_n").alias("n"),
+            )
+            .unionByName(sums.select("cell", "pos", "s", "n"))
+            .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+        )
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("epoch_id").parquet(log_path)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    raw = spark.readStream.schema(VEC_SCHEMA).json(watch_dir)
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_embedding_drift(spark: SparkSession, log_path: str, reference: dict):
+    """Combine the maintained per-epoch drift log with the frozen
+    reference into the batch twin's exact output shape: (cell, ref_n,
+    cur_n, psi_term, centroid_shift). Every number equals the one-shot
+    batch computation over (reference snapshot, all streamed rows):
+    occupancies are sums of epoch counts, means are cross-epoch
+    decimal sums over counts, PSI terms and the 1 - cos shift use the
+    identical 6dp roundings."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.functions import vector as V
+
+    n_cells = reference["n_cells"]
+    log = spark.read.parquet(log_path)
+    occ_cur = (
+        log.filter(F.col("pos").isNull())
+        .groupBy("cell")
+        .agg(F.sum("n").cast("long").alias("cur_n"))
+    )
+    ref_occ = spark.createDataFrame(
+        reference["occ"], "cell int, ref_n long"
+    )
+    occ = ref_occ.join(occ_cur, "cell", "full").fillna(
+        0, subset=["ref_n", "cur_n"]
+    )
+    tot = occ.agg(
+        F.sum("ref_n").cast("double").alias("ref_total"),
+        F.sum("cur_n").cast("double").alias("cur_total"),
+    )
+    cur_cent = (
+        log.filter(F.col("pos").isNotNull())
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(F.col("s")).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("m")
+        )
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("cur_cent")
+        )
+    )
+    ref_cent = (
+        spark.createDataFrame(
+            reference["sums"], "cell int, pos int, s decimal(38,6), n long"
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("m")
+        )
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("ref_cent")
+        )
+    )
+    shift = ref_cent.join(cur_cent, "cell").select(
+        "cell",
+        F.round(
+            F.lit(1.0) - V.cosine_similarity("ref_cent", "cur_cent"), 6
+        ).alias("centroid_shift"),
+    )
+    p = (F.col("ref_n") + 1) / (F.col("ref_total") + F.lit(float(n_cells)))
+    q = (F.col("cur_n") + 1) / (F.col("cur_total") + F.lit(float(n_cells)))
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(shift), "cell", "left")
+        .select(
+            "cell",
+            "ref_n",
+            "cur_n",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+            "centroid_shift",
+        )
+    )

@@ -312,3 +312,74 @@ def test_cms_exactness_window_pins_gate_corpora(spark, sf_dir):
             if int(cms.estimateCount(u)) != n
         ]
         assert not mism, f"CMS exactness window broken at {d}: {mism[:5]}"
+
+
+def test_stream_embedding_drift_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Streaming drift maintenance replays the oracle-checked batch
+    twin exactly: freeze the reference (even vec_ids) via
+    drift_reference, stream the odd vec_ids in two micro-batches, and
+    read_embedding_drift must equal vector_embedding_drift's one-shot
+    output row-for-row (decimal epoch sums are associative, so the
+    cross-epoch combine IS the batch aggregation). A second run over
+    the same watch dir + checkpoint is a no-op (exactly-once)."""
+    import json as _json
+
+    from dataingestionplayground_spark.queries import all_queries
+
+    QS = all_queries()
+    from dataingestionplayground_spark.session import load_table
+    from dataingestionplayground_spark.streaming.ingest import (
+        drift_reference,
+        read_embedding_drift,
+        stream_embedding_drift,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+
+    odd = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assert len(odd) > 10
+    half = len(odd) // 2
+    for name, chunk in (("b0.json", odd[:half]), ("b1.json", odd[half:])):
+        with open(watch / name, "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+
+    ref = drift_reference(spark, sf_dir)
+    stream_embedding_drift(spark, str(watch), ref, log, ckpt).awaitTermination(60)
+
+    def rows(df):
+        return sorted(
+            (
+                r["cell"],
+                r["ref_n"],
+                r["cur_n"],
+                r["psi_term"],
+                r["centroid_shift"],
+            )
+            for r in df.collect()
+        )
+
+    got = rows(read_embedding_drift(spark, log, ref))
+    want = rows(QS["vector_embedding_drift"].fn(spark, sf_dir))
+    assert got == want
+
+    # exactly-once: a second availableNow pass over the same files and
+    # checkpoint adds nothing and changes nothing
+    stream_embedding_drift(spark, str(watch), ref, log, ckpt).awaitTermination(60)
+    assert rows(read_embedding_drift(spark, log, ref)) == want
