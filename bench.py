@@ -130,6 +130,13 @@ BIG_HEADLINE = [
     "text_kneser_ney_perplexity",
     "vector_ivfpq_residual",
     "events_gini_concentration",
+    # r12: scaling rows for the round's new shapes — the drift monitor
+    # (broadcast matmul + bounded aggs, should stay ~flat), the
+    # three-signal quality ensemble (three corpus passes + doc-keyed
+    # joins), and the probe-bounded TwoNN pair stage (linear in corpus)
+    "vector_embedding_drift",
+    "text_quality_ensemble",
+    "vector_intrinsic_dimension",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -159,6 +166,10 @@ BIG2_HEADLINE = [
     "text_kneser_ney_perplexity",
     "vector_ivfpq_residual",
     "events_gini_concentration",
+    # r12 new shapes (2x-step evidence)
+    "vector_embedding_drift",
+    "text_quality_ensemble",
+    "vector_intrinsic_dimension",
 ]
 
 

@@ -1589,3 +1589,159 @@ def text_lang_confusion_matrix(spark, sf):
             ).alias("precision_share"),
         )
     )
+
+
+_ZIPF_TOP = 1000
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest({TX.tokens_sql('lower(text)')}) AS w FROM documents
+    ), vocab AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+    ), top AS MATERIALIZED (
+      SELECT w, cnt FROM vocab ORDER BY cnt DESC, w ASC LIMIT {_ZIPF_TOP}
+    ), rk AS MATERIALIZED (
+      SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rnk
+      FROM top
+    ), xy AS MATERIALIZED (
+      SELECT round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+             round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+      FROM rk
+    ), s AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf):
+    # Zipf's-law fit over the corpus unigram distribution: OLS slope of
+    # ln(frequency) on ln(rank) over the top-1000 terms — the classic
+    # corpus-health diagnostic (natural language sits near slope -1;
+    # boilerplate-heavy or synthetic corpora bend the curve). Rank is
+    # GlobalLimit-bounded (orderBy + limit then bounded_rank — never an
+    # unpartitioned window over the unbounded vocabulary); the OLS
+    # sufficient statistics are 6dp-rounded decimal sums (order-free),
+    # the slope/intercept each ONE division of settled doubles, and the
+    # intercept reuses the ROUNDED slope so both engines walk the same
+    # number. Plan shape: token explode -> one vocab hash agg ->
+    # 1000-row everything.
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
+
+    d = t(spark, sf, "documents")
+    toks = d.select(F.explode(TX.tokens("lower(text)")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(_ZIPF_TOP)
+    rk = bounded_rank(top, [("cnt", False), ("w", True)], "rnk")
+    xy = rk.select(
+        F.round(F.log(F.col("rnk").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "text_burstiness",
+    oracle=f"""
+    WITH dc AS MATERIALIZED (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({TX.tokens_sql('lower(text)')}) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    ), stats AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM dc GROUP BY w
+    ), vmr AS MATERIALIZED (
+      SELECT w, df, sc,
+             round(CAST(df * sc2 - sc * sc AS DOUBLE)
+                   / CAST((df - 1) * sc AS DOUBLE), 6) AS vmr
+      FROM stats WHERE df >= 10
+    ), top AS MATERIALIZED (
+      SELECT w, df, sc, vmr FROM vmr ORDER BY vmr DESC, w ASC LIMIT 20
+    )
+    SELECT w AS term, df, sc AS n_occurrences, vmr,
+           CAST(row_number() OVER (ORDER BY vmr DESC, w ASC) AS INTEGER) AS rnk
+    FROM top
+    """,
+)
+def text_burstiness(spark, sf):
+    # Term burstiness (Church & Gale 1995): variance-to-mean ratio of
+    # per-document counts over the documents CONTAINING the term —
+    # VMR ~ 1 is Poisson scatter (function words), VMR >> 1 means the
+    # term clumps into few documents (topical/boilerplate signal; the
+    # feature behind burst-aware TF weighting and boilerplate screens).
+    # Every sufficient statistic (df, sum c, sum c^2) is EXACT integer
+    # arithmetic — VMR = (df*sc2 - sc^2) / ((df-1)*sc) is ONE double
+    # division of exact BIGINTs, rounded 6dp, so the hash match is
+    # trivial. Plan shape: token explode -> (doc, term) hash agg ->
+    # term hash agg (both map-side partial) -> GlobalLimit top-20 ->
+    # bounded rank. df floor 10 keeps the estimator out of the
+    # small-sample regime.
+    from dataingestionplayground_spark.operators.prefix import bounded_rank
+
+    d = t(spark, sf, "documents")
+    dc = (
+        d.select("doc_id", F.explode(TX.tokens("lower(text)")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = dc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    vmr = stats.filter(F.col("df") >= 10).select(
+        "w",
+        "df",
+        "sc",
+        F.round(
+            (F.col("df") * F.col("sc2") - F.col("sc") * F.col("sc")).cast("double")
+            / ((F.col("df") - 1) * F.col("sc")).cast("double"),
+            6,
+        ).alias("vmr"),
+    )
+    top = vmr.orderBy(F.desc("vmr"), F.asc("w")).limit(20)
+    ranked = bounded_rank(top, [("vmr", False), ("w", True)], "rnk")
+    return ranked.select(
+        F.col("w").alias("term"),
+        "df",
+        F.col("sc").alias("n_occurrences"),
+        "vmr",
+        "rnk",
+    )
