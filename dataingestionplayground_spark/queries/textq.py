@@ -1745,3 +1745,60 @@ def text_burstiness(spark, sf):
         "vmr",
         "rnk",
     )
+
+
+@register(
+    "text_token_fertility",
+    oracle=f"""
+    WITH scored AS MATERIALIZED (
+      SELECT doc_id, text, {_lang_score_sqls()} FROM documents
+    ), pred AS MATERIALIZED (
+      SELECT {_PRED_CASE} AS pred_lang,
+             CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_toks,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      FROM scored
+    )
+    SELECT pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 6)
+             AS chars_per_token,
+           round(CAST(SUM(n_bytes) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 6)
+             AS bytes_per_token
+    FROM pred WHERE n_toks > 0 GROUP BY pred_lang
+    """,
+)
+def text_token_fertility(spark, sf):
+    # Tokenizer fertility by (predicted) language — chars/token and
+    # bytes/token per language bucket, the number a multilingual token
+    # budget is actually priced in (CJK text costs ~3 bytes/char in
+    # UTF-8 and whitespace tokenization under-segments it; fertility
+    # tables are how mixture weights get converted between doc counts,
+    # bytes, and tokens). Language is the in-row stopword-ratio
+    # predictor (same expression the oracle-checked text_language_id
+    # uses), so the whole query is ONE projection + ONE 5-key hash agg
+    # with exact BIGINT sums — zero joins, zero corpus shuffles beyond
+    # the map-side-partial agg; ratios are one double division each.
+    d = t(spark, sf, "documents")
+    scored = d.select("doc_id", "text", *_lang_score_cols())
+    pred = scored.select(
+        F.expr(_PRED_CASE).alias("pred_lang"),
+        F.size(TX.tokens("text")).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    ).filter(F.col("n_toks") > 0)
+    return pred.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_toks").cast("double"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_toks").cast("double"), 6
+        ).alias("bytes_per_token"),
+    )

@@ -1593,3 +1593,58 @@ def vector_intrinsic_dimension(spark, sf):
             ).alias("id_twonn"),
         )
     )
+
+
+def _ann_recall_oracle() -> str:
+    # compose the two REGISTERED oracles (exact KNN + LSH ANN) so the
+    # eval can never drift from the queries it grades — the
+    # dedup_eval_lsh_pr pattern applied to the ANN family
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH exact AS MATERIALIZED (
+      SELECT query_id, vec_id FROM ({_R['vector_knn_bruteforce'].oracle})
+      WHERE "rank" <= 10
+    ), approx AS MATERIALIZED (
+      SELECT query_id, vec_id, 1 AS hit
+      FROM ({_R['vector_lsh_ann'].oracle}) WHERE "rank" <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.hit) AS BIGINT) AS n_hits,
+           round(CAST(COUNT(a.hit) AS DOUBLE) / 10.0, 6) AS recall_at_10
+    FROM exact e LEFT JOIN approx a USING (query_id, vec_id)
+    GROUP BY e.query_id
+    """
+
+
+@register("vector_ann_recall_eval", oracle=_ann_recall_oracle())
+def vector_ann_recall_eval(spark, sf):
+    # In-engine recall@10 of the LSH ANN against the exact brute-force
+    # top-10, per query — index quality as a FIRST-CLASS relational
+    # output instead of a bench-side python loop (the r7 "latency
+    # without quality is half a benchmark" rule, made queryable so a
+    # pipeline can gate a nightly index build on it). Composes the two
+    # registered queries; both sides are per-query top-10 frames (tiny),
+    # so the eval join is broadcast-bounded at any corpus size.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    exact = (
+        _R["vector_knn_bruteforce"].fn(spark, sf)
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    approx = (
+        _R["vector_lsh_ann"].fn(spark, sf)
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit").cast("double") / F.lit(10.0), 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
