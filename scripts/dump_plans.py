@@ -85,6 +85,12 @@ SHOW = [
     ("graph_label_propagation", "LPA: hub-capped (type, window) cell self-join edges; per round one neighbor join + hash agg + per-node top-1 (r10b)"),
     ("retrieval_rm3_expansion", "RM3: 10-doc feedback side fully broadcast; corpus rescan filtered by the 8-term broadcast before any agg (r10b)"),
     ("pipeline_target_encoding", "LOO target encoding: per-category agg + 1-row prior broadcast, then a pure per-row expression — zero corpus shuffles (r10b)"),
+    ("vector_embedding_drift", "drift monitor: Arrow matmul assignment (checkpointed), 16-key occupancy agg, (side,cell,pos)-bounded means agg, broadcast PSI/shift math (r12)"),
+    ("text_quality_ensemble", "quality ensemble: three per-doc signal frames, two 1-row extrema broadcasts, doc-keyed joins — no new corpus-shuffle class (r12)"),
+    ("vector_intrinsic_dimension", "TwoNN: GlobalLimit-bounded probe broadcast x corpus, two-phase partial top-2, decimal log-term sum to ONE row (r12)"),
+    ("text_zipf_fit", "Zipf fit: one vocab hash agg, GlobalLimit top-1000, bounded rank, OLS sufficient stats in one 1000-row agg (r12)"),
+    ("text_burstiness", "burstiness: (doc,term) then term hash aggs (both partial), exact-BIGINT VMR, GlobalLimit top-20 + bounded rank (r12)"),
+    ("text_token_fertility", "token fertility: in-row language predictor + ONE 5-key hash agg of exact BIGINT sums — zero joins (r12)"),
 ]
 
 INTERESTING = re.compile(
