@@ -1226,20 +1226,25 @@ def _nb_oracle() -> str:
     """
 
 
-def nb_weight_table(spark, sf):
+def nb_weight_table(spark, sf, lab=None):
     """TRAIN the naive-Bayes quality model: returns the (bucket, w,
     prior) weight frame — <= 256 rows of 6dp-decimal log-odds terms —
     plus the (doc_id, pos) label frame it was fit on. Shared by the
     batch registry query and the streaming scorer
-    (streaming/documents.py), so the two can never drift."""
+    (streaming/documents.py), so the two can never drift.
+
+    ``lab`` (optional): a precomputed (doc_id, pos boolean) label frame
+    — callers that already materialized the perplexity gate (the
+    quality ensemble) pass it in so the labeling scan runs once."""
     from dataingestionplayground_spark.queries import REGISTRY as _R
 
     d = t(spark, sf, "documents")
-    lab = (
-        _R["text_unigram_perplexity"]
-        .fn(spark, sf)
-        .select("doc_id", F.col("keep").alias("pos"))
-    )
+    if lab is None:
+        lab = (
+            _R["text_unigram_perplexity"]
+            .fn(spark, sf)
+            .select("doc_id", F.col("keep").alias("pos"))
+        )
     # the perplexity-label subtree and the token explode each feed two
     # consumers below — materialize once (aliased branches do not
     # ReuseExchange), same pattern as dedup_soft_weights
@@ -2129,11 +2134,25 @@ def text_quality_ensemble(spark, sf):
     # per-doc aggregates the member queries already produce with
     # map-side partials; the ensemble adds two broadcast one-row
     # extrema joins and two doc-keyed joins (AQE-co-partitioned on the
-    # same key). The signals recompute here for composition clarity —
-    # a pipeline run would materialize them once and reuse.
+    # same key). The perplexity frame is materialized ONCE and feeds
+    # both the ppl signal and the NB trainer's labels (nb_weight_table
+    # lab= passthrough) — the LM scan never runs twice.
     from dataingestionplayground_spark.queries import REGISTRY as _R
 
-    nb = _R["text_nb_quality_classifier"].fn(spark, sf).select("doc_id", "log_odds")
+    ppl_frame = (
+        _R["text_unigram_perplexity"]
+        .fn(spark, sf)
+        .select("doc_id", "ppl", "keep")
+        .localCheckpoint(eager=True)
+    )
+    wb, toks = nb_weight_table(
+        spark, sf, lab=ppl_frame.select("doc_id", F.col("keep").alias("pos"))
+    )
+    nb = (
+        toks.join(F.broadcast(wb), "bucket")
+        .groupBy("doc_id")
+        .agg((F.sum("w") + F.min("prior")).cast("double").alias("log_odds"))
+    )
     g = _R["text_gopher_quality_rules"].fn(spark, sf).select(
         "doc_id",
         (
@@ -2145,7 +2164,7 @@ def text_quality_ensemble(spark, sf):
             + (F.col("ellipsis_line_frac") <= 0.3).cast("int")
         ).alias("n_rules"),
     )
-    p = _R["text_unigram_perplexity"].fn(spark, sf).select("doc_id", "ppl")
+    p = ppl_frame.select("doc_id", "ppl")
     nbs = nb.agg(
         F.min("log_odds").alias("lo_min"), F.max("log_odds").alias("lo_max")
     )

@@ -1409,71 +1409,16 @@ def vector_embedding_drift(spark, sf):
     # keys on (side, cell, pos) — <= 2*16*dims rows out with map-side
     # partials; shift/PSI run on broadcast-sized frames. No windows,
     # no per-cell vector materialization.
-    from dataingestionplayground_spark.operators.similarity import (
-        _assign_cells_matmul,
-        _seed_centroids,
-    )
+    # Implementation lives in operators/drift.py:embedding_drift (r12:
+    # extracted so real two-collection stores get the same math via
+    # collection_drift; the streaming twin is streaming/ingest.py).
+    from dataingestionplayground_spark.operators.drift import embedding_drift
 
-    e = t(spark, sf, "embeddings").select(
-        "vec_id", "embedding", (F.col("vec_id") % 2).cast("int").alias("side")
-    )
-    ref = e.filter(F.col("side") == 0)
-    cents = _seed_centroids(ref, "vec_id", "embedding", _SD_CELLS)
-    assigned = _assign_cells_matmul(
-        e, cents, "vec_id", "embedding", extra_cols=("side",)
-    )
-    # the assignment feeds occupancy AND the means agg — materialize so
-    # the corpus scan + matmul run once (same rule as semantic_dedup)
-    assigned = assigned.localCheckpoint(eager=True)
-    occ = assigned.groupBy("cell").agg(
-        F.count_if(F.col("side") == 0).cast("long").alias("ref_n"),
-        F.count_if(F.col("side") == 1).cast("long").alias("cur_n"),
-    )
-    tot = occ.agg(
-        F.sum("ref_n").cast("double").alias("ref_total"),
-        F.sum("cur_n").cast("double").alias("cur_total"),
-    )
-    pos = assigned.select("side", "cell", F.posexplode("embedding").alias("pos", "xf"))
-    cm = pos.groupBy("side", "cell", "pos").agg(
-        (
-            F.sum(F.col("xf").cast("double").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("m")
-    )
-    cent = cm.groupBy("side", "cell").agg(
-        F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias(
-            "cent"
-        )
-    )
-    shift = (
-        cent.filter(F.col("side") == 0)
-        .select("cell", F.col("cent").alias("ref_cent"))
-        .join(
-            cent.filter(F.col("side") == 1).select(
-                "cell", F.col("cent").alias("cur_cent")
-            ),
-            "cell",
-        )
-        .select(
-            "cell",
-            F.round(
-                F.lit(1.0) - V.cosine_similarity("ref_cent", "cur_cent"), 6
-            ).alias("centroid_shift"),
-        )
-    )
-    n_cells = F.lit(float(_SD_CELLS))
-    p = (F.col("ref_n") + 1) / (F.col("ref_total") + n_cells)
-    q = (F.col("cur_n") + 1) / (F.col("cur_total") + n_cells)
-    return (
-        occ.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(shift), "cell", "left")
-        .select(
-            "cell",
-            "ref_n",
-            "cur_n",
-            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
-            "centroid_shift",
-        )
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return embedding_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        n_cells=_SD_CELLS,
     )
 
 

@@ -383,3 +383,51 @@ def test_stream_embedding_drift_matches_batch_twin(spark, sf_dir, tmp_path):
     # checkpoint adds nothing and changes nothing
     stream_embedding_drift(spark, str(watch), ref, log, ckpt).awaitTermination(60)
     assert rows(read_embedding_drift(spark, log, ref)) == want
+
+
+def test_collection_drift_between_stores(spark, tmp_path):
+    """operators/drift.py: collection_drift runs the oracle-checked
+    drift math between two NAMED store collections. Identical
+    collections drift nowhere (psi_term 0 everywhere, centroid_shift
+    0); a shifted current collection shows positive total PSI and a
+    non-zero shift in at least one cell."""
+    from dataingestionplayground_spark.ingest import CollectionStore
+    from dataingestionplayground_spark.ingest.embed import hash_embed
+    from dataingestionplayground_spark.operators.drift import collection_drift
+
+    store = CollectionStore(str(tmp_path))
+
+    def chunks(texts, tag):
+        rows = [
+            (f"{tag}{i:03d}", hash_embed(t), t, None, f"d{i}", 0)
+            for i, t in enumerate(texts)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "key string, embedding array<float>, content string,"
+            " context string, documentid string, chunk_idx int",
+        )
+
+    base = [f"stable document number {i}" for i in range(48)]
+    store.write(chunks(base, "a"), "snap_ref")
+    store.write(chunks(base, "a"), "snap_same")
+    drifted = base[:24] + [f"totally different topic {i}" for i in range(24)]
+    store.write(chunks(drifted, "a"), "snap_cur")
+
+    same = collection_drift(spark, store, "snap_ref", "snap_same", n_cells=8)
+    rows = same.collect()
+    assert sum(r["ref_n"] for r in rows) == 48
+    assert all(r["ref_n"] == r["cur_n"] for r in rows)
+    assert all(abs(r["psi_term"]) < 1e-9 for r in rows)
+    assert all(
+        r["centroid_shift"] is None or abs(r["centroid_shift"]) < 1e-9
+        for r in rows
+    )
+
+    moved = collection_drift(spark, store, "snap_ref", "snap_cur", n_cells=8)
+    mrows = moved.collect()
+    assert sum(r["psi_term"] for r in mrows if r["psi_term"] is not None) > 0.01
+    assert any(
+        r["centroid_shift"] is not None and r["centroid_shift"] > 1e-6
+        for r in mrows
+    )
