@@ -2205,3 +2205,102 @@ def text_quality_ensemble(spark, sf):
         quality.alias("quality"),
         (quality >= F.lit(0.5)).alias("keep"),
     )
+
+
+def _curriculum_oracle() -> str:
+    # compose the REGISTERED ensemble oracle as the quality source (the
+    # usual composition discipline); thresholds are EXACT integers per
+    # (epoch, decile) so the md5-permille inclusion compares int to int
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    thr = (
+        "CASE WHEN epoch = 1 THEN 1000 "
+        "WHEN epoch = 2 THEN decile * 100 "
+        "ELSE decile * decile * 10 END"
+    )
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT doc_id, quality FROM ({_R['text_quality_ensemble'].oracle})
+      WHERE quality IS NOT NULL
+    ), bs AS MATERIALIZED (
+      SELECT quantile_cont(quality,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+      FROM q
+    ), dec AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(1 + len(list_filter(b, x -> quality > x)) AS INTEGER)
+               AS decile
+      FROM q CROSS JOIN bs
+    ), sel AS MATERIALIZED (
+      SELECT e.epoch, d.decile, d.doc_id,
+             ({md5_mod_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)", 1000)})
+               < ({thr}) AS keep
+      FROM dec d CROSS JOIN (SELECT unnest([1, 2, 3]) AS epoch) e
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_selected,
+           round(CAST(COUNT(*) FILTER (keep) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS selected_frac
+    FROM sel GROUP BY epoch, decile
+    """
+
+
+@register("sample_quality_curriculum", oracle=_curriculum_oracle())
+def sample_quality_curriculum(spark, sf):
+    # Quality-annealed curriculum schedule: documents land in ensemble-
+    # quality deciles (exact interpolated quantile boundaries — ONE agg,
+    # broadcast back), and each of 3 training epochs applies a
+    # progressively sharper inclusion temperature — epoch 1 keeps
+    # everything (uniform warm-up), epoch 2 keeps decile/10 of each
+    # band, epoch 3 (decile/10)^2 — the standard anneal-toward-quality
+    # schedule (high-quality data concentrated late in training).
+    # Inclusion is the portable md5-permille coin keyed on (doc, epoch),
+    # so the materialized schedule is deterministic and resumable; the
+    # per-(epoch, decile) thresholds are EXACT INTEGERS (1000, d*100,
+    # d*d*10) — no float in the keep decision at all. Plan shape: the
+    # ensemble's own passes + one quantile agg + a 3-row epoch
+    # crossjoin + ONE 30-key hash agg; nothing new shuffles the corpus.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    q = (
+        _R["text_quality_ensemble"]
+        .fn(spark, sf)
+        .select("doc_id", "quality")
+        .filter(F.col("quality").isNotNull())
+    )
+    bs = q.agg(
+        F.expr(
+            "percentile(quality, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9))"
+        ).alias("b")
+    )
+    dec = q.crossJoin(F.broadcast(bs)).select(
+        "doc_id",
+        (
+            F.lit(1) + F.expr("size(filter(b, x -> quality > x))")
+        ).cast("int").alias("decile"),
+    )
+    epochs = spark.range(1, 4).select(F.col("id").cast("int").alias("epoch"))
+    thr = F.expr(
+        "CASE WHEN epoch = 1 THEN 1000 "
+        "WHEN epoch = 2 THEN decile * 100 "
+        "ELSE decile * decile * 10 END"
+    )
+    coin = F.expr(
+        md5_mod(
+            "concat(cast(doc_id as string), ':', cast(epoch as string))", 1000
+        )
+    )
+    sel = dec.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "decile", (coin < thr).alias("keep")
+    )
+    return sel.groupBy("epoch", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("keep")).cast("long").alias("n_selected"),
+        F.round(
+            F.count_if(F.col("keep")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("selected_frac"),
+    )
