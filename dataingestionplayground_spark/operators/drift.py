@@ -17,6 +17,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def assemble_drift(occ: DataFrame, shift: DataFrame, n_cells: int) -> DataFrame:
+    """Shared final assembly of the drift frame from a per-cell
+    occupancy frame (cell, ref_n, cur_n) and a per-cell shift frame
+    (cell, centroid_shift): broadcast totals, add-one-smoothed PSI
+    terms, left-joined shift. One implementation feeds both the batch
+    operator and the streaming read-side combine
+    (streaming/ingest.py:read_embedding_drift), so the pinned
+    batch-parity is structural — the smoothing/rounding cannot drift
+    between the two (r12 review)."""
+    tot = occ.agg(
+        F.sum("ref_n").cast("double").alias("ref_total"),
+        F.sum("cur_n").cast("double").alias("cur_total"),
+    )
+    nc = F.lit(float(n_cells))
+    p = (F.col("ref_n") + 1) / (F.col("ref_total") + nc)
+    q = (F.col("cur_n") + 1) / (F.col("cur_total") + nc)
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(shift), "cell", "left")
+        .select(
+            "cell",
+            "ref_n",
+            "cur_n",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+            "centroid_shift",
+        )
+    )
+
+
 def embedding_drift(
     ref: DataFrame,
     cur: DataFrame,
@@ -62,10 +91,6 @@ def embedding_drift(
         F.count_if(F.col("side") == 0).cast("long").alias("ref_n"),
         F.count_if(F.col("side") == 1).cast("long").alias("cur_n"),
     )
-    tot = occ.agg(
-        F.sum("ref_n").cast("double").alias("ref_total"),
-        F.sum("cur_n").cast("double").alias("cur_total"),
-    )
     pos = assigned.select("side", "cell", F.posexplode("embedding").alias("pos", "xf"))
     cm = pos.groupBy("side", "cell", "pos").agg(
         (
@@ -94,20 +119,7 @@ def embedding_drift(
             ).alias("centroid_shift"),
         )
     )
-    nc = F.lit(float(n_cells))
-    p = (F.col("ref_n") + 1) / (F.col("ref_total") + nc)
-    q = (F.col("cur_n") + 1) / (F.col("cur_total") + nc)
-    return (
-        occ.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(shift), "cell", "left")
-        .select(
-            "cell",
-            "ref_n",
-            "cur_n",
-            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
-            "centroid_shift",
-        )
-    )
+    return assemble_drift(occ, shift, n_cells)
 
 
 def collection_drift(spark, store, ref_collection: str, cur_collection: str, n_cells: int = 16) -> DataFrame:

@@ -634,13 +634,17 @@ def merge_scd2_dimension(
 
     ``max_lateness_s`` bounds that state growth (ADVICE r11): with a
     lateness horizon set, (a) incoming observations older than
-    ``watermark - max_lateness_s`` (watermark = max valid_from across
-    stored-touched-buckets + batch) are REJECTED explicitly, and (b)
+    ``watermark - max_lateness_s`` are REJECTED explicitly, and (b)
     retained non-change observations older than the same horizon are
     COMPACTED away — safe because the only reason repeats are retained
     is to re-open a version when a late INTERVENING change arrives,
     and any such row older than the horizon is now rejected before it
-    can splice. Change rows are never compacted (they ARE the
+    can splice. The watermark is PER BUCKET (max valid_from over the
+    bucket's stored + batch rows): the row achieving a bucket's max is
+    always retained, so the bucket watermark is monotone across merges
+    without any side state — a merge-global watermark would let one
+    bucket's recent data compact another's repeats against a horizon a
+    later single-bucket merge no longer enforces (r12 review). Change rows are never compacted (they ARE the
     dimension); dropping a repeat never flips a later row's is_change,
     since a repeat carries the same status value its preceding change
     row does. ``None`` (default) keeps the retain-everything exact
@@ -682,17 +686,34 @@ def merge_scd2_dimension(
             .select("user_id", "status", "valid_from", "event_id", "bucket")
         )
     base = obs if existing is None else existing.unionByName(obs)
-    horizon: int | None = None
+    horizons = None
     if max_lateness_s is not None:
-        wm = base.agg(F.max("valid_from").alias("wm")).first()["wm"]
-        if wm is not None:
-            horizon = int(wm) - int(max_lateness_s)
-            # reject beyond-horizon BATCH rows (stored rows — including
-            # change rows older than the horizon, which are permanent
-            # dimension history — pass untouched): a rejected late row
-            # can never re-open a version whose repeats were compacted.
-            fresh = obs.filter(F.col("valid_from") >= F.lit(horizon))
-            base = fresh if existing is None else existing.unionByName(fresh)
+        # PER-BUCKET watermark (r12 review): a single merge-global max
+        # is NOT monotone — a merge touching buckets {X, Y} where Y
+        # carries recent data would compact X's repeats against Y's
+        # watermark, and a later X-only merge (recomputing a lower wm
+        # from X's own rows) could then ACCEPT a late row older than
+        # the horizon that justified the compaction, silently losing a
+        # version. Per bucket the watermark IS monotone: the row
+        # achieving a bucket's max valid_from is always retained (it
+        # sits AT the watermark, above the horizon), so recomputing
+        # from stored state can never go backwards.
+        horizons = (
+            base.groupBy("bucket")
+            .agg(
+                (F.max("valid_from") - F.lit(int(max_lateness_s))).alias(
+                    "__horizon"
+                )
+            )
+        )
+        # reject beyond-horizon BATCH rows (stored rows — including
+        # change rows older than the horizon, which are permanent
+        # dimension history — pass untouched): a rejected late row
+        # can never re-open a version whose repeats were compacted.
+        fresh = obs.join(F.broadcast(horizons), "bucket").filter(
+            F.col("valid_from") >= F.col("__horizon")
+        ).drop("__horizon")
+        base = fresh if existing is None else existing.unionByName(fresh)
     rows = base.dropDuplicates(["user_id", "valid_from", "event_id"])
     w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
     flagged = rows.withColumn(
@@ -717,13 +738,16 @@ def merge_scd2_dimension(
         "is_change",
     )
     unchanged = flagged.filter(~F.col("is_change"))
-    if horizon is not None:
-        # compact: repeats older than the lateness horizon can never be
-        # re-opened (any row that would need them is rejected above), so
-        # they collapse out of the maintained state. Dropping a repeat
-        # never flips a later row's is_change — it carries the same
-        # status value as its preceding change row.
-        unchanged = unchanged.filter(F.col("valid_from") >= F.lit(horizon))
+    if horizons is not None:
+        # compact: repeats older than their BUCKET's lateness horizon
+        # can never be re-opened (any row that would need them is
+        # rejected above against the same per-bucket horizon), so they
+        # collapse out of the maintained state. Dropping a repeat never
+        # flips a later row's is_change — it carries the same status
+        # value as its preceding change row.
+        unchanged = unchanged.join(F.broadcast(horizons), "bucket").filter(
+            F.col("valid_from") >= F.col("__horizon")
+        ).drop("__horizon")
     unchanged = unchanged.select(
         "user_id",
         "status",

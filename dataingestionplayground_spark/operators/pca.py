@@ -192,9 +192,18 @@ def pca_power_project(
     )
     cov = cov.localCheckpoint(eager=True)  # d^2 rows, feeds every stage
 
+    # v0 = round(1/sqrt(d), 6) computed ENGINE-side (one row): Python's
+    # built-in round is HALF-EVEN while both engines' round() is
+    # half-up — at d = 64 (0.125) they coincide, but the repo rule is
+    # that no compared number is ever produced by Python rounding
+    v0 = float(
+        spark.range(1)
+        .select(F.round(F.lit(1.0) / F.sqrt(F.lit(float(dims))), 6).alias("v"))
+        .first()["v"]
+    )
     comps = []
     for _ in range(k):
-        v_arr = [round(1.0 / dims ** 0.5, 6)] * dims
+        v_arr = [v0] * dims
         for _t in range(n_iters):
             w = cov.groupBy(F.col("i").alias("pos")).agg(
                 F.sum(F.round(F.col("cv") * at(v_arr, "j"), 9).cast(d9))

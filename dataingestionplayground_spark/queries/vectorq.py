@@ -1332,12 +1332,6 @@ def vector_ivfpq_residual(spark, sf):
     )
 
 
-def _drift_cell_duck() -> str:
-    # same argmax-cosine cell expression as _sd_cell_duck, over a `cb`
-    # CTE whose seeds come from the REFERENCE snapshot only
-    return _sd_cell_duck()
-
-
 @register(
     "vector_embedding_drift",
     oracle=f"""
@@ -1351,7 +1345,7 @@ def _drift_cell_duck() -> str:
       FROM seeds
     ), assigned AS MATERIALIZED (
       SELECT e.vec_id, e.embedding, CAST(e.vec_id % 2 AS INTEGER) AS side,
-             {_drift_cell_duck()} AS cell
+             {_sd_cell_duck()} AS cell
       FROM embeddings e CROSS JOIN cb
     ), occ AS MATERIALIZED (
       SELECT cell,

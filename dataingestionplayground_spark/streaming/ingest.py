@@ -719,11 +719,16 @@ def read_embedding_drift(spark: SparkSession, log_path: str, reference: dict):
     cur_n, psi_term, centroid_shift). Every number equals the one-shot
     batch computation over (reference snapshot, all streamed rows):
     occupancies are sums of epoch counts, means are cross-epoch
-    decimal sums over counts, PSI terms and the 1 - cos shift use the
-    identical 6dp roundings."""
+    decimal sums over counts, and the final PSI/shift assembly IS the
+    batch operator's own assemble_drift (one implementation — r12
+    review). The occupancy combine is a union + groupBy rather than a
+    full outer join: NULL cells (zero-norm vectors) must collapse into
+    ONE row exactly as the batch groupBy does, and outer-join keys
+    never match NULL."""
     from pyspark.sql import functions as F
 
     from dataingestionplayground_spark.functions import vector as V
+    from dataingestionplayground_spark.operators.drift import assemble_drift
 
     n_cells = reference["n_cells"]
     log = spark.read.parquet(log_path)
@@ -735,12 +740,18 @@ def read_embedding_drift(spark: SparkSession, log_path: str, reference: dict):
     ref_occ = spark.createDataFrame(
         reference["occ"], "cell int, ref_n long"
     )
-    occ = ref_occ.join(occ_cur, "cell", "full").fillna(
-        0, subset=["ref_n", "cur_n"]
-    )
-    tot = occ.agg(
-        F.sum("ref_n").cast("double").alias("ref_total"),
-        F.sum("cur_n").cast("double").alias("cur_total"),
+    occ = (
+        ref_occ.select("cell", "ref_n", F.lit(0).cast("long").alias("cur_n"))
+        .unionByName(
+            occ_cur.select(
+                "cell", F.lit(0).cast("long").alias("ref_n"), "cur_n"
+            )
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum("ref_n").cast("long").alias("ref_n"),
+            F.sum("cur_n").cast("long").alias("cur_n"),
+        )
     )
     cur_cent = (
         log.filter(F.col("pos").isNotNull())
@@ -779,16 +790,4 @@ def read_embedding_drift(spark: SparkSession, log_path: str, reference: dict):
             F.lit(1.0) - V.cosine_similarity("ref_cent", "cur_cent"), 6
         ).alias("centroid_shift"),
     )
-    p = (F.col("ref_n") + 1) / (F.col("ref_total") + F.lit(float(n_cells)))
-    q = (F.col("cur_n") + 1) / (F.col("cur_total") + F.lit(float(n_cells)))
-    return (
-        occ.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(shift), "cell", "left")
-        .select(
-            "cell",
-            "ref_n",
-            "cur_n",
-            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
-            "centroid_shift",
-        )
-    )
+    return assemble_drift(occ, shift, n_cells)

@@ -431,3 +431,53 @@ def test_collection_drift_between_stores(spark, tmp_path):
         r["centroid_shift"] is not None and r["centroid_shift"] > 1e-6
         for r in mrows
     )
+
+
+def test_scd2_watermark_is_per_bucket_monotone(spark, tmp_path):
+    """r12 review: a merge-GLOBAL watermark lets one bucket's recent
+    data compact ANOTHER bucket's repeats against a horizon that a
+    later single-bucket merge no longer enforces — a late row then
+    splices against amputated state and a version is silently lost.
+    With the per-bucket watermark, bucket X's repeat survives batch 2
+    (X's own watermark stays 1500) and batch 3's in-horizon late change
+    re-opens it exactly like a full rebuild."""
+    from dataingestionplayground_spark.operators.incremental import (
+        _SCD2_BUCKETS,
+        merge_scd2_dimension,
+    )
+
+    def bucket_of(uid: int) -> int:
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % _SCD2_BUCKETS
+
+    a = 1
+    b = next(u for u in range(2, 500) if bucket_of(u) != bucket_of(a))
+    path = str(tmp_path / "dim")
+    lat = 1000
+
+    # batch 1 (bucket X only): change + same-status repeat
+    merge_scd2_dimension(
+        spark,
+        _batch(spark, [(1, 1000, a, "view"), (2, 1500, a, "view")]),
+        path,
+        max_lateness_s=lat,
+    )
+    # batch 2 touches X (a beyond-X-horizon late row, rejected) AND Y
+    # (fresh data at +9000): under a global watermark this batch would
+    # compact X's repeat@1500 against Y's horizon 8000
+    merge_scd2_dimension(
+        spark,
+        _batch(spark, [(3, 100, a, "click"), (4, 9000, b, "view")]),
+        path,
+        max_lateness_s=lat,
+    )
+    # batch 3 (X only): click@1200 is INSIDE X's real lateness window
+    # (X watermark 1500, horizon 500) and must re-open the repeat@1500
+    merge_scd2_dimension(
+        spark, _batch(spark, [(5, 1200, a, "click")]), path, max_lateness_s=lat
+    )
+    assert _dim(spark, path) == {
+        (a, 1): ("view", T0 + 1000, T0 + 1200, False),
+        (a, 2): ("click", T0 + 1200, T0 + 1500, False),
+        (a, 3): ("view", T0 + 1500, None, True),
+        (b, 1): ("view", T0 + 9000, None, True),
+    }
