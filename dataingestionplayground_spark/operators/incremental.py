@@ -633,18 +633,25 @@ def merge_scd2_dimension(
     (user_id) scales with the data.
 
     ``max_lateness_s`` bounds that state growth (ADVICE r11): with a
-    lateness horizon set, (a) incoming observations older than
-    ``watermark - max_lateness_s`` are REJECTED explicitly, and (b)
-    retained non-change observations older than the same horizon are
-    COMPACTED away — safe because the only reason repeats are retained
-    is to re-open a version when a late INTERVENING change arrives,
-    and any such row older than the horizon is now rejected before it
-    can splice. The watermark is PER BUCKET (max valid_from over the
-    bucket's stored + batch rows): the row achieving a bucket's max is
-    always retained, so the bucket watermark is monotone across merges
-    without any side state — a merge-global watermark would let one
-    bucket's recent data compact another's repeats against a horizon a
-    later single-bucket merge no longer enforces (r12 review). Change rows are never compacted (they ARE the
+    lateness horizon set, (a) incoming observations older than the
+    bucket's STORED watermark minus ``max_lateness_s`` are REJECTED
+    explicitly (counted and logged — silent history loss during a
+    backfill is detectable), and (b) retained non-change observations
+    older than the post-merge horizon are COMPACTED away — safe
+    because the only reason repeats are retained is to re-open a
+    version when a late INTERVENING change arrives, and any such row
+    older than the horizon is now rejected before it can splice. The
+    rejection watermark comes from stored state ONLY (Spark-streaming
+    style, ADVICE r12): a batch is never judged against its own max,
+    so a single backfill batch wider than the lateness window keeps
+    all its rows exactly like a full rebuild, and first contact with a
+    bucket rejects nothing. The watermark is PER BUCKET: the row
+    achieving a bucket's max is always retained, so the bucket
+    watermark is monotone across merges without any side state — a
+    merge-global watermark would let one bucket's recent data compact
+    another's repeats against a horizon a later single-bucket merge no
+    longer enforces (r12 review), and the next merge's stored-only
+    rejection horizon is always >= this merge's compaction horizon. Change rows are never compacted (they ARE the
     dimension); dropping a repeat never flips a later row's is_change,
     since a repeat carries the same status value its preceding change
     row does. ``None`` (default) keeps the retain-everything exact
@@ -698,22 +705,48 @@ def merge_scd2_dimension(
         # achieving a bucket's max valid_from is always retained (it
         # sits AT the watermark, above the horizon), so recomputing
         # from stored state can never go backwards.
-        horizons = (
-            base.groupBy("bucket")
-            .agg(
+        #
+        # ADVICE r12: the REJECTION horizon is computed from STORED
+        # state only (Spark-streaming style — the watermark a batch is
+        # judged against comes from PREVIOUS batches). Including the
+        # incoming batch's own max meant a single backfill batch
+        # spanning more than the lateness window silently rejected its
+        # own older observations — a full rebuild of the same rows
+        # would have kept them. First contact with a bucket therefore
+        # rejects nothing; and rejected rows are COUNTED and logged so
+        # history loss during a misplayed backfill is detectable.
+        if existing is not None:
+            rej_horizons = existing.groupBy("bucket").agg(
                 (F.max("valid_from") - F.lit(int(max_lateness_s))).alias(
                     "__horizon"
                 )
             )
+            tagged = obs.join(F.broadcast(rej_horizons), "bucket", "left")
+            accept = F.col("__horizon").isNull() | (
+                F.col("valid_from") >= F.col("__horizon")
+            )
+            n_rejected = tagged.filter(~accept).count()
+            if n_rejected:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "merge_scd2_dimension: rejected %d observation(s) older "
+                    "than the per-bucket lateness horizon (max_lateness_s=%d)",
+                    n_rejected,
+                    int(max_lateness_s),
+                )
+            fresh = tagged.filter(accept).drop("__horizon")
+            base = existing.unionByName(fresh)
+        # COMPACTION horizon: post-merge per-bucket watermark (stored +
+        # accepted batch). Monotone vs future rejection: the bucket-max
+        # row is always retained, so the next merge's stored-only
+        # rejection horizon is >= this compaction horizon — any late
+        # row that would need a compacted repeat is rejected first.
+        horizons = base.groupBy("bucket").agg(
+            (F.max("valid_from") - F.lit(int(max_lateness_s))).alias(
+                "__horizon"
+            )
         )
-        # reject beyond-horizon BATCH rows (stored rows — including
-        # change rows older than the horizon, which are permanent
-        # dimension history — pass untouched): a rejected late row
-        # can never re-open a version whose repeats were compacted.
-        fresh = obs.join(F.broadcast(horizons), "bucket").filter(
-            F.col("valid_from") >= F.col("__horizon")
-        ).drop("__horizon")
-        base = fresh if existing is None else existing.unionByName(fresh)
     rows = base.dropDuplicates(["user_id", "valid_from", "event_id"])
     w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
     flagged = rows.withColumn(

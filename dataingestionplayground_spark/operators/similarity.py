@@ -652,11 +652,21 @@ def _split_oversized_cells(
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") * (F.col("c") - 1) / 2 > max_cell_pairs)
             .collect()
+            # NULL cells (zero-norm vectors) are never pair-compared (the
+            # pair search equi-joins on cell, and NULL != NULL), so they
+            # can never melt a reducer — exclude from the hot set.
+            if r["cell"] is not None
         ]
         if not hot_cells:
             return assigned
         hot = assigned.filter(F.col("cell").isin(hot_cells))
-        cold = assigned.filter(~F.col("cell").isin(hot_cells))
+        # ADVICE r12: `~isin` evaluates NULL for NULL cells, so zero-norm
+        # rows would vanish from BOTH branches — route them cold explicitly
+        # (the documented contract: zero-norm vectors neither dominate nor
+        # get dropped).
+        cold = assigned.filter(
+            F.col("cell").isNull() | ~F.col("cell").isin(hot_cells)
+        )
         # two-phase lowest-`split_factor` ids per hot cell
         wl = Window.partitionBy("cell", F.spark_partition_id()).orderBy(
             F.asc(corpus_id)

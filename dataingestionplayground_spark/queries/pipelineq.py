@@ -2223,8 +2223,14 @@ def _curriculum_oracle() -> str:
       SELECT doc_id, quality FROM ({_R['text_quality_ensemble'].oracle})
       WHERE quality IS NOT NULL
     ), bs AS MATERIALIZED (
-      SELECT quantile_cont(quality,
-        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+      -- boundaries rounded to 6dp BEFORE the comparison (ADVICE r12):
+      -- Spark percentile vs DuckDB quantile_cont may diverge by 1 ulp
+      -- in the interpolation, which would flip a doc's decile — the
+      -- repo's round-before-compare rule applies to every compared
+      -- float, interpolated quantiles included
+      SELECT list_transform(quantile_cont(quality,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        x -> round(x, 6)) AS b
       FROM q
     ), dec AS MATERIALIZED (
       SELECT doc_id,
@@ -2269,10 +2275,13 @@ def sample_quality_curriculum(spark, sf):
         .select("doc_id", "quality")
         .filter(F.col("quality").isNotNull())
     )
+    # boundaries rounded to 6dp on BOTH sides before the strict-> decile
+    # comparison (ADVICE r12: a 1-ulp Spark/DuckDB interpolation
+    # divergence must not flip a doc's decile)
     bs = q.agg(
         F.expr(
-            "percentile(quality, array(0.1, 0.2, 0.3, 0.4, 0.5,"
-            " 0.6, 0.7, 0.8, 0.9))"
+            "transform(percentile(quality, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9)), x -> round(x, 6))"
         ).alias("b")
     )
     dec = q.crossJoin(F.broadcast(bs)).select(

@@ -169,9 +169,11 @@ def agg_kll_quantiles(spark, sf):
 # vs exact counts; at sf0.1's 1500 users collisions appear and the
 # estimates go approximate, the documented production contract). The
 # exactness window is pinned in pytest (estimate == exact over the
-# FULL domain at both gate SFs), so a corpus change that introduces a
-# collision fails tests before it can flake the driver gate — the
-# same bounded-domain discipline as agg_approx_top_users.
+# FULL domain at both gate SFs), and since r13 ALSO by an in-query
+# guard (probe estimates re-checked against exact counts whenever the
+# user domain is inside the bounded regime), so a corpus change that
+# introduces a collision fails loudly instead of flaking the driver
+# gate — the same bounded-domain discipline as agg_approx_top_users.
 @register(
     "agg_countmin_point_freq",
     oracle="""
@@ -201,4 +203,37 @@ def agg_countmin_point_freq(spark, sf):
         jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
     )
     probes = [(uid, int(cms.estimateCount(uid))) for uid in range(10)]
+    # In-query exactness guard (ADVICE r12, mirroring agg_approx_top_users):
+    # the exact-counts oracle is sound only while the probe keys are
+    # collision-free in the sketch, and until now that was enforced only
+    # by an out-of-band pytest pin — a corpus change reaching the gate
+    # without tests would FLAKE the hash gate. Inside the bounded-domain
+    # regime (the gate SFs: 15/150 users; cutoff 1000 well below sf0.1's
+    # 1500 where collisions are the documented approximate contract), a
+    # probe estimate that disagrees with the exact count now raises
+    # loudly instead. Above the cutoff the sketch is honestly
+    # approximate and the guard does not apply (and no gate runs there).
+    # Cost: one distinct-count + one 10-key filtered agg, both bounded.
+    n_users = e.select("user_id").distinct().count()
+    if n_users <= 1000:
+        exact = {
+            int(r["user_id"]): int(r["n"])
+            for r in e.filter(F.col("user_id") < 10)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        bad = [
+            (uid, est, exact.get(uid, 0))
+            for uid, est in probes
+            if est != exact.get(uid, 0)
+        ]
+        if bad:
+            raise ValueError(
+                "agg_countmin_point_freq: CMS probe estimate != exact count "
+                f"for {bad} with only {n_users} distinct users — the sketch "
+                "is no longer collision-free over the probe keys; the "
+                "exact-counts oracle is unsound (update the documented "
+                "exactness window)"
+            )
     return spark.createDataFrame(probes, "user_id long, est_n long")

@@ -649,6 +649,27 @@ def test_semantic_dedup_splits_dominant_cell(spark):
     assert len(sizes) > 1  # the dominant cell really was split
 
 
+def test_semantic_dedup_split_guard_keeps_zero_norm_rows(spark):
+    """ADVICE r12: when the split guard engages, NULL-cell (zero-norm)
+    rows must route to the cold branch, not vanish (`~isin` evaluates
+    NULL for NULL cells, dropping them from both branches)."""
+    from dataingestionplayground_spark.operators.similarity import semantic_dedup
+
+    base = _circle_vecs(spark, 20)
+    zero = spark.createDataFrame(
+        [("zzz_zero", [0.0, 0.0, 0.0, 0.0])],
+        "vec_id string, embedding array<float>",
+    )
+    # n_cells=1 + max_cell_pairs=45 forces the guard to engage (190 pairs)
+    out = semantic_dedup(
+        base.unionByName(zero), threshold=0.99999, n_cells=1, max_cell_pairs=45
+    ).collect()
+    assert len(out) == 21  # nothing dropped by the split routing
+    zrow = [r for r in out if r.vec_id == "zzz_zero"]
+    assert len(zrow) == 1
+    assert zrow[0].cell is None and zrow[0].keep  # neither dominates nor drops
+
+
 def test_semantic_dedup_split_keeps_dedup_semantics(spark):
     """Near-identical pairs still dedup after splitting (duplicates land
     in the same sub-cell because argmax-cosine agrees for them)."""

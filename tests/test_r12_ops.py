@@ -125,6 +125,48 @@ def test_scd2_retention_compacts_repeats_and_rejects_beyond_horizon(
     }
 
 
+def test_scd2_backfill_batch_wider_than_lateness_window_keeps_all_rows(
+    spark, tmp_path
+):
+    """ADVICE r12: the rejection watermark is computed from STORED state
+    only (Spark-streaming style). A single backfill batch spanning far
+    more than the lateness window must keep ALL its observations —
+    judging the batch against its own max silently amputated the older
+    half of the backfill, diverging from a full rebuild."""
+    from dataingestionplayground_spark.operators.incremental import (
+        merge_scd2_dimension,
+    )
+
+    # one batch spanning 9000s with a 1000s lateness window: the old
+    # behavior (horizon = own max - lateness = +8000) rejected the
+    # first three rows; stored-only watermark keeps everything
+    rows = [
+        (1, 10, 1, "view"),
+        (2, 500, 1, "click"),
+        (3, 900, 1, "click"),
+        (4, 9000, 1, "view"),
+    ]
+    path = str(tmp_path / "dim")
+    merge_scd2_dimension(
+        spark, _batch(spark, rows), path, max_lateness_s=1000
+    )
+    full = str(tmp_path / "full")
+    merge_scd2_dimension(spark, _batch(spark, rows), full)  # no lateness
+    assert _dim(spark, path) == _dim(spark, full) == {
+        (1, 1): ("view", T0 + 10, T0 + 500, False),
+        (1, 2): ("click", T0 + 500, T0 + 9000, False),
+        (1, 3): ("view", T0 + 9000, None, True),
+    }
+    # a FOLLOW-UP merge is still horizon-gated by the now-stored
+    # watermark (+9000 - 1000 = +8000): the late row is rejected and
+    # the dimension is unchanged
+    before = _dim(spark, path)
+    merge_scd2_dimension(
+        spark, _batch(spark, [(5, 700, 1, "view")]), path, max_lateness_s=1000
+    )
+    assert _dim(spark, path) == before
+
+
 def test_scd2_compaction_equals_full_rebuild_inside_horizon(spark, tmp_path):
     """Property pin: merging batch-by-batch WITH compaction equals one
     all-at-once rebuild, as long as every observation arrives inside the
