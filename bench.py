@@ -25,6 +25,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# r12 verdict item 2: the TwoNN pair stage is probe-bounded (O(probes x
+# corpus)); at the big-block SFs the default 256 probes were pure gate
+# latency (~13.7s flat, the blocks' most expensive row). The estimator
+# is valid on a probe subsample by design, so bench runs with 64 —
+# must be set BEFORE the registry import (the query and its oracle both
+# read the constant at import time). The correctness gate is a separate
+# process that never sets this, so it keeps the oracle-proven 256.
+os.environ.setdefault("SPARK_GRAFT_TWONN_PROBES", "64")
+
 from dataingestionplayground_spark.queries import all_queries  # noqa: E402
 from dataingestionplayground_spark.session import get_spark, load_table  # noqa: E402
 

