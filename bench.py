@@ -99,6 +99,10 @@ HEADLINE = [
     # two sorts)
     "vector_ivfpq_residual",
     "window_running_distinct",
+    # r13 (r12 verdict item 7): the end-to-end curate funnel — exact
+    # dedup -> boilerplate -> quality gate -> decontam as ONE composite
+    # row, catching cross-operator regressions no single-query row sees
+    "pipeline_curate_funnel",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,
@@ -146,6 +150,13 @@ BIG_HEADLINE = [
     "vector_embedding_drift",
     "text_quality_ensemble",
     "vector_intrinsic_dimension",
+    # r13: the composite curate funnel at sf0.5 (r12 verdict item 7) and
+    # the round's two new operator shapes (verdict item 5: every new op
+    # lands with a 2x-rows step) — the per-source drift decomposition
+    # and the cross-snapshot dedup delta
+    "pipeline_curate_funnel",
+    "vector_drift_by_source",
+    "dedup_snapshot_delta",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -179,6 +190,10 @@ BIG2_HEADLINE = [
     "vector_embedding_drift",
     "text_quality_ensemble",
     "vector_intrinsic_dimension",
+    # r13: curate funnel + new-op 2x-rows steps
+    "pipeline_curate_funnel",
+    "vector_drift_by_source",
+    "dedup_snapshot_delta",
 ]
 
 

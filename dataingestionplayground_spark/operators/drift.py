@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assemble_drift(occ: DataFrame, shift: DataFrame, n_cells: int) -> DataFrame:
+def assemble_drift(
+    occ: DataFrame,
+    shift: DataFrame,
+    n_cells: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Shared final assembly of the drift frame from a per-cell
     occupancy frame (cell, ref_n, cur_n) and a per-cell shift frame
     (cell, centroid_shift): broadcast totals, add-one-smoothed PSI
@@ -25,19 +30,34 @@ def assemble_drift(occ: DataFrame, shift: DataFrame, n_cells: int) -> DataFrame:
     operator and the streaming read-side combine
     (streaming/ingest.py:read_embedding_drift), so the pinned
     batch-parity is structural — the smoothing/rounding cannot drift
-    between the two (r12 review)."""
-    tot = occ.agg(
-        F.sum("ref_n").cast("double").alias("ref_total"),
-        F.sum("cur_n").cast("double").alias("cur_total"),
-    )
+    between the two (r12 review).
+
+    ``group_cols`` (r13, the per-domain decomposition): when set, the
+    occ/shift frames carry the group columns too, PSI totals are
+    computed PER GROUP (each group is its own distribution, smoothed
+    over the same ``n_cells`` support), and the shift joins on
+    (group, cell). The group domain is bounded (source labels), so the
+    totals/shift joins stay broadcast-sized."""
+    keys = [*group_cols, "cell"]
+    if group_cols:
+        tot = occ.groupBy(*group_cols).agg(
+            F.sum("ref_n").cast("double").alias("ref_total"),
+            F.sum("cur_n").cast("double").alias("cur_total"),
+        )
+        joined = occ.join(F.broadcast(tot), list(group_cols))
+    else:
+        tot = occ.agg(
+            F.sum("ref_n").cast("double").alias("ref_total"),
+            F.sum("cur_n").cast("double").alias("cur_total"),
+        )
+        joined = occ.crossJoin(F.broadcast(tot))
     nc = F.lit(float(n_cells))
     p = (F.col("ref_n") + 1) / (F.col("ref_total") + nc)
     q = (F.col("cur_n") + 1) / (F.col("cur_total") + nc)
     return (
-        occ.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(shift), "cell", "left")
+        joined.join(F.broadcast(shift), keys, "left")
         .select(
-            "cell",
+            *keys,
             "ref_n",
             "cur_n",
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
@@ -120,6 +140,90 @@ def embedding_drift(
         )
     )
     return assemble_drift(occ, shift, n_cells)
+
+
+def embedding_drift_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-domain decomposition of :func:`embedding_drift` (r12 verdict
+    item 5c): the cell structure stays GLOBAL (frozen from the whole
+    reference snapshot — one quantization so shifts are comparable
+    across domains), but occupancy, PSI smoothing, and centroid shift
+    are computed PER ``group_col`` value, answering "WHICH source moved
+    the embedding space". Output: (group, cell, ref_n, cur_n, psi_term,
+    centroid_shift) — sum psi_term within a group for that domain's
+    PSI. Scale shape is the ungrouped operator's: one broadcast-matmul
+    assignment pass, one (groups x cells)-key hash agg, a
+    (2 x groups x cells x dims)-row means agg with map-side partials —
+    all outputs bounded by the (small) group domain, never the corpus.
+    """
+    from dataingestionplayground_spark.functions import vector as V
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+        _seed_centroids,
+    )
+
+    ref = ref.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(group_col).alias("grp"),
+    )
+    cur = cur.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(group_col).alias("grp"),
+    )
+    both = ref.withColumn("side", F.lit(0)).unionByName(
+        cur.withColumn("side", F.lit(1))
+    )
+    cents = _seed_centroids(
+        ref.select("vec_id", "embedding"), "vec_id", "embedding", n_cells
+    )
+    assigned = _assign_cells_matmul(
+        both, cents, "vec_id", "embedding", extra_cols=("side", "grp")
+    ).localCheckpoint(eager=True)
+    occ = assigned.groupBy("grp", "cell").agg(
+        F.count_if(F.col("side") == 0).cast("long").alias("ref_n"),
+        F.count_if(F.col("side") == 1).cast("long").alias("cur_n"),
+    )
+    pos = assigned.select(
+        "side", "grp", "cell", F.posexplode("embedding").alias("pos", "xf")
+    )
+    cm = pos.groupBy("side", "grp", "cell", "pos").agg(
+        (
+            F.sum(F.col("xf").cast("double").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    cent = cm.groupBy("side", "grp", "cell").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias(
+            "cent"
+        )
+    )
+    shift = (
+        cent.filter(F.col("side") == 0)
+        .select("grp", "cell", F.col("cent").alias("ref_cent"))
+        .join(
+            cent.filter(F.col("side") == 1).select(
+                "grp", "cell", F.col("cent").alias("cur_cent")
+            ),
+            ["grp", "cell"],
+        )
+        .select(
+            "grp",
+            "cell",
+            F.round(
+                F.lit(1.0) - V.cosine_similarity("ref_cent", "cur_cent"), 6
+            ).alias("centroid_shift"),
+        )
+    )
+    out = assemble_drift(occ, shift, n_cells, group_cols=("grp",))
+    return out.withColumnRenamed("grp", group_col)
 
 
 def collection_drift(spark, store, ref_collection: str, cur_collection: str, n_cells: int = 16) -> DataFrame:

@@ -840,3 +840,146 @@ def dedup_normalized_exact(spark, sf):
             (F.col("doc_id") == F.min("doc_id").over(wfp)).alias("keep"),
         )
     )
+
+
+def _snapshot_delta_oracle() -> str:
+    # the dedup_lsh_incremental banding SQL re-pointed at the snapshot
+    # predicates (A = doc_id % 5 <> 4, B = doc_id % 5 <> 0, so the
+    # B-only delta is doc_id % 5 = 4), plus the exact-fingerprint CTE
+    nw = ", ".join(f"min({_lane_expr_duck(i)}) AS mh{i}" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', mh{2 * b}, mh{2 * b + 1})"
+        f" AS band_key FROM {{side}}"
+        for b in range(4)
+    )
+    return f"""
+    WITH dsh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+      WHERE doc_id % 5 = 4
+    ), ash AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+      WHERE doc_id % 5 <> 4
+    ), dw AS MATERIALIZED (
+      SELECT doc_id, {nw} FROM dsh GROUP BY doc_id
+    ), aw AS MATERIALIZED (
+      SELECT doc_id, {nw} FROM ash GROUP BY doc_id
+    ), db AS ({bands.format(side='dw')}), ab AS ({bands.format(side='aw')}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM db n JOIN ab o ON n.band = o.band AND n.band_key = o.band_key
+    ), sizes_d AS (
+      SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id
+    ), sizes_a AS (
+      SELECT doc_id, COUNT(*) AS sz FROM ash GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT c.new_id, c.old_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.new_id
+      JOIN ash y ON y.doc_id = c.old_id AND y.shingle = x.shingle
+      GROUP BY c.new_id, c.old_id
+    ), best AS MATERIALIZED (
+      SELECT new_id AS doc_id, MAX(j) AS best_jaccard FROM (
+        SELECT i.new_id,
+               CAST(i.n_common AS DOUBLE)
+                 / CAST(sd.sz + sa.sz - i.n_common AS DOUBLE) AS j
+        FROM inter i
+        JOIN sizes_d sd ON sd.doc_id = i.new_id
+        JOIN sizes_a sa ON sa.doc_id = i.old_id
+      ) WHERE j >= 0.3 GROUP BY new_id
+    ), afp AS MATERIALIZED (
+      SELECT DISTINCT {TX.fingerprint_sql('text')} AS fp FROM documents
+      WHERE doc_id % 5 <> 4
+    )
+    SELECT d.doc_id,
+           (SELECT COUNT(*) FROM afp
+            WHERE afp.fp = {TX.fingerprint_sql('d.text')}) > 0 AS is_exact,
+           b.best_jaccard,
+           CASE WHEN (SELECT COUNT(*) FROM afp
+                      WHERE afp.fp = {TX.fingerprint_sql('d.text')}) > 0
+                  THEN 'exact'
+                WHEN b.best_jaccard >= 0.5 THEN 'near_dup'
+                ELSE 'novel' END AS status
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    WHERE d.doc_id % 5 = 4
+    """
+
+
+@register("dedup_snapshot_delta", oracle=_snapshot_delta_oracle())
+def dedup_snapshot_delta(spark, sf):
+    # Cross-snapshot dedup delta (r12 verdict item 5b): snapshot B's
+    # NEW documents (ids absent from snapshot A — the anti-join, not id
+    # arithmetic, so real snapshot manifests plug in) classified
+    # against A's CONTENT: 'exact' (normalized fingerprint already in
+    # A), 'near_dup' (best verified Jaccard vs A >= 0.5), or 'novel' —
+    # with the best >= 0.3 Jaccard reported. This is the question a
+    # recrawl answers before paying to process snapshot B: "how much of
+    # the new crawl is actually new?" Composes dedup_lsh_incremental's
+    # asymmetric banded screen (batch-side bands are O(delta); the A
+    # side is a maintained signature table at warehouse scale) with the
+    # exact-dedup fingerprint as a first-pass marker join. Plan shape:
+    # one anti-join on doc_id, one fingerprint equi-join (marker
+    # column, no fan-out: A's fingerprint set is distinct), the banded
+    # candidate join, and a packed-set verify that shuffles candidate
+    # PAIRS only — never exploded shingles, never A x B.
+    from dataingestionplayground_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    d = t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 5 != 4)
+    b = d.filter(F.col("doc_id") % 5 != 0)
+    delta = b.join(a.select("doc_id"), "doc_id", "left_anti")
+    afp = (
+        a.select(TX.fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("__ex", F.lit(True))
+    )
+    cand = minhash_lsh_pairs_between(
+        delta, a, "doc_id", "text", num_hashes=8, rows_per_band=2
+    ).localCheckpoint(eager=True)
+
+    def packed(side, idn):
+        ids = cand.select(F.col(idn).alias("doc_id")).distinct()
+        return (
+            side.join(ids, "doc_id", "left_semi")
+            .select("doc_id", TX.tokens("text").alias("__w"))
+            .select(
+                F.col("doc_id").alias(idn),
+                F.array_distinct(TX.shingles_from_tokens("__w", 3)).alias(
+                    f"set_{idn}"
+                ),
+            )
+            .withColumn(f"sz_{idn}", F.size(f"set_{idn}"))
+        )
+
+    best = (
+        cand.join(packed(delta, "new_id"), "new_id")
+        .join(packed(a, "old_id"), "old_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("set_new_id", "set_old_id"))
+        )
+        .withColumn(
+            "j",
+            F.col("n_common").cast("double")
+            / (
+                F.col("sz_new_id") + F.col("sz_old_id") - F.col("n_common")
+            ).cast("double"),
+        )
+        .filter(F.col("j") >= 0.3)
+        .groupBy(F.col("new_id").alias("doc_id"))
+        .agg(F.max("j").alias("best_jaccard"))
+    )
+    return (
+        delta.select("doc_id", TX.fingerprint("text").alias("fp"))
+        .join(afp, "fp", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__ex"), F.lit(False)).alias("is_exact"),
+            "best_jaccard",
+            F.when(F.coalesce(F.col("__ex"), F.lit(False)), F.lit("exact"))
+            .when(F.col("best_jaccard") >= 0.5, F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

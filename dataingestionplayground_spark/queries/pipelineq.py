@@ -2153,16 +2153,10 @@ def text_quality_ensemble(spark, sf):
         .groupBy("doc_id")
         .agg((F.sum("w") + F.min("prior")).cast("double").alias("log_odds"))
     )
+    from dataingestionplayground_spark.queries.textq import gopher_n_rules_expr
+
     g = _R["text_gopher_quality_rules"].fn(spark, sf).select(
-        "doc_id",
-        (
-            F.col("n_words").between(10, 100000).cast("int")
-            + F.col("mean_word_len").between(3.0, 10.0).cast("int")
-            + (F.col("alpha_word_ratio") >= 0.8).cast("int")
-            + (F.col("symbol_to_word") <= 0.1).cast("int")
-            + (F.col("bullet_line_frac") <= 0.9).cast("int")
-            + (F.col("ellipsis_line_frac") <= 0.3).cast("int")
-        ).alias("n_rules"),
+        "doc_id", gopher_n_rules_expr().alias("n_rules")
     )
     p = ppl_frame.select("doc_id", "ppl")
     nbs = nb.agg(
@@ -2312,4 +2306,155 @@ def sample_quality_curriculum(spark, sf):
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("selected_frac"),
+    )
+
+
+def _curate_funnel_oracle() -> str:
+    # the full CLI `curate` pipeline (cli.py cmd_curate) as one SQL
+    # chain, composing the member queries' own oracle fragments: exact
+    # dedup (fingerprint), cross-doc line boilerplate (the
+    # dedup_line_boilerplate CTEs), the calibrated quality gate
+    # (_QUALITY_SQL at the 6dp-rounded median), and trigram
+    # decontamination (the dedup_decontaminate eval slice)
+    toks = TX.tokens_sql("text")
+    return f"""
+    WITH train AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+    ), keepers AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id, {TX.fingerprint_sql('text')} AS fp FROM train
+      ) GROUP BY fp
+    ), dd AS MATERIALIZED (
+      SELECT t.doc_id, t.text FROM train t JOIN keepers k USING (doc_id)
+    ), base AS MATERIALIZED (
+      SELECT doc_id, {toks} AS tk FROM dd WHERE len({toks}) > 0
+    ), segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tk[(i-1)*{_SEG}+1:i*{_SEG}], ' ') AS line
+      FROM base, unnest(generate_series(1, CAST(ceil(len(tk)/{_SEG}.0) AS INTEGER))) AS u(i)
+    ), nz AS MATERIALIZED (
+      SELECT doc_id, pos, line FROM segs WHERE trim(line) <> ''
+    ), fdf AS MATERIALIZED (
+      SELECT md5(trim(line)) AS fp, count(distinct doc_id) AS line_df
+      FROM nz GROUP BY 1
+    ), rebuilt AS MATERIALIZED (
+      SELECT s.doc_id,
+             CAST(coalesce(SUM(CASE WHEN f.line_df < 2 THEN 1 END), 0) AS BIGINT)
+               AS n_lines_kept,
+             coalesce(string_agg(CASE WHEN f.line_df < 2 THEN s.line END,
+                                 chr(10) ORDER BY s.pos), '') AS clean_text
+      FROM nz s JOIN fdf f ON md5(trim(s.line)) = f.fp
+      GROUP BY s.doc_id
+    ), cleaned AS MATERIALIZED (
+      SELECT doc_id, clean_text AS text FROM rebuilt WHERE n_lines_kept > 0
+    ), feats AS MATERIALIZED (
+      SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(len({toks}) AS INTEGER) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM cleaned
+    ), scored AS MATERIALIZED (
+      SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality
+      FROM feats WHERE n_toks > 0
+    ), thr AS MATERIALIZED (
+      SELECT round(quantile_cont(quality, 0.5), 6) AS q FROM scored
+    ), qkept AS MATERIALIZED (
+      SELECT doc_id FROM scored CROSS JOIN thr WHERE quality >= q
+    ), qdocs AS MATERIALIZED (
+      SELECT c.doc_id, c.text FROM cleaned c JOIN qkept USING (doc_id)
+    ), ev AS MATERIALIZED (
+      SELECT DISTINCT unnest(list_distinct({TX.word_shingles_sql('text', 3)})) AS g
+      FROM documents WHERE doc_id % 25 = 0
+    ), contam AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(list_distinct({TX.word_shingles_sql('text', 3)})) AS g
+        FROM qdocs
+      ) JOIN ev USING (g)
+    )
+    SELECT (SELECT COUNT(*) FROM train)   AS n_input,
+           (SELECT COUNT(*) FROM dd)      AS n_exact_kept,
+           (SELECT COUNT(*) FROM cleaned) AS n_boiler_kept,
+           (SELECT COUNT(*) FROM qdocs)   AS n_quality_kept,
+           (SELECT COUNT(*) FROM qdocs
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS n_final
+    """
+
+
+@register("pipeline_curate_funnel", oracle=_curate_funnel_oracle())
+def pipeline_curate_funnel(spark, sf):
+    # The end-to-end `curate` CLI funnel as ONE oracle-checked row (r12
+    # verdict item 7): exact dedup -> cross-doc line boilerplate ->
+    # calibrated quality gate (median) -> eval-set decontamination, each
+    # stage the SAME operator its standalone registry query verifies
+    # (exact_dedup, line_dedup, quality_scores, the decontam gram
+    # screen), over the dedup_decontaminate train/eval slices. Output:
+    # the five funnel counts a `curate` run prints — the composite
+    # shape that catches cross-operator regressions no single-query
+    # bench row sees. Plan notes: every stage's frame feeds two
+    # consumers (its own count + the next stage), so stages materialize
+    # once via localCheckpoint (the nb_weight_table rule); the funnel's
+    # shuffles are exactly the member queries' own (fingerprint agg,
+    # line-df agg + rebuild, one percentile agg, gram join) — nothing
+    # new at scale.
+    from dataingestionplayground_spark.operators.dedup import exact_dedup, line_dedup
+    from dataingestionplayground_spark.queries.textq import quality_scores
+
+    d = t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 25 != 0).select("doc_id", "text")
+    keep = exact_dedup(train, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = train.join(keep, "doc_id", "left_semi").localCheckpoint(eager=True)
+    lined = deduped.withColumn("tk", TX.tokens("text")).filter(F.size("tk") > 0)
+    seg = lambda i: F.array_join(F.slice(F.col("tk"), (i - 1) * _SEG + 1, _SEG), " ")
+    lined = lined.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size("tk") / float(_SEG)).cast("int")),
+                seg,
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    cleaned = (
+        line_dedup(lined, "doc_id", "text", min_df=2)
+        .filter(F.col("n_lines_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    scored = quality_scores(
+        cleaned.withColumn("n_chars", F.length("text"))
+    ).select("doc_id", F.round("quality", 6).alias("quality"))
+    thr = scored.agg(
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("q")
+    )
+    kept_ids = (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("q"))
+        .select("doc_id")
+    )
+    qdocs = cleaned.join(kept_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+
+    def grams(df):
+        return df.select("doc_id", TX.tokens("text").alias("__tk")).select(
+            "doc_id",
+            F.explode(F.array_distinct(TX.shingles_from_tokens("__tk", 3))).alias("g"),
+        )
+
+    ev = grams(d.filter(F.col("doc_id") % 25 == 0)).select("g").distinct()
+    contam = grams(qdocs).join(F.broadcast(ev), "g").select("doc_id").distinct()
+    final = qdocs.join(contam, "doc_id", "left_anti")
+
+    def n(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    return (
+        n(train, "n_input")
+        .crossJoin(F.broadcast(n(deduped, "n_exact_kept")))
+        .crossJoin(F.broadcast(n(cleaned, "n_boiler_kept")))
+        .crossJoin(F.broadcast(n(qdocs, "n_quality_kept")))
+        .crossJoin(F.broadcast(n(final, "n_final")))
     )

@@ -465,6 +465,70 @@ def text_char_entropy(spark, sf):
     ).withColumn("keep", F.col("entropy").between(2.0, 5.5))
 
 
+def gopher_metric_frame(d, extra: tuple = ()):
+    """The six 6dp-rounded Gopher metrics over a (doc_id, text, ...)
+    frame — in-row Catalyst only, so it runs identically on batch
+    tables and unbounded document streams (the streaming quality gate
+    reuses this verbatim: parity is structural). ``extra`` names
+    pass-through columns to keep alongside doc_id. Docs with zero
+    tokens are dropped (the batch query's own guard)."""
+    feats = d.select(
+        "doc_id",
+        *extra,
+        TX.tokens("text").alias("tk"),
+        F.expr("split(text, '\n')").alias("ln"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+            + (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
+        ).cast("bigint").alias("n_sym"),
+    ).filter(F.expr("size(tk) > 0"))
+    nw = F.expr("cast(size(tk) as double)")
+    m = feats.select(
+        "doc_id",
+        *extra,
+        F.expr("cast(size(tk) as int)").alias("n_words"),
+        (F.expr("cast(aggregate(tk, 0L, (a, x) -> a + length(x)) as double)") / nw).alias(
+            "mean_word_len"
+        ),
+        (F.expr("cast(size(filter(tk, x -> x rlike '[a-zA-Z]')) as double)") / nw).alias(
+            "alpha_word_ratio"
+        ),
+        (F.col("n_sym").cast("double") / nw).alias("symbol_to_word"),
+        (
+            F.expr("cast(size(filter(ln, l -> trim(l) rlike '^[-*•]')) as double)")
+            / F.expr("cast(size(ln) as double)")
+        ).alias("bullet_line_frac"),
+        (
+            F.expr("cast(size(filter(ln, l -> endswith(trim(l), '...'))) as double)")
+            / F.expr("cast(size(ln) as double)")
+        ).alias("ellipsis_line_frac"),
+    )
+    return m.select(
+        "doc_id",
+        *extra,
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_ratio", 6).alias("alpha_word_ratio"),
+        F.round("symbol_to_word", 6).alias("symbol_to_word"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+    )
+
+
+def gopher_n_rules_expr():
+    """Count of passed Gopher rules over the 6dp-rounded metric columns
+    — ONE definition for the quality ensemble (batch) and the streaming
+    gate, so the two can never disagree on the rule panel."""
+    return (
+        F.col("n_words").between(10, 100000).cast("int")
+        + F.col("mean_word_len").between(3.0, 10.0).cast("int")
+        + (F.col("alpha_word_ratio") >= 0.8).cast("int")
+        + (F.col("symbol_to_word") <= 0.1).cast("int")
+        + (F.col("bullet_line_frac") <= 0.9).cast("int")
+        + (F.col("ellipsis_line_frac") <= 0.3).cast("int")
+    )
+
+
 @register(
     "text_gopher_quality_rules",
     oracle=f"""
@@ -512,45 +576,18 @@ def text_gopher_quality_rules(spark, sf):
     # text_char_entropy this is ENTIRELY in-row Catalyst arithmetic over
     # the token/line arrays — a narrow projection, ZERO shuffles at any
     # scale. Ratios use IEEE double division only (+ - * /), which is
-    # bit-portable across engines (no libm calls).
-    d = t(spark, sf, "documents")
-    feats = d.select(
-        "doc_id",
-        TX.tokens("text").alias("tk"),
-        F.expr("split(text, '\n')").alias("ln"),
-        (
-            (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
-            + (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
-        ).cast("bigint").alias("n_sym"),
-    ).filter(F.expr("size(tk) > 0"))
-    nw = F.expr("cast(size(tk) as double)")
-    m = feats.select(
-        "doc_id",
-        F.expr("cast(size(tk) as int)").alias("n_words"),
-        (F.expr("cast(aggregate(tk, 0L, (a, x) -> a + length(x)) as double)") / nw).alias(
-            "mean_word_len"
-        ),
-        (F.expr("cast(size(filter(tk, x -> x rlike '[a-zA-Z]')) as double)") / nw).alias(
-            "alpha_word_ratio"
-        ),
-        (F.col("n_sym").cast("double") / nw).alias("symbol_to_word"),
-        (
-            F.expr("cast(size(filter(ln, l -> trim(l) rlike '^[-*•]')) as double)")
-            / F.expr("cast(size(ln) as double)")
-        ).alias("bullet_line_frac"),
-        (
-            F.expr("cast(size(filter(ln, l -> endswith(trim(l), '...'))) as double)")
-            / F.expr("cast(size(ln) as double)")
-        ).alias("ellipsis_line_frac"),
-    )
+    # bit-portable across engines (no libm calls). Metric expressions
+    # live in gopher_metric_frame (r13: shared with the streaming
+    # quality gate).
+    m = gopher_metric_frame(t(spark, sf, "documents"))
     return m.select(
         "doc_id",
         "n_words",
-        F.round("mean_word_len", 6).alias("mean_word_len"),
-        F.round("alpha_word_ratio", 6).alias("alpha_word_ratio"),
-        F.round("symbol_to_word", 6).alias("symbol_to_word"),
-        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
-        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        "mean_word_len",
+        "alpha_word_ratio",
+        "symbol_to_word",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
         (
             F.col("n_words").between(10, 100000)
             & F.col("mean_word_len").between(3.0, 10.0)
@@ -1801,4 +1838,52 @@ def text_token_fertility(spark, sf):
         F.round(
             F.sum("n_bytes").cast("double") / F.sum("n_toks").cast("double"), 6
         ).alias("bytes_per_token"),
+    )
+
+
+@register(
+    "text_type_token_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TX.tokens_sql('lower(text)')}) AS w FROM documents
+    ), wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           round(CAST(COUNT(*) FILTER (c = 1) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_frac
+    FROM wc GROUP BY doc_id
+    """,
+)
+def text_type_token_stats(spark, sf):
+    # Lexical-diversity diagnostics per document: type-token ratio and
+    # hapax-legomenon fraction — the standard "is this doc repetitive
+    # template churn or real prose" signals a curation pipeline reads
+    # next to perplexity (low TTR = boilerplate/spam; hapax-heavy = OCR
+    # noise / gibberish vocabulary). Plan shape: token explode -> ONE
+    # (doc, word) hash agg (map-side partials collapse repeats) -> ONE
+    # doc-keyed agg; both aggs key on corpus-scaling columns, no
+    # windows, no skew (per-doc type counts are bounded by doc length).
+    # All ratios divide two exact integers as one double op — bit-
+    # portable; rounded to 6dp per the repo rule.
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("lower(text)")).alias("w"))
+    wc = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("ttr"),
+        F.round(
+            F.count_if(F.col("c") == 1).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_frac"),
     )

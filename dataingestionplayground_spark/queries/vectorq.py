@@ -1416,6 +1416,94 @@ def vector_embedding_drift(spark, sf):
     )
 
 
+@register(
+    "vector_drift_by_source",
+    oracle=f"""
+    WITH je AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, d.source FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+    ), seeds AS MATERIALIZED (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM je WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {_SD_CELLS})
+    ), cb AS MATERIALIZED (
+      SELECT list(struct_pack(cid := cid,
+                              v := list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                  ORDER BY cid) AS cents
+      FROM seeds
+    ), assigned AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, e.source, CAST(e.vec_id % 2 AS INTEGER) AS side,
+             {_sd_cell_duck()} AS cell
+      FROM je e CROSS JOIN cb
+    ), occ AS MATERIALIZED (
+      SELECT source, cell,
+             CAST(COUNT(*) FILTER (side = 0) AS BIGINT) AS ref_n,
+             CAST(COUNT(*) FILTER (side = 1) AS BIGINT) AS cur_n
+      FROM assigned GROUP BY source, cell
+    ), tot AS MATERIALIZED (
+      SELECT source, CAST(SUM(ref_n) AS DOUBLE) AS ref_total,
+             CAST(SUM(cur_n) AS DOUBLE) AS cur_total
+      FROM occ GROUP BY source
+    ), pos AS MATERIALIZED (
+      SELECT side, source, cell, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM assigned, unnest(generate_series(1, len(embedding))) AS u(i)
+    ), cm AS MATERIALIZED (
+      SELECT side, source, cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM pos GROUP BY side, source, cell, pos
+    ), cent AS MATERIALIZED (
+      SELECT side, source, cell, list(m ORDER BY pos) AS cent
+      FROM cm GROUP BY side, source, cell
+    ), shift AS MATERIALIZED (
+      SELECT r.source, r.cell,
+             round(1.0 - ({cosine_sql('r.cent', 'c.cent')}), 6) AS centroid_shift
+      FROM (SELECT source, cell, cent FROM cent WHERE side = 0) r
+      JOIN (SELECT source, cell, cent FROM cent WHERE side = 1) c
+        USING (source, cell)
+    )
+    SELECT o.source, o.cell, o.ref_n, o.cur_n,
+           round(((o.ref_n + 1) / (t.ref_total + {_SD_CELLS})
+                  - (o.cur_n + 1) / (t.cur_total + {_SD_CELLS}))
+                 * ln(((o.ref_n + 1) / (t.ref_total + {_SD_CELLS}))
+                      / ((o.cur_n + 1) / (t.cur_total + {_SD_CELLS}))), 6)
+             AS psi_term,
+           s.centroid_shift
+    FROM occ o JOIN tot t USING (source)
+    LEFT JOIN shift s ON s.source = o.source AND s.cell = o.cell
+    """,
+)
+def vector_drift_by_source(spark, sf):
+    # Per-domain drift decomposition (r12 verdict item 5c):
+    # vector_embedding_drift grouped by the documents table's source
+    # label — "WHICH domain moved the embedding space", the question a
+    # nightly curation gate asks right after the corpus-level monitor
+    # fires. The cell structure stays GLOBAL (frozen from the whole
+    # reference snapshot, same 16-lowest-id seeding) so shifts are
+    # comparable across domains; occupancy, per-source PSI smoothing,
+    # and centroid shift decompose by source via the shared
+    # assemble_drift(group_cols=...) assembly — the batch operator, the
+    # streaming combine, and this decomposition all run one
+    # implementation. Plan shape: one doc-keyed join for the label
+    # (co-keyed at scale), one broadcast-matmul assignment pass, a
+    # (sources x cells)-key hash agg, and a means agg bounded by
+    # 2 x sources x cells x dims rows — nothing corpus-sized shuffles.
+    from dataingestionplayground_spark.operators.drift import (
+        embedding_drift_by_group,
+    )
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    d = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    j = e.join(d, "vec_id")
+    return embedding_drift_by_group(
+        j.filter(F.col("vec_id") % 2 == 0),
+        j.filter(F.col("vec_id") % 2 == 1),
+        n_cells=_SD_CELLS,
+        group_col="source",
+    )
+
+
 # Probe count for the TwoNN estimator: 256 by default (what the
 # correctness gate proves against the oracle at sf0.01). The pair stage
 # is O(probes x n), so at bench big-block SFs the 256-probe run is pure
@@ -1596,4 +1684,81 @@ def vector_ann_recall_eval(spark, sf):
                 "recall_at_10"
             ),
         )
+    )
+
+
+@register(
+    "vector_cell_balance",
+    oracle=f"""
+    WITH seeds AS MATERIALIZED (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SD_CELLS})
+    ), cb AS MATERIALIZED (
+      SELECT list(struct_pack(cid := cid,
+                              v := list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                  ORDER BY cid) AS cents
+      FROM seeds
+    ), assigned AS MATERIALIZED (
+      SELECT e.vec_id, {_sd_cell_duck()} AS cell
+      FROM embeddings e CROSS JOIN cb
+    ), occ AS MATERIALIZED (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY cell
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells_occupied,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           round(sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n * n) AS DOUBLE)
+                       - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)))
+                 / CAST(SUM(n) AS DOUBLE), 6) AS cv,
+           round(CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS max_over_mean
+    FROM occ
+    """,
+)
+def vector_cell_balance(spark, sf):
+    # Index-health diagnostic for the cell-partitioned vector layouts
+    # (IVF / semdedup / drift all share the frozen lowest-id-seeded
+    # quantization): occupancy balance over the 16-cell structure —
+    # occupied-cell count, the heaviest cell, the
+    # coefficient of variation, and max/mean. A ballooning max_over_mean
+    # is exactly the signal that routes a corpus to semantic_dedup's
+    # hot-cell split guard or a bigger n_cells BEFORE a probe melts a
+    # reducer; this query is the cheap gate that reads it. Plan shape:
+    # one broadcast-matmul assignment pass, ONE n_cells-key hash agg,
+    # one single-row stats agg. Portability: cell counts are exact
+    # integers, so n*sum(n^2) - sum(n)^2 is exact integer arithmetic;
+    # cv = sqrt(integer)/integer is two correctly-rounded IEEE ops —
+    # identical in both engines before the 6dp round.
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+        _seed_centroids,
+    )
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = _seed_centroids(e, "vec_id", "embedding", _SD_CELLS)
+    occ = (
+        _assign_cells_matmul(e, cents, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    n = F.col("n")
+    return occ.agg(
+        F.sum(n).cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells_occupied"),
+        F.max(n).cast("long").alias("max_n"),
+        F.round(
+            F.sqrt(
+                F.count(F.lit(1)).cast("double")
+                * F.sum(n * n).cast("double")
+                - F.sum(n).cast("double") * F.sum(n).cast("double")
+            )
+            / F.sum(n).cast("double"),
+            6,
+        ).alias("cv"),
+        F.round(
+            F.max(n).cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum(n).cast("double"),
+            6,
+        ).alias("max_over_mean"),
     )

@@ -474,6 +474,65 @@ def test_stream_nb_score_empty_model(spark):
     assert out.count() == 0
 
 
+def test_stream_quality_gate_batch_parity(spark, docs_stream_dir):
+    """r12 verdict item 5a: the frozen-model streaming quality gate,
+    applied to the SAME corpus the model was frozen from, reproduces
+    the oracle-checked batch ensemble row-for-row (NB log-odds, frozen-
+    LM perplexity, Gopher fraction, blend, keep)."""
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.streaming.documents import (
+        quality_gate_model,
+        stream_quality_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    model = quality_gate_model(spark, sf)
+    assert 0 < len(model["nb_weights"]) <= 256
+    assert model["lm_total"] > 0 and len(model["vocab"]) > 0
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    name = _run(
+        stream_quality_gate(docs.select("doc_id", "text"), model),
+        "t_qgate",
+        "append",
+    )
+    stream_rows = {
+        r.doc_id: (r.nb_score, r.ppl_score, r.gopher_score, r.quality, r.keep)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_rows = {
+        r.doc_id: (r.nb_score, r.ppl_score, r.gopher_score, r.quality, r.keep)
+        for r in all_queries()["text_quality_ensemble"].fn(spark, sf).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_stream_quality_gate_unseen_tokens(spark):
+    """Post-training documents: unseen NB buckets contribute 0 weight,
+    LM-unknown tokens are excluded from the perplexity mean (the batch
+    inner-join semantics), and a doc with NO model-known token drops
+    instead of erroring."""
+    from dataingestionplayground_spark.streaming.documents import (
+        quality_gate_model,
+        stream_quality_gate,
+    )
+
+    model = quality_gate_model(spark, "/root/testdata/sf0.001")
+    known = model["vocab"][0][0]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([known] * 12 + ["zzqqxx"] * 3)),  # mixed
+            (2, "zzqqxx wwvvuu ttrrss"),  # nothing the model knows
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in stream_quality_gate(docs, model).collect()}
+    assert set(rows) == {1}  # the all-unseen doc drops, no error
+    r = rows[1]
+    for v in (r.nb_score, r.ppl_score, r.gopher_score, r.quality):
+        assert v is not None
+
+
 def test_stream_cusum_carries_state_across_microbatches(spark, tmp_path):
     """Split the events by time into two files delivered as two
     micro-batches (maxFilesPerTrigger=1): the carried per-user S state
