@@ -2458,3 +2458,95 @@ def pipeline_curate_funnel(spark, sf):
         .crossJoin(F.broadcast(n(qdocs, "n_quality_kept")))
         .crossJoin(F.broadcast(n(final, "n_final")))
     )
+
+
+@register(
+    "text_contamination_report",
+    oracle=f"""
+    WITH ev AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({TX.word_shingles_sql('text', 3)})) AS g
+      FROM documents WHERE doc_id % 25 = 0
+    ), tr AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS tdoc,
+             unnest(list_distinct({TX.word_shingles_sql('text', 3)})) AS g
+      FROM documents WHERE doc_id % 25 <> 0
+    ), trg AS MATERIALIZED (
+      SELECT DISTINCT g FROM tr
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM ev GROUP BY doc_id
+    ), hits AS (
+      SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM ev e JOIN trg USING (g) GROUP BY e.doc_id
+    ), docs AS (
+      SELECT e.doc_id, CAST(COUNT(DISTINCT t.tdoc) AS BIGINT) AS n_train_docs
+      FROM ev e JOIN tr t USING (g) GROUP BY e.doc_id
+    )
+    SELECT s.doc_id, s.n_grams,
+           coalesce(h.n_hit, 0) AS n_hit,
+           round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                 / CAST(s.n_grams AS DOUBLE), 6) AS contamination_rate,
+           coalesce(d.n_train_docs, 0) AS n_train_docs
+    FROM sizes s
+    LEFT JOIN hits h USING (doc_id)
+    LEFT JOIN docs d USING (doc_id)
+    """,
+)
+def text_contamination_report(spark, sf):
+    # The EVAL-side view of decontamination: dedup_decontaminate flags
+    # which TRAIN docs to drop; this reports, per held-out eval
+    # document, how compromised it already is — distinct-trigram count,
+    # how many of those grams exist anywhere in the train split, the
+    # contamination rate, and how many distinct train documents share
+    # at least one gram. This is the table a benchmark owner reads to
+    # decide whether an eval set is still trustworthy (GPT-3-style
+    # contamination studies report exactly these columns). Plan shape:
+    # the eval gram table is benchmark-sized and BROADCASTS to both
+    # probes; the train side is one distinct-gram pass (reused for the
+    # gram-set and the per-doc join); aggregations key on eval doc_id.
+    d = t(spark, sf, "documents")
+
+    def grams(df, idc):
+        return df.select(
+            F.col("doc_id").alias(idc), TX.tokens("text").alias("__tk")
+        ).select(
+            idc,
+            F.explode(F.array_distinct(TX.shingles_from_tokens("__tk", 3))).alias(
+                "g"
+            ),
+        )
+
+    ev = grams(d.filter(F.col("doc_id") % 25 == 0), "doc_id").localCheckpoint(
+        eager=True
+    )
+    tr = grams(d.filter(F.col("doc_id") % 25 != 0), "tdoc").localCheckpoint(
+        eager=True
+    )
+    sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    hits = (
+        tr.select("g")
+        .distinct()
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    docs = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tdoc").cast("long").alias("n_train_docs"))
+    )
+    nh = F.coalesce("n_hit", F.lit(0).cast("long"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .join(docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            nh.alias("n_hit"),
+            F.round(
+                nh.cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("contamination_rate"),
+            F.coalesce("n_train_docs", F.lit(0).cast("long")).alias(
+                "n_train_docs"
+            ),
+        )
+    )

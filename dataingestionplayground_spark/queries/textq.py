@@ -1887,3 +1887,130 @@ def text_type_token_stats(spark, sf):
             6,
         ).alias("hapax_frac"),
     )
+
+
+def _bpe_train_oracle(n_merges: int = 3) -> str:
+    # unrolled BPE training (the PCA/Markov fixed-iteration proof
+    # pattern): per iteration, count adjacent symbol pairs over the
+    # WORD-FREQUENCY table, pick the (count desc, lex) best, and merge
+    # it everywhere via replace() — left-to-right non-overlapping in
+    # both engines, which IS the BPE merge rule. Symbol sequences ride
+    # as '<sym>' token strings (alpha-only vocab, so the delimiters
+    # cannot collide with symbol text).
+    toks = TX.tokens_sql("lower(text)")
+    ctes = [
+        f"""toks AS (
+      SELECT unnest({toks}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+      WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+    ), s0 AS (
+      SELECT '<' || array_to_string(
+               list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)), '><') || '>' AS seq,
+             n
+      FROM vocab
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"s{k - 1}"
+        ctes.append(
+            f"""sy{k} AS (
+      SELECT n, string_split(trim(seq, '<>'), '><') AS sy FROM {prev}
+    ), p{k} AS (
+      SELECT sy[i] AS a, sy[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM sy{k}, unnest(generate_series(1, len(sy) - 1)) AS u(i)
+      GROUP BY sy[i], sy[i + 1]
+    ), b{k} AS (
+      SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ), s{k} AS (
+      SELECT replace(seq, '<' || b{k}.a || '><' || b{k}.b || '>',
+                     '<' || b{k}.a || b{k}.b || '>') AS seq, n
+      FROM {prev} CROSS JOIN b{k}
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, a AS sym_a, b AS sym_b, "
+        f"a || b AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(ctes) + "\n    " + unions
+
+
+@register("text_bpe_train_merges", oracle=_bpe_train_oracle())
+def text_bpe_train_merges(spark, sf):
+    # BPE tokenizer TRAINING, three merge iterations unrolled — the
+    # iterative-algorithm oracle pattern (PCA power iteration, Markov
+    # stationary, TextRank) applied to subword induction. Where
+    # text_bpe_pair_merge ranks ONE round's candidates, this actually
+    # TRAINS: per iteration the most frequent adjacent symbol pair
+    # (frequency-weighted, ties broken lexicographically — total and
+    # deterministic) merges everywhere and the next round counts over
+    # the updated sequences. Sequences are '<sym>' token strings;
+    # merge = one replace() per word, whose left-to-right
+    # non-overlapping semantics (identical in Spark and DuckDB) is
+    # exactly the BPE merge rule, so no per-row fold state is needed.
+    # Scale shape: ONE corpus token scan builds the word-frequency
+    # table; every iteration after that runs on the VOCAB (distinct
+    # words), the standard BPE-training trick — pair counting is a
+    # (vocab x word-length)-row explode into a map-side-partial agg,
+    # the argmax is a 1-row TakeOrdered, and the merge is a broadcast
+    # crossjoin + per-row replace. Nothing corpus-sized after the
+    # first scan; vocab frames localCheckpoint so each of the three
+    # rounds runs once.
+    d = t(spark, sf, "documents")
+    toks = d.select(F.explode(TX.tokens("lower(text)")).alias("w")).filter(
+        F.col("w").rlike("^[a-z]+$")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    enc = (
+        "concat('<', array_join(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), '><'), '>')"
+    )
+    cur = vocab.select(F.expr(enc).alias("seq"), "n").localCheckpoint(
+        eager=True
+    )
+    syms = "split(trim(BOTH '<>' FROM seq), '><')"
+    # Spark sequence(1, 0) DESCENDS (yields [1, 0]) — guard single-
+    # symbol sequences explicitly (DuckDB generate_series(1, 0) is
+    # empty, so both sides skip them)
+    pair_expr = (
+        f"case when size({syms}) >= 2 then "
+        f"transform(sequence(1, size({syms}) - 1), "
+        f"i -> struct(element_at({syms}, i) as a, element_at({syms}, i + 1) as b)) "
+        f"else array() end"
+    )
+    outs = []
+    for step in (1, 2, 3):
+        counted = (
+            cur.select("n", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        best = (
+            counted.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # consumed twice: output + merge
+        )
+        outs.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if step < 3:
+            cur = (
+                cur.crossJoin(F.broadcast(best))
+                .select(
+                    F.expr(
+                        "replace(seq, concat('<', a, '><', b, '>'), "
+                        "concat('<', a, b, '>'))"
+                    ).alias("seq"),
+                    "n",
+                )
+                .localCheckpoint(eager=True)
+            )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])

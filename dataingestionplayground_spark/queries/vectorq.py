@@ -1762,3 +1762,82 @@ def vector_cell_balance(spark, sf):
             6,
         ).alias("max_over_mean"),
     )
+
+
+def _pq_distortion_oracle() -> str:
+    subs = ", ".join(str(s) for s in range(_PQ_M))
+    per_s = "\n      UNION ALL ".join(
+        f"SELECT CAST({s} AS INTEGER) AS subspace, "
+        f"list_min({_pq_dists_duck(s)}) AS sq FROM coded e"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ), cb AS (
+      SELECT list(struct_pack(s := s, cid := cid, v := v) ORDER BY s, cid) AS cents
+      FROM (
+        SELECT u.s AS s, cid,
+               list_transform(embedding[u.s*{_PQ_DSUB}+1:u.s*{_PQ_DSUB}+{_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM seeds, (SELECT unnest([{subs}]) AS s) u
+      )
+    ), coded AS (
+      SELECT e.vec_id, e.embedding, cents FROM embeddings e CROSS JOIN cb
+    ), per_vec AS (
+      {per_s}
+    )
+    SELECT subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(CAST(round(sq, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sq_err,
+           round(MAX(sq), 6) AS max_sq_err
+    FROM per_vec GROUP BY subspace
+    """
+
+
+@register("vector_pq_distortion", oracle=_pq_distortion_oracle())
+def vector_pq_distortion(spark, sf):
+    # PQ codebook-health diagnostic: per-subspace quantization
+    # distortion — the mean and max squared-L2 between each vector's
+    # subvector and its nearest codebook entry, i.e. exactly the error
+    # the ADC distance accumulates per subspace. A subspace whose
+    # mean_sq_err balloons (data drifted away from the frozen
+    # codebook) is the "retrain / split the codebook" signal, read
+    # next to vector_cell_balance's occupancy skew and the drift
+    # monitor's PSI. Plan shape: the codebook is ONE broadcast row
+    # (the pq_encode discipline); per-vector min-distances are pure
+    # in-row expressions; stack() pivots the m per-row columns into
+    # (subspace, sq) rows so ONE m-key hash agg (map-side partials)
+    # finishes the job — zero corpus shuffles. Portability: (x-y)*(x-y)
+    # folds (never pow), per-vector terms 6dp-rounded and summed as
+    # DECIMAL (order-independent), one division then round.
+    from dataingestionplayground_spark.operators.similarity import _pq_codebook
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cb = _pq_codebook(e, _PQ_M, _PQ_K, _PQ_D, "vec_id", "embedding", "seed")
+    enc = e.crossJoin(F.broadcast(cb))
+    dsub = _PQ_DSUB
+    for s in range(_PQ_M):
+        dists = (
+            f"transform(filter(cents, c -> c.s = {s}), c -> "
+            f"aggregate(sequence(1, {dsub}), cast(0.0 as double), "
+            f"(acc, i) -> acc + (cast(element_at(embedding, {s * dsub} + i) as double) "
+            f"- element_at(c.v, i)) * (cast(element_at(embedding, {s * dsub} + i) as double) "
+            f"- element_at(c.v, i))))"
+        )
+        enc = enc.withColumn(f"sq_{s}", F.expr(f"array_min({dists})"))
+    stack_args = ", ".join(f"{s}, sq_{s}" for s in range(_PQ_M))
+    rows = enc.selectExpr(
+        f"stack({_PQ_M}, {stack_args}) as (subspace, sq)"
+    ).select(F.col("subspace").cast("int").alias("subspace"), "sq")
+    return rows.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.round("sq", 6).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_sq_err"),
+        F.round(F.max("sq"), 6).alias("max_sq_err"),
+    )
