@@ -157,6 +157,12 @@ BIG_HEADLINE = [
     "pipeline_curate_funnel",
     "vector_drift_by_source",
     "dedup_snapshot_delta",
+    # r13 wave 4: BPE training is vocab-bounded after one corpus scan
+    # (step 0.83), the contamination report is broadcast-probe-shaped,
+    # PQ distortion is a zero-shuffle broadcast agg
+    "text_bpe_train_merges",
+    "text_contamination_report",
+    "vector_pq_distortion",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -194,6 +200,9 @@ BIG2_HEADLINE = [
     "pipeline_curate_funnel",
     "vector_drift_by_source",
     "dedup_snapshot_delta",
+    "text_bpe_train_merges",
+    "text_contamination_report",
+    "vector_pq_distortion",
 ]
 
 

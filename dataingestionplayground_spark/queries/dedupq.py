@@ -983,3 +983,39 @@ def dedup_snapshot_delta(spark, sf):
             .alias("status"),
         )
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, {TX.fingerprint_sql('text')} AS f FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT f) AS BIGINT) AS n_dups,
+           round(CAST(COUNT(*) - COUNT(DISTINCT f) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM fp GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark, sf):
+    # Per-source exact-duplication rate — the first column of any
+    # crawl-quality dashboard ("which feed is reposting itself"), and
+    # the signal that routes a source to aggressive dedup before it
+    # poisons the mixture weights (pipeline_mixture_plan reads token
+    # counts that double-count duplicates). One fingerprint projection
+    # + one (source)-keyed agg with a distinct count — Spark plans the
+    # count-distinct as the standard two-phase partial-distinct
+    # expand, no windows, no skew (sources are the natural partition).
+    d = t(spark, sf, "documents")
+    fp = d.select("source", TX.fingerprint("text").alias("f"))
+    n = F.count(F.lit(1))
+    u = F.count_distinct("f")
+    return fp.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        u.cast("long").alias("n_unique"),
+        (n - u).cast("long").alias("n_dups"),
+        F.round((n - u).cast("double") / n.cast("double"), 6).alias("dup_rate"),
+    )

@@ -2014,3 +2014,70 @@ def text_bpe_train_merges(spark, sf):
                 .localCheckpoint(eager=True)
             )
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({TX.tokens_sql('lower(text)')}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM vocab
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM vocab
+    )
+    SELECT CAST(k AS INTEGER) AS k, vocab_size, total,
+           CAST(coalesce(SUM(c) FILTER (rk <= k), 0) AS BIGINT) AS covered,
+           round(CAST(coalesce(SUM(c) FILTER (rk <= k), 0) AS DOUBLE)
+                 / CAST(total AS DOUBLE), 6) AS coverage
+    FROM ranked
+    CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k)
+    CROSS JOIN tot
+    GROUP BY k, vocab_size, total
+    """,
+)
+def text_vocab_coverage(spark, sf):
+    # Vocabulary coverage curve — what fraction of all token
+    # occurrences the top-k most frequent types cover, at k = 10 / 100
+    # / 1000: the table a tokenizer/vocab-size decision reads (Zipfian
+    # corpora saturate fast; a flat curve says the corpus is
+    # template-churn or multi-lingual). Ties broken (count desc, word
+    # asc) — total and deterministic on both engines. Plan shape: one
+    # corpus token scan -> vocab hash agg (map-side partials), then
+    # per k a TakeOrdered(k) + 1-row agg on the VOCAB table — no
+    # unpartitioned window, nothing corpus-sized after the first agg.
+    d = t(spark, sf, "documents")
+    vocab = (
+        d.select(F.explode(TX.tokens("lower(text)")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # consumed 1 + |ks| times
+    )
+    tot = vocab.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    outs = []
+    for k in (10, 100, 1000):
+        cov = (
+            vocab.orderBy(F.desc("c"), F.asc("w"))
+            .limit(k)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("covered"))
+        )
+        outs.append(
+            cov.crossJoin(F.broadcast(tot)).select(
+                F.lit(k).cast("int").alias("k"),
+                "vocab_size",
+                "total",
+                "covered",
+                F.round(
+                    F.col("covered").cast("double") / F.col("total").cast("double"),
+                    6,
+                ).alias("coverage"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
