@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions import text as TX
+from dataingestionplayground_spark.functions.portable import davg, davg_expr
 from dataingestionplayground_spark.operators.dedup import (
     _lane_expr_duck,
     exact_dedup,
@@ -1018,4 +1019,124 @@ def dedup_rate_by_source(spark, sf):
         u.cast("long").alias("n_unique"),
         (n - u).cast("long").alias("n_dups"),
         F.round((n - u).cast("double") / n.cast("double"), 6).alias("dup_rate"),
+    )
+
+
+def _mh_calibration_oracle() -> str:
+    # wide-signature CTEs are byte-for-byte dedup_minhash_signatures' /
+    # dedup_minhash_lsh_pairs' oracle fragments; the calibration table
+    # stacks exact shingle-Jaccard on top of them
+    match_sum = " + ".join(
+        f"(CASE WHEN wa.mh{i} = wb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+    WITH {_WIDE_SIG}, bands AS ({_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), m AS (
+      SELECT c.id_a, c.id_b, ({match_sum}) AS n_match
+      FROM cand c
+      JOIN wide wa ON wa.doc_id = c.id_a
+      JOIN wide wb ON wb.doc_id = c.id_b
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ), pairs AS (
+      SELECT m.n_match,
+             round(CAST(m.n_match AS DOUBLE) / 8.0, 6) AS est,
+             round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - coalesce(cm.n_common, 0) AS DOUBLE), 6)
+               AS tru
+      FROM m
+      LEFT JOIN common cm ON cm.id_a = m.id_a AND cm.id_b = m.id_b
+      JOIN sizes sa ON sa.doc_id = m.id_a
+      JOIN sizes sb ON sb.doc_id = m.id_b
+    )
+    SELECT CAST(n_match AS INTEGER) AS n_match,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round({davg_expr('tru')}, 6) AS avg_true_jaccard,
+           round({davg_expr('round(abs(est - tru), 6)')}, 6) AS avg_abs_err
+    FROM pairs GROUP BY n_match
+    """
+
+
+@register("dedup_minhash_calibration", oracle=_mh_calibration_oracle())
+def dedup_minhash_calibration(spark, sf):
+    # MinHash CALIBRATION table: on the production LSH candidate pairs
+    # (same 8x2-banded config as dedup_minhash_lsh_pairs), compare the
+    # signature-estimated Jaccard (matching components / 8 — the
+    # unbiased MinHash estimator) against the exact shingle Jaccard,
+    # grouped by matching-component count. This is the "are 8 hashes
+    # enough" / "where do I set the verify threshold" decision table
+    # every MinHash deployment reads (Broder 1997's estimator, graded
+    # against its own ground truth) — dedup_eval_lsh_pr grades the
+    # BLOCKING stage, this grades the ESTIMATOR the verify threshold
+    # trusts. Scale shape: everything is candidate-bounded — the
+    # match-count join carries 8 signature rows per side, the exact-
+    # Jaccard legs are shingle equi-joins SEMI-restricted to candidate
+    # ids; the output is <= 9 rows. est is an exact multiple of 0.125
+    # and tru is 6dp-rounded before the subtraction on both engines,
+    # so the error terms are bit-identical.
+    docs = t(spark, sf, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), "h", F.col("minhash").alias("mh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), "h", F.col("minhash").alias("mh_b")
+    )
+    m = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).alias(
+                "n_match"
+            )
+        )
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    common = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pairs = (
+        m.join(common, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            "n_match",
+            F.round(F.col("n_match").cast("double") / F.lit(8.0), 6).alias("est"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (
+                    F.col("sa") + F.col("sb")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("tru"),
+        )
+    )
+    return pairs.groupBy(F.col("n_match").cast("int").alias("n_match")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(davg("tru"), 6).alias("avg_true_jaccard"),
+        F.round(davg(F.round(F.abs(F.col("est") - F.col("tru")), 6)), 6).alias(
+            "avg_abs_err"
+        ),
     )

@@ -2550,3 +2550,111 @@ def text_contamination_report(spark, sf):
             ),
         )
     )
+
+
+@register(
+    "pipeline_data_card",
+    oracle=f"""
+    WITH raw AS (
+      SELECT source, lang, n_chars, {TX.fingerprint_sql('text')} AS f,
+             CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    ), feats AS (
+      SELECT source, lang, f, n_toks,
+             CASE WHEN n_toks > 0 THEN {_QUALITY_SQL} END AS quality
+      FROM raw
+    ), per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             round(CAST(COUNT(*) - COUNT(DISTINCT f) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+             round({davg_expr('quality')}, 6) AS avg_quality
+      FROM feats GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_toks) AS BIGINT) AS corpus_tokens FROM feats
+    ), lc AS (
+      SELECT source, lang, COUNT(*) AS c FROM feats GROUP BY source, lang
+    ), top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rk
+        FROM lc) WHERE rk = 1
+    )
+    SELECT p.source, p.n_docs, p.n_langs, t.top_lang, p.total_tokens,
+           round(CAST(p.total_tokens AS DOUBLE)
+                 / CAST(x.corpus_tokens AS DOUBLE), 6) AS token_share,
+           p.dup_rate, p.avg_quality
+    FROM per_src p JOIN top t USING (source) CROSS JOIN tot x
+    """,
+)
+def pipeline_data_card(spark, sf):
+    # The dataset DATASHEET (Gebru et al. 2021's "datasheets for
+    # datasets", the per-source summary block): one row per source with
+    # doc count, language spread + majority language, token total and
+    # corpus share, exact-dup rate, and mean quality score — the table
+    # a curation run publishes next to its exported shards, composing
+    # the registered signal definitions (fingerprint, token count,
+    # _QUALITY_SQL) rather than re-inventing them. Scale shape: ONE
+    # corpus scan computes all per-doc signals in-row; then a
+    # source-keyed agg (count-distinct planned as the two-phase expand),
+    # a |src x lang|-sized count frame with a PARTITIONED row_number for
+    # the majority language, and a single-row token total broadcast
+    # back — the corpus shuffles once on the natural dashboard key.
+    d = t(spark, sf, "documents")
+    raw = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        TX.fingerprint("text").alias("f"),
+        TX.token_count("text").cast("long").alias("n_toks"),
+        TX.stopword_hits("text", "en").alias("n_stop"),
+        F.length(F.expr("replace(text, ' ', '')")).cast("int").alias("len_sum"),
+    )
+    feats = raw.select(
+        "source",
+        "lang",
+        "f",
+        "n_toks",
+        F.when(F.col("n_toks") > 0, F.expr(_QUALITY_SQL)).alias("quality"),
+    )
+    n = F.count(F.lit(1))
+    per_src = feats.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(
+            (n - F.count_distinct("f")).cast("double") / n.cast("double"), 6
+        ).alias("dup_rate"),
+        F.round(davg("quality"), 6).alias("avg_quality"),
+    )
+    tot = feats.agg(F.sum("n_toks").cast("long").alias("corpus_tokens"))
+    lc = feats.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    wr = W.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        lc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_src.join(F.broadcast(top), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "top_lang",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / F.col("corpus_tokens").cast("double"),
+                6,
+            ).alias("token_share"),
+            "dup_rate",
+            "avg_quality",
+        )
+    )

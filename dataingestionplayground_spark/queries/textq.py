@@ -9,7 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.functions import text as TX
-from dataingestionplayground_spark.functions.portable import davg_expr, md5_mod, md5_mod_sql
+from dataingestionplayground_spark.functions.portable import davg, davg_expr, md5_mod, md5_mod_sql
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
 
@@ -2081,3 +2081,84 @@ def text_vocab_coverage(spark, sf):
             )
         )
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+def _ccnet_oracle() -> str:
+    # compose the REGISTERED unigram-LM oracle so the bucketing can
+    # never drift from the perplexity it buckets (the ann_recall_eval
+    # composition rule applied to the text family)
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH ppl AS MATERIALIZED (
+      SELECT doc_id, n_toks, ppl FROM ({_R['text_unigram_perplexity'].oracle})
+    ), j AS (
+      SELECT d.lang, p.doc_id, p.n_toks, p.ppl
+      FROM ppl p JOIN documents d USING (doc_id)
+    ), b AS (
+      SELECT lang,
+             round(quantile_cont(ppl, 1.0/3.0), 6) AS b1,
+             round(quantile_cont(ppl, 2.0/3.0), 6) AS b2
+      FROM j GROUP BY lang
+    ), tagged AS (
+      SELECT j.lang,
+             CASE WHEN j.ppl <= b.b1 THEN 'head'
+                  WHEN j.ppl <= b.b2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             j.n_toks, j.ppl
+      FROM j JOIN b USING (lang)
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           round({davg_expr('ppl')}, 6) AS avg_ppl
+    FROM tagged GROUP BY lang, bucket
+    """
+
+
+@register("text_ccnet_lm_buckets", oracle=_ccnet_oracle())
+def text_ccnet_lm_buckets(spark, sf):
+    # CCNet-style LM bucketing (Wenzek et al. 2020): within each
+    # language, split documents into head / middle / tail thirds by LM
+    # perplexity — the canonical crawl-curation shard labels ("train on
+    # head+middle, drop tail" is the CCNet recipe). The perplexity is
+    # the REGISTERED text_unigram_perplexity function itself (composed,
+    # not re-implemented), so this bucketing grades the production LM
+    # score. Tercile boundaries are exact interpolated per-language
+    # percentiles, 6dp-rounded on BOTH engines before the <= comparison
+    # (the sample_quality_curriculum decile rule — a 1-ulp interpolation
+    # divergence must not flip a doc's bucket; ppl itself is already
+    # 6dp-rounded by the member query).
+    # Scale shape: the LM's two hash aggs + one doc-keyed join to pull
+    # lang, ONE per-language quantile agg (|langs| rows, broadcast
+    # back), one final (lang, bucket)-keyed agg — nothing new shuffles
+    # the corpus beyond the member query's own plan. At 100 TB the
+    # boundary agg stays |langs|-sized and the bucket tag is a narrow
+    # broadcast-join projection.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    p = (
+        _R["text_unigram_perplexity"]
+        .fn(spark, sf)
+        .select("doc_id", "n_toks", "ppl")
+    )
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    j = p.join(d, "doc_id")
+    b = j.groupBy("lang").agg(
+        F.round(F.expr("percentile(ppl, 1.0/3.0)"), 6).alias("b1"),
+        F.round(F.expr("percentile(ppl, 2.0/3.0)"), 6).alias("b2"),
+    )
+    tagged = j.join(F.broadcast(b), "lang").select(
+        "lang",
+        F.when(F.col("ppl") <= F.col("b1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "n_toks",
+        "ppl",
+    )
+    return tagged.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(davg("ppl"), 6).alias("avg_ppl"),
+    )
