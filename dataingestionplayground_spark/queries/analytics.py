@@ -2135,3 +2135,89 @@ def events_survival_km(spark, sf):
         .otherwise(F.round(F.exp(F.coalesce(F.col("cum_ln"), F.lit(0.0))), 6))
         .alias("survival"),
     )
+
+
+@register(
+    "events_conversion_lag",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_sig FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id,
+             CAST(epoch_us(min(e.ts)) - epoch_us(s.t_sig) AS BIGINT) AS lag_us
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_sig
+      GROUP BY e.user_id, s.t_sig
+    ), q AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+             quantile_cont(lag_us, [0.25, 0.5, 0.75, 0.9]) AS qs,
+             CAST(SUM(CAST(lag_us AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_us
+      FROM p
+    ), ns AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users FROM s
+    )
+    SELECT ns.n_signup_users, q.n_converted,
+           round(CAST(q.n_converted AS DOUBLE)
+                 / CAST(ns.n_signup_users AS DOUBLE), 6) AS conversion_rate,
+           round(qs[1] / 1e6, 6) AS p25_s,
+           round(qs[2] / 1e6, 6) AS p50_s,
+           round(qs[3] / 1e6, 6) AS p75_s,
+           round(qs[4] / 1e6, 6) AS p90_s,
+           round(avg_us / 1e6, 6) AS avg_lag_s
+    FROM q CROSS JOIN ns
+    """,
+)
+def events_conversion_lag(spark, sf):
+    # Time-to-convert distribution (first signup -> first subsequent
+    # purchase): the latency companion to events_funnel's count funnel —
+    # product analytics reads the quartiles/p90 of this lag to size
+    # activation campaigns. Lag is computed in EXACT integer
+    # microseconds (unix_micros / epoch_us — sub-second timestamps never
+    # truncate), percentiles are exact interpolated quantiles over those
+    # integers, and the /1e6 to seconds is one correctly-rounded IEEE op
+    # before the 6dp round — bit-identical cross-engine. Scale shape:
+    # two event-type-filtered per-user aggs (the signup frame broadcasts
+    # into the purchase scan, events_funnel's stage discipline), then
+    # ONE single-row quantile agg over the per-user lags; at 100 TB the
+    # per-user frame is |converted users|-sized, far below the event
+    # count, and the exact quantile would swap to approx_percentile
+    # with a documented tolerance.
+    e = t(spark, sf, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_sig"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t_sig"))
+        .groupBy("user_id", "t_sig")
+        .agg(
+            (
+                F.unix_micros(F.min("ts")) - F.unix_micros(F.col("t_sig"))
+            ).cast("long").alias("lag_us")
+        )
+    )
+    q = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile(lag_us, array(0.25, 0.5, 0.75, 0.9))").alias("qs"),
+        PF.davg("lag_us").alias("avg_us"),
+    )
+    ns = s.agg(F.count(F.lit(1)).cast("long").alias("n_signup_users"))
+    return q.crossJoin(F.broadcast(ns)).select(
+        "n_signup_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double")
+            / F.col("n_signup_users").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+        F.round(F.element_at("qs", 1) / F.lit(1e6), 6).alias("p25_s"),
+        F.round(F.element_at("qs", 2) / F.lit(1e6), 6).alias("p50_s"),
+        F.round(F.element_at("qs", 3) / F.lit(1e6), 6).alias("p75_s"),
+        F.round(F.element_at("qs", 4) / F.lit(1e6), 6).alias("p90_s"),
+        F.round(F.col("avg_us") / F.lit(1e6), 6).alias("avg_lag_s"),
+    )

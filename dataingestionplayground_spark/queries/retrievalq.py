@@ -915,3 +915,94 @@ def retrieval_rm3_expansion(spark, sf):
     )
     top = scored.orderBy(F.desc("rm3_score"), F.asc("doc_id")).limit(10)
     return bounded_rank(top, [("rm3_score", False), ("doc_id", True)], "rk")
+
+
+def _mrr_oracle() -> str:
+    # compose the REGISTERED BM25 oracle (the ann_recall_eval rule: the
+    # eval must grade the production ranking, never a re-implementation)
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    terms_list = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+    return f"""
+    WITH top AS MATERIALIZED (
+      SELECT doc_id, rk FROM ({_R['text_bm25_topk'].oracle})
+    ), rel AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(list_intersect(list_distinct({TX.tokens_sql('text')}),
+                                     {terms_list})) AS BIGINT) AS rel
+      FROM documents
+    ), j AS (
+      SELECT t.rk, r.rel FROM top t JOIN rel r USING (doc_id)
+    ), hits AS (
+      SELECT CAST(coalesce(MIN(CASE WHEN rel > 0 THEN rk END), 0) AS INTEGER)
+               AS first_rel_rank,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top,
+             CAST(MAX(CASE WHEN rk = 1 AND rel > 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS hit_at_1
+      FROM j
+    ), nrel AS (
+      SELECT CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+      FROM rel
+    )
+    SELECT h.first_rel_rank,
+           round(CASE WHEN h.first_rel_rank > 0
+                      THEN 1.0 / CAST(h.first_rel_rank AS DOUBLE)
+                      ELSE 0.0 END, 6) AS mrr,
+           h.hit_at_1, h.n_rel_top, n.n_relevant,
+           round(CAST(h.n_rel_top AS DOUBLE)
+                 / nullif(CAST(n.n_relevant AS DOUBLE), 0.0), 6) AS recall_at_10
+    FROM hits h CROSS JOIN nrel n
+    """
+
+
+@register("retrieval_mrr_recall", oracle=_mrr_oracle())
+def retrieval_mrr_recall(spark, sf):
+    # The binary-relevance side of the eval harness next to
+    # retrieval_eval_ndcg: MRR (reciprocal rank of the first relevant
+    # hit), hit@1, and recall@10 over the PRODUCTION BM25 top-10 (same
+    # registered function), with relevance = "contains any query term"
+    # (rel > 0 binarizes the ndcg eval's graded label, Voorhees 1999's
+    # TREC convention). Scale shape: the ranking is k-bounded (<= 10
+    # rows) so the eval joins/aggs after BM25's own plan are
+    # broadcast-trivial; n_relevant is ONE corpus agg over an in-row
+    # token intersection.
+    top = text_bm25_topk(spark, sf).select("doc_id", "rk")
+    d = t(spark, sf, "documents").select("doc_id", TX.tokens("text").alias("tk"))
+    terms_arr = F.array(*[F.lit(x) for x in _BM25_TERMS])
+    rel = d.select(
+        "doc_id",
+        F.size(F.array_intersect(F.array_distinct("tk"), terms_arr))
+        .cast("long")
+        .alias("rel"),
+    )
+    j = top.join(rel, "doc_id")
+    hits = j.agg(
+        F.coalesce(
+            F.min(F.when(F.col("rel") > 0, F.col("rk"))), F.lit(0)
+        ).cast("int").alias("first_rel_rank"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("n_rel_top"),
+        F.max(
+            F.when((F.col("rk") == 1) & (F.col("rel") > 0), 1).otherwise(0)
+        ).cast("int").alias("hit_at_1"),
+    )
+    nrel = rel.agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("n_relevant")
+    )
+    return hits.crossJoin(F.broadcast(nrel)).select(
+        "first_rel_rank",
+        F.round(
+            F.when(
+                F.col("first_rel_rank") > 0,
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+        "hit_at_1",
+        "n_rel_top",
+        "n_relevant",
+        F.round(
+            F.col("n_rel_top").cast("double")
+            / F.nullif(F.col("n_relevant").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall_at_10"),
+    )

@@ -1841,3 +1841,106 @@ def vector_pq_distortion(spark, sf):
         ).alias("mean_sq_err"),
         F.round(F.max("sq"), 6).alias("max_sq_err"),
     )
+
+
+def _nprobe_sweep_oracle() -> str:
+    # Compose the two REGISTERED oracles — exact KNN ground truth and
+    # the IVF index — with the probe budget swept over {1, 2, 4}. The
+    # IVF oracle's probe count appears in exactly ONE place ("crk <= 4",
+    # the query-assignment rank bound; the corpus side is "crk = 1"),
+    # so the parameterized variants are textual substitutions of the
+    # registered string — the sweep can never grade a different index
+    # than vector_ivf_ann ships (test_r13b pins the substitution-point
+    # uniqueness so a refactor of the member oracle fails loudly here).
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    ivf = _R["vector_ivf_ann"].oracle
+    assert ivf.count("crk <= 4") == 1
+    probes = (1, 2, 4)
+    legs = ",\n".join(
+        f"""a{p} AS MATERIALIZED (
+      SELECT query_id, vec_id FROM ({ivf.replace('crk <= 4', f'crk <= {p}')})
+      WHERE "rank" <= 10
+    )"""
+        for p in probes
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {p} AS n_probe, query_id, vec_id FROM a{p}" for p in probes
+    )
+    return f"""
+    WITH exact AS MATERIALIZED (
+      SELECT query_id, vec_id FROM ({_R['vector_knn_bruteforce'].oracle})
+      WHERE "rank" <= 10
+    ),
+    {legs},
+    approx AS ({union}),
+    grid AS (
+      SELECT p.n_probe, e.query_id, e.vec_id
+      FROM exact e CROSS JOIN (VALUES (1), (2), (4)) AS p(n_probe)
+    )
+    SELECT CAST(g.n_probe AS INTEGER) AS n_probe, g.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(COUNT(a.vec_id) AS DOUBLE) / 10.0, 6) AS recall_at_10
+    FROM grid g
+    LEFT JOIN approx a
+      ON a.n_probe = g.n_probe AND a.query_id = g.query_id AND a.vec_id = g.vec_id
+    GROUP BY g.n_probe, g.query_id
+    """
+
+
+@register("vector_ivf_nprobe_sweep", oracle=_nprobe_sweep_oracle())
+def vector_ivf_nprobe_sweep(spark, sf):
+    # The IVF TUNING CURVE: per-query recall@10 of the production IVF
+    # index (same ivf_ann call as vector_ivf_ann, same 16 frozen
+    # centroids) at probe budgets 1 / 2 / 4, graded against the exact
+    # brute-force top-10 — the recall-vs-cost table every IVF
+    # deployment reads to pick nprobe (Jegou et al. 2011's operating-
+    # point sweep as a first-class relational output, next to
+    # vector_ann_recall_eval which grades the LSH path at its one
+    # shipped setting). Scale shape: the corpus is assigned to cells
+    # ONCE per leg via the broadcast-argmax (zero corpus shuffle); each
+    # leg scores only its probed cells; all per-query frames are
+    # k-bounded so the grading joins are broadcast-trivial. The sweep
+    # legs share Spark-side scan reuse; at 100 TB the sweep runs on a
+    # fixed evaluation slice, not the full corpus.
+    from dataingestionplayground_spark.operators.similarity import (
+        ivf_ann,
+        knn_brute_force,
+    )
+
+    e = t(spark, sf, "embeddings")
+    q = _queries_df(spark, sf)
+    exact = (
+        knn_brute_force(e, q, k=10)
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    legs = []
+    for p in (1, 2, 4):
+        legs.append(
+            ivf_ann(e, q, k=10, n_centroids=16, n_probe=p)
+            .filter(F.col("rank") <= 10)
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                "query_id",
+                "vec_id",
+                F.lit(1).alias("hit"),
+            )
+        )
+    approx = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    probes = spark.createDataFrame(
+        [(1,), (2,), (4,)], "n_probe int"
+    )
+    grid = exact.crossJoin(F.broadcast(probes))
+    return (
+        grid.join(
+            F.broadcast(approx), ["n_probe", "query_id", "vec_id"], "left"
+        )
+        .groupBy("n_probe", "query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit").cast("double") / F.lit(10.0), 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
