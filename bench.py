@@ -163,6 +163,12 @@ BIG_HEADLINE = [
     "text_bpe_train_merges",
     "text_contamination_report",
     "vector_pq_distortion",
+    # r13 wave 5: CCNet bucketing rides the unigram LM's plan plus one
+    # doc-keyed join, the MinHash calibration table is candidate-pair
+    # bounded, the data card is one corpus scan + a source-keyed agg
+    "text_ccnet_lm_buckets",
+    "dedup_minhash_calibration",
+    "pipeline_data_card",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -203,6 +209,10 @@ BIG2_HEADLINE = [
     "text_bpe_train_merges",
     "text_contamination_report",
     "vector_pq_distortion",
+    # r13 wave 5 (2x-step evidence)
+    "text_ccnet_lm_buckets",
+    "dedup_minhash_calibration",
+    "pipeline_data_card",
 ]
 
 
