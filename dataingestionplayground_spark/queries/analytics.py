@@ -2221,3 +2221,67 @@ def events_conversion_lag(spark, sf):
         F.round(F.element_at("qs", 4) / F.lit(1e6), 6).alias("p90_s"),
         F.round(F.col("avg_us") / F.lit(1e6), 6).alias("avg_lag_s"),
     )
+
+
+@register(
+    "events_stickiness",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM activity
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM activity GROUP BY day
+    ), wau AS (
+      SELECT g.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+      FROM days g JOIN activity a ON a.day BETWEEN g.day - 6 AND g.day
+      GROUP BY g.day
+    )
+    SELECT d.day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def events_stickiness(spark, sf):
+    # DAU/WAU stickiness per day — the engagement ratio product
+    # analytics tracks next to events_rolling_dau (which smooths DAU;
+    # this grades how much of the weekly audience shows up daily).
+    # WAU is an EXACT trailing-7-day distinct count via a bounded
+    # range join: the (user, day) activity frame joins the distinct-day
+    # grid on a 7-day band, so each activity row fans out <= 7x — a
+    # fixed multiplier, not a window over the raw event stream, and the
+    # distinct agg shuffles on the (day) key. At 100 TB the activity
+    # frame is |users x days| (far below event count) and days are
+    # calendar-bounded; beyond that the swap is the theta-sketch
+    # rollup (events_heavy_hitters' family) with a documented error
+    # bound. Day boundaries are integer epoch-day floors (the
+    # events_cohort_retention convention) — no timezone arithmetic.
+    e = t(spark, sf, "events")
+    activity = e.select(
+        "user_id",
+        F.floor(PF.epoch_seconds("ts") / F.lit(86400)).cast("long").alias("day"),
+    ).distinct()
+    days = activity.select("day").distinct()
+    dau = activity.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    g = days.select(F.col("day").alias("gday"))
+    wau = (
+        activity.join(
+            F.broadcast(g),
+            (F.col("day") >= F.col("gday") - 6) & (F.col("day") <= F.col("gday")),
+        )
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        .select(F.col("gday").alias("day"), "wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+        ).alias("stickiness"),
+    )

@@ -1140,3 +1140,140 @@ def dedup_minhash_calibration(spark, sf):
             "avg_abs_err"
         ),
     )
+
+
+def _threshold_sweep_oracle() -> str:
+    # same candidate + exact-Jaccard CTEs as the calibration table; the
+    # sweep stacks a threshold grid on top
+    return f"""
+    WITH {_WIDE_SIG}, bands AS ({_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ), jac AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - coalesce(cm.n_common, 0) AS DOUBLE), 6)
+               AS j
+      FROM cand c
+      LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+    ), thr AS (
+      SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold
+    ), hits AS (
+      SELECT t.threshold,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM thr t JOIN jac ON jac.j >= t.threshold
+      GROUP BY t.threshold
+    ), docs_hit AS (
+      SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (
+        SELECT t.threshold, jac.id_a AS d FROM thr t JOIN jac ON jac.j >= t.threshold
+        UNION
+        SELECT t.threshold, jac.id_b AS d FROM thr t JOIN jac ON jac.j >= t.threshold
+      ) GROUP BY threshold
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents
+    )
+    SELECT t.threshold,
+           coalesce(h.n_pairs, 0) AS n_pairs,
+           coalesce(d.n_docs, 0) AS n_docs,
+           round(CAST(coalesce(d.n_docs, 0) AS DOUBLE)
+                 / CAST(c.n_corpus AS DOUBLE), 6) AS frac_docs
+    FROM thr t
+    LEFT JOIN hits h ON h.threshold = t.threshold
+    LEFT JOIN docs_hit d ON d.threshold = t.threshold
+    CROSS JOIN corpus c
+    """
+
+
+@register("dedup_threshold_sweep", oracle=_threshold_sweep_oracle())
+def dedup_threshold_sweep(spark, sf):
+    # The VERIFY-THRESHOLD operating-point table: on the production LSH
+    # candidates (same banded config), how many pairs — and how many
+    # distinct documents — clear exact-Jaccard thresholds 0.5/0.7/0.8/
+    # 0.9. Read next to dedup_minhash_calibration: the calibration says
+    # what the estimator thinks, this says what each cutoff actually
+    # removes — the "how aggressive can we dedup before we eat real
+    # data" slider every curation run sweeps before committing
+    # (Lee et al. 2022's dedup-threshold ablation as a relational
+    # output). Scale shape: everything downstream of the banding is
+    # candidate-pair bounded; the threshold grid is a 4-row broadcast
+    # theta-join; doc counts explode each qualifying pair into two id
+    # rows before a per-threshold distinct agg. Jaccard is 6dp-rounded
+    # before the >= comparison (exact-decimal thresholds -> the flag
+    # can never flip cross-engine).
+    docs = t(spark, sf, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jac = (
+        cand.join(common, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (
+                    F.col("sa") + F.col("sb")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("j"),
+        )
+    )
+    thr = spark.createDataFrame(
+        [(0.5,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    qual = jac.crossJoin(F.broadcast(thr)).filter(F.col("j") >= F.col("threshold"))
+    hits = qual.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs_hit = (
+        qual.select("threshold", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
+    )
+    corpus = docs.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    return (
+        thr.join(F.broadcast(hits), "threshold", "left")
+        .join(F.broadcast(docs_hit), "threshold", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.round(
+                F.coalesce(F.col("n_docs"), F.lit(0)).cast("double")
+                / F.col("n_corpus").cast("double"),
+                6,
+            ).alias("frac_docs"),
+        )
+    )

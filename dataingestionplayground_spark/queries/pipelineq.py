@@ -2658,3 +2658,97 @@ def pipeline_data_card(spark, sf):
             "avg_quality",
         )
     )
+
+
+@register(
+    "pipeline_quality_dup_crosstab",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {TX.fingerprint_sql('text')} AS f, n_chars,
+             CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, f, round({_QUALITY_SQL}, 6) AS quality
+      FROM raw WHERE n_toks > 0
+    ), fc AS (
+      SELECT f, COUNT(*) AS cnt FROM feats GROUP BY f
+    ), med AS (
+      SELECT round(quantile_cont(quality, 0.5), 6) AS m FROM feats
+    ), tagged AS (
+      SELECT fe.doc_id, fe.quality,
+             fc.cnt > 1 AS is_dup,
+             fe.quality > med.m AS hi_quality
+      FROM feats fe JOIN fc ON fc.f = fe.f CROSS JOIN med
+    ), cells AS (
+      SELECT is_dup, hi_quality,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round({davg_expr('quality')}, 6) AS avg_quality
+      FROM tagged GROUP BY is_dup, hi_quality
+    ), cls AS (
+      SELECT is_dup, CAST(SUM(n_docs) AS BIGINT) AS class_total FROM cells
+      GROUP BY is_dup
+    )
+    SELECT c.is_dup, c.hi_quality, c.n_docs, c.avg_quality,
+           round(CAST(c.n_docs AS DOUBLE) / CAST(t.class_total AS DOUBLE), 6)
+             AS frac_of_class
+    FROM cells c JOIN cls t ON t.is_dup = c.is_dup
+    """,
+)
+def pipeline_quality_dup_crosstab(spark, sf):
+    # The "do duplicates hide in the low-quality tail" diagnostic — the
+    # 2x2 crosstab of exact-duplicate membership x above-median quality
+    # with per-class shares. If dups concentrate below the median
+    # (frac_of_class skews), a pipeline can cheapen dedup by running it
+    # AFTER the quality gate; if not, dedup must run first — a real
+    # ordering decision curation runs make on cost grounds (the
+    # pipeline_curate_funnel stage order, made measurable). Composes
+    # the registered signal definitions (fingerprint + _QUALITY_SQL at
+    # the exact interpolated median, 6dp-rounded on both engines before
+    # the strict > — the curriculum boundary rule). Scale shape: one
+    # corpus scan for the signals, one fingerprint-keyed agg joined
+    # back (the dedup_exact shuffle), ONE single-row median agg
+    # broadcast, then a 4-key agg and a 2-row class-total join.
+    d = t(spark, sf, "documents")
+    raw = d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("f"),
+        "n_chars",
+        TX.token_count("text").cast("long").alias("n_toks"),
+        TX.stopword_hits("text", "en").alias("n_stop"),
+        F.length(F.expr("replace(text, ' ', '')")).cast("int").alias("len_sum"),
+    )
+    feats = raw.filter(F.col("n_toks") > 0).select(
+        "doc_id", "f", F.round(F.expr(_QUALITY_SQL), 6).alias("quality")
+    )
+    fc = feats.groupBy("f").agg(F.count(F.lit(1)).alias("cnt"))
+    med = feats.agg(
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("m")
+    )
+    tagged = (
+        feats.join(fc, "f")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            "quality",
+            (F.col("cnt") > 1).alias("is_dup"),
+            (F.col("quality") > F.col("m")).alias("hi_quality"),
+        )
+    )
+    cells = tagged.groupBy("is_dup", "hi_quality").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(davg("quality"), 6).alias("avg_quality"),
+    )
+    cls = cells.groupBy("is_dup").agg(
+        F.sum("n_docs").cast("long").alias("class_total")
+    )
+    return cells.join(F.broadcast(cls), "is_dup").select(
+        "is_dup",
+        "hi_quality",
+        "n_docs",
+        "avg_quality",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("class_total").cast("double"), 6
+        ).alias("frac_of_class"),
+    )

@@ -1944,3 +1944,99 @@ def vector_ivf_nprobe_sweep(spark, sf):
             ),
         )
     )
+
+
+def _pq_k_leg(k: int) -> str:
+    # the _pq_distortion_oracle chain with the codebook size as a
+    # parameter (LIMIT k) and a k column stamped on the output
+    subs = ", ".join(str(s) for s in range(_PQ_M))
+    per_s = "\n      UNION ALL ".join(
+        f"SELECT CAST({s} AS INTEGER) AS subspace, "
+        f"list_min({_pq_dists_duck(s)}) AS sq FROM coded e"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    ), cb AS (
+      SELECT list(struct_pack(s := s, cid := cid, v := v) ORDER BY s, cid) AS cents
+      FROM (
+        SELECT u.s AS s, cid,
+               list_transform(embedding[u.s*{_PQ_DSUB}+1:u.s*{_PQ_DSUB}+{_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM seeds, (SELECT unnest([{subs}]) AS s) u
+      )
+    ), coded AS (
+      SELECT e.vec_id, e.embedding, cents FROM embeddings e CROSS JOIN cb
+    ), per_vec AS (
+      {per_s}
+    )
+    SELECT CAST({k} AS INTEGER) AS k, subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(CAST(round(sq, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sq_err,
+           round(MAX(sq), 6) AS max_sq_err
+    FROM per_vec GROUP BY subspace
+    """
+
+
+def _pq_k_sweep_oracle() -> str:
+    return " UNION ALL ".join(f"SELECT * FROM ({_pq_k_leg(k)})" for k in (4, 8, 16))
+
+
+@register("vector_pq_k_sweep", oracle=_pq_k_sweep_oracle())
+def vector_pq_k_sweep(spark, sf):
+    # The PQ CODEBOOK-SIZE curve: per-subspace quantization distortion
+    # at k = 4 / 8 / 16 codebook entries — the distortion-vs-memory
+    # table behind ingest/ann_index.py's n_centroids='auto' policy
+    # (r12), produced as a relational output the way
+    # vector_ivf_nprobe_sweep produces the recall-vs-probe curve.
+    # Seeded codebooks are NESTED by construction (lowest-id k vectors,
+    # so k=16 contains k=8 contains k=4), which makes per-vector min
+    # distance — and therefore every distortion stat — monotone
+    # non-increasing in k (pinned in test_r13b); where the curve
+    # flattens is the "stop paying for centroids" point. Scale shape:
+    # identical to vector_pq_distortion per leg — ONE broadcast
+    # codebook row, in-row min-distances, stack() into an m-key agg,
+    # zero corpus shuffles; the sweep is three such passes over the
+    # same scan.
+    from dataingestionplayground_spark.operators.similarity import _pq_codebook
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dsub = _PQ_DSUB
+    legs = []
+    for k in (4, 8, 16):
+        cb = _pq_codebook(e, _PQ_M, k, _PQ_D, "vec_id", "embedding", "seed")
+        enc = e.crossJoin(F.broadcast(cb))
+        for s in range(_PQ_M):
+            dists = (
+                f"transform(filter(cents, c -> c.s = {s}), c -> "
+                f"aggregate(sequence(1, {dsub}), cast(0.0 as double), "
+                f"(acc, i) -> acc + (cast(element_at(embedding, {s * dsub} + i) as double) "
+                f"- element_at(c.v, i)) * (cast(element_at(embedding, {s * dsub} + i) as double) "
+                f"- element_at(c.v, i))))"
+            )
+            enc = enc.withColumn(f"sq_{s}", F.expr(f"array_min({dists})"))
+        stack_args = ", ".join(f"{s}, sq_{s}" for s in range(_PQ_M))
+        rows = enc.selectExpr(
+            f"stack({_PQ_M}, {stack_args}) as (subspace, sq)"
+        ).select(F.col("subspace").cast("int").alias("subspace"), "sq")
+        legs.append(
+            rows.groupBy("subspace").agg(
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                F.round(
+                    F.sum(F.round("sq", 6).cast("decimal(38,6)")).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("mean_sq_err"),
+                F.round(F.max("sq"), 6).alias("max_sq_err"),
+            ).select(
+                F.lit(k).cast("int").alias("k"),
+                "subspace",
+                "n_vecs",
+                "mean_sq_err",
+                "max_sq_err",
+            )
+        )
+    return legs[0].unionByName(legs[1]).unionByName(legs[2])
