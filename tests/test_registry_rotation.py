@@ -169,3 +169,48 @@ def test_live_artifacts_never_break_ordering():
     names = list(all_queries())
     assert len(set(names)) == len(names)
     assert not (set(names[:50]) & _bare_names())
+
+
+def test_fallback_snapshot_fronts_post_snapshot_names():
+    # r13: CORRECTNESS artifacts are untracked, so a fresh checkout
+    # (driver session restart) loses them mid-round. The tracked
+    # snapshot must then stand in: the live checked-set is non-empty
+    # and every registry name ABSENT from the snapshot (i.e. added
+    # after its as_of_round) sorts into the first-50 window.
+    import json
+    from pathlib import Path
+
+    pkg = Path(Q.__file__).resolve().parent
+    snap = json.loads((pkg / "driver_checked_fallback.json").read_text())
+    snap_names = set(snap["names"])
+    assert len(snap_names) >= 200 and snap["as_of_round"] >= 12
+    qs = all_queries()
+    post = {n for n, q in qs.items() if n not in snap_names and q.oracle is not None}
+    # on a tree with no artifacts this is the live path; with artifacts
+    # present the artifact-derived set governs instead — either way the
+    # window math below must hold for the snapshot itself
+    import dataingestionplayground_spark.queries as QQ
+
+    live = QQ._driver_checked_names()
+    assert live, "fallback (or artifacts) must yield a non-empty checked set"
+    if not post:
+        return
+    # simulate the artifact-less state explicitly
+    order = None
+    orig = QQ._driver_checked_names
+    try:
+        QQ.__dict__["_driver_checked_names"] = lambda root=None: snap_names
+        order = list(all_queries())
+    finally:
+        QQ.__dict__["_driver_checked_names"] = orig
+    first50 = set(order[:50])
+    assert post <= first50, f"post-snapshot names missing from window: {post - first50}"
+
+
+def test_fallback_ignored_when_artifacts_exist(tmp_path):
+    # explicit root + a valid artifact: only the artifact's names count
+    # (the snapshot never overrides live driver records)
+    art = {"only_q": {"err": None, "hash_match": True, "spark_rows": 1,
+                      "oracle_rows": 1}}
+    (tmp_path / "CORRECTNESS_r50.json").write_text(json.dumps(art))
+    assert Q._driver_checked_names(root=tmp_path) == {"only_q"}
