@@ -2285,3 +2285,121 @@ def events_stickiness(spark, sf):
             F.col("dau").cast("double") / F.col("wau").cast("double"), 6
         ).alias("stickiness"),
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id
+    )
+    SELECT a.day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN f.first_day < a.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning,
+           round(CAST(SUM(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS new_frac
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY a.day
+    """,
+)
+def events_new_vs_returning(spark, sf):
+    # New-vs-returning daily split — the growth-accounting companion to
+    # events_stickiness (stickiness says how often the audience comes
+    # back, this says how much of each day is acquisition vs
+    # retention). Same |users x days| activity frame, one per-user min
+    # agg joined back (first-day frame is |users|-sized — at 100 TB it
+    # broadcasts or buckets on user_id), ONE day-keyed agg.
+    e = t(spark, sf, "events")
+    activity = e.select(
+        "user_id",
+        F.floor(PF.epoch_seconds("ts") / F.lit(86400)).cast("long").alias("day"),
+    ).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_flag = F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+    ret_flag = F.when(F.col("first_day") < F.col("day"), 1).otherwise(0)
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(new_flag).cast("long").alias("n_new"),
+            F.sum(ret_flag).cast("long").alias("n_returning"),
+            F.round(
+                F.sum(new_flag).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("new_frac"),
+        )
+    )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+               AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           round(CAST(SUM(CAST(n_events AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_events,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+           round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS p50_dur_s,
+           round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_dur_s,
+           round(CAST(SUM(CAST(dur_us AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS avg_dur_s
+    FROM per_session
+    """,
+)
+def events_session_stats(spark, sf):
+    # Session-quality summary over the PRODUCTION sessionizer (same
+    # operators.sessionize call as events_sessionize): session count,
+    # mean events/session, bounce rate (1-event sessions), and the
+    # p50/p90/mean duration — the table a funnel review opens with.
+    # Durations are exact integer microseconds (epoch_us/unix_micros,
+    # the events_conversion_lag rule) so quantiles interpolate over
+    # integers identically cross-engine. Plan: the sessionizer's one
+    # sort-shuffle, a (user, session)-keyed agg, then ONE single-row
+    # stats agg with exact interpolated quantiles.
+    from dataingestionplayground_spark.operators.sessionize import sessionize
+
+    e = t(spark, sf, "events")
+    sess = sessionize(e, "user_id", "ts", gap_seconds=1800)
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("dur_us"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(PF.davg("n_events"), 6).alias("avg_events"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(F.expr("percentile(dur_us, 0.5)") / F.lit(1e6), 6).alias("p50_dur_s"),
+        F.round(F.expr("percentile(dur_us, 0.9)") / F.lit(1e6), 6).alias("p90_dur_s"),
+        F.round(PF.davg("dur_us") / F.lit(1e6), 6).alias("avg_dur_s"),
+    )

@@ -1277,3 +1277,99 @@ def dedup_threshold_sweep(spark, sf):
             ).alias("frac_docs"),
         )
     )
+
+
+def _cross_source_oracle() -> str:
+    # the calibration/threshold-sweep candidate + exact-Jaccard CTEs,
+    # restricted to cross-source pairs and keyed by the unordered
+    # source pair
+    return f"""
+    WITH {_WIDE_SIG}, bands AS ({_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ), xsrc AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - coalesce(cm.n_common, 0) AS DOUBLE), 6)
+               AS j
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b
+      LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE da.source <> db.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_verified_pairs
+    FROM xsrc GROUP BY source_a, source_b
+    """
+
+
+@register("dedup_cross_source_matrix", oracle=_cross_source_oracle())
+def dedup_cross_source_matrix(spark, sf):
+    # The WHO-COPIES-WHOM matrix: for every unordered source pair, how
+    # many NEAR-DUP candidate pairs the production LSH banding links
+    # across them, and how many survive the exact-Jaccard >= 0.5 verify
+    # — the cross-feed mirror/syndication signal next to
+    # dedup_rate_by_source's within-feed rate (a crawl pipeline reads
+    # this to pick ONE canonical feed per mirror cluster before paying
+    # near-dup cost on syndicated copies). Plan shape: everything
+    # downstream of the banding is candidate-pair bounded — two
+    # doc-keyed joins pull the sources, the verify legs are the
+    # calibration query's shingle equi-joins, and the output is
+    # <= |sources|^2/2 rows. least/greatest normalizes the unordered
+    # pair identically on both engines.
+    docs = t(spark, sf, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    src = docs.select("doc_id", "source")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    xsrc = (
+        cand.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")), "id_b")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .join(common, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (
+                    F.col("sa") + F.col("sb")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("j"),
+        )
+    )
+    return xsrc.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_verified_pairs"),
+    )

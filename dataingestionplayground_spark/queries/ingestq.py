@@ -560,3 +560,71 @@ def multimodal_audio_energy(spark, sf):
 
     d = t(spark, sf, "documents")
     return audio_frame_features(synth_pcm16(d, "doc_id"))
+
+
+def _hamming_sweep_oracle() -> str:
+    # compose the registered ahash-pairs oracle (the dedup_threshold_
+    # sweep pattern applied to the image modality)
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT id_a, id_b, hamming FROM ({_R['multimodal_ahash_pairs'].oracle})
+    ), thr AS (
+      SELECT CAST(unnest([0, 2, 4, 6]) AS BIGINT) AS threshold
+    ), hits AS (
+      SELECT t.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM thr t JOIN pairs p ON p.hamming <= t.threshold
+      GROUP BY t.threshold
+    ), imgs AS (
+      SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_images
+      FROM (
+        SELECT t.threshold, p.id_a AS d FROM thr t JOIN pairs p ON p.hamming <= t.threshold
+        UNION
+        SELECT t.threshold, p.id_b AS d FROM thr t JOIN pairs p ON p.hamming <= t.threshold
+      ) GROUP BY threshold
+    )
+    SELECT t.threshold,
+           coalesce(h.n_pairs, 0) AS n_pairs,
+           coalesce(i.n_images, 0) AS n_images
+    FROM thr t
+    LEFT JOIN hits h ON h.threshold = t.threshold
+    LEFT JOIN imgs i ON i.threshold = t.threshold
+    """
+
+
+@register("multimodal_hamming_threshold_sweep", oracle=_hamming_sweep_oracle())
+def multimodal_hamming_threshold_sweep(spark, sf):
+    # The image-dedup OPERATING-POINT table: pairs and distinct images
+    # linked by the production average-hash banding at Hamming radius
+    # 0 / 2 / 4 / 6 — dedup_threshold_sweep's slider applied to the
+    # image modality (radius 0 is byte-identical 8x8 content; 6 is the
+    # shipped verify bound). Composes the REGISTERED
+    # multimodal_ahash_pairs (same Arrow build+decode+hash pass, same
+    # banding) so the sweep can never grade a different hash than the
+    # pipeline ships. Scale shape: the pair frame is banding-bounded;
+    # the sweep is a 4-row broadcast theta-join + two small aggs.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    pairs = _R["multimodal_ahash_pairs"].fn(spark, sf)
+    thr = spark.createDataFrame([(0,), (2,), (4,), (6,)], "threshold long")
+    qual = pairs.crossJoin(F.broadcast(thr)).filter(
+        F.col("hamming") <= F.col("threshold")
+    )
+    hits = qual.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    imgs = (
+        qual.select("threshold", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("long").alias("n_images"))
+    )
+    return (
+        thr.join(F.broadcast(hits), "threshold", "left")
+        .join(F.broadcast(imgs), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_images"), F.lit(0)).cast("long").alias("n_images"),
+        )
+    )

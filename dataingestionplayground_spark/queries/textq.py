@@ -2162,3 +2162,47 @@ def text_ccnet_lm_buckets(spark, sf):
         F.sum("n_toks").cast("long").alias("total_tokens"),
         F.round(davg("ppl"), 6).alias("avg_ppl"),
     )
+
+
+def _lang_purity_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH pred AS MATERIALIZED (
+      SELECT doc_id, is_match FROM ({_R['text_language_id'].oracle})
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.is_match) AS BIGINT) AS n_match,
+           round(CAST(SUM(p.is_match) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS purity
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register("text_language_purity_by_source", oracle=_lang_purity_oracle())
+def text_language_purity_by_source(spark, sf):
+    # Per-source language purity: how often the PRODUCTION language-ID
+    # classifier (composed registered query, never re-implemented)
+    # agrees with the source's declared label — the feed-health column
+    # that routes a source to per-language splitting or to the CCNet
+    # bucketing before its mislabeled docs poison per-language LM
+    # stats. Plan: the classifier's narrow projection + one doc-keyed
+    # join to pull source + ONE source-keyed agg.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    pred = _R["text_language_id"].fn(spark, sf).select("doc_id", "is_match")
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    return (
+        pred.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_match").cast("long").alias("n_match"),
+            F.round(
+                F.sum("is_match").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("purity"),
+        )
+    )
