@@ -1373,3 +1373,109 @@ def dedup_cross_source_matrix(spark, sf):
         .cast("long")
         .alias("n_verified_pairs"),
     )
+
+
+@register(
+    "dedup_semantic_threshold_sweep",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE) / n) AS u
+      FROM (SELECT vec_id, label, embedding,
+                   sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(generate_series(1, len(embedding)), i ->
+                          CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                        (acc, v) -> acc + v)) AS n
+            FROM embeddings)
+    ), scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DOT_DUCK}, 6) AS cos_sim
+      FROM units a JOIN units b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_DOT_DUCK} >= 0.9
+    ), thr AS (
+      SELECT CAST(unnest([0.9, 0.95, 0.99]) AS DOUBLE) AS threshold
+    ), hits AS (
+      SELECT t.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM thr t JOIN scored s ON s.cos_sim >= t.threshold
+      GROUP BY t.threshold
+    ), vecs AS (
+      SELECT threshold, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_vectors
+      FROM (
+        SELECT t.threshold, s.id_a AS v FROM thr t JOIN scored s ON s.cos_sim >= t.threshold
+        UNION
+        SELECT t.threshold, s.id_b AS v FROM thr t JOIN scored s ON s.cos_sim >= t.threshold
+      ) GROUP BY threshold
+    )
+    SELECT t.threshold,
+           coalesce(h.n_pairs, 0) AS n_pairs,
+           coalesce(v.n_vectors, 0) AS n_vectors
+    FROM thr t
+    LEFT JOIN hits h ON h.threshold = t.threshold
+    LEFT JOIN vecs v ON v.threshold = t.threshold
+    """,
+)
+def dedup_semantic_threshold_sweep(spark, sf):
+    # The SemDeDup operating-point slider: pairs and distinct vectors
+    # linked at cosine >= 0.9 / 0.95 / 0.99 — the embedding-space twin
+    # of dedup_threshold_sweep (text) and
+    # multimodal_hamming_threshold_sweep (image), completing the sweep
+    # family across all three modalities. Same unit-normalize-once +
+    # label-blocked pair scan as the registered dedup_embedding_cosine
+    # (0.95 is its shipped point), widened to the 0.9 floor so the
+    # sweep sees both sides of the shipped threshold. cos_sim is
+    # 6dp-rounded before the >= comparisons (exact-decimal thresholds
+    # — the flag can never flip cross-engine); the UNROUNDED dot
+    # gates the 0.9 prefilter identically in both engines. Scale
+    # shape: pair stage is block-bounded (labels here, LSH cells in
+    # the production path); the sweep adds a 3-row broadcast
+    # theta-join on a pair frame that never leaves candidate scale.
+    e = t(spark, sf, "embeddings")
+    units = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(x as double) / "
+            "sqrt(aggregate(sequence(1, size(embedding)), cast(0.0 as double), "
+            "(acc, i) -> acc + cast(element_at(embedding, i) as double) * "
+            "cast(element_at(embedding, i) as double))))"
+        ).alias("u"),
+    )
+    a, b = units.alias("a"), units.alias("b")
+    dot = F.expr(
+        "aggregate(sequence(1, size(a.u)), cast(0.0 as double), "
+        "(acc, i) -> acc + element_at(a.u, i) * element_at(b.u, i))"
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(dot >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(dot, 6).alias("cos_sim"),
+        )
+    )
+    thr = spark.createDataFrame([(0.9,), (0.95,), (0.99,)], "threshold double")
+    qual = scored.crossJoin(F.broadcast(thr)).filter(
+        F.col("cos_sim") >= F.col("threshold")
+    )
+    hits = qual.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    vecs = (
+        qual.select("threshold", F.explode(F.array("id_a", "id_b")).alias("v"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("v").cast("long").alias("n_vectors"))
+    )
+    return (
+        thr.join(F.broadcast(hits), "threshold", "left")
+        .join(F.broadcast(vecs), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_vectors"), F.lit(0)).cast("long").alias("n_vectors"),
+        )
+    )

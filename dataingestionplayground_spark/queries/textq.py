@@ -2206,3 +2206,128 @@ def text_language_purity_by_source(spark, sf):
             ).alias("purity"),
         )
     )
+
+
+_CORR_SIGS = ("quality", "ppl", "entropy", "mean_word_len")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_SIGS)
+    for b in _CORR_SIGS[i + 1 :]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    # compose the three registered per-doc signal oracles + the quality
+    # formula; the correlation layer is exact decimal sums of
+    # 6dp-rounded signals (12dp products), so both engines derive
+    # Pearson from BIT-IDENTICAL sufficient statistics
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    sums = ", ".join(
+        f"CAST(SUM(CAST({s} AS DECIMAL(18,6))) AS DOUBLE) AS sx_{s}, "
+        f"CAST(SUM(CAST({s} AS DECIMAL(18,6)) * CAST({s} AS DECIMAL(18,6))) AS DOUBLE) AS sxx_{s}"
+        for s in _CORR_SIGS
+    )
+    psums = ", ".join(
+        f"CAST(SUM(CAST({a} AS DECIMAL(18,6)) * CAST({b} AS DECIMAL(18,6))) AS DOUBLE) AS sxy_{a}_{b}"
+        for a, b in _CORR_PAIRS
+    )
+    legs = "\n    UNION ALL ".join(
+        f"""SELECT '{a}' AS sig_a, '{b}' AS sig_b, n,
+           round((CAST(n AS DOUBLE) * sxy_{a}_{b} - sx_{a} * sx_{b})
+                 / nullif(sqrt(CAST(n AS DOUBLE) * sxx_{a} - sx_{a} * sx_{a})
+                    * sqrt(CAST(n AS DOUBLE) * sxx_{b} - sx_{b} * sx_{b}), 0.0), 6)
+             AS pearson
+    FROM stats"""
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT doc_id, round(quality, 6) AS quality
+      FROM ({_R['text_quality_score'].oracle})
+    ), p AS MATERIALIZED (
+      SELECT doc_id, ppl FROM ({_R['text_unigram_perplexity'].oracle})
+    ), e AS MATERIALIZED (
+      SELECT doc_id, entropy FROM ({_R['text_char_entropy'].oracle})
+    ), g AS MATERIALIZED (
+      SELECT doc_id, mean_word_len
+      FROM ({_R['text_gopher_quality_rules'].oracle})
+    ), joined AS (
+      SELECT q.quality, p.ppl, e.entropy, g.mean_word_len
+      FROM q JOIN p USING (doc_id) JOIN e USING (doc_id) JOIN g USING (doc_id)
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {psums} FROM joined
+    )
+    {legs}
+    """
+
+
+@register("text_signal_correlation_matrix", oracle=_corr_matrix_oracle())
+def text_signal_correlation_matrix(spark, sf):
+    # Are the quality signals REDUNDANT? Pairwise Pearson correlation
+    # among the four per-doc curation signals (heuristic quality score,
+    # unigram-LM perplexity, char entropy, Gopher alpha-word ratio) —
+    # the table that decides whether the quality ensemble's three
+    # components earn their scan cost or collapse into one (feature-
+    # selection for filters, run on the filters themselves). Every
+    # signal is the REGISTERED query's own output (composed, never
+    # re-derived); correlations come from ONE single-row agg of exact
+    # DECIMAL sufficient statistics: 6dp signals enter as DECIMAL(18,6)
+    # so products land at DECIMAL(37,12) WITHOUT precision overflow —
+    # a (38,12)x(38,12) product would exceed precision 38 and Spark
+    # silently rounds the scale down, which is exactly the 1-ulp class
+    # of divergence the repo bans. Exact and associative, so Spark's
+    # partial aggregation and DuckDB's sequential scan produce
+    # bit-identical sums; then six in-row
+    # Pearson evaluations in fixed operation order. Scale shape: the
+    # member scans + three doc-keyed joins + one single-row agg; the
+    # 6-row output assembles from a broadcast of that single row.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    q = (
+        _R["text_quality_score"].fn(spark, sf)
+        .select("doc_id", F.round("quality", 6).alias("quality"))
+    )
+    p = _R["text_unigram_perplexity"].fn(spark, sf).select("doc_id", "ppl")
+    e = _R["text_char_entropy"].fn(spark, sf).select("doc_id", "entropy")
+    g = (
+        _R["text_gopher_quality_rules"].fn(spark, sf)
+        .select("doc_id", "mean_word_len")
+    )
+    joined = q.join(p, "doc_id").join(e, "doc_id").join(g, "doc_id")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for s in _CORR_SIGS:
+        aggs.append(
+            F.sum(F.col(s).cast("decimal(18,6)")).cast("double").alias(f"sx_{s}")
+        )
+        aggs.append(
+            F.sum(
+                F.col(s).cast("decimal(18,6)") * F.col(s).cast("decimal(18,6)")
+            ).cast("double").alias(f"sxx_{s}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum(
+                F.col(a).cast("decimal(18,6)") * F.col(b).cast("decimal(18,6)")
+            ).cast("double").alias(f"sxy_{a}_{b}")
+        )
+    stats = joined.agg(*aggs)
+    legs = []
+    for a, b in _CORR_PAIRS:
+        nn = F.col("n").cast("double")
+        num = nn * F.col(f"sxy_{a}_{b}") - F.col(f"sx_{a}") * F.col(f"sx_{b}")
+        den = F.sqrt(nn * F.col(f"sxx_{a}") - F.col(f"sx_{a}") * F.col(f"sx_{a}")) * F.sqrt(
+            nn * F.col(f"sxx_{b}") - F.col(f"sx_{b}") * F.col(f"sx_{b}")
+        )
+        legs.append(
+            stats.select(
+                F.lit(a).alias("sig_a"),
+                F.lit(b).alias("sig_b"),
+                "n",
+                F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("pearson"),
+            )
+        )
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out

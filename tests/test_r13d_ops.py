@@ -118,3 +118,49 @@ def test_hamming_sweep_monotone_and_caps_at_shipped_bound(spark):
         assert rows[lo]["n_images"] <= rows[hi]["n_images"]
     # the radius-6 point IS the shipped multimodal_ahash_pairs output
     assert rows[6]["n_pairs"] == REGISTRY["multimodal_ahash_pairs"].fn(spark, SF).count()
+
+
+def test_signal_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    q = {r["doc_id"]: round(r["quality"], 6)
+         for r in REGISTRY["text_quality_score"].fn(spark, SF).collect()}
+    p = {r["doc_id"]: r["ppl"]
+         for r in REGISTRY["text_unigram_perplexity"].fn(spark, SF).collect()}
+    e = {r["doc_id"]: r["entropy"]
+         for r in REGISTRY["text_char_entropy"].fn(spark, SF).collect()}
+    g = {r["doc_id"]: r["mean_word_len"]
+         for r in REGISTRY["text_gopher_quality_rules"].fn(spark, SF).collect()}
+    ids = sorted(set(q) & set(p) & set(e) & set(g))
+    sig = {"quality": q, "ppl": p, "entropy": e, "mean_word_len": g}
+    got = {(r["sig_a"], r["sig_b"]): r
+           for r in REGISTRY["text_signal_correlation_matrix"].fn(spark, SF).collect()}
+    assert len(got) == 6
+    for (a, b), r in got.items():
+        assert r["n"] == len(ids)
+        xa = np.array([sig[a][i] for i in ids])
+        xb = np.array([sig[b][i] for i in ids])
+        expect = float(np.corrcoef(xa, xb)[0, 1])
+        # numpy uses a different (mean-centered) formula — agree to 1e-9
+        assert abs(r["pearson"] - expect) < 1e-6
+        assert -1.0 <= r["pearson"] <= 1.0
+
+
+def test_semantic_sweep_monotone_and_matches_embedding_cosine(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    rows = {r["threshold"]: r for r in
+            REGISTRY["dedup_semantic_threshold_sweep"].fn(spark, SF).collect()}
+    assert set(rows) == {0.9, 0.95, 0.99}
+    assert rows[0.99]["n_pairs"] <= rows[0.95]["n_pairs"] <= rows[0.9]["n_pairs"]
+    assert rows[0.99]["n_vectors"] <= rows[0.95]["n_vectors"] <= rows[0.9]["n_vectors"]
+    # the 0.95 point counts the SHIPPED dedup_embedding_cosine pairs
+    # (that query compares the unrounded dot; the sweep compares the
+    # 6dp round — they can only differ if a dot lands within 5e-7 of
+    # the threshold, so allow that single-pair epsilon class)
+    shipped = REGISTRY["dedup_embedding_cosine"].fn(spark, SF).count()
+    assert abs(rows[0.95]["n_pairs"] - shipped) <= 1
