@@ -169,6 +169,13 @@ BIG_HEADLINE = [
     "text_ccnet_lm_buckets",
     "dedup_minhash_calibration",
     "pipeline_data_card",
+    # r13 waves 7/8: the cross-source near-dup matrix rides the same
+    # candidate frame as the calibration row, the signal correlation
+    # matrix is four member scans + three doc-keyed joins + one
+    # single-row decimal agg, session stats is one sort-shuffle
+    "dedup_cross_source_matrix",
+    "text_signal_correlation_matrix",
+    "events_session_stats",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -213,6 +220,10 @@ BIG2_HEADLINE = [
     "text_ccnet_lm_buckets",
     "dedup_minhash_calibration",
     "pipeline_data_card",
+    # r13 waves 7/8 (2x-step evidence)
+    "dedup_cross_source_matrix",
+    "text_signal_correlation_matrix",
+    "events_session_stats",
 ]
 
 
