@@ -2403,3 +2403,90 @@ def events_session_stats(spark, sf):
         F.round(F.expr("percentile(dur_us, 0.9)") / F.lit(1e6), 6).alias("p90_dur_s"),
         F.round(PF.davg("dur_us") / F.lit(1e6), 6).alias("avg_dur_s"),
     )
+
+
+def _anomaly_consensus_oracle() -> str:
+    # compose the three REGISTERED detectors; a full-outer vote join on
+    # the (sparse) flagged sets
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH z AS MATERIALIZED (
+      SELECT event_id, 1 AS f_z FROM ({_R['events_anomaly_zscore'].oracle})
+    ), m AS MATERIALIZED (
+      SELECT event_id, 1 AS f_mad FROM ({_R['events_anomaly_mad'].oracle})
+    ), s AS MATERIALIZED (
+      SELECT event_id, 1 AS f_seasonal
+      FROM ({_R['events_anomaly_seasonal_zscore'].oracle})
+    ), votes AS (
+      SELECT coalesce(z.event_id, m.event_id, s.event_id) AS event_id,
+             coalesce(f_z, 0) AS f_z,
+             coalesce(f_mad, 0) AS f_mad,
+             coalesce(f_seasonal, 0) AS f_seasonal
+      FROM z
+      FULL OUTER JOIN m ON m.event_id = z.event_id
+      FULL OUTER JOIN s ON s.event_id = coalesce(z.event_id, m.event_id)
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           CAST(v.f_z AS INTEGER) AS f_z,
+           CAST(v.f_mad AS INTEGER) AS f_mad,
+           CAST(v.f_seasonal AS INTEGER) AS f_seasonal,
+           CAST(v.f_z + v.f_mad + v.f_seasonal AS INTEGER) AS votes
+    FROM votes v JOIN events e ON e.event_id = v.event_id
+    WHERE v.f_z + v.f_mad + v.f_seasonal >= 2
+    """
+
+
+@register("events_anomaly_consensus", oracle=_anomaly_consensus_oracle())
+def events_anomaly_consensus(spark, sf):
+    # Detector-ENSEMBLE anomaly alerting: an event pages only when at
+    # least two of the three production detectors agree (plain z-score,
+    # MAD robust z, seasonality-adjusted z) — the standard
+    # alert-on-consensus rule that suppresses each detector's
+    # individual failure mode (z inflated by the outliers themselves,
+    # MAD blind above tie-heavy medians, seasonal z needing stable
+    # day-of-week structure). All three flag frames are the REGISTERED
+    # queries' own outputs; outliers are sparse by construction
+    # (|z|>2.5 / 3.5 / 3.0 tails), so the vote join runs on frames
+    # orders of magnitude below the event count, then one event-keyed
+    # join rehydrates type/value. At 100 TB the detectors' own plans
+    # (per-type broadcast stats) carry the cost; the consensus layer
+    # adds only flagged-set joins.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    z = (
+        _R["events_anomaly_zscore"].fn(spark, sf)
+        .select("event_id", F.lit(1).alias("f_z"))
+    )
+    m = (
+        _R["events_anomaly_mad"].fn(spark, sf)
+        .select("event_id", F.lit(1).alias("f_mad"))
+    )
+    s = (
+        _R["events_anomaly_seasonal_zscore"].fn(spark, sf)
+        .select("event_id", F.lit(1).alias("f_seasonal"))
+    )
+    votes = (
+        z.join(m, "event_id", "full")
+        .join(s, "event_id", "full")
+        .select(
+            "event_id",
+            F.coalesce("f_z", F.lit(0)).alias("f_z"),
+            F.coalesce("f_mad", F.lit(0)).alias("f_mad"),
+            F.coalesce("f_seasonal", F.lit(0)).alias("f_seasonal"),
+        )
+        .withColumn(
+            "votes", F.col("f_z") + F.col("f_mad") + F.col("f_seasonal")
+        )
+        .filter(F.col("votes") >= 2)
+    )
+    e = t(spark, sf, "events").select("event_id", "event_type", "value")
+    return e.join(F.broadcast(votes), "event_id").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.col("f_z").cast("int").alias("f_z"),
+        F.col("f_mad").cast("int").alias("f_mad"),
+        F.col("f_seasonal").cast("int").alias("f_seasonal"),
+        F.col("votes").cast("int").alias("votes"),
+    )

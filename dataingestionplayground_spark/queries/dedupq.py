@@ -1022,6 +1022,59 @@ def dedup_rate_by_source(spark, sf):
     )
 
 
+def _packed_pair_jaccard(docs, cand):
+    """(id_a, id_b, j): exact distinct-shingle Jaccard for each candidate
+    pair via the dedup_lsh_verified_pairs packed-set plan — per-doc
+    shingle SETS stay packed (array_distinct is an in-row JVM dedup),
+    shingle sets are built ONLY for documents that appear in a candidate
+    pair (left-semi), and the intersection count is a per-pair
+    array_intersect, so the verify stage shuffles candidate pairs plus
+    their packed sets, never exploded (pair x shingle) rows — the first
+    bench run of the r13 calibration/matrix rows used the exploded
+    equi-join and paid 9.5s each at sf0.5 for what this shape does as
+    part of a 5s row. j is 6dp-rounded (exact-decimal sweep thresholds
+    can never flip cross-engine). Callers localCheckpoint `cand` first
+    (it is consumed three times here)."""
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    docsets = (
+        docs.join(ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(TX.word_shingles("text", 3)).alias("sset"),
+        )
+        .withColumn("sz", F.size("sset"))
+        .localCheckpoint(eager=True)  # consumed by both pair sides
+    )
+    sa = docsets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sset").alias("set_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sset").alias("set_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter).cast("double"),
+                6,
+            ).alias("j"),
+        )
+    )
+
+
 def _mh_calibration_oracle() -> str:
     # wide-signature CTEs are byte-for-byte dedup_minhash_signatures' /
     # dedup_minhash_lsh_pairs' oracle fragments; the calibration table
@@ -1085,7 +1138,9 @@ def dedup_minhash_calibration(spark, sf):
     # and tru is 6dp-rounded before the subtraction on both engines,
     # so the error terms are bit-identical.
     docs = t(spark, sf, "documents")
-    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2
+    ).localCheckpoint(eager=True)  # consumed by the match join + verify legs
     sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
     sa = sig.select(
         F.col("doc_id").alias("id_a"), "h", F.col("minhash").alias("mh_a")
@@ -1103,35 +1158,11 @@ def dedup_minhash_calibration(spark, sf):
             )
         )
     )
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    common = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
-        )
-        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    pairs = (
-        m.join(common, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
-        .select(
-            "n_match",
-            F.round(F.col("n_match").cast("double") / F.lit(8.0), 6).alias("est"),
-            F.round(
-                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-                / (
-                    F.col("sa") + F.col("sb")
-                    - F.coalesce(F.col("n_common"), F.lit(0))
-                ).cast("double"),
-                6,
-            ).alias("tru"),
-        )
+    jac = _packed_pair_jaccard(docs, cand)
+    pairs = m.join(jac, ["id_a", "id_b"]).select(
+        "n_match",
+        F.round(F.col("n_match").cast("double") / F.lit(8.0), 6).alias("est"),
+        F.col("j").alias("tru"),
     )
     return pairs.groupBy(F.col("n_match").cast("int").alias("n_match")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -1214,41 +1245,12 @@ def dedup_threshold_sweep(spark, sf):
     # before the >= comparison (exact-decimal thresholds -> the flag
     # can never flip cross-engine).
     docs = t(spark, sf, "documents")
-    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=2)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    common = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    jac = (
-        cand.join(common, ["id_a", "id_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-                / (
-                    F.col("sa") + F.col("sb")
-                    - F.coalesce(F.col("n_common"), F.lit(0))
-                ).cast("double"),
-                6,
-            ).alias("j"),
-        )
-    )
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2
+    ).localCheckpoint(eager=True)
+    # the grid join consumes jac twice (pair counts + doc counts):
+    # checkpoint the candidate-sized frame so banding + verify run once
+    jac = _packed_pair_jaccard(docs, cand).localCheckpoint(eager=True)
     thr = spark.createDataFrame(
         [(0.5,), (0.7,), (0.8,), (0.9,)], "threshold double"
     )
@@ -1334,37 +1336,19 @@ def dedup_cross_source_matrix(spark, sf):
     # <= |sources|^2/2 rows. least/greatest normalizes the unordered
     # pair identically on both engines.
     docs = t(spark, sf, "documents")
-    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2
+    ).localCheckpoint(eager=True)
     src = docs.select("doc_id", "source")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    common = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
     xsrc = (
-        cand.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")), "id_a")
+        _packed_pair_jaccard(docs, cand)
+        .join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")), "id_a")
         .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")), "id_b")
         .filter(F.col("src_a") != F.col("src_b"))
-        .join(common, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
         .select(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),
-            F.round(
-                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-                / (
-                    F.col("sa") + F.col("sb")
-                    - F.coalesce(F.col("n_common"), F.lit(0))
-                ).cast("double"),
-                6,
-            ).alias("j"),
+            "j",
         )
     )
     return xsrc.groupBy("source_a", "source_b").agg(
@@ -1459,6 +1443,9 @@ def dedup_semantic_threshold_sweep(spark, sf):
         )
     )
     thr = spark.createDataFrame([(0.9,), (0.95,), (0.99,)], "threshold double")
+    # scored is consumed twice (pair + vector counts): checkpoint the
+    # (small, >=0.9-filtered) pair frame so the blocked scan runs once
+    scored = scored.localCheckpoint(eager=True)
     qual = scored.crossJoin(F.broadcast(thr)).filter(
         F.col("cos_sim") >= F.col("threshold")
     )

@@ -606,7 +606,9 @@ def multimodal_hamming_threshold_sweep(spark, sf):
     # the sweep is a 4-row broadcast theta-join + two small aggs.
     from dataingestionplayground_spark.queries import REGISTRY as _R
 
-    pairs = _R["multimodal_ahash_pairs"].fn(spark, sf)
+    # consumed twice (pair + image counts): checkpoint the banded pair
+    # frame so the Arrow build+decode+hash pass runs once
+    pairs = _R["multimodal_ahash_pairs"].fn(spark, sf).localCheckpoint(eager=True)
     thr = spark.createDataFrame([(0,), (2,), (4,), (6,)], "threshold long")
     qual = pairs.crossJoin(F.broadcast(thr)).filter(
         F.col("hamming") <= F.col("threshold")

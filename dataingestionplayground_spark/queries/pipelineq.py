@@ -2752,3 +2752,95 @@ def pipeline_quality_dup_crosstab(spark, sf):
             F.col("n_docs").cast("double") / F.col("class_total").cast("double"), 6
         ).alias("frac_of_class"),
     )
+
+
+@register(
+    "sample_dedup_weighted_mixture",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, {TX.fingerprint_sql('text')} AS f,
+             CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_toks
+      FROM documents
+    ), keepers AS (
+      SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f
+    ), per_src AS (
+      SELECT fp.source,
+             CAST(SUM(fp.n_toks) AS BIGINT) AS raw_tokens,
+             CAST(SUM(CASE WHEN k.keep_id = fp.doc_id THEN fp.n_toks ELSE 0 END)
+                  AS BIGINT) AS unique_tokens
+      FROM fp JOIN keepers k ON k.f = fp.f
+      GROUP BY fp.source
+    ), w AS (
+      SELECT source, raw_tokens, unique_tokens,
+             CAST(floor(sqrt(CAST(raw_tokens AS DOUBLE) * 1000000.0)) AS BIGINT)
+               AS isqrt_raw,
+             CAST(floor(sqrt(CAST(unique_tokens AS DOUBLE) * 1000000.0)) AS BIGINT)
+               AS isqrt_uni
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(SUM(isqrt_raw) AS BIGINT) AS t_raw,
+             CAST(SUM(isqrt_uni) AS BIGINT) AS t_uni
+      FROM w
+    )
+    SELECT source, raw_tokens, unique_tokens,
+           round(CAST(isqrt_raw AS DOUBLE) / CAST(t_raw AS DOUBLE), 9) AS w_raw,
+           round(CAST(isqrt_uni AS DOUBLE) / CAST(t_uni AS DOUBLE), 9) AS w_dedup,
+           round((CAST(isqrt_uni AS DOUBLE) / CAST(t_uni AS DOUBLE))
+                 / (CAST(isqrt_raw AS DOUBLE) / CAST(t_raw AS DOUBLE)), 9)
+             AS weight_shift
+    FROM w CROSS JOIN tot
+    """,
+)
+def sample_dedup_weighted_mixture(spark, sf):
+    # DEDUP-AWARE mixture planning: temperature (alpha = 0.5) source
+    # weights computed over UNIQUE tokens (exact keep-first dedup — a
+    # duplicated token counts once, for the group's min-doc_id owner)
+    # next to the same weights over raw tokens, plus the shift ratio —
+    # exactly the correction dedup_rate_by_source's docstring warns
+    # pipeline_mixture_plan needs ("token counts that double-count
+    # duplicates" inflate a repost-heavy feed's mixture share). Uses
+    # sample_temperature_mix's exact-integer weight trick
+    # (floor(sqrt(n*1e6)) is a correctly-rounded IEEE sqrt floored to
+    # BIGINT — bit-identical cross-engine). Plan shape: one corpus
+    # scan, a fingerprint-keyed keepers agg joined back (the
+    # dedup_exact shuffle), ONE source-keyed agg, 1-row totals
+    # broadcast.
+    d = t(spark, sf, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        TX.fingerprint("text").alias("f"),
+        TX.token_count("text").cast("long").alias("n_toks"),
+    )
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    per_src = (
+        fp.join(keepers, "f")
+        .groupBy("source")
+        .agg(
+            F.sum("n_toks").cast("long").alias("raw_tokens"),
+            F.sum(
+                F.when(F.col("keep_id") == F.col("doc_id"), F.col("n_toks")).otherwise(0)
+            ).cast("long").alias("unique_tokens"),
+        )
+    )
+    w = per_src.select(
+        "source",
+        "raw_tokens",
+        "unique_tokens",
+        F.floor(F.sqrt(F.col("raw_tokens").cast("double") * 1e6)).cast("long").alias("isqrt_raw"),
+        F.floor(F.sqrt(F.col("unique_tokens").cast("double") * 1e6)).cast("long").alias("isqrt_uni"),
+    )
+    tot = w.agg(
+        F.sum("isqrt_raw").cast("long").alias("t_raw"),
+        F.sum("isqrt_uni").cast("long").alias("t_uni"),
+    )
+    wr = F.col("isqrt_raw").cast("double") / F.col("t_raw").cast("double")
+    wu = F.col("isqrt_uni").cast("double") / F.col("t_uni").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "raw_tokens",
+        "unique_tokens",
+        F.round(wr, 9).alias("w_raw"),
+        F.round(wu, 9).alias("w_dedup"),
+        F.round(wu / wr, 9).alias("weight_shift"),
+    )

@@ -1006,3 +1006,67 @@ def retrieval_mrr_recall(spark, sf):
             6,
         ).alias("recall_at_10"),
     )
+
+
+def _retriever_agreement_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH bm AS MATERIALIZED (
+      SELECT doc_id, rk AS rk_bm25 FROM ({_R['text_bm25_topk'].oracle})
+    ), ql AS MATERIALIZED (
+      SELECT doc_id, rk AS rk_ql FROM ({_R['retrieval_query_likelihood'].oracle})
+    ), j AS (
+      SELECT coalesce(bm.doc_id, ql.doc_id) AS doc_id, rk_bm25, rk_ql
+      FROM bm FULL OUTER JOIN ql ON ql.doc_id = bm.doc_id
+    )
+    SELECT CAST(SUM(CASE WHEN rk_bm25 IS NOT NULL AND rk_ql IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           round(CAST(SUM(CASE WHEN rk_bm25 IS NOT NULL AND rk_ql IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6)
+             AS overlap_at_10,
+           CAST(coalesce(SUM(CASE WHEN rk_bm25 IS NOT NULL AND rk_ql IS NOT NULL
+                             THEN abs(rk_bm25 - rk_ql) END), 0) AS BIGINT)
+             AS total_rank_displacement,
+           CAST(MAX(CASE WHEN rk_bm25 = 1 AND rk_ql = 1 THEN 1 ELSE 0 END)
+                AS INTEGER) AS same_top1
+    FROM j
+    """
+
+
+@register("retrieval_bm25_ql_agreement", oracle=_retriever_agreement_oracle())
+def retrieval_bm25_ql_agreement(spark, sf):
+    # RETRIEVER-AGREEMENT diagnostic: overlap@10, total rank
+    # displacement on the shared docs, and top-1 agreement between the
+    # two production lexical retrievers (BM25 and Dirichlet query
+    # likelihood, composed registered queries). High agreement means
+    # RRF fusion adds little over either alone; low agreement is the
+    # signal fusion earns its second scan — the decision
+    # retrieval_hybrid_rrf's cost rests on, made queryable. Both
+    # inputs are k-bounded (<= 10 rows each), so everything after the
+    # member plans is broadcast-trivial.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    bm = (
+        _R["text_bm25_topk"].fn(spark, sf)
+        .select("doc_id", F.col("rk").alias("rk_bm25"))
+    )
+    ql = (
+        _R["retrieval_query_likelihood"].fn(spark, sf)
+        .select("doc_id", F.col("rk").alias("rk_ql"))
+    )
+    j = bm.join(ql, "doc_id", "full")
+    both = F.col("rk_bm25").isNotNull() & F.col("rk_ql").isNotNull()
+    return j.agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_overlap"),
+        F.round(
+            F.sum(F.when(both, 1).otherwise(0)).cast("double") / F.lit(10.0), 6
+        ).alias("overlap_at_10"),
+        F.coalesce(
+            F.sum(F.when(both, F.abs(F.col("rk_bm25") - F.col("rk_ql")))),
+            F.lit(0),
+        ).cast("long").alias("total_rank_displacement"),
+        F.max(
+            F.when((F.col("rk_bm25") == 1) & (F.col("rk_ql") == 1), 1).otherwise(0)
+        ).cast("int").alias("same_top1"),
+    )

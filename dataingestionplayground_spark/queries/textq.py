@@ -2331,3 +2331,83 @@ def text_signal_correlation_matrix(spark, sf):
     for l in legs[1:]:
         out = out.unionByName(l)
     return out
+
+
+@register(
+    "text_dedup_impact_stats",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {TX.fingerprint_sql('text')} AS f,
+             {TX.tokens_sql('lower(text)')} AS tk
+      FROM documents
+    ), keepers AS (
+      SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f
+    ), tagged AS (
+      SELECT fp.doc_id, fp.tk, k.keep_id = fp.doc_id AS kept
+      FROM fp JOIN keepers k ON k.f = fp.f
+    ), toks AS (
+      SELECT doc_id, kept, unnest(tk) AS w FROM tagged
+    ), stages AS (
+      SELECT 'raw' AS stage,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tagged) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS total_tokens,
+             (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM toks) AS vocab_size
+      UNION ALL
+      SELECT 'deduped',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tagged WHERE kept),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM toks WHERE kept),
+             (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM toks WHERE kept)
+    )
+    SELECT stage, n_docs, total_tokens, vocab_size,
+           round(CAST(total_tokens AS DOUBLE) / CAST(vocab_size AS DOUBLE), 6)
+             AS tokens_per_type
+    FROM stages
+    """,
+)
+def text_dedup_impact_stats(spark, sf):
+    # WHAT DID DEDUP ACTUALLY CHANGE: corpus statistics before and
+    # after exact keep-first dedup — doc count, token count, vocabulary
+    # size, tokens-per-type — as two comparable rows. The vocab row is
+    # the interesting one: exact dedup removes tokens but nearly no
+    # TYPES (duplicates add no new vocabulary), so tokens_per_type
+    # falling toward the raw corpus's type-token curve is the measured
+    # evidence dedup removed redundancy rather than content (the
+    # text_type_token_stats signal at corpus grain, made before/after).
+    # Plan shape: one corpus scan, the dedup_exact fingerprint agg
+    # joined back, then conditional aggs over one token explode —
+    # the 'deduped' leg is a FILTER of the same frames, not a second
+    # scan; both distinct counts plan as two-phase expands.
+    d = t(spark, sf, "documents")
+    fp = d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("f"),
+        TX.tokens("lower(text)").alias("tk"),
+    )
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    tagged = fp.join(keepers, "f").select(
+        "doc_id", "tk", (F.col("keep_id") == F.col("doc_id")).alias("kept")
+    ).localCheckpoint(eager=True)  # consumed by both stage legs
+    toks = tagged.select("kept", F.explode("tk").alias("w"))
+    legs = []
+    for stage, cond in (("raw", F.lit(True)), ("deduped", F.col("kept"))):
+        nd = tagged.filter(cond).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        tk = toks.filter(cond).agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.count_distinct("w").cast("long").alias("vocab_size"),
+        )
+        legs.append(
+            nd.crossJoin(F.broadcast(tk)).select(
+                F.lit(stage).alias("stage"),
+                "n_docs",
+                "total_tokens",
+                "vocab_size",
+                F.round(
+                    F.col("total_tokens").cast("double")
+                    / F.col("vocab_size").cast("double"),
+                    6,
+                ).alias("tokens_per_type"),
+            )
+        )
+    return legs[0].unionByName(legs[1])

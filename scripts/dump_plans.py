@@ -94,12 +94,12 @@ SHOW = [
     ("pipeline_curate_funnel", "end-to-end curate chain (dedup -> boilerplate -> quality -> decontam) as one composed plan (r13)"),
     ("text_bpe_train_merges", "BPE training: ONE corpus token scan, then vocab-sized pair aggs + 1-row TakeOrdered + broadcast replace per iteration (r13)"),
     ("text_ccnet_lm_buckets", "CCNet bucketing: the unigram LM's plan + one doc-keyed join + |langs|-row percentile agg broadcast back (r13)"),
-    ("dedup_minhash_calibration", "MinHash calibration: candidate-bounded signature-match agg + shingle equi-join verify legs (r13)"),
+    ("dedup_minhash_calibration", "MinHash calibration: candidate-bounded signature-match agg + packed-set array_intersect verify (r13)"),
     ("pipeline_data_card", "data card: one corpus scan for all signals, source-keyed agg with two-phase count-distincts, partitioned top-lang window (r13)"),
     ("vector_ivf_nprobe_sweep", "IVF tuning curve: three broadcast-argmax assignment legs, k-bounded grading joins (r13)"),
     ("text_signal_correlation_matrix", "signal correlations: member scans + doc-keyed joins into ONE single-row exact-decimal agg (r13)"),
     ("events_stickiness", "DAU/WAU: distinct activity frame, bounded 7-day band join, day-keyed distinct agg (r13)"),
-    ("dedup_cross_source_matrix", "cross-source near-dup matrix: banded candidates + two doc-keyed source joins + verify legs, |sources|^2-bounded output (r13)"),
+    ("dedup_cross_source_matrix", "cross-source near-dup matrix: banded candidates + packed-set verify + two doc-keyed source joins, |sources|^2-bounded output (r13)"),
 ]
 
 INTERESTING = re.compile(
