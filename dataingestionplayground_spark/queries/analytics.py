@@ -2490,3 +2490,91 @@ def events_anomaly_consensus(spark, sf):
         F.col("f_seasonal").cast("int").alias("f_seasonal"),
         F.col("votes").cast("int").alias("votes"),
     )
+
+
+@register(
+    "events_seasonality_strength",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                  AS BIGINT) AS dow
+      FROM events
+    ), seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dow_mean
+      FROM base GROUP BY event_type, dow
+    ), resid AS (
+      SELECT b.event_type, b.value, b.value - s.dow_mean AS r
+      FROM base b JOIN seas s
+        ON s.event_type = b.event_type AND s.dow = b.dow
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS svv,
+             CAST(SUM(CAST(round(r * r, 6) AS DECIMAL(38,6))) AS DOUBLE) AS srr
+      FROM resid GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(svv / n - (sv / n) * (sv / n), 6) AS var_total,
+           round(srr / n, 6) AS var_resid,
+           round(1.0 - (srr / n)
+                 / nullif(svv / n - (sv / n) * (sv / n), 0.0), 6)
+             AS r2_seasonal
+    FROM stats
+    """,
+)
+def events_seasonality_strength(spark, sf):
+    # HOW SEASONAL IS EACH METRIC: per event type, the fraction of
+    # value variance explained by the (type, day-of-week) means —
+    # R^2 of the same decomposition events_anomaly_seasonal_zscore
+    # detects against, reported as the one scalar that decides whether
+    # the seasonal detector (and dow-indexed forecasting) is worth its
+    # extra pass over the plain z-score. Residual means are exactly
+    # zero by construction (residuals against fitted group means), so
+    # var_resid is srr/n directly. Portability: the seasonal_zscore
+    # conventions — dow = epoch-days mod 7, per-term 6dp rounds before
+    # DECIMAL sums, one fixed-order double evaluation, nullif guard
+    # for a constant type. Plan: two hash aggs over one base
+    # projection (|types| x 7 broadcast back), one |types|-row output.
+    e = t(spark, sf, "events")
+    base = e.select(
+        "event_type",
+        "value",
+        (F.floor(PF.epoch_seconds(F.date_trunc("DAY", F.col("ts"))) / 86400) % 7)
+        .cast("long")
+        .alias("dow"),
+    )
+    seas = base.groupBy("event_type", "dow").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dow_mean")
+    )
+    resid = base.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type", "value", (F.col("value") - F.col("dow_mean")).alias("r")
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(38,6)")).cast("double").alias("sv"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("svv"),
+        F.sum(F.round(F.col("r") * F.col("r"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("srr"),
+    )
+    n = F.col("n").cast("double")
+    var_total = F.col("svv") / n - (F.col("sv") / n) * (F.col("sv") / n)
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(var_total, 6).alias("var_total"),
+        F.round(F.col("srr") / n, 6).alias("var_resid"),
+        F.round(
+            F.lit(1.0) - (F.col("srr") / n) / F.nullif(var_total, F.lit(0.0)), 6
+        ).alias("r2_seasonal"),
+    )

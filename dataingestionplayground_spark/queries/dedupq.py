@@ -1466,3 +1466,61 @@ def dedup_semantic_threshold_sweep(spark, sf):
             F.coalesce(F.col("n_vectors"), F.lit(0)).cast("long").alias("n_vectors"),
         )
     )
+
+
+def _cluster_histogram_oracle() -> str:
+    # compose the registered connected-components oracle
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH clusters AS MATERIALIZED (
+      SELECT doc_id, cluster_id FROM ({_R['dedup_clusters'].oracle})
+    ), sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    ), hist AS (
+      SELECT cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS corpus FROM hist
+    )
+    SELECT h.cluster_size, h.n_clusters, h.n_docs,
+           round(CAST(h.n_docs AS DOUBLE) / CAST(t.corpus AS DOUBLE), 6)
+             AS doc_frac
+    FROM hist h CROSS JOIN tot t
+    """
+
+
+@register("dedup_cluster_size_histogram", oracle=_cluster_histogram_oracle())
+def dedup_cluster_size_histogram(spark, sf):
+    # HOW DUPLICATED IS THE CORPUS, as a curve: the size distribution
+    # of near-dup connected components (1 = unique doc, 2 = a pair,
+    # big sizes = template farms / mirror clusters) with the document
+    # fraction each size class holds — the first chart of any dedup
+    # report, and the input to the "representatives before pairing"
+    # lever the r13 ledger names for dedup_lsh_verified_pairs if its
+    # candidate growth ever crosses threshold. Composes the REGISTERED
+    # dedup_clusters (banded edges, iterative min-label CC); everything
+    # after it is |clusters|-sized: one size agg, one histogram agg,
+    # a 1-row total broadcast.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    clusters = _R["dedup_clusters"].fn(spark, sf).select("doc_id", "cluster_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    tot = hist.agg(F.sum("n_docs").cast("long").alias("corpus"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("corpus").cast("double"), 6
+        ).alias("doc_frac"),
+    )

@@ -2411,3 +2411,86 @@ def text_dedup_impact_stats(spark, sf):
             )
         )
     return legs[0].unionByName(legs[1])
+
+
+def _lm_gate_table_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    legs = []
+    for lm, has_keep in (
+        ("unigram", True),
+        ("bigram", True),
+        ("interpolated", True),
+        ("kneser_ney", False),
+    ):
+        o = _R[f"text_{lm}_perplexity"].oracle
+        keep_cnt = (
+            "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)"
+            if has_keep
+            else "CAST(NULL AS BIGINT)"
+        )
+        keep_rate = (
+            "round(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE), 6)"
+            if has_keep
+            else "CAST(NULL AS DOUBLE)"
+        )
+        legs.append(
+            f"""SELECT '{lm}' AS lm,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round({davg_expr('ppl')}, 6) AS avg_ppl,
+           {keep_cnt} AS n_keep,
+           {keep_rate} AS keep_rate
+    FROM ({o})"""
+        )
+    return "\n    UNION ALL ".join(legs)
+
+
+@register("text_lm_gate_table", oracle=_lm_gate_table_oracle())
+def text_lm_gate_table(spark, sf):
+    # WHICH LM ORDER DO WE GATE WITH: one row per registered language
+    # model (unigram / add-one bigram / Jelinek-Mercer interpolated /
+    # Kneser-Ney) with doc count, mean perplexity, and the keep rate at
+    # each model's shipped threshold (KN ships no gate — NULLs). The
+    # CCNet-style filtering decision (smoother LM = sharper separation
+    # of gibberish from rare-topic prose) usually gets made from
+    # exactly this table; here it composes the four REGISTERED
+    # perplexity queries so the table can never drift from the gates
+    # the pipeline actually runs. Scale shape: the four member plans
+    # (each: token scan + count-table joins) + four single-row aggs;
+    # nothing new shuffles the corpus.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    legs = []
+    for lm, has_keep in (
+        ("unigram", True),
+        ("bigram", True),
+        ("interpolated", True),
+        ("kneser_ney", False),
+    ):
+        df = _R[f"text_{lm}_perplexity"].fn(spark, sf)
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(davg("ppl"), 6).alias("avg_ppl"),
+        ]
+        if has_keep:
+            aggs.append(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_keep")
+            )
+            aggs.append(
+                F.round(
+                    F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("keep_rate")
+            )
+        else:
+            aggs.append(F.lit(None).cast("long").alias("n_keep"))
+            aggs.append(F.lit(None).cast("double").alias("keep_rate"))
+        legs.append(df.agg(*aggs).select(F.lit(lm).alias("lm"), "*"))
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out

@@ -2040,3 +2040,62 @@ def vector_pq_k_sweep(spark, sf):
             )
         )
     return legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+
+def _recall_at_k_oracle() -> str:
+    # the ann_recall_eval composition, swept over the cut depth
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH exact AS MATERIALIZED (
+      SELECT query_id, vec_id, "rank" FROM ({_R['vector_knn_bruteforce'].oracle})
+    ), approx AS MATERIALIZED (
+      SELECT query_id, vec_id, "rank" FROM ({_R['vector_lsh_ann'].oracle})
+    ), ks AS (
+      SELECT CAST(unnest([1, 5, 10]) AS INTEGER) AS k
+    ), grid AS (
+      SELECT ks.k, e.query_id, e.vec_id
+      FROM ks JOIN exact e ON e."rank" <= ks.k
+    )
+    SELECT g.k, g.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(g.k AS DOUBLE), 6)
+             AS recall_at_k
+    FROM grid g
+    LEFT JOIN approx a
+      ON a.query_id = g.query_id AND a.vec_id = g.vec_id AND a."rank" <= g.k
+    GROUP BY g.k, g.query_id
+    """
+
+
+@register("vector_recall_at_k_sweep", oracle=_recall_at_k_oracle())
+def vector_recall_at_k_sweep(spark, sf):
+    # Recall at CUT DEPTH 1 / 5 / 10 of the production LSH ANN vs exact
+    # brute force, per query — the depth dimension of the eval family
+    # (vector_ann_recall_eval fixes k=10; vector_ivf_nprobe_sweep
+    # sweeps the probe budget; this sweeps how deep the consumer
+    # reads). recall@1 is the "is the TOP answer right" number a
+    # retrieval-augmented pipeline actually lives on. Both member
+    # frames are k-bounded per query, so the sweep is a broadcast
+    # grid join over <= 3 * 10 * |queries| rows.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    exact = _R["vector_knn_bruteforce"].fn(spark, sf).select(
+        "query_id", "vec_id", F.col("rank").alias("rk_e")
+    )
+    approx = _R["vector_lsh_ann"].fn(spark, sf).select(
+        "query_id", "vec_id", F.col("rank").alias("rk_a")
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    grid = exact.crossJoin(F.broadcast(ks)).filter(F.col("rk_e") <= F.col("k"))
+    hit = (F.col("rk_a").isNotNull() & (F.col("rk_a") <= F.col("k"))).cast("int")
+    return (
+        grid.join(F.broadcast(approx), ["query_id", "vec_id"], "left")
+        .groupBy("k", "query_id")
+        .agg(
+            F.sum(hit).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(hit).cast("double") / F.first(F.col("k")).cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+    )

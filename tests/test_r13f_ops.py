@@ -1,0 +1,116 @@
+"""Round-13 wave-10 operator pins (LM gate table, recall-at-k sweep,
+cluster-size histogram, seasonality strength)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from dataingestionplayground_spark.session import get_spark
+
+    return get_spark()
+
+
+def test_lm_gate_table_recomputes_from_members(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    got = {r["lm"]: r for r in REGISTRY["text_lm_gate_table"].fn(spark, SF).collect()}
+    assert set(got) == {"unigram", "bigram", "interpolated", "kneser_ney"}
+    for lm, has_keep in (("unigram", True), ("bigram", True),
+                         ("interpolated", True), ("kneser_ney", False)):
+        rows = REGISTRY[f"text_{lm}_perplexity"].fn(spark, SF).collect()
+        assert got[lm]["n_docs"] == len(rows)
+        if has_keep:
+            n_keep = sum(1 for r in rows if r["keep"])
+            assert got[lm]["n_keep"] == n_keep
+            assert got[lm]["keep_rate"] == round(n_keep / len(rows), 6)
+        else:
+            assert got[lm]["n_keep"] is None and got[lm]["keep_rate"] is None
+
+
+def test_recall_at_k_sweep_monotone_structure(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    rows = REGISTRY["vector_recall_at_k_sweep"].fn(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["k"]] = r
+    assert len(by_q) == 5
+    exact = {(r["query_id"], r["vec_id"]): r["rank"] for r in
+             REGISTRY["vector_knn_bruteforce"].fn(spark, SF).collect()}
+    approx = {(r["query_id"], r["vec_id"]): r["rank"] for r in
+              REGISTRY["vector_lsh_ann"].fn(spark, SF).collect()}
+    for q, ks in by_q.items():
+        assert set(ks) == {1, 5, 10}
+        for k, r in ks.items():
+            hits = sum(
+                1 for (qq, v), rk in exact.items()
+                if qq == q and rk <= k and approx.get((qq, v), 99) <= k
+            )
+            assert r["n_hits"] == hits
+            assert r["recall_at_k"] == round(hits / k, 6)
+        # n_hits can only grow with depth
+        assert ks[1]["n_hits"] <= ks[5]["n_hits"] <= ks[10]["n_hits"]
+    # the k=10 leg IS vector_ann_recall_eval
+    base = {r["query_id"]: r["n_hits"] for r in
+            REGISTRY["vector_ann_recall_eval"].fn(spark, SF).collect()}
+    for q, ks in by_q.items():
+        assert ks[10]["n_hits"] == base[q]
+
+
+def test_cluster_histogram_partitions_corpus(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    hist = REGISTRY["dedup_cluster_size_histogram"].fn(spark, SF).collect()
+    clusters = REGISTRY["dedup_clusters"].fn(spark, SF).collect()
+    n_docs = len(clusters)
+    assert sum(r["n_docs"] for r in hist) == n_docs
+    assert abs(sum(r["doc_frac"] for r in hist) - 1.0) < 1e-5
+    sizes = {}
+    for r in clusters:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    from collections import Counter
+
+    expect = Counter(sizes.values())
+    got = {r["cluster_size"]: r["n_clusters"] for r in hist}
+    assert got == dict(expect)
+    for r in hist:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_seasonality_strength_matches_python(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    evs = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type = {}
+    for e in evs:
+        dow = int(e["ts"].timestamp() // 86400) % 7
+        by_type.setdefault(e["event_type"], []).append((dow, e["value"]))
+    got = {r["event_type"]: r for r in
+           REGISTRY["events_seasonality_strength"].fn(spark, SF).collect()}
+    for et, pts in by_type.items():
+        n = len(pts)
+        means = {}
+        for d, v in pts:
+            means.setdefault(d, []).append(v)
+        means = {d: sum(vs) / len(vs) for d, vs in means.items()}
+        sv = sum(round(v, 6) for _, v in pts)
+        svv = sum(round(v * v, 6) for _, v in pts)
+        srr = sum(round((v - means[d]) ** 2, 6) for d, v in pts)
+        var_total = svv / n - (sv / n) ** 2
+        r = got[et]
+        assert r["n"] == n
+        assert abs(r["var_total"] - var_total) < 1e-4
+        assert abs(r["var_resid"] - srr / n) < 1e-4
+        # explained variance is a valid fraction (allowing tiny float slack)
+        assert -1e-6 <= r["r2_seasonal"] <= 1.0 + 1e-6
+        assert r["var_resid"] <= r["var_total"] + 1e-6
