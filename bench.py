@@ -176,6 +176,11 @@ BIG_HEADLINE = [
     "dedup_cross_source_matrix",
     "text_signal_correlation_matrix",
     "events_session_stats",
+    # r13 wave 10: the LM gate table runs all four registered LM plans
+    # (the heaviest composed text shape); the cluster histogram adds a
+    # |clusters|-sized tail to the iterative-CC row already tracked
+    "text_lm_gate_table",
+    "dedup_cluster_size_histogram",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -224,6 +229,9 @@ BIG2_HEADLINE = [
     "dedup_cross_source_matrix",
     "text_signal_correlation_matrix",
     "events_session_stats",
+    # r13 wave 10 (2x-step evidence)
+    "text_lm_gate_table",
+    "dedup_cluster_size_histogram",
 ]
 
 
