@@ -630,3 +630,82 @@ def multimodal_hamming_threshold_sweep(spark, sf):
             F.coalesce(F.col("n_images"), F.lit(0)).cast("long").alias("n_images"),
         )
     )
+
+
+def _phash_confirm_oracle() -> str:
+    # compose the registered ahash PAIR set with the registered phash
+    # CODES — the retriever-agreement pattern for the image hashes
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT id_a, id_b, hamming AS ahash_hamming
+      FROM ({_R['multimodal_ahash_pairs'].oracle})
+    ), ph AS MATERIALIZED (
+      SELECT doc_id, phash FROM ({_R['multimodal_phash_dct'].oracle})
+    ), scored AS (
+      SELECT p.id_a, p.id_b, p.ahash_hamming,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS phash_hamming
+      FROM pairs p
+      JOIN ph a ON a.doc_id = p.id_a
+      JOIN ph b ON b.doc_id = p.id_b
+    )
+    SELECT ahash_hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(phash_hamming AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_phash_hamming,
+           CAST(SUM(CASE WHEN phash_hamming <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_confirmed,
+           round(CAST(SUM(CASE WHEN phash_hamming <= 10 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS confirm_rate
+    FROM scored GROUP BY ahash_hamming
+    """
+
+
+@register("multimodal_phash_confirm", oracle=_phash_confirm_oracle())
+def multimodal_phash_confirm(spark, sf):
+    # SECOND-HASH CONFIRMATION of the image near-dup pairs: for every
+    # ahash-banded pair, the DCT perceptual-hash Hamming distance and
+    # the fraction confirmed at phash <= 10 — the two hashes fail
+    # differently (ahash = brightness layout, phash = frequency
+    # structure), so pairs both agree on are safe to auto-collapse
+    # while ahash-only pairs go to review; the
+    # retrieval_bm25_ql_agreement pattern applied to the image
+    # modality. Composes the two REGISTERED queries; the pair frame is
+    # banding-bounded and the phash table joins it twice by doc key.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    pairs = (
+        _R["multimodal_ahash_pairs"].fn(spark, sf)
+        .select("id_a", "id_b", F.col("hamming").alias("ahash_hamming"))
+    )
+    ph = _R["multimodal_phash_dct"].fn(spark, sf).select("doc_id", "phash")
+    scored = (
+        pairs.join(
+            ph.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a")),
+            "id_a",
+        )
+        .join(
+            ph.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b")),
+            "id_b",
+        )
+        .select(
+            "ahash_hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            .cast("long")
+            .alias("phash_hamming"),
+        )
+    )
+    conf = F.when(F.col("phash_hamming") <= 10, 1).otherwise(0)
+    return scored.groupBy("ahash_hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("phash_hamming").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_phash_hamming"),
+        F.sum(conf).cast("long").alias("n_confirmed"),
+        F.round(
+            F.sum(conf).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("confirm_rate"),
+    )

@@ -2844,3 +2844,159 @@ def sample_dedup_weighted_mixture(spark, sf):
         F.round(wu, 9).alias("w_dedup"),
         F.round(wu / wr, 9).alias("weight_shift"),
     )
+
+
+def _quality_league_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH ens AS MATERIALIZED (
+      SELECT doc_id, quality, keep FROM ({_R['text_quality_ensemble'].oracle})
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           round({davg_expr('e.quality')}, 6) AS avg_quality,
+           CAST(SUM(CASE WHEN e.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(CAST(SUM(CASE WHEN e.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+    FROM ens e JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register("pipeline_quality_league", oracle=_quality_league_oracle())
+def pipeline_quality_league(spark, sf):
+    # Per-source league table of the TRAINED quality ensemble (mean
+    # blended score + keep rate at the shipped 0.5 gate) — the
+    # calibrated counterpart of pipeline_data_card's heuristic
+    # avg_quality column, and the table that actually reorders source
+    # priorities in a curation run (the heuristic and the ensemble
+    # disagree exactly where NB log-odds catch what length/stopword
+    # ratios miss). Composes the registered ensemble (its single-LM-
+    # scan plan carries the cost) + one doc-keyed join + one
+    # source-keyed agg.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    ens = (
+        _R["text_quality_ensemble"].fn(spark, sf)
+        .select("doc_id", "quality", "keep")
+    )
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    return (
+        ens.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.round(davg("quality"), 6).alias("avg_quality"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+
+
+@register(
+    "sample_mixture_realization_check",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0)) AS BIGINT)
+               AS isqrt
+      FROM counts
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(SUM(isqrt) AS BIGINT) AS total_isqrt
+      FROM w
+    ), rates AS (
+      SELECT w.source, w.n_docs,
+             least((w.isqrt * 300000 * t.total_docs)
+                   // (t.total_isqrt * w.n_docs), 1000000) AS thr
+      FROM w CROSS JOIN tot t
+    ), sampled AS (
+      SELECT d.source, COUNT(*) AS n_sampled
+      FROM documents d JOIN rates r ON r.source = d.source
+      WHERE {md5_mod_sql("CAST(d.doc_id AS VARCHAR)", 1000000)} < r.thr
+      GROUP BY d.source
+    ), st AS (
+      SELECT CAST(SUM(n_sampled) AS BIGINT) AS total_sampled FROM sampled
+    )
+    SELECT r.source, r.n_docs,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           round(CAST(r.thr AS DOUBLE) / 1e6, 6) AS planned_rate,
+           round(CAST(coalesce(s.n_sampled, 0) AS DOUBLE)
+                 / CAST(r.n_docs AS DOUBLE), 6) AS realized_rate,
+           round(CAST(coalesce(s.n_sampled, 0) AS DOUBLE)
+                 / CAST(st.total_sampled AS DOUBLE), 6) AS realized_share
+    FROM rates r
+    LEFT JOIN sampled s ON s.source = r.source
+    CROSS JOIN st
+    """,
+)
+def sample_mixture_realization_check(spark, sf):
+    # PLAN-VS-REALIZED mixture check: allocate a 30%-of-corpus sample
+    # budget by sample_temperature_mix's alpha=0.5 weights, realize it
+    # with the repo's deterministic md5-millionths coin, and report
+    # planned vs realized rates and shares per source — the pre-flight
+    # a pipeline runs before committing a mixture to a training job
+    # (a tail source whose realized rate saturates at 100% is the
+    # "budget exceeds the shard" signal). Per-source thresholds are
+    # EXACT BIGINT arithmetic end to end (isqrt weights are floored
+    # IEEE sqrts; the rate is one integer multiply-divide chain capped
+    # at 1e6), so plan and realization are bit-reproducible on both
+    # engines and across runs/epochs. Plan shape: one source-keyed
+    # count agg, a |sources|-row rate table broadcast into the coin
+    # filter (the filter itself pushes to the scan), one final
+    # source-keyed agg.
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double") * 1e6)).cast("long").alias("isqrt"),
+    )
+    tot = w.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.sum("isqrt").cast("long").alias("total_isqrt"),
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.expr("(isqrt * 300000 * total_docs) div (total_isqrt * n_docs)"),
+            F.lit(1000000),
+        ).alias("thr"),
+    )
+    coin = F.expr(md5_mod("cast(doc_id as string)", 1000000))
+    sampled = (
+        d.join(F.broadcast(rates), "source")
+        .filter(coin < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    st = sampled.agg(F.sum("n_sampled").cast("long").alias("total_sampled"))
+    return (
+        rates.join(F.broadcast(sampled), "source", "left")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+            F.round(F.col("thr").cast("double") / F.lit(1e6), 6).alias("planned_rate"),
+            F.round(
+                F.coalesce(F.col("n_sampled"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("realized_rate"),
+            F.round(
+                F.coalesce(F.col("n_sampled"), F.lit(0)).cast("double")
+                / F.col("total_sampled").cast("double"),
+                6,
+            ).alias("realized_share"),
+        )
+    )

@@ -114,3 +114,71 @@ def test_seasonality_strength_matches_python(spark):
         # explained variance is a valid fraction (allowing tiny float slack)
         assert -1e-6 <= r["r2_seasonal"] <= 1.0 + 1e-6
         assert r["var_resid"] <= r["var_total"] + 1e-6
+
+
+def test_quality_league_composes_ensemble(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    league = {r["source"]: r for r in
+              REGISTRY["pipeline_quality_league"].fn(spark, SF).collect()}
+    ens = {r["doc_id"]: r for r in
+           REGISTRY["text_quality_ensemble"].fn(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_src = {}
+    for d in docs:
+        if d["doc_id"] in ens:
+            by_src.setdefault(d["source"], []).append(ens[d["doc_id"]])
+    assert set(league) == set(by_src)
+    for src, rows in by_src.items():
+        assert league[src]["n_scored"] == len(rows)
+        n_keep = sum(1 for r in rows if r["keep"])
+        assert league[src]["n_keep"] == n_keep
+        assert league[src]["keep_rate"] == round(n_keep / len(rows), 6)
+
+
+def test_phash_confirm_covers_every_ahash_pair(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    conf = REGISTRY["multimodal_phash_confirm"].fn(spark, SF).collect()
+    n_pairs = REGISTRY["multimodal_ahash_pairs"].fn(spark, SF).count()
+    assert sum(r["n_pairs"] for r in conf) == n_pairs
+    for r in conf:
+        assert 0 <= r["n_confirmed"] <= r["n_pairs"]
+        assert r["confirm_rate"] == round(r["n_confirmed"] / r["n_pairs"], 6)
+        assert 0 <= r["ahash_hamming"] <= 6
+
+
+def test_mixture_realization_check_is_deterministic_and_sound(spark):
+    import hashlib
+    import math
+
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    rows = {r["source"]: r for r in
+            REGISTRY["sample_mixture_realization_check"].fn(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append(d["doc_id"])
+    # recompute thresholds and the md5 coin exactly
+    isq = {s: math.floor(math.sqrt(len(ids) * 1e6)) for s, ids in by_src.items()}
+    total_docs = sum(len(v) for v in by_src.values())
+    total_isqrt = sum(isq.values())
+    for s, ids in by_src.items():
+        thr = min((isq[s] * 300000 * total_docs) // (total_isqrt * len(ids)), 10**6)
+        sampled = [
+            i for i in ids
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10**6 < thr
+        ]
+        r = rows[s]
+        assert r["n_docs"] == len(ids)
+        assert r["n_sampled"] == len(sampled)
+        assert r["planned_rate"] == round(thr / 1e6, 6)
+        assert r["realized_rate"] == round(len(sampled) / len(ids), 6)
+    # run twice -> byte-identical realization (deterministic coin)
+    again = {r["source"]: r["n_sampled"] for r in
+             REGISTRY["sample_mixture_realization_check"].fn(spark, SF).collect()}
+    assert again == {s: r["n_sampled"] for s, r in rows.items()}
