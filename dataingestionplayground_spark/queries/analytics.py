@@ -2248,11 +2248,15 @@ def events_stickiness(spark, sf):
     # DAU/WAU stickiness per day — the engagement ratio product
     # analytics tracks next to events_rolling_dau (which smooths DAU;
     # this grades how much of the weekly audience shows up daily).
-    # WAU is an EXACT trailing-7-day distinct count via a bounded
-    # range join: the (user, day) activity frame joins the distinct-day
-    # grid on a 7-day band, so each activity row fans out <= 7x — a
-    # fixed multiplier, not a window over the raw event stream, and the
-    # distinct agg shuffles on the (day) key. At 100 TB the activity
+    # WAU is an EXACT trailing-7-day distinct count with an EXACT 7x
+    # fan-out: each (user, day) activity row EXPLODES into the seven
+    # grid days it covers (sequence(day, day+6)) and the distinct agg
+    # shuffles on the (gday) key — a plain equi-shuffle, no
+    # broadcast-nested-loop band join whose predicate would evaluate
+    # |activity| x |days| pairs (the post-ledger review fix: the first
+    # shape used the band join and only its OUTPUT was <= 7x). The
+    # grid column is then semi-filtered to days that actually occur so
+    # the two sides keep identical day sets. At 100 TB the activity
     # frame is |users x days| (far below event count) and days are
     # calendar-bounded; beyond that the swap is the theta-sketch
     # rollup (events_heavy_hitters' family) with a documented error
@@ -2267,11 +2271,13 @@ def events_stickiness(spark, sf):
     dau = activity.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("dau")
     )
-    g = days.select(F.col("day").alias("gday"))
+    covered = activity.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, day + 6)")).alias("gday"),
+    )
     wau = (
-        activity.join(
-            F.broadcast(g),
-            (F.col("day") >= F.col("gday") - 6) & (F.col("day") <= F.col("gday")),
+        covered.join(
+            F.broadcast(days.select(F.col("day").alias("gday"))), "gday", "left_semi"
         )
         .groupBy("gday")
         .agg(F.count_distinct("user_id").cast("long").alias("wau"))

@@ -2949,7 +2949,11 @@ def sample_mixture_realization_check(spark, sf):
     # EXACT BIGINT arithmetic end to end (isqrt weights are floored
     # IEEE sqrts; the rate is one integer multiply-divide chain capped
     # at 1e6), so plan and realization are bit-reproducible on both
-    # engines and across runs/epochs. Plan shape: one source-keyed
+    # engines and across runs/epochs. Numeric range: the chain peaks at
+    # isqrt * 3e5 * total_docs — safe through ~1e8-doc sources; a
+    # 1e10-doc corpus must drop the isqrt scale factor from 1e6 to 1e2
+    # (same floor(sqrt(n * C)) construction, smaller C) to stay inside
+    # int64, a one-constant change on both engines. Plan shape: one source-keyed
     # count agg, a |sources|-row rate table broadcast into the coin
     # filter (the filter itself pushes to the scan), one final
     # source-keyed agg.
