@@ -122,23 +122,35 @@ def all_queries() -> dict[str, Query]:
     return fresh
 
 
-def _driver_checked_names(root=None) -> set[str]:
+def _driver_checked_names(root=None, use_snapshot=None) -> set[str]:
     """Names the driver's correctness gate has already hash-checked, from
     every ``CORRECTNESS_r{N}.json`` it left in the repo root. Only names
     whose record shows a clean hash match count — a query that errored or
     mismatched stays in the front (never-checked) band for re-checking.
     Exception: a rows-only query sampled as ``err: no_oracle`` with rows
     produced counts as checked — that IS its best possible driver outcome
-    (r10 verdict item 3), so it must not re-front forever."""
+    (r10 verdict item 3), so it must not re-front forever.
+
+    On the live repo root the artifact-derived set is UNIONED with the
+    tracked snapshot (``driver_checked_fallback.json``): artifacts are
+    untracked, so after a fresh checkout the first new round's artifact
+    covers only ~50 names — precedence (instead of union) would discard
+    the snapshot's ~250 verified names and flood the sample window with
+    long-green queries again (post-ledger review of the ee85d97 fix).
+    A name an artifact explicitly RECORDS as failed (hash mismatch or
+    error) is subtracted from the snapshot side — live bad news always
+    re-fronts a query, the snapshot can never veto it."""
     import json
     import re
     from pathlib import Path
 
-    live_root = root is None
+    if use_snapshot is None:
+        use_snapshot = root is None
     if root is None:
         root = Path(__file__).resolve().parents[2]
     root = Path(root)
     checked: set[str] = set()
+    failed: set[str] = set()
     for p in root.glob("CORRECTNESS_r*.json"):
         if not re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name):
             continue
@@ -160,21 +172,16 @@ def _driver_checked_names(root=None) -> set[str]:
             )
             if clean or rows_only_seen:
                 checked.add(name)
-    if checked or not live_root:
+            else:
+                failed.add(name)
+    if not use_snapshot:
         return checked
-    # Fresh checkout: the driver's artifacts are untracked and a session
-    # restart wipes them, which would silently reset the sample window to
-    # the base interleave (re-spending all 50 slots on long-verified
-    # names). Fall back to the TRACKED snapshot of names with a
-    # documented green verification (driver cumulative + judge residue as
-    # of the last closed round) so the window keeps fronting genuinely
-    # new queries. Live artifacts always take precedence above.
     try:
         snap = json.loads(
             (Path(__file__).resolve().parent / "driver_checked_fallback.json")
             .read_text()
         )
-        return set(snap.get("names", []))
+        return checked | (set(snap.get("names", [])) - failed)
     except (OSError, ValueError):
         return checked
 

@@ -754,23 +754,9 @@ def dedup_lsh_incremental(spark, sf):
         new, old, "doc_id", "text", num_hashes=8, rows_per_band=2
     ).localCheckpoint(eager=True)
 
-    def packed(side, idn):
-        ids = cand.select(F.col(idn).alias("doc_id")).distinct()
-        return (
-            side.join(ids, "doc_id", "left_semi")
-            .select("doc_id", TX.tokens("text").alias("__w"))
-            .select(
-                F.col("doc_id").alias(idn),
-                F.array_distinct(TX.shingles_from_tokens("__w", 3)).alias(
-                    f"set_{idn}"
-                ),
-            )
-            .withColumn(f"sz_{idn}", F.size(f"set_{idn}"))
-        )
-
     j = (
-        cand.join(packed(new, "new_id"), "new_id")
-        .join(packed(old, "old_id"), "old_id")
+        cand.join(_packed_side(cand, new, "new_id"), "new_id")
+        .join(_packed_side(cand, old, "old_id"), "old_id")
         .withColumn(
             "n_common", F.size(F.array_intersect("set_new_id", "set_old_id"))
         )
@@ -929,7 +915,11 @@ def dedup_snapshot_delta(spark, sf):
     d = t(spark, sf, "documents")
     a = d.filter(F.col("doc_id") % 5 != 4)
     b = d.filter(F.col("doc_id") % 5 != 0)
-    delta = b.join(a.select("doc_id"), "doc_id", "left_anti")
+    # consumed three times (candidate banding, packed verify side, the
+    # final fingerprint select): checkpoint so the anti-join runs once
+    delta = b.join(a.select("doc_id"), "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     afp = (
         a.select(TX.fingerprint("text").alias("fp"))
         .distinct()
@@ -939,23 +929,9 @@ def dedup_snapshot_delta(spark, sf):
         delta, a, "doc_id", "text", num_hashes=8, rows_per_band=2
     ).localCheckpoint(eager=True)
 
-    def packed(side, idn):
-        ids = cand.select(F.col(idn).alias("doc_id")).distinct()
-        return (
-            side.join(ids, "doc_id", "left_semi")
-            .select("doc_id", TX.tokens("text").alias("__w"))
-            .select(
-                F.col("doc_id").alias(idn),
-                F.array_distinct(TX.shingles_from_tokens("__w", 3)).alias(
-                    f"set_{idn}"
-                ),
-            )
-            .withColumn(f"sz_{idn}", F.size(f"set_{idn}"))
-        )
-
     best = (
-        cand.join(packed(delta, "new_id"), "new_id")
-        .join(packed(a, "old_id"), "old_id")
+        cand.join(_packed_side(cand, delta, "new_id"), "new_id")
+        .join(_packed_side(cand, a, "old_id"), "old_id")
         .withColumn(
             "n_common", F.size(F.array_intersect("set_new_id", "set_old_id"))
         )
@@ -1072,6 +1048,26 @@ def _packed_pair_jaccard(docs, cand):
                 6,
             ).alias("j"),
         )
+    )
+
+
+def _packed_side(cand, side, idn):
+    """One side of an ASYMMETRIC packed-set verify (the two-table form
+    of _packed_pair_jaccard, shared by dedup_lsh_incremental and
+    dedup_snapshot_delta — previously two byte-identical closures, a
+    post-ledger review finding): the side's packed distinct-shingle
+    set, built only for docs that appear in a candidate pair."""
+    ids = cand.select(F.col(idn).alias("doc_id")).distinct()
+    return (
+        side.join(ids, "doc_id", "left_semi")
+        .select("doc_id", TX.tokens("text").alias("__w"))
+        .select(
+            F.col("doc_id").alias(idn),
+            F.array_distinct(TX.shingles_from_tokens("__w", 3)).alias(
+                f"set_{idn}"
+            ),
+        )
+        .withColumn(f"sz_{idn}", F.size(f"set_{idn}"))
     )
 
 

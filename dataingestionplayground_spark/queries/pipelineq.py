@@ -2950,10 +2950,12 @@ def sample_mixture_realization_check(spark, sf):
     # IEEE sqrts; the rate is one integer multiply-divide chain capped
     # at 1e6), so plan and realization are bit-reproducible on both
     # engines and across runs/epochs. Numeric range: the chain peaks at
-    # isqrt * 3e5 * total_docs — safe through ~1e8-doc sources; a
-    # 1e10-doc corpus must drop the isqrt scale factor from 1e6 to 1e2
-    # (same floor(sqrt(n * C)) construction, smaller C) to stay inside
-    # int64, a one-constant change on both engines. Plan shape: one source-keyed
+    # isqrt * 3e5 * total_docs with isqrt = 1000*sqrt(n_src), i.e.
+    # ~3e8 * n^1.5 for a dominant source — int64 overflows near n ~ 1e7
+    # docs, so a larger corpus must shrink the isqrt scale constant
+    # (floor(sqrt(n * C)) with C = 1e2 instead of 1e6 buys 100x corpus
+    # headroom at 1/100th the rate resolution) — a one-constant change
+    # made identically on both engines. Plan shape: one source-keyed
     # count agg, a |sources|-row rate table broadcast into the coin
     # filter (the filter itself pushes to the scan), one final
     # source-keyed agg.

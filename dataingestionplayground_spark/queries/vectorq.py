@@ -1797,26 +1797,17 @@ def _pq_distortion_oracle() -> str:
     """
 
 
-@register("vector_pq_distortion", oracle=_pq_distortion_oracle())
-def vector_pq_distortion(spark, sf):
-    # PQ codebook-health diagnostic: per-subspace quantization
-    # distortion — the mean and max squared-L2 between each vector's
-    # subvector and its nearest codebook entry, i.e. exactly the error
-    # the ADC distance accumulates per subspace. A subspace whose
-    # mean_sq_err balloons (data drifted away from the frozen
-    # codebook) is the "retrain / split the codebook" signal, read
-    # next to vector_cell_balance's occupancy skew and the drift
-    # monitor's PSI. Plan shape: the codebook is ONE broadcast row
-    # (the pq_encode discipline); per-vector min-distances are pure
-    # in-row expressions; stack() pivots the m per-row columns into
-    # (subspace, sq) rows so ONE m-key hash agg (map-side partials)
-    # finishes the job — zero corpus shuffles. Portability: (x-y)*(x-y)
-    # folds (never pow), per-vector terms 6dp-rounded and summed as
-    # DECIMAL (order-independent), one division then round.
+def _pq_distortion_frame(e, k):
+    """(subspace, n_vecs, mean_sq_err, max_sq_err) for a seeded PQ
+    codebook of k entries — the per-subspace distortion body shared by
+    vector_pq_distortion (k = _PQ_K) and vector_pq_k_sweep (k swept),
+    hoisted so the sweep can never desynchronize from the diagnostic it
+    parameterizes (post-ledger review finding). Broadcast codebook,
+    in-row min-distances, stack() into ONE m-key agg — zero corpus
+    shuffles; per-vector terms 6dp-rounded and decimal-summed."""
     from dataingestionplayground_spark.operators.similarity import _pq_codebook
 
-    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
-    cb = _pq_codebook(e, _PQ_M, _PQ_K, _PQ_D, "vec_id", "embedding", "seed")
+    cb = _pq_codebook(e, _PQ_M, k, _PQ_D, "vec_id", "embedding", "seed")
     enc = e.crossJoin(F.broadcast(cb))
     dsub = _PQ_DSUB
     for s in range(_PQ_M):
@@ -1841,6 +1832,26 @@ def vector_pq_distortion(spark, sf):
         ).alias("mean_sq_err"),
         F.round(F.max("sq"), 6).alias("max_sq_err"),
     )
+
+
+@register("vector_pq_distortion", oracle=_pq_distortion_oracle())
+def vector_pq_distortion(spark, sf):
+    # PQ codebook-health diagnostic: per-subspace quantization
+    # distortion — the mean and max squared-L2 between each vector's
+    # subvector and its nearest codebook entry, i.e. exactly the error
+    # the ADC distance accumulates per subspace. A subspace whose
+    # mean_sq_err balloons (data drifted away from the frozen
+    # codebook) is the "retrain / split the codebook" signal, read
+    # next to vector_cell_balance's occupancy skew and the drift
+    # monitor's PSI. Plan shape: the codebook is ONE broadcast row
+    # (the pq_encode discipline); per-vector min-distances are pure
+    # in-row expressions; stack() pivots the m per-row columns into
+    # (subspace, sq) rows so ONE m-key hash agg (map-side partials)
+    # finishes the job — zero corpus shuffles. Portability: (x-y)*(x-y)
+    # folds (never pow), per-vector terms 6dp-rounded and summed as
+    # DECIMAL (order-independent), one division then round.
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return _pq_distortion_frame(e, _PQ_K)
 
 
 def _nprobe_sweep_oracle() -> str:
@@ -2001,44 +2012,17 @@ def vector_pq_k_sweep(spark, sf):
     # codebook row, in-row min-distances, stack() into an m-key agg,
     # zero corpus shuffles; the sweep is three such passes over the
     # same scan.
-    from dataingestionplayground_spark.operators.similarity import _pq_codebook
-
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
-    dsub = _PQ_DSUB
-    legs = []
-    for k in (4, 8, 16):
-        cb = _pq_codebook(e, _PQ_M, k, _PQ_D, "vec_id", "embedding", "seed")
-        enc = e.crossJoin(F.broadcast(cb))
-        for s in range(_PQ_M):
-            dists = (
-                f"transform(filter(cents, c -> c.s = {s}), c -> "
-                f"aggregate(sequence(1, {dsub}), cast(0.0 as double), "
-                f"(acc, i) -> acc + (cast(element_at(embedding, {s * dsub} + i) as double) "
-                f"- element_at(c.v, i)) * (cast(element_at(embedding, {s * dsub} + i) as double) "
-                f"- element_at(c.v, i))))"
-            )
-            enc = enc.withColumn(f"sq_{s}", F.expr(f"array_min({dists})"))
-        stack_args = ", ".join(f"{s}, sq_{s}" for s in range(_PQ_M))
-        rows = enc.selectExpr(
-            f"stack({_PQ_M}, {stack_args}) as (subspace, sq)"
-        ).select(F.col("subspace").cast("int").alias("subspace"), "sq")
-        legs.append(
-            rows.groupBy("subspace").agg(
-                F.count(F.lit(1)).cast("long").alias("n_vecs"),
-                F.round(
-                    F.sum(F.round("sq", 6).cast("decimal(38,6)")).cast("double")
-                    / F.count(F.lit(1)).cast("double"),
-                    6,
-                ).alias("mean_sq_err"),
-                F.round(F.max("sq"), 6).alias("max_sq_err"),
-            ).select(
-                F.lit(k).cast("int").alias("k"),
-                "subspace",
-                "n_vecs",
-                "mean_sq_err",
-                "max_sq_err",
-            )
+    legs = [
+        _pq_distortion_frame(e, k).select(
+            F.lit(k).cast("int").alias("k"),
+            "subspace",
+            "n_vecs",
+            "mean_sq_err",
+            "max_sq_err",
         )
+        for k in (4, 8, 16)
+    ]
     return legs[0].unionByName(legs[1]).unionByName(legs[2])
 
 

@@ -231,9 +231,20 @@ def quality_gate_model(spark, sf) -> dict:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .collect()
     )
+    # An unusable reference corpus (no doc survives the perplexity
+    # member's joins, or no token hits a trained bucket) leaves the
+    # extrema rows NULL / the weight table empty; fail with the cause
+    # instead of an opaque float(None) TypeError downstream
+    # (post-ledger review finding).
+    if not wrows or lo["lo_min"] is None or pp["p_min"] is None:
+        raise ValueError(
+            "quality_gate_model: reference corpus produced no usable "
+            "signal rows (empty NB weight table or NULL score extrema) — "
+            "the frozen gate cannot be calibrated from it"
+        )
     return {
         "nb_weights": [(int(r["bucket"]), r["w"]) for r in wrows],
-        "nb_prior": wrows[0]["prior"] if wrows else "0",
+        "nb_prior": wrows[0]["prior"],
         "vocab": [(r["w"], int(r["c"])) for r in vocab],
         "lm_total": int(sum(r["c"] for r in vocab)),
         "lo_min": float(lo["lo_min"]),

@@ -98,7 +98,7 @@ SHOW = [
     ("pipeline_data_card", "data card: one corpus scan for all signals, source-keyed agg with two-phase count-distincts, partitioned top-lang window (r13)"),
     ("vector_ivf_nprobe_sweep", "IVF tuning curve: three broadcast-argmax assignment legs, k-bounded grading joins (r13)"),
     ("text_signal_correlation_matrix", "signal correlations: member scans + doc-keyed joins into ONE single-row exact-decimal agg (r13)"),
-    ("events_stickiness", "DAU/WAU: distinct activity frame, bounded 7-day band join, day-keyed distinct agg (r13)"),
+    ("events_stickiness", "DAU/WAU: distinct activity frame, exact 7x sequence-explode into a gday equi-shuffle (no BNLJ band join), day-keyed distinct agg (r13)"),
     ("dedup_cross_source_matrix", "cross-source near-dup matrix: banded candidates + packed-set verify + two doc-keyed source joins, |sources|^2-bounded output (r13)"),
 ]
 

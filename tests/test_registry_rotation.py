@@ -214,3 +214,26 @@ def test_fallback_ignored_when_artifacts_exist(tmp_path):
                       "oracle_rows": 1}}
     (tmp_path / "CORRECTNESS_r50.json").write_text(json.dumps(art))
     assert Q._driver_checked_names(root=tmp_path) == {"only_q"}
+
+
+def test_snapshot_unions_with_artifacts_and_respects_failures(tmp_path):
+    # post-ledger review of the fallback: the first artifact written
+    # after a fresh checkout covers ~50 names; it must UNION with the
+    # snapshot (not shadow it), while an explicit failure record beats
+    # the snapshot (live bad news re-fronts the query)
+    pkg = __import__("pathlib").Path(Q.__file__).resolve().parent
+    snap_names = set(
+        json.loads((pkg / "driver_checked_fallback.json").read_text())["names"]
+    )
+    victim = sorted(snap_names)[0]
+    art = {
+        "brand_new_green": {"err": None, "hash_match": True,
+                            "spark_rows": 5, "oracle_rows": 5},
+        victim: {"err": None, "hash_match": False, "rows_match": False,
+                 "spark_rows": 5, "oracle_rows": 5},
+    }
+    (tmp_path / "CORRECTNESS_r40.json").write_text(json.dumps(art))
+    got = Q._driver_checked_names(root=tmp_path, use_snapshot=True)
+    assert "brand_new_green" in got
+    assert victim not in got            # live hash-fail overrides snapshot
+    assert (snap_names - {victim}) <= got  # the rest of the snapshot survives
