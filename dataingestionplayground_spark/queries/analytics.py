@@ -2584,3 +2584,63 @@ def events_seasonality_strength(spark, sf):
             F.lit(1.0) - (F.col("srr") / n) / F.nullif(var_total, F.lit(0.0)), 6
         ).alias("r2_seasonal"),
     )
+
+
+@register(
+    "events_kpi_daily",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             user_id, event_type, value
+      FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+           round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS total_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           round(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 6)
+             AS events_per_user
+    FROM base GROUP BY day
+    """,
+)
+def events_kpi_daily(spark, sf):
+    # The daily KPI strip — events, DAU, decimal-exact value total,
+    # purchases, error rate, events/user — the single table a
+    # dashboard's top row reads, and the batch twin every streaming
+    # rollup in this repo reconciles against (one day-keyed agg makes
+    # it the cheapest nightly sanity join vs the incremental
+    # maintainers). ONE hash agg on the natural day key; the distinct
+    # user count plans as the standard two-phase expand; value sums
+    # route through DECIMAL(38,6) (order-independent at any
+    # parallelism).
+    e = t(spark, sf, "events")
+    base = e.select(
+        F.floor(PF.epoch_seconds("ts") / F.lit(86400)).cast("long").alias("day"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    n = F.count(F.lit(1))
+    du = F.count_distinct("user_id")
+    return base.groupBy("day").agg(
+        n.cast("long").alias("n_events"),
+        du.cast("long").alias("dau"),
+        F.round(PF.dsum("value"), 6).alias("total_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast(
+                "double"
+            )
+            / n.cast("double"),
+            6,
+        ).alias("error_rate"),
+        F.round(n.cast("double") / du.cast("double"), 6).alias("events_per_user"),
+    )

@@ -3006,3 +3006,89 @@ def sample_mixture_realization_check(spark, sf):
             ).alias("realized_share"),
         )
     )
+
+
+@register(
+    "pipeline_release_report",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, source, lang, n_chars, {TX.fingerprint_sql('text')} AS f,
+             CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_toks,
+             {TX.stopword_hits_sql('text', 'en')} AS n_stop,
+             CAST(len(replace(text, ' ', '')) AS INTEGER) AS len_sum
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source, lang, f, n_toks,
+             CASE WHEN n_toks > 0 THEN {_QUALITY_SQL} END AS quality
+      FROM raw
+    ), lc AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY lang
+    ), ent AS (
+      SELECT round(CAST(SUM(CAST(round(
+               -(CAST(c AS DOUBLE) / t) * log2(CAST(c AS DOUBLE) / t), 6)
+             AS DECIMAL(38,6))) AS DOUBLE), 6) AS lang_entropy
+      FROM lc CROSS JOIN (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM lc)
+    ), base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             round(CAST(COUNT(*) - COUNT(DISTINCT f) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+             round({davg_expr('quality')}, 6) AS avg_quality
+      FROM feats
+    )
+    SELECT b.*, e.lang_entropy FROM base b CROSS JOIN ent e
+    """,
+)
+def pipeline_release_report(spark, sf):
+    # The ONE-ROW dataset release card — the header block of a dataset
+    # datasheet (doc/source/lang counts, token total, exact-dup rate,
+    # mean heuristic quality, language-distribution Shannon entropy) —
+    # pipeline_data_card rolled up to corpus grain for the "what did we
+    # ship" line a release pipeline stamps next to its export manifest
+    # (pipeline_dataset_fingerprint gives content identity; this gives
+    # content SHAPE). Entropy terms are 6dp-rounded before the decimal
+    # fold (the char-entropy convention) over a |langs|-row frame.
+    # Plan: ONE corpus scan computing all per-doc signals in-row, one
+    # single-row agg with two-phase count-distincts, one |langs|-key
+    # agg for the entropy — nothing else.
+    d = t(spark, sf, "documents")
+    raw = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        TX.fingerprint("text").alias("f"),
+        TX.token_count("text").cast("long").alias("n_toks"),
+        TX.stopword_hits("text", "en").alias("n_stop"),
+        F.length(F.expr("replace(text, ' ', '')")).cast("int").alias("len_sum"),
+    )
+    feats = raw.select(
+        "doc_id",
+        "source",
+        "lang",
+        "f",
+        "n_toks",
+        F.when(F.col("n_toks") > 0, F.expr(_QUALITY_SQL)).alias("quality"),
+    )
+    lc = feats.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tt = lc.agg(F.sum("c").cast("double").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    ent = (
+        lc.crossJoin(F.broadcast(tt))
+        .select(F.round(-p * F.log2(p), 6).cast("decimal(38,6)").alias("term"))
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("lang_entropy"))
+    )
+    n = F.count(F.lit(1))
+    base = feats.agg(
+        n.cast("long").alias("n_docs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(
+            (n - F.count_distinct("f")).cast("double") / n.cast("double"), 6
+        ).alias("dup_rate"),
+        F.round(davg("quality"), 6).alias("avg_quality"),
+    )
+    return base.crossJoin(F.broadcast(ent))

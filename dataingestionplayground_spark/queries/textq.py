@@ -2494,3 +2494,75 @@ def text_lm_gate_table(spark, sf):
     for l in legs[1:]:
         out = out.unionByName(l)
     return out
+
+
+def _ppl_quality_calibration_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH p AS MATERIALIZED (
+      SELECT doc_id, ppl FROM ({_R['text_unigram_perplexity'].oracle})
+    ), q AS MATERIALIZED (
+      SELECT doc_id, round(quality, 6) AS quality
+      FROM ({_R['text_quality_score'].oracle})
+    ), j AS (
+      SELECT p.doc_id, p.ppl, q.quality FROM p JOIN q USING (doc_id)
+    ), b AS (
+      SELECT list_transform(
+               quantile_cont(ppl, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               x -> round(x, 6)) AS bs
+      FROM j
+    ), dec AS (
+      SELECT j.ppl, j.quality,
+             1 + len(list_filter(b.bs, x -> j.ppl > x)) AS decile
+      FROM j CROSS JOIN b
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round({davg_expr('ppl')}, 6) AS avg_ppl,
+           round({davg_expr('quality')}, 6) AS avg_quality
+    FROM dec GROUP BY decile
+    """
+
+
+@register(
+    "text_ppl_quality_calibration", oracle=_ppl_quality_calibration_oracle()
+)
+def text_ppl_quality_calibration(spark, sf):
+    # SIGNAL CALIBRATION CURVE between the two primary gates: mean
+    # heuristic quality per unigram-perplexity decile — the binned
+    # view of the single Pearson number text_signal_correlation_matrix
+    # reports (a monotone-falling curve says the LM gate and the
+    # heuristic agree on ORDER even where the correlation is modest; a
+    # U-shape says they disagree exactly in the tails the gates act
+    # on). Composes the two registered per-doc signals; decile
+    # boundaries are exact interpolated percentiles 6dp-rounded on
+    # both engines before the strict > (the curriculum rule). Plan:
+    # member scans + one doc-keyed join + ONE quantile agg broadcast
+    # back + a 10-key agg.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    p = _R["text_unigram_perplexity"].fn(spark, sf).select("doc_id", "ppl")
+    q = (
+        _R["text_quality_score"].fn(spark, sf)
+        .select("doc_id", F.round("quality", 6).alias("quality"))
+    )
+    j = p.join(q, "doc_id")
+    bs = j.agg(
+        F.expr(
+            "transform(percentile(ppl, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9)), x -> round(x, 6))"
+        ).alias("bs")
+    )
+    dec = j.crossJoin(F.broadcast(bs)).select(
+        "ppl",
+        "quality",
+        (F.lit(1) + F.expr("size(filter(bs, x -> ppl > x))"))
+        .cast("int")
+        .alias("decile"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(davg("ppl"), 6).alias("avg_ppl"),
+        F.round(davg("quality"), 6).alias("avg_quality"),
+    )

@@ -182,3 +182,60 @@ def test_mixture_realization_check_is_deterministic_and_sound(spark):
     again = {r["source"]: r["n_sampled"] for r in
              REGISTRY["sample_mixture_realization_check"].fn(spark, SF).collect()}
     assert again == {s: r["n_sampled"] for s, r in rows.items()}
+
+
+def test_release_report_composes_data_card(spark):
+    import math
+
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    rep = REGISTRY["pipeline_release_report"].fn(spark, SF).collect()[0]
+    card = REGISTRY["pipeline_data_card"].fn(spark, SF).collect()
+    assert rep["n_sources"] == len(card)
+    assert rep["total_tokens"] == sum(r["total_tokens"] for r in card)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert rep["n_docs"] == len(docs)
+    langs = {}
+    for d in docs:
+        langs[d["lang"]] = langs.get(d["lang"], 0) + 1
+    assert rep["n_langs"] == len(langs)
+    t = sum(langs.values())
+    ent = sum(round(-(c / t) * math.log2(c / t), 6) for c in langs.values())
+    assert rep["lang_entropy"] == round(ent, 6)
+    assert 0.0 <= rep["dup_rate"] < 1.0
+
+
+def test_kpi_daily_matches_python(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    evs = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_day = {}
+    for e in evs:
+        by_day.setdefault(int(e["ts"].timestamp() // 86400), []).append(e)
+    got = {r["day"]: r for r in REGISTRY["events_kpi_daily"].fn(spark, SF).collect()}
+    assert set(got) == set(by_day)
+    for d, es in by_day.items():
+        r = got[d]
+        assert r["n_events"] == len(es)
+        assert r["dau"] == len({e["user_id"] for e in es})
+        assert r["n_purchases"] == sum(1 for e in es if e["event_type"] == "purchase")
+        errs = sum(1 for e in es if e["event_type"] == "error")
+        assert r["error_rate"] == round(errs / len(es), 6)
+        assert r["events_per_user"] == round(len(es) / r["dau"], 6)
+
+
+def test_ppl_quality_calibration_partitions_joined_docs(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    cal = REGISTRY["text_ppl_quality_calibration"].fn(spark, SF).collect()
+    p = {r["doc_id"] for r in REGISTRY["text_unigram_perplexity"].fn(spark, SF).collect()}
+    q = {r["doc_id"] for r in REGISTRY["text_quality_score"].fn(spark, SF).collect()}
+    assert sum(r["n_docs"] for r in cal) == len(p & q)
+    assert {r["decile"] for r in cal} <= set(range(1, 11))
+    # mean ppl must rise strictly with the ppl decile (by construction)
+    by_dec = sorted(cal, key=lambda r: r["decile"])
+    for a, b in zip(by_dec, by_dec[1:]):
+        assert a["avg_ppl"] < b["avg_ppl"]
