@@ -939,3 +939,115 @@ def compact_decay_rollup(spark: SparkSession, path: str) -> int:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return buckets
+
+
+def build_dup_rate_state(docs: DataFrame) -> DataFrame:
+    """Batch build of the per-source duplicate-rate state: one row per
+    (source, fingerprint) with its document count — the maintained form
+    of ``dedup_rate_by_source``'s aggregation input. State size is
+    O(distinct contents), the same bound as the incremental-LSH
+    signature table; raw documents are never retained."""
+    from dataingestionplayground_spark.functions import text as TX
+
+    return (
+        docs.select("source", TX.fingerprint("text").alias("fingerprint"))
+        .groupBy("source", "fingerprint")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_dup_rate_state(
+    spark: SparkSession, batch: DataFrame, path: str, epoch_id: int
+) -> int:
+    """Epoch-keyed streaming maintenance for the dup-rate monitor —
+    the merge_topk_rollup discipline applied to exact-dedup state.
+
+    Counts SUM on combine, so a re-delivered micro-batch would
+    double-count; exactly-once comes from EPOCH-KEYED STAGING: each
+    source partition holds one (fingerprint, cnt) row-set per epoch,
+    merging epoch E first drops rows already tagged E in the touched
+    sources, then writes the fresh ones — a foreachBatch retry
+    converges to the identical table. Query-time combine
+    (:func:`dup_rate_over`) SUMs across distinct epochs, so every
+    document is counted exactly once. Base rows from
+    :func:`build_dup_rate_state` (epoch NULL) are never replaced —
+    batch seed + streaming maintenance composes. Cost: O(batch
+    distinct contents) + a partition-pruned read-back of the touched
+    sources' accumulator rows. Returns source partitions touched."""
+    import os
+
+    fresh = build_dup_rate_state(batch).withColumn(
+        "epoch_id", F.lit(int(epoch_id)).cast("long")
+    )
+    sources = [r["source"] for r in fresh.select("source").distinct().collect()]
+    if not sources:
+        return 0
+    if os.path.isdir(path) and any(
+        e.startswith("source=") for e in os.listdir(path)
+    ):
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .filter(F.col("source").isin(sources))
+        )
+        if "epoch_id" not in existing.columns:
+            existing = existing.withColumn("epoch_id", F.lit(None).cast("long"))
+        kept = existing.filter(
+            F.col("epoch_id").isNull() | (F.col("epoch_id") != int(epoch_id))
+        ).select("fingerprint", "cnt", "epoch_id", "source")
+        merged = kept.unionByName(
+            fresh.select("fingerprint", "cnt", "epoch_id", "source")
+        ).localCheckpoint(eager=True)
+    else:
+        merged = fresh.select("fingerprint", "cnt", "epoch_id", "source")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("source").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(sources)
+
+
+def dup_rate_over(spark: SparkSession, path: str) -> DataFrame:
+    """Per-source dup-rate view over the maintained state — column-for-
+    column ``dedup_rate_by_source`` (n_docs / n_unique / n_dups /
+    dup_rate), so the nightly reconciliation is one join. Combine
+    across epoch rows is an associative SUM per (source, fingerprint);
+    distinct contents = rows with a positive combined count."""
+    state = spark.read.option("mergeSchema", "true").parquet(path)
+    per_fp = state.groupBy("source", "fingerprint").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    n = F.sum("cnt")
+    u = F.count(F.lit(1))
+    return per_fp.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        u.cast("long").alias("n_unique"),
+        (n - u).cast("long").alias("n_dups"),
+        F.round((n - u).cast("double") / n.cast("double"), 6).alias("dup_rate"),
+    )
+
+
+def compact_dup_rate_state(spark: SparkSession, path: str) -> int:
+    """Fold per-epoch accumulator rows into one epoch-NULL row per
+    (source, fingerprint). Run only AFTER the maintaining stream's
+    checkpoint has committed those epochs (the compact_topk_rollup
+    caveat: a replay of a compacted-away epoch re-adds its counts).
+    Returns source partitions rewritten."""
+    state = spark.read.option("mergeSchema", "true").parquet(path)
+    merged = (
+        state.groupBy("source", "fingerprint")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .withColumn("epoch_id", F.lit(None).cast("long"))
+        .select("fingerprint", "cnt", "epoch_id", "source")
+        .localCheckpoint(eager=True)
+    )
+    sources = [r["source"] for r in merged.select("source").distinct().collect()]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("source").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(sources)
