@@ -181,6 +181,10 @@ BIG_HEADLINE = [
     # |clusters|-sized tail to the iterative-CC row already tracked
     "text_lm_gate_table",
     "dedup_cluster_size_histogram",
+    # r13 wave 12: the release card (one corpus scan, two-phase
+    # count-distincts) and the two-LM calibration curve
+    "pipeline_release_report",
+    "text_ppl_quality_calibration",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -232,6 +236,9 @@ BIG2_HEADLINE = [
     # r13 wave 10 (2x-step evidence)
     "text_lm_gate_table",
     "dedup_cluster_size_histogram",
+    # r13 wave 12 (2x-step evidence)
+    "pipeline_release_report",
+    "text_ppl_quality_calibration",
 ]
 
 
