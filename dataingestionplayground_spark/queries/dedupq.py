@@ -1520,3 +1520,78 @@ def dedup_cluster_size_histogram(spark, sf):
             F.col("n_docs").cast("double") / F.col("corpus").cast("double"), 6
         ).alias("doc_frac"),
     )
+
+
+def _softdedup_effect_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, cluster_id, weight
+      FROM ({_R['dedup_soft_weights'].oracle})
+    ), toks AS (
+      SELECT doc_id, CAST(len({TX.tokens_sql('text')}) AS BIGINT) AS n_toks
+      FROM documents
+    ), j AS (
+      SELECT w.doc_id, w.cluster_id, w.weight, t.n_toks
+      FROM w JOIN toks t USING (doc_id)
+    ), keepers AS (
+      SELECT cluster_id, min(doc_id) AS keep_id FROM j GROUP BY cluster_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN k.keep_id = j.doc_id THEN n_toks ELSE 0 END)
+                AS BIGINT) AS hard_tokens,
+           round(CAST(SUM(CAST(round(j.weight * j.n_toks, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE), 6) AS soft_token_mass,
+           round(CAST(SUM(CASE WHEN k.keep_id = j.doc_id THEN n_toks ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 6)
+             AS hard_retention,
+           round(CAST(SUM(CAST(round(j.weight * j.n_toks, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(n_toks) AS DOUBLE), 6) AS soft_retention
+    FROM j JOIN keepers k USING (cluster_id)
+    """
+
+
+@register("dedup_softdedup_effect", oracle=_softdedup_effect_oracle())
+def dedup_softdedup_effect(spark, sf):
+    # HARD vs SOFT dedup, measured in token mass: raw corpus tokens,
+    # tokens surviving hard keep-one-per-cluster dedup, and the
+    # SoftDeDup effective token mass (each doc reweighted 1/cluster-
+    # size — the registered dedup_soft_weights), with both retention
+    # ratios. The table that decides between dropping duplicates and
+    # downweighting them (soft keeps tail variants at reduced mass —
+    # soft_retention >= hard_retention exactly when near-dup clusters
+    # are internally diverse). Composes the registered weights; one
+    # doc-keyed token join, a |clusters|-row keepers agg, ONE
+    # single-row agg with a 6dp-rounded decimal fold for the
+    # fractional mass.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    w = (
+        _R["dedup_soft_weights"].fn(spark, sf)
+        .select("doc_id", "cluster_id", "weight")
+    )
+    toks = t(spark, sf, "documents").select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_toks")
+    )
+    j = w.join(toks, "doc_id")
+    keepers = j.groupBy("cluster_id").agg(F.min("doc_id").alias("keep_id"))
+    jk = j.join(keepers, "cluster_id")
+    hard = F.sum(
+        F.when(F.col("keep_id") == F.col("doc_id"), F.col("n_toks")).otherwise(0)
+    )
+    soft = F.sum(
+        F.round(F.col("weight") * F.col("n_toks"), 6).cast("decimal(38,6)")
+    ).cast("double")
+    return jk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("raw_tokens"),
+        hard.cast("long").alias("hard_tokens"),
+        F.round(soft, 6).alias("soft_token_mass"),
+        F.round(hard.cast("double") / F.sum("n_toks").cast("double"), 6).alias(
+            "hard_retention"
+        ),
+        F.round(soft / F.sum("n_toks").cast("double"), 6).alias("soft_retention"),
+    )

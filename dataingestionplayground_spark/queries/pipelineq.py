@@ -3092,3 +3092,57 @@ def pipeline_release_report(spark, sf):
         F.round(davg("quality"), 6).alias("avg_quality"),
     )
     return base.crossJoin(F.broadcast(ent))
+
+
+def _contamination_by_source_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH rep AS MATERIALIZED (
+      SELECT doc_id, n_grams, n_hit, contamination_rate
+      FROM ({_R['text_contamination_report'].oracle})
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(CASE WHEN r.n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(CAST(SUM(CASE WHEN r.n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS contaminated_frac,
+           round({davg_expr('r.contamination_rate')}, 6) AS avg_rate
+    FROM rep r JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register(
+    "text_contamination_by_source", oracle=_contamination_by_source_oracle()
+)
+def text_contamination_by_source(spark, sf):
+    # Contamination triage BY FEED: per source of the held-out eval
+    # docs, how many are train-contaminated at all and the mean
+    # trigram contamination rate — the view that tells a curation run
+    # WHICH feed leaks eval content (a single syndicated source
+    # usually accounts for most contamination; drop or decontaminate
+    # that feed rather than paying gram-level scrubbing everywhere).
+    # Composes the registered per-doc report; one doc-keyed join +
+    # one source-keyed agg on the (small) eval slice.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    rep = (
+        _R["text_contamination_report"].fn(spark, sf)
+        .select("doc_id", "n_hit", "contamination_rate")
+    )
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    hit = F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+    return (
+        rep.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+            hit.cast("long").alias("n_contaminated"),
+            F.round(hit.cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "contaminated_frac"
+            ),
+            F.round(davg("contamination_rate"), 6).alias("avg_rate"),
+        )
+    )

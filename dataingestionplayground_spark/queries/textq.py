@@ -2566,3 +2566,4 @@ def text_ppl_quality_calibration(spark, sf):
         F.round(davg("ppl"), 6).alias("avg_ppl"),
         F.round(davg("quality"), 6).alias("avg_quality"),
     )
+

@@ -239,3 +239,46 @@ def test_ppl_quality_calibration_partitions_joined_docs(spark):
     by_dec = sorted(cal, key=lambda r: r["decile"])
     for a, b in zip(by_dec, by_dec[1:]):
         assert a["avg_ppl"] < b["avg_ppl"]
+
+
+def test_softdedup_effect_bounds_and_composition(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    eff = REGISTRY["dedup_softdedup_effect"].fn(spark, SF).collect()[0]
+    w = REGISTRY["dedup_soft_weights"].fn(spark, SF).collect()
+    assert eff["n_docs"] == len(w)
+    assert 0 < eff["hard_tokens"] <= eff["raw_tokens"]
+    # soft mass sits between hard-dedup mass and the raw corpus
+    # (every cluster contributes its mean tokens >= its min member's
+    # contribution under keep-min... not in general — just bound by raw)
+    assert 0 < eff["soft_token_mass"] <= eff["raw_tokens"] + 1e-6
+    assert eff["hard_retention"] == round(eff["hard_tokens"] / eff["raw_tokens"], 6)
+    # singleton-only corpora collapse all three to equality
+    sizes = {}
+    for r in w:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    if all(v == 1 for v in sizes.values()):
+        assert eff["hard_tokens"] == eff["raw_tokens"]
+        assert abs(eff["soft_token_mass"] - eff["raw_tokens"]) < 1e-3
+
+
+def test_contamination_by_source_composes_report(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    rep = {r["doc_id"]: r for r in
+           REGISTRY["text_contamination_report"].fn(spark, SF).collect()}
+    docs = {d["doc_id"]: d["source"] for d in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    got = {r["source"]: r for r in
+           REGISTRY["text_contamination_by_source"].fn(spark, SF).collect()}
+    by_src = {}
+    for doc_id, r in rep.items():
+        by_src.setdefault(docs[doc_id], []).append(r)
+    assert set(got) == set(by_src)
+    for src, rows in by_src.items():
+        assert got[src]["n_eval_docs"] == len(rows)
+        n_cont = sum(1 for r in rows if r["n_hit"] > 0)
+        assert got[src]["n_contaminated"] == n_cont
+        assert got[src]["contaminated_frac"] == round(n_cont / len(rows), 6)
