@@ -1687,6 +1687,48 @@ def vector_ann_recall_eval(spark, sf):
     )
 
 
+def _cell_balance_frame(e, n_cells):
+    """Occupancy-balance stats for an n_cells lowest-id-seeded
+    quantization — the body shared by vector_cell_balance (n = 16,
+    the frozen production layout) and vector_cell_balance_sweep
+    (n swept), hoisted per the _pq_distortion_frame rule so the sweep
+    provably grades the same structure. Integer-exact variance
+    arithmetic; one broadcast-matmul assignment, one n_cells-key agg,
+    one single-row stats agg."""
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+        _seed_centroids,
+    )
+
+    cents = _seed_centroids(e, "vec_id", "embedding", n_cells)
+    occ = (
+        _assign_cells_matmul(e, cents, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    n = F.col("n")
+    return occ.agg(
+        F.sum(n).cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells_occupied"),
+        F.max(n).cast("long").alias("max_n"),
+        F.round(
+            F.sqrt(
+                F.count(F.lit(1)).cast("double")
+                * F.sum(n * n).cast("double")
+                - F.sum(n).cast("double") * F.sum(n).cast("double")
+            )
+            / F.sum(n).cast("double"),
+            6,
+        ).alias("cv"),
+        F.round(
+            F.max(n).cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum(n).cast("double"),
+            6,
+        ).alias("max_over_mean"),
+    )
+
+
 @register(
     "vector_cell_balance",
     oracle=f"""
@@ -1729,39 +1771,8 @@ def vector_cell_balance(spark, sf):
     # integers, so n*sum(n^2) - sum(n)^2 is exact integer arithmetic;
     # cv = sqrt(integer)/integer is two correctly-rounded IEEE ops —
     # identical in both engines before the 6dp round.
-    from dataingestionplayground_spark.operators.similarity import (
-        _assign_cells_matmul,
-        _seed_centroids,
-    )
-
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
-    cents = _seed_centroids(e, "vec_id", "embedding", _SD_CELLS)
-    occ = (
-        _assign_cells_matmul(e, cents, "vec_id", "embedding")
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    n = F.col("n")
-    return occ.agg(
-        F.sum(n).cast("long").alias("n_vecs"),
-        F.count(F.lit(1)).cast("long").alias("n_cells_occupied"),
-        F.max(n).cast("long").alias("max_n"),
-        F.round(
-            F.sqrt(
-                F.count(F.lit(1)).cast("double")
-                * F.sum(n * n).cast("double")
-                - F.sum(n).cast("double") * F.sum(n).cast("double")
-            )
-            / F.sum(n).cast("double"),
-            6,
-        ).alias("cv"),
-        F.round(
-            F.max(n).cast("double")
-            * F.count(F.lit(1)).cast("double")
-            / F.sum(n).cast("double"),
-            6,
-        ).alias("max_over_mean"),
-    )
+    return _cell_balance_frame(e, _SD_CELLS)
 
 
 def _pq_distortion_oracle() -> str:
@@ -2083,3 +2094,65 @@ def vector_recall_at_k_sweep(spark, sf):
             ).alias("recall_at_k"),
         )
     )
+
+
+def _cell_balance_leg(n: int) -> str:
+    return f"""
+    WITH seeds AS MATERIALIZED (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n})
+    ), cb AS MATERIALIZED (
+      SELECT list(struct_pack(cid := cid,
+                              v := list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                  ORDER BY cid) AS cents
+      FROM seeds
+    ), assigned AS MATERIALIZED (
+      SELECT e.vec_id, {_sd_cell_duck()} AS cell
+      FROM embeddings e CROSS JOIN cb
+    ), occ AS MATERIALIZED (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY cell
+    )
+    SELECT CAST({n} AS INTEGER) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells_occupied,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           round(sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n * n) AS DOUBLE)
+                       - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)))
+                 / CAST(SUM(n) AS DOUBLE), 6) AS cv,
+           round(CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS max_over_mean
+    FROM occ
+    """
+
+
+def _cell_balance_sweep_oracle() -> str:
+    return " UNION ALL ".join(
+        f"SELECT * FROM ({_cell_balance_leg(n)})" for n in (8, 16, 32)
+    )
+
+
+@register("vector_cell_balance_sweep", oracle=_cell_balance_sweep_oracle())
+def vector_cell_balance_sweep(spark, sf):
+    # The CELL-RESOLUTION curve: occupancy balance at 8 / 16 / 32
+    # lowest-id-seeded cells — the structural input behind choosing
+    # n_cells for IVF / semdedup / drift (finer cells shrink max_n but
+    # raise the empty-cell fraction; where cv stops improving is the
+    # "stop adding cells" point, read next to vector_pq_k_sweep's
+    # distortion curve and vector_ivf_nprobe_sweep's recall curve —
+    # the sweep family's third axis). Each leg is the registered
+    # vector_cell_balance body (shared _cell_balance_frame) at a
+    # different n: one broadcast-matmul assignment pass per leg, zero
+    # corpus shuffles.
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    legs = [
+        _cell_balance_frame(e, n).select(
+            F.lit(n).cast("int").alias("n_cells"),
+            "n_vecs",
+            "n_cells_occupied",
+            "max_n",
+            "cv",
+            "max_over_mean",
+        )
+        for n in (8, 16, 32)
+    ]
+    return legs[0].unionByName(legs[1]).unionByName(legs[2])

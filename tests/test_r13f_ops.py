@@ -282,3 +282,22 @@ def test_contamination_by_source_composes_report(spark):
         n_cont = sum(1 for r in rows if r["n_hit"] > 0)
         assert got[src]["n_contaminated"] == n_cont
         assert got[src]["contaminated_frac"] == round(n_cont / len(rows), 6)
+
+
+def test_cell_balance_sweep_composes_and_n16_matches_registered(spark):
+    from dataingestionplayground_spark.queries import all_queries
+
+    REGISTRY = all_queries()
+    rows = {r["n_cells"]: r for r in
+            REGISTRY["vector_cell_balance_sweep"].fn(spark, SF).collect()}
+    assert set(rows) == {8, 16, 32}
+    base = REGISTRY["vector_cell_balance"].fn(spark, SF).collect()[0]
+    r16 = rows[16]
+    assert (r16["n_vecs"], r16["n_cells_occupied"], r16["max_n"],
+            r16["cv"], r16["max_over_mean"]) == (
+        base["n_vecs"], base["n_cells_occupied"], base["max_n"],
+        base["cv"], base["max_over_mean"])
+    for n, r in rows.items():
+        assert r["n_cells_occupied"] <= n
+        assert r["n_vecs"] == rows[8]["n_vecs"]  # every leg covers the corpus
+        assert r["max_n"] * r["n_cells_occupied"] >= r["n_vecs"]
