@@ -100,6 +100,12 @@ SHOW = [
     ("text_signal_correlation_matrix", "signal correlations: member scans + doc-keyed joins into ONE single-row exact-decimal agg (r13)"),
     ("events_stickiness", "DAU/WAU: distinct activity frame, exact 7x sequence-explode into a gday equi-shuffle (no BNLJ band join), day-keyed distinct agg (r13)"),
     ("dedup_cross_source_matrix", "cross-source near-dup matrix: banded candidates + packed-set verify + two doc-keyed source joins, |sources|^2-bounded output (r13)"),
+    ("events_anomaly_consensus", "detector ensemble: three sparse flagged frames full-outer vote join, one event-keyed rehydration join (r13)"),
+    ("events_kpi_daily", "daily KPI strip: ONE day-keyed hash agg with two-phase distinct DAU and decimal value sums (r13)"),
+    ("pipeline_release_report", "release card: one corpus scan, single-row agg with two-phase count-distincts, |langs|-key entropy agg (r13)"),
+    ("sample_mixture_realization_check", "plan-vs-realized mixture: source-count agg, BIGINT rate table broadcast into the md5 coin filter, final source agg (r13)"),
+    ("dedup_softdedup_effect", "soft-vs-hard dedup mass: registered weights + token join, |clusters| keepers agg, one single-row decimal fold (r13)"),
+    ("vector_cell_balance_sweep", "cell-resolution curve: three broadcast-matmul assignment legs over the shared balance frame, zero corpus shuffles (r13)"),
 ]
 
 INTERESTING = re.compile(
