@@ -582,8 +582,12 @@ def main():
             big2_dir = str(Path(__file__).resolve().parent / ".benchdata" / "sf1.0")
             if not os.path.isdir(os.path.join(big2_dir, "lineitem.parquet")):
                 build(spark, sf_dir, big2_dir, copies=10)
+            # r13 verdict item 3: n_runs=2 made the big2 block the
+            # recurring noise source — every round since r11 burned an
+            # adjudication cycle on min-of-2 scatter that a third run
+            # acquitted. min-of-3 kills the false flags at the source.
             big2_timings, big2_medians = _bench_block(
-                spark, registry, BIG2_HEADLINE, big2_dir, n_runs=2
+                spark, registry, BIG2_HEADLINE, big2_dir, n_runs=3
             )
             big2_index = None
             if os.environ.get("SPARK_GRAFT_INDEX_BENCH", "1") != "0":
@@ -674,30 +678,48 @@ def main():
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
 
+    line = compact_line(out, os.path.basename(full_path))
+    print(line)
+
+
+def compact_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
+    """The single final-stdout summary line, built from the full bench
+    document. r13 verdict item 4: the driver captures only the LAST 2000
+    chars of stdout (BENCH_r13.json came back "parsed": null because the
+    ~4 KB compact line was truncated mid-dict). The FINAL line must fit
+    the tail window whole: headline total + per-query mins (the driver
+    contract) + block totals + recall floors + only the WORST scaling
+    steps (the full ratio table lives in BENCH_FULL.json)."""
     compact = {
         "metric": "headline_total",
-        "value": total,
+        "value": out["value"],
         "unit": "sec",
-        "queries": timings,
-        "calibration": calibration,
-        "sf": sf,
-        "full": os.path.basename(full_path),
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "full": full_name,
     }
+    pq_index = out.get("pq_index")
     if pq_index is not None:
         compact["recall"] = {
-            "pq_rerank_at_10": pq_index.get("rerank_recall_at_10"),
-            "ivf_at_10": (pq_index.get("ivf") or {}).get("recall_at_10"),
+            "pq@10": pq_index.get("rerank_recall_at_10"),
+            "ivf@10": (pq_index.get("ivf") or {}).get("recall_at_10"),
         }
-    for blk_name, blk in (("big", big), ("big2", big2)):
+    for blk_name in ("big", "big2"):
+        blk = out.get(blk_name)
         if blk is not None:
             compact[blk_name] = {"sf": blk["sf"], "total": blk["total"]}
-            if "ratio_vs_sf0.5" in blk:
-                compact[blk_name]["ratio_vs_sf0.5"] = blk["ratio_vs_sf0.5"]
+            ratios = blk.get("ratio_vs_sf0.5")
+            if ratios:
+                worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:3]
+                compact[blk_name]["worst_steps"] = dict(worst)
+    skew = out.get("skew")
     if skew is not None:
-        compact["skew_ratio_hot_vs_uniform"] = skew["ratio_hot_vs_uniform"]
+        ratios = skew.get("ratio_hot_vs_uniform") or {}
+        if ratios:
+            compact["skew_max_ratio"] = max(ratios.values())
     line = json.dumps(compact)
-    assert len(line) < 4096, f"compact bench line grew to {len(line)} bytes"
-    print(line)
+    assert len(line) < 1900, f"compact bench line grew to {len(line)} bytes"
+    return line
 
 
 if __name__ == "__main__":

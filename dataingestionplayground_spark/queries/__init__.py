@@ -122,32 +122,20 @@ def all_queries() -> dict[str, Query]:
     return fresh
 
 
-def _driver_checked_names(root=None, use_snapshot=None) -> set[str]:
-    """Names the driver's correctness gate has already hash-checked, from
-    every ``CORRECTNESS_r{N}.json`` it left in the repo root. Only names
-    whose record shows a clean hash match count — a query that errored or
-    mismatched stays in the front (never-checked) band for re-checking.
-    Exception: a rows-only query sampled as ``err: no_oracle`` with rows
-    produced counts as checked — that IS its best possible driver outcome
-    (r10 verdict item 3), so it must not re-front forever.
-
-    On the live repo root the artifact-derived set is UNIONED with the
-    tracked snapshot (``driver_checked_fallback.json``): artifacts are
-    untracked, so after a fresh checkout the first new round's artifact
-    covers only ~50 names — precedence (instead of union) would discard
-    the snapshot's ~250 verified names and flood the sample window with
-    long-green queries again (post-ledger review of the ee85d97 fix).
-    A name an artifact explicitly RECORDS as failed (hash mismatch or
-    error) is subtracted from the snapshot side — live bad news always
-    re-fronts a query, the snapshot can never veto it."""
+def _artifact_check_sets(root) -> tuple[set[str], set[str]]:
+    """Parse every ``CORRECTNESS_r{N}.json`` under ``root`` into the
+    (checked, failed) name sets — artifact-derived ONLY, no snapshot.
+    ``checked``: clean hash match, or a rows-only query sampled as
+    ``err: no_oracle`` with rows produced (its best possible driver
+    outcome, r10 verdict item 3). ``failed``: any other explicit record
+    (hash mismatch, spark error, zero-row no_oracle) — these must
+    re-front AND be pruned from any snapshot regeneration (r14 ADVICE:
+    the old snapshot tool merged through the snapshot-inclusive set, so
+    a known-failing name could never leave the tracked fallback)."""
     import json
     import re
     from pathlib import Path
 
-    if use_snapshot is None:
-        use_snapshot = root is None
-    if root is None:
-        root = Path(__file__).resolve().parents[2]
     root = Path(root)
     checked: set[str] = set()
     failed: set[str] = set()
@@ -174,16 +162,81 @@ def _driver_checked_names(root=None, use_snapshot=None) -> set[str]:
                 checked.add(name)
             else:
                 failed.add(name)
+    return checked, failed
+
+
+def _query_content_hash(q: Query) -> str:
+    """Stable content fingerprint of a registered query: the query fn's
+    source text + the oracle SQL. The rotation snapshot stores this per
+    name so that an implementation changed AFTER its last driver check
+    re-fronts automatically instead of riding the snapshot as "already
+    verified" (r14 ADVICE item 2)."""
+    import hashlib
+    import inspect
+
+    cached = _HASH_CACHE.get(q.name)
+    if cached is not None and cached[0] is q:
+        return cached[1]
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = repr(q.fn)
+    h = hashlib.sha256(
+        (src + "\x00" + (q.oracle or "")).encode("utf-8")
+    ).hexdigest()[:16]
+    _HASH_CACHE[q.name] = (q, h)
+    return h
+
+
+_HASH_CACHE: dict[str, tuple[Query, str]] = {}
+
+
+def _driver_checked_names(root=None, use_snapshot=None, snap_path=None) -> set[str]:
+    """Names the driver's correctness gate has already hash-checked, from
+    every ``CORRECTNESS_r{N}.json`` it left in the repo root. Only names
+    whose record shows a clean hash match count — a query that errored or
+    mismatched stays in the front (never-checked) band for re-checking.
+
+    On the live repo root the artifact-derived set is UNIONED with the
+    tracked snapshot (``driver_checked_fallback.json``): artifacts are
+    untracked, so after a fresh checkout the first new round's artifact
+    covers only ~50 names — precedence (instead of union) would discard
+    the snapshot's verified names and flood the sample window with
+    long-green queries again (post-ledger review of the ee85d97 fix).
+    Two live-bad-news rules keep the snapshot honest:
+    * a name an artifact explicitly RECORDS as failed is subtracted —
+      live bad news always re-fronts, the snapshot can never veto it;
+    * a snapshot entry whose stored content hash no longer matches the
+      registered query (fn source + oracle changed since the snapshot)
+      is dropped, so refactored queries re-front automatically."""
+    import json
+    from pathlib import Path
+
+    if use_snapshot is None:
+        use_snapshot = root is None
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    checked, failed = _artifact_check_sets(root)
     if not use_snapshot:
         return checked
+    if snap_path is None:
+        snap_path = Path(__file__).resolve().parent / "driver_checked_fallback.json"
     try:
-        snap = json.loads(
-            (Path(__file__).resolve().parent / "driver_checked_fallback.json")
-            .read_text()
-        )
-        return checked | (set(snap.get("names", [])) - failed)
+        snap = json.loads(Path(snap_path).read_text())
     except (OSError, ValueError):
         return checked
+    snap_names = set(snap.get("names", []))
+    hashes = snap.get("hashes") or {}
+    if hashes and REGISTRY:
+        # only names resolvable in the live registry can be validated;
+        # a name the registry no longer has is harmless (pure reordering
+        # ignores unknown names) and gets pruned at the next snapshot run
+        snap_names -= {
+            n
+            for n in snap_names
+            if n in REGISTRY and hashes.get(n) != _query_content_hash(REGISTRY[n])
+        }
+    return checked | (snap_names - failed)
 
 
 def _sample_offset() -> int:

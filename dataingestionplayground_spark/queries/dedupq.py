@@ -242,32 +242,57 @@ def dedup_clusters(spark, sf):
     """,
 )
 def dedup_lsh_verified_pairs(spark, sf):
-    # The canonical two-stage near-dup pipeline in one plan: LSH banding
-    # generates candidates (cheap, recall-oriented), exact shingle Jaccard
-    # verifies them (precision) — shingle sets are computed only for
-    # documents that appear in a candidate pair, so the expensive exact
-    # stage touches a vanishing fraction of the corpus at scale.
+    # The canonical two-stage near-dup pipeline, with REPRESENTATIVES
+    # BEFORE PAIRING (r13 verdict item 1, the standing perf watch): exact
+    # replica groups (md5 text fingerprint) collapse to one representative
+    # BEFORE LSH banding, so the quadratic band/verify stages run on
+    # unique texts only; verified rep pairs then expand back to member
+    # pairs. This is EXACT, not approximate:
+    # * identical texts have identical shingle sets, so J(any member of
+    #   A, any member of B) == J(rep_A, rep_B) — the cross-group
+    #   expansion carries the rep jaccard verbatim;
+    # * every intra-group pair has J == 1.0 exactly (n_common == sz, so
+    #   sz/(2sz-sz)), emitted directly from the group member list —
+    #   guarded on a non-empty shingle set, matching the old plan where
+    #   empty-set pairs produced NULL (0/0) and failed the threshold;
+    # * banding candidates are signature-determined, so a rep-pair
+    #   candidate exists iff every member-pair candidate did.
+    # Previous rounds proved the per-pair work is already minimal (the
+    # r12 PPJoin prune measured dead: 83.5% of banded candidates pass the
+    # final filter) and the 4.36x candidate growth at 2x rows is
+    # corpus-inherent (quadratic within replica groups) — so the ONLY
+    # lever left was to stop paying banding+verify for pairs whose
+    # jaccard is known by construction. At 100 TB this is the standard
+    # exact-dedup-then-near-dedup staging: the fingerprint groupBy is one
+    # text-sized shuffle, after which band/verify cost scales with
+    # UNIQUE content, not crawl replication.
     d = t(spark, sf, "documents")
-    # the candidate set is consumed three times (two id projections + the
-    # verify join) and the shingle rows three more (sizes + both join
-    # sides): materialize each once via localCheckpoint — both are small
-    # by construction (candidates are a vanishing fraction of all pairs,
-    # shingles only cover candidate documents), so this is cheap state,
-    # and it cuts 4 redundant recomputations of the banding lineage.
+    groups = (
+        d.select("doc_id", "text")
+        .withColumn("fp", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .groupBy("fp")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.min("doc_id").alias("rep"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        # consumed 4x (banding corpus, verify docsets, both expansion
+        # sides, intra pairs) — materialize the fingerprint agg once
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select(F.col("rep").alias("doc_id"), "text")
     cand = minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=8, rows_per_band=2
+        reps, "doc_id", "text", num_hashes=8, rows_per_band=2
     ).localCheckpoint(eager=True)
     ids = cand.select(F.col("id_a").alias("doc_id")).union(
         cand.select(F.col("id_b").alias("doc_id"))
     ).distinct()
-    # shingle SETS stay packed per doc (array_distinct is a per-row JVM
-    # dedup, same trick as _shingle_rows) — the intersection count is a
-    # per-pair array_intersect, so the verify stage shuffles only the
-    # candidate PAIRS (plus each side's packed set), never the exploded
-    # (candidate x shingle) rows the previous shape group-counted: that
-    # intermediate was the largest shuffle of the whole pipeline at sf0.5.
+    # shingle SETS stay packed per rep (array_distinct is a per-row JVM
+    # dedup); the intersection count is a per-pair array_intersect, so
+    # the verify stage shuffles only candidate rep PAIRS plus packed
+    # sets, never exploded (pair x shingle) rows.
     docsets = (
-        d.join(ids, "doc_id", "left_semi")
+        reps.join(ids, "doc_id", "left_semi")
         .select(F.col("doc_id"), TX.tokens("text").alias("__w"))
         .select(
             "doc_id",
@@ -283,24 +308,9 @@ def dedup_lsh_verified_pairs(spark, sf):
         F.col("doc_id").alias("id_b"), F.col("sset").alias("set_b"), F.col("sz").alias("sz_b")
     )
     # Free Jaccard upper bound (r10 verdict item 5): J(a,b) <= min(sz)/
-    # max(sz), so any pair whose size ratio is below the 0.3 threshold
-    # cannot pass the final filter — prune it BEFORE the per-pair
-    # array_intersect (the superlinear part of the verify stage as
-    # candidate density grows). Lossless by construction; Catalyst pushes
-    # the size filter below the set-carrying projections.
-    #
-    # PPJoin positional/prefix filter: MEASURED NEGATIVE (r12 verdict
-    # item 3, profiled at sf1.0): candidates 300,100 of which 250,600
-    # (83.5%) pass the FINAL Jaccard filter — LSH banding at these
-    # parameters is already precision-heavy, so a prefix-emptiness prune
-    # (the fuzzy_join_qgram_overlap lemma applied at verify time) could
-    # drop at most 16.5% of intersects while ADDING a prefix intersect
-    # to every pair plus a rarest-first re-sort of each shingle set; the
-    # verify stage is also only ~34% of the row (banding 8.5s, docsets
-    # 3.0s, verify 5.9s). The 1.7x time step at 2x rows tracks candidate
-    # growth (4.36x — quadratic within replica dup groups, inherent to
-    # the corpus), i.e. per-pair cost is already sublinear.
-    return (
+    # max(sz) — prune below-threshold size ratios BEFORE the per-pair
+    # array_intersect. Lossless by construction.
+    rep_pairs = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(
@@ -316,6 +326,40 @@ def dedup_lsh_verified_pairs(spark, sf):
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
     )
+    # cross-group expansion: each verified rep pair fans out to all
+    # member pairs (disjoint groups, so least/greatest just restores the
+    # id_a < id_b orientation) — pure output-sized explode, no shuffle
+    ga = groups.select(F.col("rep").alias("id_a"), F.col("members").alias("ms_a"))
+    gb = groups.select(F.col("rep").alias("id_b"), F.col("members").alias("ms_b"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("ms_a").alias("ma"), "ms_b", "jaccard")
+        .select("ma", F.explode("ms_b").alias("mb"), "jaccard")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: C(g,2) per replica group, jaccard 1.0 by
+    # construction; the sorted member list keeps id_a < id_b in-row
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select("members", TX.tokens("text").alias("__w"))
+        .filter(F.size(F.array_distinct(TX.shingles_from_tokens("__w", 3))) >= 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
 
 
 @register(

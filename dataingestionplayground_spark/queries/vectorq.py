@@ -1877,7 +1877,14 @@ def _nprobe_sweep_oracle() -> str:
     from dataingestionplayground_spark.queries import REGISTRY as _R
 
     ivf = _R["vector_ivf_ann"].oracle
-    assert ivf.count("crk <= 4") == 1
+    # explicit raise (not assert): under `python -O` a stripped assert
+    # would make the .replace() a silent no-op and the sweep would grade
+    # three identical probe-4 legs (r14 ADVICE item 3)
+    if ivf.count("crk <= 4") != 1:
+        raise ValueError(
+            "vector_ivf_ann oracle no longer has exactly one 'crk <= 4' "
+            "substitution point — update _nprobe_sweep_oracle to match"
+        )
     probes = (1, 2, 4)
     legs = ",\n".join(
         f"""a{p} AS MATERIALIZED (

@@ -7,6 +7,15 @@ ARE on disk to fold their clean hash-matches into
 dataingestionplayground_spark/queries/driver_checked_fallback.json
 (tracked), then commit the result.
 
+r14 (ADVICE): the merge is computed from the ARTIFACT-derived sets
+only — ``merged = (old_snapshot | artifact_checked) - artifact_failed``
+— so a name whose latest artifact recorded a hash mismatch or error is
+pruned from the tracked fallback instead of riding the old snapshot
+forever. The snapshot also stores a per-name content hash (query fn
+source + oracle text); ``_driver_checked_names`` drops entries whose
+hash no longer matches, so queries refactored after the snapshot
+re-front automatically.
+
 Usage: python scripts/snapshot_checked.py
 """
 
@@ -25,9 +34,50 @@ SNAP = (
 )
 
 
-def main() -> None:
-    import dataingestionplayground_spark.queries as Q
+def regenerate(root, snap: dict) -> dict:
+    """Pure merge: fold the artifacts under ``root`` into ``snap``.
 
+    * checked/failed come from the artifacts ONLY (use_snapshot=False
+      semantics) — a recorded failure prunes the name from the snapshot;
+    * names are restricted to the live registry (deleted queries leave);
+    * every surviving name gets its current content hash.
+    """
+    from dataingestionplayground_spark.queries import (
+        REGISTRY,
+        _artifact_check_sets,
+        _query_content_hash,
+        all_queries,
+    )
+
+    all_queries()  # populate REGISTRY
+    checked, failed = _artifact_check_sets(root)
+    before = set(snap.get("names", []))
+    # a carried-over name whose content hash changed since the old
+    # snapshot was stamped is NOT re-stamped — the driver verified the
+    # OLD implementation, so the name re-fronts until a new artifact
+    # records the new code (names re-checked by artifacts stay, since
+    # checked re-adds them below)
+    old_hashes = snap.get("hashes") or {}
+    if old_hashes:
+        before -= {
+            n
+            for n in before
+            if n in REGISTRY and old_hashes.get(n) != _query_content_hash(REGISTRY[n])
+        }
+    merged = sorted(((before | checked) - failed) & set(REGISTRY))
+    rounds = [
+        int(m.group(1))
+        for p in Path(root).glob("CORRECTNESS_r*.json")
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    out = dict(snap)
+    out["names"] = merged
+    out["hashes"] = {n: _query_content_hash(REGISTRY[n]) for n in merged}
+    out["as_of_round"] = max([snap.get("as_of_round", 0), *rounds, 0])
+    return out
+
+
+def main() -> None:
     artifacts = sorted(
         p
         for p in ROOT.glob("CORRECTNESS_r*.json")
@@ -36,17 +86,14 @@ def main() -> None:
     if not artifacts:
         print("no CORRECTNESS_r*.json artifacts on disk — nothing to fold in")
         return
-    live = Q._driver_checked_names()  # artifact-derived (artifacts present)
     snap = json.loads(SNAP.read_text()) if SNAP.exists() else {"names": []}
-    before = set(snap.get("names", []))
-    merged = sorted(before | live)
-    rounds = [int(re.findall(r"\d+", p.name)[0]) for p in artifacts]
-    snap["names"] = merged
-    snap["as_of_round"] = max([snap.get("as_of_round", 0), *rounds])
-    SNAP.write_text(json.dumps(snap, indent=1))
+    before = len(snap.get("names", []))
+    out = regenerate(ROOT, snap)
+    SNAP.write_text(json.dumps(out, indent=1))
     print(
-        f"folded {len(live)} artifact-checked names into snapshot: "
-        f"{len(before)} -> {len(merged)} (as_of_round={snap['as_of_round']})"
+        f"snapshot regenerated from {len(artifacts)} artifacts: "
+        f"{before} -> {len(out['names'])} names "
+        f"(as_of_round={out['as_of_round']}, hashes={len(out['hashes'])})"
     )
 
 

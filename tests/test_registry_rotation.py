@@ -237,3 +237,98 @@ def test_snapshot_unions_with_artifacts_and_respects_failures(tmp_path):
     assert "brand_new_green" in got
     assert victim not in got            # live hash-fail overrides snapshot
     assert (snap_names - {victim}) <= got  # the rest of the snapshot survives
+
+
+def test_snapshot_regenerate_prunes_failed_and_hashes(tmp_path):
+    # r14 ADVICE item 1: regeneration merges (old | artifact_checked)
+    # - artifact_failed, so a name whose latest artifact records a hash
+    # mismatch LEAVES the tracked fallback instead of riding the old
+    # snapshot through the union forever; names absent from the live
+    # registry are pruned; every survivor carries its content hash.
+    from scripts.snapshot_checked import regenerate
+
+    qs = all_queries()
+    oracle_names = [n for n, q in qs.items() if q.oracle is not None]
+    victim, fresh = oracle_names[0], oracle_names[1]
+    art = {
+        fresh: {"err": None, "hash_match": True, "spark_rows": 3,
+                "oracle_rows": 3},
+        victim: {"err": None, "hash_match": False, "rows_match": True,
+                 "spark_rows": 3, "oracle_rows": 3},
+    }
+    (tmp_path / "CORRECTNESS_r77.json").write_text(json.dumps(art))
+    old = {"names": [victim, "deleted_query_name"], "as_of_round": 1}
+    out = regenerate(tmp_path, old)
+    assert victim not in out["names"]
+    assert fresh in out["names"]
+    assert "deleted_query_name" not in out["names"]
+    assert set(out["hashes"]) == set(out["names"])
+    assert out["as_of_round"] == 77
+    # and the failure prune survives a SECOND regeneration with no new
+    # artifacts recording the victim (it must not resurrect via `before`)
+    out2 = regenerate(tmp_path, out)
+    assert victim not in out2["names"]
+
+
+def test_snapshot_hash_invalidation_refronts_changed_queries(tmp_path):
+    # r14 ADVICE item 2: a snapshot entry whose stored content hash no
+    # longer matches the live registry (fn source or oracle changed
+    # since verification) is dropped from the checked set, so the
+    # changed query re-fronts into the driver's sample window.
+    qs = all_queries()
+    oracle_names = [n for n, q in qs.items() if q.oracle is not None]
+    a, b = oracle_names[0], oracle_names[1]
+    snap = {
+        "names": [a, b],
+        "hashes": {a: Q._query_content_hash(qs[a]), b: "0" * 16},
+    }
+    p = tmp_path / "snap.json"
+    p.write_text(json.dumps(snap))
+    got = Q._driver_checked_names(root=tmp_path, use_snapshot=True, snap_path=p)
+    assert a in got
+    assert b not in got
+
+
+def test_snapshot_regenerate_drops_stale_hashes_unless_rechecked(tmp_path):
+    # a carried-over name whose content hash changed since the old
+    # snapshot is NOT re-stamped (the driver verified the OLD code) —
+    # unless an artifact records a fresh check of the new code
+    from scripts.snapshot_checked import regenerate
+
+    qs = all_queries()
+    oracle_names = [n for n, q in qs.items() if q.oracle is not None]
+    changed, rechecked = oracle_names[0], oracle_names[1]
+    (tmp_path / "CORRECTNESS_r78.json").write_text(json.dumps({
+        rechecked: {"err": None, "hash_match": True, "spark_rows": 1,
+                    "oracle_rows": 1},
+    }))
+    old = {
+        "names": [changed, rechecked],
+        "hashes": {changed: "f" * 16, rechecked: "f" * 16},  # both stale
+    }
+    out = regenerate(tmp_path, old)
+    assert changed not in out["names"]       # stale + unrechecked: drops
+    assert rechecked in out["names"]         # stale but artifact-green
+    assert out["hashes"][rechecked] == Q._query_content_hash(qs[rechecked])
+
+
+def test_tracked_snapshot_hashes_match_live_registry():
+    # the committed snapshot must be regenerated whenever a listed query
+    # changes — otherwise its entries silently self-invalidate and the
+    # window floods with long-green names on a fresh checkout
+    from pathlib import Path
+
+    pkg = Path(Q.__file__).resolve().parent
+    snap = json.loads((pkg / "driver_checked_fallback.json").read_text())
+    qs = all_queries()
+    hashes = snap.get("hashes") or {}
+    assert hashes, "tracked snapshot must carry content hashes (r14)"
+    stale = {
+        n
+        for n in snap["names"]
+        if n in qs and hashes.get(n) != Q._query_content_hash(qs[n])
+    }
+    assert not stale, (
+        f"{len(stale)} snapshot entries are stale — run "
+        f"scripts/snapshot_checked.py and commit: {sorted(stale)[:5]}"
+    )
