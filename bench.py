@@ -103,6 +103,12 @@ HEADLINE = [
     # dedup -> boilerplate -> quality gate -> decontam as ONE composite
     # row, catching cross-operator regressions no single-query row sees
     "pipeline_curate_funnel",
+    # r14: the maintained-IVF occupancy row (merge against frozen
+    # centroids) — the relational core of the new index maintainer —
+    # and the contamination-safe release gate (three member plans +
+    # broadcast single-row composition)
+    "vector_ivf_merge_maintenance",
+    "pipeline_release_gate",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,
@@ -185,6 +191,9 @@ BIG_HEADLINE = [
     # count-distincts) and the two-LM calibration curve
     "pipeline_release_report",
     "text_ppl_quality_calibration",
+    # r14: maintained-IVF occupancy and the composite release gate
+    "vector_ivf_merge_maintenance",
+    "pipeline_release_gate",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -239,6 +248,11 @@ BIG2_HEADLINE = [
     # r13 wave 12 (2x-step evidence)
     "pipeline_release_report",
     "text_ppl_quality_calibration",
+    # r14: maintained-IVF occupancy (frozen-centroid assignment + one
+    # n_cells-key agg — the step should track the assignment scan) and
+    # the release gate (members' own steps; composition adds none)
+    "vector_ivf_merge_maintenance",
+    "pipeline_release_gate",
 ]
 
 

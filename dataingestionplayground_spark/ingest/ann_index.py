@@ -391,7 +391,9 @@ def read_ivf_assignments(
     )
     if not has_data:
         return spark.createDataFrame([], _IVF_ASSIGN_SCHEMA)
-    return spark.read.parquet(cells)
+    # mergeSchema: merge_ivf_assignments stages epoch-tagged rows next to
+    # epoch-less base/refresh rows (read back as epoch_id NULL)
+    return spark.read.option("mergeSchema", "true").parquet(cells)
 
 
 def ivf_index_staleness(
@@ -518,6 +520,161 @@ def refresh_ivf_index(spark: SparkSession, store: CollectionStore, collection: s
                 )
                 shutil.rmtree(os.path.join(cells_path, part), ignore_errors=True)
     return {"appended": appended, "removed": removed}
+
+
+def merge_ivf_assignments(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    batch: DataFrame,
+    epoch_id: int,
+) -> int:
+    """Epoch-staged streaming maintenance of the IVF assignment table —
+    the merge_dup_rate_state discipline applied to the vector index
+    (r13 verdict item 5: at 100 TB a full IVF retrain per crawl
+    increment is the textbook scale-killer; the index must ingest
+    increments like every other maintained artifact).
+
+    Each batch of chunk rows (key, documentid, embedding) is assigned
+    against the FROZEN centroids from the index metadata (one broadcast
+    Arrow matmul stage — the corpus never shuffles) and staged into the
+    touched cell partitions tagged with ``epoch_id``. Exactly-once under
+    foreachBatch retries: merging epoch E first drops rows already
+    tagged E in the touched cells, then drops stored rows whose key
+    re-arrives in this batch (same-embedding cross-epoch redelivery
+    upserts in place — identical embedding lands in the identical cell),
+    then writes kept + fresh via dynamic partition overwrite, so a
+    replay converges to the identical table. Base rows from
+    :func:`build_ivf_index` (no epoch column, read as epoch NULL) are
+    never replaced — batch seed + streaming maintenance composes.
+
+    Contract: APPEND/UPSERT ingest. An embedding UPDATE that moves a key
+    to a different cell, and deletions, reconcile through
+    :func:`refresh_ivf_index` (which anti-joins the store both ways) —
+    the maintainer never reads untouched cell partitions, that is the
+    point. Retrain is a SIGNAL, not a side effect: read
+    :func:`ivf_retrain_signal` after merging. Returns cell partitions
+    touched."""
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+    )
+
+    meta = _load_ivf_meta(store, collection)
+    cells_path = os.path.join(_ivf_dir(store, collection), "cells")
+    fresh = (
+        _assign_cells_matmul(
+            batch.select("key", "documentid", "embedding"),
+            _ivf_cents_df(spark, meta),
+            "key",
+            "embedding",
+            extra_cols=("documentid",),
+        )
+        .select("key", "documentid", "cell")
+        .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+        .localCheckpoint(eager=True)  # consumed for cells, keys, and the write
+    )
+    hot = [r["cell"] for r in fresh.select("cell").distinct().collect()]
+    if not hot:
+        return 0
+    existing = read_ivf_assignments(spark, store, collection)
+    if "epoch_id" not in existing.columns:
+        existing = existing.withColumn("epoch_id", F.lit(None).cast("long"))
+    non_null = [c for c in hot if c is not None]
+    cond = F.col("cell").isin(non_null)
+    if len(non_null) < len(hot):  # null cell: isin never matches it
+        cond = cond | F.col("cell").isNull()
+    kept = (
+        existing.filter(cond)
+        .filter(F.col("epoch_id").isNull() | (F.col("epoch_id") != int(epoch_id)))
+        .join(fresh.select("key"), "key", "left_anti")
+        .select("key", "documentid", "epoch_id", "cell")
+    )
+    merged = kept.unionByName(
+        fresh.select("key", "documentid", "epoch_id", "cell")
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .option("compression", "zstd")
+            .parquet(cells_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(hot)
+
+
+def compact_ivf_assignments(
+    spark: SparkSession, store: CollectionStore, collection: str
+) -> int:
+    """Fold per-epoch assignment rows down to epoch-NULL rows (one per
+    key — assignments are facts, not counts, so the fold is just
+    dropping the epoch tag). Run only AFTER the maintaining stream's
+    checkpoint has committed those epochs (the compact_topk_rollup
+    caveat: a replayed compacted-away epoch can no longer find its rows
+    and would re-append them). Returns cell partitions rewritten."""
+    assigned = read_ivf_assignments(spark, store, collection)
+    if "epoch_id" not in assigned.columns:
+        return 0
+    merged = (
+        assigned.withColumn("epoch_id", F.lit(None).cast("long"))
+        .select("key", "documentid", "epoch_id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    cells = [r["cell"] for r in merged.select("cell").distinct().collect()]
+    cells_path = os.path.join(_ivf_dir(store, collection), "cells")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .option("compression", "zstd")
+            .parquet(cells_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(cells)
+
+
+def ivf_retrain_signal(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    skew_threshold: float = 2.0,
+) -> dict:
+    """Drift-triggered retrain signal over the MAINTAINED assignment
+    table — the vector_cell_balance diagnostic pointed at the live
+    index instead of an ad-hoc quantization. The frozen centroids go
+    stale as the corpus drifts; the cheap tell is occupancy skew:
+    ``skew = max cell share / ideal share (1/n_cells)``. When it
+    crosses ``skew_threshold`` the hottest probe melts a reducer and
+    ADC/rerank cost concentrates — retrain (re-run build_ivf_index)
+    instead of merging further. Reading the signal costs one
+    assignment-table agg (cell counts), never a corpus scan."""
+    meta = _load_ivf_meta(store, collection)
+    counts = (
+        read_ivf_assignments(spark, store, collection)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    n_assigned = sum(r["n"] for r in counts)
+    max_cell = max((r["n"] for r in counts), default=0)
+    n_cells = int(meta["n_cells"])
+    max_share = (max_cell / n_assigned) if n_assigned else 0.0
+    skew = max_share * n_cells
+    return {
+        "n_cells": n_cells,
+        "n_assigned": n_assigned,
+        "max_cell_share": round(max_share, 6),
+        "skew": round(skew, 6),
+        "retrain": bool(skew >= skew_threshold),
+    }
 
 
 def ivf_search_indexed(

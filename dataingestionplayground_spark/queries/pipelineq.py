@@ -3114,6 +3114,45 @@ def _contamination_by_source_oracle() -> str:
     """
 
 
+# release-gate thresholds (literals by design — a gate whose bars move
+# with the data is not a gate): exact-dup rate, mean heuristic quality,
+# the WORST source's contaminated fraction, and how much of the new
+# snapshot is genuinely novel content
+_GATE_DUP, _GATE_QUALITY, _GATE_CONTAM, _GATE_NOVEL = 0.1, 0.4, 0.25, 0.5
+
+
+def _release_gate_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH gate_rep AS MATERIALIZED (
+      SELECT * FROM ({_R['pipeline_release_report'].oracle})
+    ), gate_contam AS MATERIALIZED (
+      SELECT CAST(SUM(n_contaminated) AS BIGINT) AS n_contaminated,
+             MAX(contaminated_frac) AS max_contaminated_frac
+      FROM ({_R['text_contamination_by_source'].oracle})
+    ), gate_delta AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+             CAST(SUM(CASE WHEN status = 'novel' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             round(CAST(SUM(CASE WHEN status = 'novel' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+      FROM ({_R['dedup_snapshot_delta'].oracle})
+    )
+    SELECT r.n_docs, r.total_tokens, r.dup_rate, r.avg_quality,
+           c.n_contaminated, c.max_contaminated_frac,
+           d.n_delta, d.n_novel, d.novel_frac,
+           (r.dup_rate <= {_GATE_DUP}) AS pass_dup,
+           (r.avg_quality >= {_GATE_QUALITY}) AS pass_quality,
+           (c.max_contaminated_frac <= {_GATE_CONTAM}) AS pass_contam,
+           (d.novel_frac >= {_GATE_NOVEL}) AS pass_novelty,
+           (r.dup_rate <= {_GATE_DUP} AND r.avg_quality >= {_GATE_QUALITY}
+            AND c.max_contaminated_frac <= {_GATE_CONTAM}
+            AND d.novel_frac >= {_GATE_NOVEL}) AS ship
+    FROM gate_rep r CROSS JOIN gate_contam c CROSS JOIN gate_delta d
+    """
+
+
 @register(
     "text_contamination_by_source", oracle=_contamination_by_source_oracle()
 )
@@ -3144,5 +3183,65 @@ def text_contamination_by_source(spark, sf):
                 "contaminated_frac"
             ),
             F.round(davg("contamination_rate"), 6).alias("avg_rate"),
+        )
+    )
+
+
+@register("pipeline_release_gate", oracle=_release_gate_oracle())
+def pipeline_release_gate(spark, sf):
+    # The contamination-safe release gate (r13 verdict item 6): the ONE
+    # row a dataset-release pipeline prints before shipping a snapshot —
+    # "can this ship?" — composing the three registered checks a release
+    # actually runs: corpus shape (pipeline_release_report: exact-dup
+    # rate, mean quality), eval leakage (text_contamination_by_source:
+    # the WORST feed's contaminated fraction — one syndicated source at
+    # 1.0 blocks the release even when the corpus-mean looks fine), and
+    # recrawl novelty (dedup_snapshot_delta: how much of the new
+    # snapshot is genuinely new content vs re-collected dups). Each
+    # signal, its threshold verdict, and the conjunction. Thresholds are
+    # LITERALS (the funnel rule); the boolean compares 6dp-rounded
+    # member values, so a verdict can never flip cross-engine. Plan:
+    # each member runs its own proven plan once; the composition layer
+    # is three single-row aggs broadcast-crossJoined — zero new shuffle
+    # classes at 100 TB.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    rep = _R["pipeline_release_report"].fn(spark, sf).select(
+        "n_docs", "total_tokens", "dup_rate", "avg_quality"
+    )
+    contam = _R["text_contamination_by_source"].fn(spark, sf).agg(
+        F.sum("n_contaminated").cast("long").alias("n_contaminated"),
+        F.max("contaminated_frac").alias("max_contaminated_frac"),
+    )
+    novel = F.sum(F.when(F.col("status") == "novel", 1).otherwise(0))
+    delta = _R["dedup_snapshot_delta"].fn(spark, sf).agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta"),
+        novel.cast("long").alias("n_novel"),
+        F.round(
+            novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("novel_frac"),
+    )
+    pass_dup = F.col("dup_rate") <= _GATE_DUP
+    pass_quality = F.col("avg_quality") >= _GATE_QUALITY
+    pass_contam = F.col("max_contaminated_frac") <= _GATE_CONTAM
+    pass_novelty = F.col("novel_frac") >= _GATE_NOVEL
+    return (
+        rep.crossJoin(F.broadcast(contam))
+        .crossJoin(F.broadcast(delta))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "dup_rate",
+            "avg_quality",
+            "n_contaminated",
+            "max_contaminated_frac",
+            "n_delta",
+            "n_novel",
+            "novel_frac",
+            pass_dup.alias("pass_dup"),
+            pass_quality.alias("pass_quality"),
+            pass_contam.alias("pass_contam"),
+            pass_novelty.alias("pass_novelty"),
+            (pass_dup & pass_quality & pass_contam & pass_novelty).alias("ship"),
         )
     )

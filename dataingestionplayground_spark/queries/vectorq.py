@@ -2163,3 +2163,140 @@ def vector_cell_balance_sweep(spark, sf):
         for n in (8, 16, 32)
     ]
     return legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+
+def _ivf_maintained_occ(e):
+    """Per-cell occupancy of a MAINTAINED IVF assignment table — the
+    relational core of ``ingest.ann_index.merge_ivf_assignments`` (r13
+    verdict item 5), shared by vector_ivf_merge_maintenance and
+    vector_ivf_retrain_signal so the signal provably grades the same
+    structure (the _cell_balance_frame rule). The corpus splits into the
+    indexed BASE (vec_id % 5 != 0) and an arriving INCREMENT (% 5 == 0);
+    centroids freeze on the base ONLY (lowest-id seeds — the increment
+    must never influence them, that is what 'frozen' means), both slices
+    assign via the broadcast Arrow matmul, and the union IS the
+    maintained table. One n_cells-key hash agg; zero corpus shuffles."""
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+        _seed_centroids,
+    )
+
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    inc = e.filter(F.col("vec_id") % 5 == 0)
+    cents = _seed_centroids(base, "vec_id", "embedding", _SD_CELLS)
+    ab = (
+        _assign_cells_matmul(base, cents, "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .withColumn("is_new", F.lit(0))
+    )
+    ai = (
+        _assign_cells_matmul(inc, cents, "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .withColumn("is_new", F.lit(1))
+    )
+    return (
+        ab.unionByName(ai)
+        .groupBy("cell")
+        .agg(
+            F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("n_base"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+
+
+_IVF_MM_OCC_DUCK = f"""seeds AS MATERIALIZED (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT {_SD_CELLS})
+    ), cb AS MATERIALIZED (
+      SELECT list(struct_pack(cid := cid,
+                              v := list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                  ORDER BY cid) AS cents
+      FROM seeds
+    ), assigned AS MATERIALIZED (
+      SELECT e.vec_id, (e.vec_id % 5 = 0) AS is_new, {{cell}} AS cell
+      FROM embeddings e CROSS JOIN cb
+    ), occ AS MATERIALIZED (
+      SELECT cell,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM assigned GROUP BY cell
+    )"""
+
+
+@register(
+    "vector_ivf_merge_maintenance",
+    oracle=f"""
+    WITH {_IVF_MM_OCC_DUCK.format(cell=_sd_cell_duck())}
+    SELECT cell, n_base, n_new, n_total,
+           round(CAST(n_total AS DOUBLE)
+                 / CAST((SELECT SUM(n_total) FROM occ) AS DOUBLE), 6) AS share,
+           round(CAST(n_new AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS new_frac
+    FROM occ
+    """,
+)
+def vector_ivf_merge_maintenance(spark, sf):
+    # The maintained-index occupancy table: what the IVF assignment
+    # artifact looks like AFTER an increment merges against frozen
+    # centroids — per cell, how much is indexed base vs newly merged,
+    # the cell's share of the corpus, and its increment fraction (a
+    # cell whose new_frac balloons is where the drifted crawl is
+    # landing). The persistent twin (epoch staging, dynamic partition
+    # overwrite, replay idempotence) is ingest.ann_index.
+    # merge_ivf_assignments, pinned in tests/test_r14_ivf_maintainer.py;
+    # this row grades its relational core against the oracle.
+    # Portability: counts exact; one division then round per double.
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    occ = _ivf_maintained_occ(e).localCheckpoint(eager=True)
+    tot = occ.agg(F.sum("n_total").cast("long").alias("__tot"))
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_base",
+        "n_new",
+        "n_total",
+        F.round(
+            F.col("n_total").cast("double") / F.col("__tot").cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.col("n_new").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("new_frac"),
+    )
+
+
+@register(
+    "vector_ivf_retrain_signal",
+    oracle=f"""
+    WITH {_IVF_MM_OCC_DUCK.format(cell=_sd_cell_duck())}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_occupied,
+           CAST(SUM(n_total) AS BIGINT) AS n_assigned,
+           CAST(MAX(n_total) AS BIGINT) AS max_n,
+           round(CAST(MAX(n_total) AS DOUBLE) * {_SD_CELLS}.0
+                 / CAST(SUM(n_total) AS DOUBLE), 6) AS skew,
+           (MAX(n_total) * {_SD_CELLS} >= 2 * SUM(n_total)) AS retrain
+    FROM occ
+    """,
+)
+def vector_ivf_retrain_signal(spark, sf):
+    # The drift-triggered retrain gate over the SAME maintained
+    # occupancy frame (shared helper — the signal can never grade a
+    # different structure than the maintenance row reports): skew =
+    # max cell share / ideal share (1/n_cells); at skew >= 2 the
+    # hottest probe reads 2x its fair slice and the answer is a
+    # retrain (rebuild the centroids), not another merge. The retrain
+    # decision compares INTEGERS (max_n * n_cells vs 2 * total) so the
+    # boolean can never flip cross-engine; skew is one division then
+    # round. Production twin: ingest.ann_index.ivf_retrain_signal.
+    n = F.col("n_total")
+    return _ivf_maintained_occ(
+        t(spark, sf, "embeddings").select("vec_id", "embedding")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_occupied"),
+        F.sum(n).cast("long").alias("n_assigned"),
+        F.max(n).cast("long").alias("max_n"),
+        F.round(
+            F.max(n).cast("double") * F.lit(float(_SD_CELLS)) / F.sum(n).cast("double"),
+            6,
+        ).alias("skew"),
+        (F.max(n) * F.lit(_SD_CELLS) >= F.lit(2) * F.sum(n)).alias("retrain"),
+    )

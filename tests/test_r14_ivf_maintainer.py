@@ -1,0 +1,188 @@
+"""Round-14 incremental IVF index maintenance pins (r13 verdict item 5):
+
+* batch parity — after any sequence of epoch merges, the maintained
+  assignment table equals a full re-assignment of the store against the
+  SAME frozen centroids (maintained index == rebuilt index given frozen
+  centroids);
+* replay idempotence — re-merging an epoch (foreachBatch retry) leaves
+  the table byte-identical;
+* seed-then-maintain composition — build_ivf_index base rows (epoch
+  NULL) survive merges untouched;
+* compaction identity — folding epoch tags changes no assignment;
+* retrain signal — occupancy skew over the maintained table rises when
+  a skewed increment merges, and crosses the threshold.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestionplayground_spark.ingest import CollectionStore, ingest_corpus
+from dataingestionplayground_spark.ingest.ann_index import (
+    build_ivf_index,
+    compact_ivf_assignments,
+    ivf_index_staleness,
+    ivf_retrain_signal,
+    ivf_search_indexed,
+    merge_ivf_assignments,
+    read_ivf_assignments,
+    refresh_ivf_index,
+)
+from dataingestionplayground_spark.ingest.embed import hash_embed
+from dataingestionplayground_spark.sources.markdown import (
+    parse_markdown_df,
+    read_markdown_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def md_elements(spark, md_fixture_dir):
+    raw = read_markdown_dir(spark, md_fixture_dir)
+    return parse_markdown_df(raw).cache()
+
+
+def _seed(spark, md_elements, tmp_path, n_cells=4):
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "ivf", max_tokens=8, overlap=0)
+    meta = build_ivf_index(spark, store, "ivf", n_cells=n_cells)
+    return store, meta
+
+
+def _increment(md_elements, store, suffix):
+    extra = md_elements.withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit(suffix))
+    )
+    ingest_corpus(extra, store, "ivf", max_tokens=8, overlap=0, incremental=True)
+
+
+def _batch(spark, store, suffix):
+    return (
+        store.read(spark, "ivf")
+        .filter(F.col("documentid").endswith(suffix))
+        .select("key", "documentid", "embedding")
+    )
+
+
+def _view(spark, store):
+    return sorted(
+        (r["key"], r["documentid"], r["cell"])
+        for r in read_ivf_assignments(spark, store, "ivf")
+        .select("key", "documentid", "cell")
+        .collect()
+    )
+
+
+def _full_rows(spark, store):
+    df = read_ivf_assignments(spark, store, "ivf")
+    if "epoch_id" not in df.columns:  # pre-merge base table
+        df = df.withColumn("epoch_id", F.lit(None).cast("long"))
+    return sorted(
+        (r["key"], r["documentid"], r["cell"], r["epoch_id"])
+        for r in df.select("key", "documentid", "cell", "epoch_id").collect()
+    )
+
+
+def _frozen_reassign(spark, store, meta):
+    from dataingestionplayground_spark.ingest.ann_index import _ivf_cents_df
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+    )
+
+    chunks = store.read(spark, "ivf").select("key", "documentid", "embedding")
+    return sorted(
+        (r["key"], r["documentid"], r["cell"])
+        for r in _assign_cells_matmul(
+            chunks, _ivf_cents_df(spark, meta), "key", "embedding",
+            extra_cols=("documentid",),
+        )
+        .select("key", "documentid", "cell")
+        .collect()
+    )
+
+
+def test_merge_parity_replay_compaction(spark, md_elements, tmp_path):
+    store, meta = _seed(spark, md_elements, tmp_path)
+    base_rows = _full_rows(spark, store)
+    assert base_rows and all(e is None for *_, e in base_rows)  # epoch NULL
+
+    _increment(md_elements, store, "-m1")
+    b1 = _batch(spark, store, "-m1")
+    assert merge_ivf_assignments(spark, store, "ivf", b1, epoch_id=1) > 0
+    _increment(md_elements, store, "-m2")
+    b2 = _batch(spark, store, "-m2")
+    assert merge_ivf_assignments(spark, store, "ivf", b2, epoch_id=2) > 0
+
+    # batch parity: maintained == full re-assignment on frozen centroids
+    assert _view(spark, store) == _frozen_reassign(spark, store, meta)
+    # and the store-reconciling refresh agrees there is nothing to do
+    assert ivf_index_staleness(spark, store, "ivf") == {
+        "missing": 0,
+        "orphaned": 0,
+    }
+    assert refresh_ivf_index(spark, store, "ivf") == {
+        "appended": 0,
+        "removed": 0,
+    }
+
+    # replay epoch 2 (foreachBatch retry) -> table byte-identical
+    full = _full_rows(spark, store)
+    merge_ivf_assignments(spark, store, "ivf", b2, epoch_id=2)
+    assert _full_rows(spark, store) == full
+
+    # base rows (epoch NULL) never replaced by merges
+    post = _full_rows(spark, store)
+    assert [r for r in post if r[3] is None] == base_rows
+
+    # compaction folds epoch tags without changing a single assignment
+    view = _view(spark, store)
+    assert compact_ivf_assignments(spark, store, "ivf") > 0
+    assert _view(spark, store) == view
+    assert all(e is None for *_, e in _full_rows(spark, store))
+
+    # index-backed search healthy over the maintained table
+    q = spark.createDataFrame(
+        [("q0", hash_embed("machine learning algorithms"))],
+        "query_id string, query_vec array<float>",
+    )
+    assert ivf_search_indexed(spark, store, "ivf", q, k=3).count() > 0
+
+
+def test_cross_epoch_redelivery_upserts_in_place(spark, md_elements, tmp_path):
+    store, meta = _seed(spark, md_elements, tmp_path)
+    _increment(md_elements, store, "-m1")
+    b1 = _batch(spark, store, "-m1")
+    merge_ivf_assignments(spark, store, "ivf", b1, epoch_id=1)
+    view = _view(spark, store)
+    # the same keys re-arrive in a LATER epoch (source-side redelivery,
+    # embeddings unchanged): the merge upserts, never duplicates
+    merge_ivf_assignments(spark, store, "ivf", b1, epoch_id=5)
+    assert _view(spark, store) == view
+    assert _view(spark, store) == _frozen_reassign(spark, store, meta)
+
+
+def test_retrain_signal_crosses_threshold_on_skewed_increment(
+    spark, md_elements, tmp_path
+):
+    store, _ = _seed(spark, md_elements, tmp_path)
+    before = ivf_retrain_signal(spark, store, "ivf", skew_threshold=1e9)
+    assert before["n_assigned"] > 0 and before["skew"] >= 1.0
+    assert before["retrain"] is False  # absurd threshold: no retrain
+
+    # a drifted crawl: many copies of ONE document — identical
+    # embeddings all land in the same frozen cell
+    one = md_elements.filter(
+        F.col("doc_id") == md_elements.select("doc_id").first()["doc_id"]
+    )
+    for i in range(6):
+        extra = one.withColumn(
+            "doc_id", F.concat(F.col("doc_id"), F.lit(f"-skew{i}"))
+        )
+        ingest_corpus(extra, store, "ivf", max_tokens=8, overlap=0, incremental=True)
+        merge_ivf_assignments(
+            spark, store, "ivf", _batch(spark, store, f"-skew{i}"), epoch_id=10 + i
+        )
+    after = ivf_retrain_signal(spark, store, "ivf", skew_threshold=before["skew"])
+    assert after["skew"] > before["skew"]
+    assert after["retrain"] is True
+    assert after["n_assigned"] > before["n_assigned"]
