@@ -418,6 +418,50 @@ def cmd_list(args, cfg) -> int:
     return 0
 
 
+def cmd_index(args, cfg) -> int:
+    """IVF vector-index lifecycle for a collection (the operational
+    surface of the maintained index, r14): build (retrain), refresh
+    (reconcile with the store: anti-join appends + orphan drops), merge
+    (epoch-staged increment of a chunk-batch parquet), signal (the
+    occupancy-skew retrain gate), compact (fold committed epoch tags)."""
+    from dataingestionplayground_spark.ingest import CollectionStore
+    from dataingestionplayground_spark.ingest.ann_index import (
+        build_ivf_index,
+        compact_ivf_assignments,
+        ivf_retrain_signal,
+        merge_ivf_assignments,
+        refresh_ivf_index,
+    )
+    from dataingestionplayground_spark.session import get_spark
+
+    spark = get_spark("dip-index")
+    store = CollectionStore(args.store or cfg["store_path"])
+    collection = args.collection or cfg["collection"]
+    if not store.exists(collection):
+        print(f"error: collection {collection!r} not found", file=sys.stderr)
+        return 2
+    if args.action == "build":
+        meta = build_ivf_index(spark, store, collection, n_cells=args.cells)
+        print(f"built IVF index: {meta['n_cells']} cells ({meta['centroid_mode']})")
+    elif args.action == "refresh":
+        r = refresh_ivf_index(spark, store, collection)
+        print(f"refreshed: appended={r['appended']} removed={r['removed']}")
+    elif args.action == "merge":
+        if not args.batch:
+            print("error: merge requires --batch <parquet of chunk rows>", file=sys.stderr)
+            return 2
+        batch = spark.read.parquet(args.batch)
+        n = merge_ivf_assignments(spark, store, collection, batch, args.epoch)
+        print(f"merged epoch {args.epoch}: {n} cell partitions touched")
+    elif args.action == "signal":
+        s = ivf_retrain_signal(spark, store, collection, args.threshold)
+        print(json.dumps(s))
+    elif args.action == "compact":
+        n = compact_ivf_assignments(spark, store, collection)
+        print(f"compacted: {n} cell partitions rewritten")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dataingestionplayground-spark")
     ap.add_argument("--config", help="JSON config (appsettings-style defaults)")
@@ -482,6 +526,22 @@ def main(argv: list[str] | None = None) -> int:
     p_ex.add_argument("--out", required=True, help="export directory")
     p_ex.add_argument("--shards", type=int, default=8)
     p_ex.set_defaults(fn=cmd_export)
+
+    p_ix = sub.add_parser(
+        "index", help="IVF index lifecycle: build/refresh/merge/signal/compact"
+    )
+    p_ix.add_argument(
+        "action", choices=["build", "refresh", "merge", "signal", "compact"]
+    )
+    p_ix.add_argument("--collection")
+    p_ix.add_argument("--store")
+    p_ix.add_argument("--cells", type=int, default=16, help="build: n_cells")
+    p_ix.add_argument("--batch", help="merge: parquet of chunk rows")
+    p_ix.add_argument("--epoch", type=int, default=0, help="merge: epoch id")
+    p_ix.add_argument(
+        "--threshold", type=float, default=2.0, help="signal: skew retrain bar"
+    )
+    p_ix.set_defaults(fn=cmd_index)
 
     p_ls = sub.add_parser("list", help="list collections")
     p_ls.add_argument("--store")

@@ -791,3 +791,51 @@ def read_embedding_drift(spark: SparkSession, log_path: str, reference: dict):
         ).alias("centroid_shift"),
     )
     return assemble_drift(occ, shift, n_cells)
+
+
+CHUNK_VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("documentid", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def stream_maintain_ivf_index(
+    spark: SparkSession,
+    watch_dir: str,
+    store,
+    collection: str,
+    checkpoint_dir: str,
+):
+    """Continuously maintain the persistent IVF assignment table from a
+    stream of chunk JSON-lines files (r13 verdict item 5 — the vector
+    index joins the rollup/SCD2/drift/dup-rate maintained-artifact
+    family). Returns the StreamingQuery.
+
+    Each micro-batch assigns its chunk vectors against the index's
+    FROZEN centroids and epoch-stages them into the touched cell
+    partitions via ``ann_index.merge_ivf_assignments`` — assignment
+    rows are facts keyed by chunk, so a foreachBatch retry of the same
+    epoch (and a cross-epoch redelivery of the same keys) converges to
+    the identical table. Retrain stays a TRIGGERED event: read
+    ``ann_index.ivf_retrain_signal`` after the stream drains; run
+    ``compact_ivf_assignments`` between runs to fold committed epochs.
+    """
+    from dataingestionplayground_spark.ingest.ann_index import (
+        merge_ivf_assignments,
+    )
+
+    raw = spark.readStream.schema(CHUNK_VEC_SCHEMA).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_ivf_assignments(spark, store, collection, batch_df, epoch_id)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

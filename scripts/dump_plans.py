@@ -31,7 +31,7 @@ SHOW = [
     ("join_bloom_prefilter", "Bloom bitmap build + in-row membership probe BEFORE the join exchange"),
     ("vector_hamming_ann", "sign-packed Hamming shortlist (bit_count/xor) below the exact-cosine rerank"),
     ("dedup_decontaminate", "eval grams broadcast (benchmark-sized); one per-doc overlap hash agg"),
-    ("dedup_lsh_verified_pairs", "two-stage near-dup: band candidates, then packed-set array_intersect verify (no exploded shingle shuffle)"),
+    ("dedup_lsh_verified_pairs", "rep-first near-dup: md5 replica-group collapse, band+packed verify on UNIQUE texts, output-sized member-pair expansion (r14)"),
     ("vector_int8_quantize", "quantization as pure per-row projection — no exchange anywhere"),
     ("vector_pq_adc_search", "ADC: per-query LUT broadcast; corpus scored via int-code lookups"),
     ("vector_semdedup", "cell-blocked dedup: Arrow matmul assignment (checkpointed), ONE cell shuffle into a grouped-pandas dominance stage"),
@@ -97,6 +97,8 @@ SHOW = [
     ("dedup_minhash_calibration", "MinHash calibration: candidate-bounded signature-match agg + packed-set array_intersect verify (r13)"),
     ("pipeline_data_card", "data card: one corpus scan for all signals, source-keyed agg with two-phase count-distincts, partitioned top-lang window (r13)"),
     ("vector_ivf_nprobe_sweep", "IVF tuning curve: three broadcast-argmax assignment legs, k-bounded grading joins (r13)"),
+    ("vector_ivf_merge_maintenance", "maintained IVF: base-frozen broadcast centroids, two matmul assignment legs, ONE n_cells-key agg + 1-row total broadcast (r14)"),
+    ("pipeline_release_gate", "release gate: three member plans unchanged; composition is three broadcast single-row aggs + literal-threshold booleans (r14)"),
     ("text_signal_correlation_matrix", "signal correlations: member scans + doc-keyed joins into ONE single-row exact-decimal agg (r13)"),
     ("events_stickiness", "DAU/WAU: distinct activity frame, exact 7x sequence-explode into a gday equi-shuffle (no BNLJ band join), day-keyed distinct agg (r13)"),
     ("dedup_cross_source_matrix", "cross-source near-dup matrix: banded candidates + packed-set verify + two doc-keyed source joins, |sources|^2-bounded output (r13)"),

@@ -287,3 +287,65 @@ def test_cli_indexed_search_matches_bruteforce(spark, md_fixture_dir, tmp_path, 
     capsys.readouterr()
     _, err3 = hits(["--index", "ivf", "--n-probe", "8"])
     assert "ivf index refreshed" in err3
+
+
+def test_cli_index_lifecycle(spark, md_fixture_dir, tmp_path, capsys):
+    """`index build|merge|signal|refresh|compact` — the operational
+    surface of the maintained IVF index (r14): build freezes centroids,
+    merge epoch-stages a chunk-batch parquet, signal prints the skew
+    gate as JSON, refresh finds nothing left to reconcile, compact
+    folds the epoch tags."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    rc = cli.main(
+        ["ingest", "--reader", "markdown", "--source", md_fixture_dir,
+         "--collection", "docs", "--store", store]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    assert cli.main(["index", "build", "--collection", "docs", "--store", store,
+                     "--cells", "4"]) == 0
+    assert "built IVF index: 4 cells" in capsys.readouterr().out
+
+    # a new document arrives; its chunks become the merge batch
+    rc = cli.main(
+        ["ingest", "--reader", "markdown", "--source", md_fixture_dir,
+         "--collection", "docs2", "--store", store]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    from dataingestionplayground_spark.ingest import CollectionStore
+
+    st = CollectionStore(store)
+    batch_path = str(tmp_path / "batch.parquet")
+    (
+        st.read(spark, "docs2")
+        .select("key", "documentid", "embedding")
+        .withColumn("documentid", F.concat(F.col("documentid"), F.lit("-inc")))
+        .withColumn("key", F.concat(F.col("key"), F.lit("-inc")))
+        .write.parquet(batch_path)
+    )
+    assert cli.main(["index", "merge", "--collection", "docs", "--store", store,
+                     "--batch", batch_path, "--epoch", "3"]) == 0
+    assert "merged epoch 3" in capsys.readouterr().out
+
+    assert cli.main(["index", "signal", "--collection", "docs",
+                     "--store", store]) == 0
+    sig = _json.loads(capsys.readouterr().out.strip())
+    assert sig["n_cells"] == 4 and sig["n_assigned"] > 0
+    assert isinstance(sig["retrain"], bool)
+
+    # the merged keys are not store chunks, so refresh treats them as
+    # orphans — the reconcile path the merge contract documents
+    assert cli.main(["index", "refresh", "--collection", "docs",
+                     "--store", store]) == 0
+    out = capsys.readouterr().out
+    assert "appended=0" in out
+
+    assert cli.main(["index", "compact", "--collection", "docs",
+                     "--store", store]) == 0
+    assert "compacted" in capsys.readouterr().out

@@ -24,6 +24,7 @@ def _registry():
     return entry.queries()
 
 
+@pytest.mark.slow
 def test_all_query_outputs_are_atomic(spark):
     qs = _registry()
     offenders = {}

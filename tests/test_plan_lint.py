@@ -97,6 +97,7 @@ def _registry():
     return sorted(E.queries().items())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,fn", _registry(), ids=[n for n, _ in _registry()])
 def test_no_unpartitioned_window_over_unbounded_input(spark, name, fn):
     df = fn(spark, SF_DIR)
@@ -176,6 +177,7 @@ def _skewed_window_keys(spark, fn) -> list[str]:
     return bad
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,fn", _registry(), ids=[n for n, _ in _registry()])
 def test_no_fixed_cardinality_window_keys(spark, name, fn):
     # cheap fast path: most queries have no partitioned Window at all
@@ -271,6 +273,7 @@ def _unbounded_cross_joins(spark, fn) -> list[str]:
     return bad
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,fn", _registry(), ids=[n for n, _ in _registry()])
 def test_no_unbounded_cross_joins(spark, name, fn):
     bad = _unbounded_cross_joins(spark, fn)

@@ -186,3 +186,45 @@ def test_retrain_signal_crosses_threshold_on_skewed_increment(
     assert after["skew"] > before["skew"]
     assert after["retrain"] is True
     assert after["n_assigned"] > before["n_assigned"]
+
+
+def test_stream_maintains_ivf_index_with_replay(spark, md_elements, tmp_path):
+    # the foreachBatch wiring: chunk JSON files -> availableNow stream
+    # -> epoch-staged merges; the maintained table equals the frozen
+    # re-assignment, and re-running the SAME files through a FRESH
+    # checkpoint (a full replay) leaves the view unchanged
+    import json as _json
+    import os
+
+    from dataingestionplayground_spark.streaming.ingest import (
+        stream_maintain_ivf_index,
+    )
+
+    store, meta = _seed(spark, md_elements, tmp_path)
+    _increment(md_elements, store, "-s1")
+    _increment(md_elements, store, "-s2")
+    watch = tmp_path / "chunks_in"
+    watch.mkdir()
+    for i, suffix in enumerate(("-s1", "-s2")):
+        rows = _batch(spark, store, suffix).collect()
+        with open(watch / f"b{i}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps({
+                    "key": r["key"],
+                    "documentid": r["documentid"],
+                    "embedding": [float(x) for x in r["embedding"]],
+                }) + "\n")
+    q = stream_maintain_ivf_index(
+        spark, str(watch), store, "ivf", str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    assert _view(spark, store) == _frozen_reassign(spark, store, meta)
+
+    # full replay: fresh checkpoint, same files -> same table
+    view = _view(spark, store)
+    q2 = stream_maintain_ivf_index(
+        spark, str(watch), store, "ivf", str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert _view(spark, store) == view
+    assert os.path.isdir(str(tmp_path / "ckpt2"))
