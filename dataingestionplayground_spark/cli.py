@@ -419,18 +419,23 @@ def cmd_list(args, cfg) -> int:
 
 
 def cmd_index(args, cfg) -> int:
-    """IVF vector-index lifecycle for a collection (the operational
-    surface of the maintained index, r14): build (retrain), refresh
-    (reconcile with the store: anti-join appends + orphan drops), merge
-    (epoch-staged increment of a chunk-batch parquet), signal (the
-    occupancy-skew retrain gate), compact (fold committed epoch tags)."""
+    """Vector-index lifecycle for a collection (the operational surface
+    of the maintained indexes, r14), --kind ivf|pq: build (retrain),
+    refresh (reconcile with the store: anti-join appends + orphan
+    drops), merge (epoch-staged increment of a chunk-batch parquet),
+    signal (IVF occupancy-skew retrain gate), compact (fold committed
+    epoch stages into the base artifact)."""
     from dataingestionplayground_spark.ingest import CollectionStore
     from dataingestionplayground_spark.ingest.ann_index import (
         build_ivf_index,
+        build_pq_index,
         compact_ivf_assignments,
+        compact_pq_codes,
         ivf_retrain_signal,
         merge_ivf_assignments,
+        merge_pq_codes,
         refresh_ivf_index,
+        refresh_pq_index,
     )
     from dataingestionplayground_spark.session import get_spark
 
@@ -440,25 +445,40 @@ def cmd_index(args, cfg) -> int:
     if not store.exists(collection):
         print(f"error: collection {collection!r} not found", file=sys.stderr)
         return 2
+    pq = args.kind == "pq"
     if args.action == "build":
-        meta = build_ivf_index(spark, store, collection, n_cells=args.cells)
-        print(f"built IVF index: {meta['n_cells']} cells ({meta['centroid_mode']})")
+        if pq:
+            first = store.read(spark, collection).select("embedding").first()
+            dims = len(first["embedding"]) if first else 384
+            meta = build_pq_index(spark, store, collection, dims=dims)
+            print(f"built PQ index: {meta['m']}x{meta['n_centroids']} codebook")
+        else:
+            meta = build_ivf_index(spark, store, collection, n_cells=args.cells)
+            print(f"built IVF index: {meta['n_cells']} cells ({meta['centroid_mode']})")
     elif args.action == "refresh":
-        r = refresh_ivf_index(spark, store, collection)
+        r = (refresh_pq_index if pq else refresh_ivf_index)(spark, store, collection)
         print(f"refreshed: appended={r['appended']} removed={r['removed']}")
     elif args.action == "merge":
         if not args.batch:
             print("error: merge requires --batch <parquet of chunk rows>", file=sys.stderr)
             return 2
         batch = spark.read.parquet(args.batch)
-        n = merge_ivf_assignments(spark, store, collection, batch, args.epoch)
-        print(f"merged epoch {args.epoch}: {n} cell partitions touched")
+        if pq:
+            n = merge_pq_codes(spark, store, collection, batch, args.epoch)
+            print(f"merged epoch {args.epoch}: {n} code rows staged")
+        else:
+            n = merge_ivf_assignments(spark, store, collection, batch, args.epoch)
+            print(f"merged epoch {args.epoch}: {n} cell partitions touched")
     elif args.action == "signal":
         s = ivf_retrain_signal(spark, store, collection, args.threshold)
         print(json.dumps(s))
     elif args.action == "compact":
-        n = compact_ivf_assignments(spark, store, collection)
-        print(f"compacted: {n} cell partitions rewritten")
+        if pq:
+            n = compact_pq_codes(spark, store, collection)
+            print(f"compacted: {n} staged code rows folded")
+        else:
+            n = compact_ivf_assignments(spark, store, collection)
+            print(f"compacted: {n} cell partitions rewritten")
     return 0
 
 
@@ -533,6 +553,7 @@ def main(argv: list[str] | None = None) -> int:
     p_ix.add_argument(
         "action", choices=["build", "refresh", "merge", "signal", "compact"]
     )
+    p_ix.add_argument("--kind", choices=["ivf", "pq"], default="ivf")
     p_ix.add_argument("--collection")
     p_ix.add_argument("--store")
     p_ix.add_argument("--cells", type=int, default=16, help="build: n_cells")

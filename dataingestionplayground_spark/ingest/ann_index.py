@@ -160,8 +160,110 @@ def _load_meta(store: CollectionStore, collection: str) -> dict:
     return json.load(open(path))
 
 
+def _pq_staging_dir(store: CollectionStore, collection: str) -> str:
+    return os.path.join(_index_dir(store, collection), "codes_epochs")
+
+
+def _has_parquet(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
+    )
+
+
 def read_pq_codes(spark: SparkSession, store: CollectionStore, collection: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(_index_dir(store, collection), "codes"))
+    """The logical code table: the base build/refresh table plus any
+    epoch-staged merge batches (``merge_pq_codes``), deduplicated by
+    chunk key with the NEWEST epoch winning (a re-encoded chunk's fresh
+    code shadows its base row; base rows read as epoch NULL and lose
+    ties last). Search and staleness both read through here, so staged
+    codes are searchable before compaction."""
+    base = spark.read.parquet(os.path.join(_index_dir(store, collection), "codes"))
+    staging = _pq_staging_dir(store, collection)
+    if not _has_parquet(staging):
+        return base
+    from pyspark.sql import Window
+
+    cols = base.columns
+    staged = spark.read.parquet(staging)
+    both = (
+        base.withColumn("__ep", F.lit(None).cast("long"))
+        .select(*cols, "__ep")
+        .unionByName(
+            staged.withColumn("__ep", F.col("epoch_id").cast("long")).select(
+                *cols, "__ep"
+            )
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.desc_nulls_last("__ep"))
+    return (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__ep", "__rn")
+    )
+
+
+def merge_pq_codes(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    batch: DataFrame,
+    epoch_id: int,
+) -> int:
+    """Epoch-staged code APPEND for the PQ index (the other half of r13
+    verdict item 5): encode a chunk batch against the FROZEN codebook
+    and stage it as the epoch's own partition — a foreachBatch retry
+    rewrites exactly its own epoch directory (the drift-log discipline),
+    so replays converge byte-identically, and a key re-delivered across
+    epochs is shadowed at read time (newest epoch wins). Fold committed
+    epochs into the base table with :func:`compact_pq_codes`. Returns
+    rows staged."""
+    meta = _load_meta(store, collection)
+    codes = pq_encode_with_codebook(
+        batch.select("key", "documentid", "embedding"),
+        _codebook_df(spark, meta),
+        meta["m"],
+        meta["dims"],
+        "key",
+        "embedding",
+        extra_cols=("documentid",),
+    ).withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+    codes = codes.localCheckpoint(eager=True)  # counted + written once
+    n = codes.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            codes.write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .option("compression", "zstd")
+            .parquet(_pq_staging_dir(store, collection))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
+
+
+def compact_pq_codes(spark: SparkSession, store: CollectionStore, collection: str) -> int:
+    """Fold staged epoch partitions into the base code table (the
+    refresh rewrite pattern: tmp write + atomic rename) and clear the
+    staging area. Run only AFTER the maintaining stream's checkpoint
+    has committed those epochs. Returns staged rows folded."""
+    staging = _pq_staging_dir(store, collection)
+    if not _has_parquet(staging):
+        return 0
+    n = spark.read.parquet(staging).count()
+    merged = read_pq_codes(spark, store, collection).localCheckpoint(eager=True)
+    codes_path = os.path.join(_index_dir(store, collection), "codes")
+    tmp = codes_path + ".rewrite-tmp"
+    merged.repartition("documentid").write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(tmp)
+    old = codes_path + ".old"
+    os.rename(codes_path, old)
+    os.rename(tmp, codes_path)
+    shutil.rmtree(old)
+    shutil.rmtree(staging)
+    return n
 
 
 def index_staleness(spark: SparkSession, store: CollectionStore, collection: str) -> dict:
@@ -180,7 +282,10 @@ def refresh_pq_index(spark: SparkSession, store: CollectionStore, collection: st
     """Incremental maintenance: encode ONLY chunks without a code row
     (anti-join on key) against the frozen codebook and append; drop
     code rows for deleted chunks (filtered rewrite, only when needed).
+    Staged merge epochs (``merge_pq_codes``) are folded into the base
+    first, so the reconcile below sees one authoritative table.
     Returns {"appended": n, "removed": n}."""
+    compact_pq_codes(spark, store, collection)
     meta = _load_meta(store, collection)
     m, dims = meta["m"], meta["dims"]
     idx = _index_dir(store, collection)

@@ -349,3 +349,38 @@ def test_cli_index_lifecycle(spark, md_fixture_dir, tmp_path, capsys):
     assert cli.main(["index", "compact", "--collection", "docs",
                      "--store", store]) == 0
     assert "compacted" in capsys.readouterr().out
+
+
+def test_cli_index_pq_kind(spark, md_fixture_dir, tmp_path, capsys):
+    """`index --kind pq` drives the PQ code table's build/merge/compact
+    lifecycle through the CLI."""
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    assert cli.main(
+        ["ingest", "--reader", "markdown", "--source", md_fixture_dir,
+         "--collection", "docs", "--store", store]
+    ) == 0
+    capsys.readouterr()
+
+    assert cli.main(["index", "build", "--kind", "pq", "--collection", "docs",
+                     "--store", store]) == 0
+    assert "built PQ index" in capsys.readouterr().out
+
+    from dataingestionplayground_spark.ingest import CollectionStore
+
+    st = CollectionStore(store)
+    batch_path = str(tmp_path / "pqbatch.parquet")
+    (
+        st.read(spark, "docs")
+        .limit(3)
+        .select("key", "documentid", "embedding")
+        .withColumn("key", F.concat(F.col("key"), F.lit("-inc")))
+        .write.parquet(batch_path)
+    )
+    assert cli.main(["index", "merge", "--kind", "pq", "--collection", "docs",
+                     "--store", store, "--batch", batch_path, "--epoch", "2"]) == 0
+    assert "3 code rows staged" in capsys.readouterr().out
+    assert cli.main(["index", "compact", "--kind", "pq", "--collection", "docs",
+                     "--store", store]) == 0
+    assert "3 staged code rows folded" in capsys.readouterr().out

@@ -228,3 +228,120 @@ def test_stream_maintains_ivf_index_with_replay(spark, md_elements, tmp_path):
     q2.awaitTermination(120)
     assert _view(spark, store) == view
     assert os.path.isdir(str(tmp_path / "ckpt2"))
+
+
+# --------------------------------------------------------- PQ code merges
+
+
+def _pq_seed(spark, md_elements, tmp_path):
+    from dataingestionplayground_spark.ingest.ann_index import build_pq_index
+    from dataingestionplayground_spark.ingest.embed import DIMS
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "pq", max_tokens=8, overlap=0)
+    meta = build_pq_index(
+        spark, store, "pq", m=4, n_centroids=8, dims=DIMS, codebook_mode="seed"
+    )
+    return store, meta
+
+
+def _pq_batch(spark, store, suffix):
+    return (
+        store.read(spark, "pq")
+        .filter(F.col("documentid").endswith(suffix))
+        .select("key", "documentid", "embedding")
+    )
+
+
+def _pq_view(spark, store):
+    from dataingestionplayground_spark.ingest.ann_index import read_pq_codes
+
+    df = read_pq_codes(spark, store, "pq")
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _pq_frozen_reencode(spark, store, meta):
+    from dataingestionplayground_spark.ingest.ann_index import _codebook_df
+    from dataingestionplayground_spark.operators.similarity import (
+        pq_encode_with_codebook,
+    )
+
+    chunks = store.read(spark, "pq").select("key", "documentid", "embedding")
+    df = pq_encode_with_codebook(
+        chunks, _codebook_df(spark, meta), meta["m"], meta["dims"],
+        "key", "embedding", extra_cols=("documentid",),
+    )
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_pq_merge_parity_replay_and_compaction(spark, md_elements, tmp_path):
+    from dataingestionplayground_spark.ingest.ann_index import (
+        compact_pq_codes,
+        index_staleness,
+        merge_pq_codes,
+        pq_search_indexed,
+        refresh_pq_index,
+    )
+
+    store, meta = _pq_seed(spark, md_elements, tmp_path)
+
+    def _inc(suffix):
+        extra = md_elements.withColumn(
+            "doc_id", F.concat(F.col("doc_id"), F.lit(suffix))
+        )
+        ingest_corpus(extra, store, "pq", max_tokens=8, overlap=0, incremental=True)
+
+    _inc("-p1")
+    assert merge_pq_codes(spark, store, "pq", _pq_batch(spark, store, "-p1"), 1) > 0
+    _inc("-p2")
+    b2 = _pq_batch(spark, store, "-p2")
+    assert merge_pq_codes(spark, store, "pq", b2, 2) > 0
+
+    # parity: the logical code table equals a full re-encode of the
+    # store against the FROZEN codebook — staged codes are searchable
+    assert _pq_view(spark, store) == _pq_frozen_reencode(spark, store, meta)
+    assert index_staleness(spark, store, "pq") == {"missing": 0, "orphaned": 0}
+
+    # replay epoch 2 (its own partition rewrites) -> view unchanged
+    view = _pq_view(spark, store)
+    merge_pq_codes(spark, store, "pq", b2, 2)
+    assert _pq_view(spark, store) == view
+
+    # staged-code search == direct ADC over the same logical table
+    q = spark.createDataFrame(
+        [("q0", hash_embed("machine learning algorithms"))],
+        "query_id string, query_vec array<float>",
+    )
+    got = pq_search_indexed(spark, store, "pq", q, k=3).collect()
+    assert len(got) == 3
+
+    # compaction folds staging into base; view identical, staging gone
+    import os
+
+    assert compact_pq_codes(spark, store, "pq") > 0
+    assert _pq_view(spark, store) == view
+    from dataingestionplayground_spark.ingest.ann_index import _pq_staging_dir
+
+    assert not os.path.isdir(_pq_staging_dir(store, "pq"))
+    # idempotent when nothing is staged
+    assert compact_pq_codes(spark, store, "pq") == 0
+    # refresh (which self-compacts) agrees there is nothing left to do
+    assert refresh_pq_index(spark, store, "pq") == {"appended": 0, "removed": 0}
+
+
+def test_pq_cross_epoch_redelivery_newest_wins(spark, md_elements, tmp_path):
+    from dataingestionplayground_spark.ingest.ann_index import merge_pq_codes
+
+    store, meta = _pq_seed(spark, md_elements, tmp_path)
+    extra = md_elements.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("-r")))
+    ingest_corpus(extra, store, "pq", max_tokens=8, overlap=0, incremental=True)
+    b = _pq_batch(spark, store, "-r")
+    merge_pq_codes(spark, store, "pq", b, 1)
+    view = _pq_view(spark, store)
+    # the same keys re-arrive in a later epoch with the same embeddings:
+    # newest-epoch-wins dedup keeps the view identical, never duplicates
+    merge_pq_codes(spark, store, "pq", b, 7)
+    assert _pq_view(spark, store) == view
+    assert _pq_view(spark, store) == _pq_frozen_reencode(spark, store, meta)
