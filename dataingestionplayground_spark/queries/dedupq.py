@@ -266,6 +266,13 @@ def dedup_lsh_verified_pairs(spark, sf):
     # exact-dedup-then-near-dedup staging: the fingerprint groupBy is one
     # text-sized shuffle, after which band/verify cost scales with
     # UNIQUE content, not crawl replication.
+    # Measured trade (BENCH_LOCAL_r14 + BENCH_ADJUDICATE_r14): on a
+    # replica-FREE corpus (sf0.1 raw: every group is a singleton) the
+    # fingerprint stage is pure overhead, ~+0.5 s (2.26 -> 2.79); at the
+    # replica-dense scales it pays 13.2 -> 1.5 s (sf1.0, -89%) and turns
+    # the 2x-rows step 2.19 -> 0.89. Real corpora at scale are
+    # replica-heavy (that is why this query exists), so the trade is
+    # taken deliberately.
     d = t(spark, sf, "documents")
     groups = (
         d.select("doc_id", "text")
