@@ -194,6 +194,9 @@ BIG_HEADLINE = [
     # r14: maintained-IVF occupancy and the composite release gate
     "vector_ivf_merge_maintenance",
     "pipeline_release_gate",
+    # r14 wave 2: tf-idf cosine needs the FULL-vocab norm stage (the
+    # extra corpus-shaped agg BM25 avoids) — track its scaling
+    "retrieval_tfidf_cosine",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -253,6 +256,7 @@ BIG2_HEADLINE = [
     # the release gate (members' own steps; composition adds none)
     "vector_ivf_merge_maintenance",
     "pipeline_release_gate",
+    "retrieval_tfidf_cosine",
 ]
 
 

@@ -1070,3 +1070,141 @@ def retrieval_bm25_ql_agreement(spark, sf):
             F.when((F.col("rk_bm25") == 1) & (F.col("rk_ql") == 1), 1).otherwise(0)
         ).cast("int").alias("same_top1"),
     )
+
+
+def _tfidf_cosine_oracle() -> str:
+    terms = _BM25_TERMS
+    cases = " + ".join(
+        f"coalesce(SUM(CASE WHEN term = '{tm}' THEN num_part END), 0)"
+        for tm in terms
+    )
+    qn = " + ".join(
+        f"coalesce(SUM(CASE WHEN term = '{tm}'"
+        f" THEN CAST(round(idf * idf, 6) AS DECIMAL(38,6)) END), 0)"
+        for tm in terms
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM base
+    ), tf AS (
+      SELECT doc_id, u.term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM base b, unnest(b.tk) AS u(term) GROUP BY doc_id, u.term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0) AS w,
+             ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0 AS idf
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+    ), norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(38,6))) AS DOUBLE))
+               AS dnorm
+      FROM w GROUP BY doc_id
+    ), qnorm AS (
+      SELECT sqrt(CAST({qn} AS DOUBLE)) AS qnorm
+      FROM (SELECT DISTINCT term, idf FROM w
+            WHERE term IN {str(tuple(terms))})
+    ), nums AS (
+      SELECT doc_id, CAST({cases} AS DOUBLE) AS num FROM (
+        SELECT doc_id, term, w * idf AS num_part FROM w
+        WHERE term IN {str(tuple(terms))}
+      ) GROUP BY doc_id
+    ), scored AS (
+      SELECT nm.doc_id,
+             round(nm.num / nullif(no.dnorm * q.qnorm, 0.0), 6) AS score
+      FROM nums nm JOIN norms no USING (doc_id) CROSS JOIN qnorm q
+    )
+    SELECT doc_id, score, rk FROM (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 10
+    """
+
+
+@register("retrieval_tfidf_cosine", oracle=_tfidf_cosine_oracle())
+def retrieval_tfidf_cosine(spark, sf):
+    # Vector-space-model retrieval (Salton tf-idf cosine) for the fixed
+    # 3-term query — the classic lexical leg next to text_bm25_topk
+    # (probabilistic) and retrieval_query_likelihood (LM). Unlike BM25,
+    # cosine needs each document's FULL-vocabulary tf-idf norm, so the
+    # plan has one extra corpus-shaped stage: (doc, term) tf agg ->
+    # vocab-keyed df join (NOT broadcast: vocabulary scales with the
+    # corpus; it is a plain shuffle join on a high-cardinality key) ->
+    # per-doc norm agg. Portability: per-term w^2 is 6dp-rounded into
+    # DECIMAL(38,6) before the per-doc sum (order-free), the query-side
+    # numerator folds in FIXED term order via conditional sums (<= 1 row
+    # per term per doc), sqrt/division are single IEEE ops, score 6dp.
+    # idf is the sklearn smooth variant ln((1+N)/(1+df)) + 1 (> 0, so no
+    # zero-weight degeneracies). Top-10 via TakeOrdered + bounded rank.
+    terms = _BM25_TERMS
+    base = t(spark, sf, "documents").select(
+        "doc_id", TX.tokens("text").alias("tk")
+    )
+    n = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        base.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * idf).alias("w"), idf.alias("idf"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 6).cast("decimal(38,6)"))
+            .cast("double")
+        ).alias("dnorm")
+    )
+    qterms = w.filter(F.col("term").isin(*terms))
+    qn_parts = [
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("term") == tm,
+                    F.round(F.col("idf") * F.col("idf"), 6).cast("decimal(38,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+        )
+        for tm in terms
+    ]
+    qn_total = qn_parts[0]
+    for p in qn_parts[1:]:
+        qn_total = qn_total + p
+    qnorm = (
+        qterms.select("term", "idf")
+        .distinct()
+        .agg(F.sqrt(qn_total.cast("double")).alias("qnorm"))
+    )
+    num_parts = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == tm, F.col("w") * F.col("idf"))),
+            F.lit(0.0),
+        )
+        for tm in terms
+    ]
+    num_total = num_parts[0]
+    for p in num_parts[1:]:
+        num_total = num_total + p
+    nums = qterms.groupBy("doc_id").agg(num_total.cast("double").alias("num"))
+    scored = (
+        nums.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("num")
+                / F.nullif(F.col("dnorm") * F.col("qnorm"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    return bounded_rank(top, [("score", False), ("doc_id", True)], "rk")
