@@ -428,13 +428,17 @@ def cmd_index(args, cfg) -> int:
     from dataingestionplayground_spark.ingest import CollectionStore
     from dataingestionplayground_spark.ingest.ann_index import (
         build_ivf_index,
+        build_ivfpq_index,
         build_pq_index,
         compact_ivf_assignments,
+        compact_ivfpq_codes,
         compact_pq_codes,
         ivf_retrain_signal,
         merge_ivf_assignments,
+        merge_ivfpq_codes,
         merge_pq_codes,
         refresh_ivf_index,
+        refresh_ivfpq_index,
         refresh_pq_index,
     )
     from dataingestionplayground_spark.session import get_spark
@@ -445,27 +449,42 @@ def cmd_index(args, cfg) -> int:
     if not store.exists(collection):
         print(f"error: collection {collection!r} not found", file=sys.stderr)
         return 2
-    pq = args.kind == "pq"
+    kind = args.kind
     if args.action == "build":
-        if pq:
+        if kind == "pq":
             first = store.read(spark, collection).select("embedding").first()
             dims = len(first["embedding"]) if first else 384
             meta = build_pq_index(spark, store, collection, dims=dims)
             print(f"built PQ index: {meta['m']}x{meta['n_centroids']} codebook")
+        elif kind == "ivfpq":
+            first = store.read(spark, collection).select("embedding").first()
+            dims = len(first["embedding"]) if first else 384
+            meta = build_ivfpq_index(
+                spark, store, collection, n_cells=args.cells, dims=dims
+            )
+            print(
+                f"built IVFPQ index: {meta['n_cells']} cells, "
+                f"{meta['m']}x{meta['n_centroids']} residual codebook"
+            )
         else:
             meta = build_ivf_index(spark, store, collection, n_cells=args.cells)
             print(f"built IVF index: {meta['n_cells']} cells ({meta['centroid_mode']})")
     elif args.action == "refresh":
-        r = (refresh_pq_index if pq else refresh_ivf_index)(spark, store, collection)
+        refresh = {"pq": refresh_pq_index, "ivf": refresh_ivf_index,
+                   "ivfpq": refresh_ivfpq_index}[kind]
+        r = refresh(spark, store, collection)
         print(f"refreshed: appended={r['appended']} removed={r['removed']}")
     elif args.action == "merge":
         if not args.batch:
             print("error: merge requires --batch <parquet of chunk rows>", file=sys.stderr)
             return 2
         batch = spark.read.parquet(args.batch)
-        if pq:
+        if kind == "pq":
             n = merge_pq_codes(spark, store, collection, batch, args.epoch)
             print(f"merged epoch {args.epoch}: {n} code rows staged")
+        elif kind == "ivfpq":
+            n = merge_ivfpq_codes(spark, store, collection, batch, args.epoch)
+            print(f"merged epoch {args.epoch}: {n} cell partitions touched")
         else:
             n = merge_ivf_assignments(spark, store, collection, batch, args.epoch)
             print(f"merged epoch {args.epoch}: {n} cell partitions touched")
@@ -473,9 +492,12 @@ def cmd_index(args, cfg) -> int:
         s = ivf_retrain_signal(spark, store, collection, args.threshold)
         print(json.dumps(s))
     elif args.action == "compact":
-        if pq:
+        if kind == "pq":
             n = compact_pq_codes(spark, store, collection)
             print(f"compacted: {n} staged code rows folded")
+        elif kind == "ivfpq":
+            n = compact_ivfpq_codes(spark, store, collection)
+            print(f"compacted: {n} cell partitions rewritten")
         else:
             n = compact_ivf_assignments(spark, store, collection)
             print(f"compacted: {n} cell partitions rewritten")
@@ -553,7 +575,7 @@ def main(argv: list[str] | None = None) -> int:
     p_ix.add_argument(
         "action", choices=["build", "refresh", "merge", "signal", "compact"]
     )
-    p_ix.add_argument("--kind", choices=["ivf", "pq"], default="ivf")
+    p_ix.add_argument("--kind", choices=["ivf", "pq", "ivfpq"], default="ivf")
     p_ix.add_argument("--collection")
     p_ix.add_argument("--store")
     p_ix.add_argument("--cells", type=int, default=16, help="build: n_cells")

@@ -1007,7 +1007,110 @@ def read_ivfpq_codes(
         meta = _load_ivfpq_meta(store, collection)
         cols = ", ".join(f"code_{s} int" for s in range(meta["m"]))
         return spark.createDataFrame([], f"key string, documentid string, {cols}, cell int")
-    return spark.read.parquet(codes)
+    # mergeSchema: merge_ivfpq_codes stages epoch-tagged rows next to
+    # epoch-less base/refresh rows (read back as epoch_id NULL)
+    return spark.read.option("mergeSchema", "true").parquet(codes)
+
+
+def merge_ivfpq_codes(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    batch: DataFrame,
+    epoch_id: int,
+) -> int:
+    """Epoch-staged streaming maintenance for the IVFADC index — the
+    third member of the maintained-index family (IVF assignments, PQ
+    codes, and now their composition): each chunk batch is assigned to
+    its FROZEN coarse cell, residual-encoded against the FROZEN PQ
+    codebook, and epoch-staged into the touched cell partitions with
+    the merge_ivf_assignments discipline (same-epoch retries replace
+    their own rows; cross-epoch key redelivery upserts in place; base
+    rows from build_ivfpq_index read as epoch NULL and are never
+    replaced). Updates that MOVE a key across cells, and deletions,
+    reconcile through :func:`refresh_ivfpq_index`. Returns cell
+    partitions touched."""
+    meta = _load_ivfpq_meta(store, collection)
+    codes_path = os.path.join(_ivfpq_dir(store, collection), "codes")
+    cents_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(meta["coarse"])],
+        "centroid_id int, cent_vec array<float>",
+    )
+    residuals = _residualize(
+        batch.select("key", "documentid", "embedding"), cents_df, meta["dims"]
+    )
+    code_cols = [f"code_{s}" for s in range(meta["m"])]
+    fresh = (
+        pq_encode_with_codebook(
+            residuals, _codebook_df(spark, meta), meta["m"], meta["dims"],
+            "key", "res", extra_cols=("documentid", "cell"),
+        )
+        .select("key", "documentid", *code_cols, "cell")
+        .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+        .localCheckpoint(eager=True)  # consumed for cells, keys, the write
+    )
+    hot = [r["cell"] for r in fresh.select("cell").distinct().collect()]
+    if not hot:
+        return 0
+    existing = read_ivfpq_codes(spark, store, collection)
+    if "epoch_id" not in existing.columns:
+        existing = existing.withColumn("epoch_id", F.lit(None).cast("long"))
+    non_null = [c for c in hot if c is not None]
+    cond = F.col("cell").isin(non_null)
+    if len(non_null) < len(hot):
+        cond = cond | F.col("cell").isNull()
+    out_cols = ["key", "documentid", *code_cols, "epoch_id", "cell"]
+    kept = (
+        existing.filter(cond)
+        .filter(F.col("epoch_id").isNull() | (F.col("epoch_id") != int(epoch_id)))
+        .join(fresh.select("key"), "key", "left_anti")
+        .select(*out_cols)
+    )
+    merged = kept.unionByName(fresh.select(*out_cols)).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .option("compression", "zstd")
+            .parquet(codes_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(hot)
+
+
+def compact_ivfpq_codes(
+    spark: SparkSession, store: CollectionStore, collection: str
+) -> int:
+    """Fold per-epoch IVFADC code rows down to epoch-NULL rows (codes
+    are facts keyed by chunk — the fold just drops the tag). Run only
+    AFTER the maintaining stream's checkpoint has committed those
+    epochs. Returns cell partitions rewritten."""
+    codes = read_ivfpq_codes(spark, store, collection)
+    if "epoch_id" not in codes.columns:
+        return 0
+    merged = (
+        codes.withColumn("epoch_id", F.lit(None).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    cells = [r["cell"] for r in merged.select("cell").distinct().collect()]
+    codes_path = os.path.join(_ivfpq_dir(store, collection), "codes")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .option("compression", "zstd")
+            .parquet(codes_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(cells)
 
 
 def ivfpq_index_staleness(

@@ -345,3 +345,93 @@ def test_pq_cross_epoch_redelivery_newest_wins(spark, md_elements, tmp_path):
     merge_pq_codes(spark, store, "pq", b, 7)
     assert _pq_view(spark, store) == view
     assert _pq_view(spark, store) == _pq_frozen_reencode(spark, store, meta)
+
+
+# ------------------------------------------------------- IVFADC merges
+
+
+def test_ivfpq_merge_parity_replay_and_compaction(spark, md_elements, tmp_path):
+    from dataingestionplayground_spark.ingest.ann_index import (
+        _codebook_df,
+        _residualize,
+        build_ivfpq_index,
+        compact_ivfpq_codes,
+        ivfpq_index_staleness,
+        ivfpq_search_indexed,
+        merge_ivfpq_codes,
+        read_ivfpq_codes,
+    )
+    from dataingestionplayground_spark.ingest.embed import DIMS
+    from dataingestionplayground_spark.operators.similarity import (
+        pq_encode_with_codebook,
+    )
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "ivfpq", max_tokens=8, overlap=0)
+    meta = build_ivfpq_index(
+        spark, store, "ivfpq", n_cells=4, m=4, n_centroids=8, dims=DIMS,
+        centroid_mode="seed", codebook_mode="seed",
+    )
+    code_cols = [f"code_{s}" for s in range(meta["m"])]
+    all_cols = ["key", "documentid", *code_cols, "cell"]
+
+    def view():
+        df = read_ivfpq_codes(spark, store, "ivfpq").select(*all_cols)
+        return sorted(tuple(r[c] for c in all_cols) for r in df.collect())
+
+    def frozen_reencode():
+        cents_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(meta["coarse"])],
+            "centroid_id int, cent_vec array<float>",
+        )
+        chunks = store.read(spark, "ivfpq").select("key", "documentid", "embedding")
+        df = pq_encode_with_codebook(
+            _residualize(chunks, cents_df, meta["dims"]),
+            _codebook_df(spark, meta), meta["m"], meta["dims"],
+            "key", "res", extra_cols=("documentid", "cell"),
+        ).select(*all_cols)
+        return sorted(tuple(r[c] for c in all_cols) for r in df.collect())
+
+    def inc(suffix):
+        extra = md_elements.withColumn(
+            "doc_id", F.concat(F.col("doc_id"), F.lit(suffix))
+        )
+        ingest_corpus(extra, store, "ivfpq", max_tokens=8, overlap=0,
+                      incremental=True)
+        return (
+            store.read(spark, "ivfpq")
+            .filter(F.col("documentid").endswith(suffix))
+            .select("key", "documentid", "embedding")
+        )
+
+    b1 = inc("-q1")
+    assert merge_ivfpq_codes(spark, store, "ivfpq", b1, epoch_id=1) > 0
+    b2 = inc("-q2")
+    assert merge_ivfpq_codes(spark, store, "ivfpq", b2, epoch_id=2) > 0
+
+    # parity: the maintained code table equals a full re-encode of the
+    # store against BOTH frozen quantizers
+    assert view() == frozen_reencode()
+    assert ivfpq_index_staleness(spark, store, "ivfpq") == {
+        "missing": 0, "orphaned": 0,
+    }
+
+    # replay + cross-epoch redelivery converge
+    v = view()
+    merge_ivfpq_codes(spark, store, "ivfpq", b2, epoch_id=2)
+    assert view() == v
+    merge_ivfpq_codes(spark, store, "ivfpq", b1, epoch_id=9)
+    assert view() == v
+
+    # compaction identity; probed search healthy over the maintained table
+    assert compact_ivfpq_codes(spark, store, "ivfpq") > 0
+    assert view() == v
+    codes = read_ivfpq_codes(spark, store, "ivfpq")
+    assert codes.filter(F.col("epoch_id").isNotNull()).count() == 0
+    q = spark.createDataFrame(
+        [("q0", hash_embed("machine learning algorithms"))],
+        "query_id string, query_vec array<float>",
+    )
+    assert ivfpq_search_indexed(
+        spark, store, "ivfpq", q, k=3, n_probe=4
+    ).count() > 0
