@@ -197,6 +197,8 @@ BIG_HEADLINE = [
     # r14 wave 2: tf-idf cosine needs the FULL-vocab norm stage (the
     # extra corpus-shaped agg BM25 avoids) — track its scaling
     "retrieval_tfidf_cosine",
+    # r14 wave 3: the rep-first collapse instrument (one fp agg)
+    "dedup_rep_collapse_stats",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -257,6 +259,7 @@ BIG2_HEADLINE = [
     "vector_ivf_merge_maintenance",
     "pipeline_release_gate",
     "retrieval_tfidf_cosine",
+    "dedup_rep_collapse_stats",
 ]
 
 

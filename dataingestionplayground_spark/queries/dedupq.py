@@ -1646,3 +1646,57 @@ def dedup_softdedup_effect(spark, sf):
         ),
         F.round(soft / F.sum("n_toks").cast("double"), 6).alias("soft_retention"),
     )
+
+
+@register(
+    "dedup_rep_collapse_stats",
+    oracle="""
+    WITH g AS (
+      SELECT md5(coalesce(text, '')) AS fp, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_replica_docs,
+           CAST(MAX(cnt) AS BIGINT) AS max_group,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS collapse_ratio,
+           round(CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS replica_mass
+    FROM g
+    """,
+)
+def dedup_rep_collapse_stats(spark, sf):
+    # The instrument for the r14 representatives-first near-dup plan:
+    # how far would exact-fingerprint collapsing shrink the banding
+    # input on THIS corpus? Uses the identical grouping key as
+    # dedup_lsh_verified_pairs (raw md5 of the text — replicas, not the
+    # normalized-dedup fingerprint). collapse_ratio near 1.0 means a
+    # replica-free corpus where rep-first only adds its fingerprint
+    # overhead (the measured +0.5 s at sf0.1); replica_mass near 1.0
+    # means the quadratic band/verify stages shrink by ~1/collapse_ratio
+    # (the measured -89 % at the sf1.0 replica density) — the cheap gate
+    # a curation run reads before choosing the pipeline variant. Plan:
+    # ONE fingerprint hash agg (map-side partials, key cardinality grows
+    # with unique content) + one single-row rollup; exact integers, two
+    # divisions at 6dp.
+    d = t(spark, sf, "documents")
+    g = (
+        d.select(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rep = F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+    return g.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        rep.cast("long").alias("n_replica_docs"),
+        F.max("cnt").cast("long").alias("max_group"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("collapse_ratio"),
+        F.round(rep.cast("double") / F.sum("cnt").cast("double"), 6).alias(
+            "replica_mass"
+        ),
+    )
