@@ -109,6 +109,10 @@ HEADLINE = [
     # broadcast single-row composition)
     "vector_ivf_merge_maintenance",
     "pipeline_release_gate",
+    # r14 waves 2/3: tf-idf cosine (full-vocab norm stage) and the
+    # rep-first collapse instrument (one fp agg)
+    "retrieval_tfidf_cosine",
+    "dedup_rep_collapse_stats",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,
