@@ -109,10 +109,12 @@ HEADLINE = [
     # broadcast single-row composition)
     "vector_ivf_merge_maintenance",
     "pipeline_release_gate",
-    # r14 waves 2/3: tf-idf cosine (full-vocab norm stage) and the
-    # rep-first collapse instrument (one fp agg)
+    # r14 waves 2/3: tf-idf cosine (full-vocab norm stage), the
+    # rep-first collapse instrument (one fp agg), and the index
+    # operations card (three diagnostic plans + 1-row composition)
     "retrieval_tfidf_cosine",
     "dedup_rep_collapse_stats",
+    "pipeline_index_health",
 ]
 
 # round-2 verdict item 7: larger scale points (5x / 10x sf0.1 replicas,
@@ -203,6 +205,7 @@ BIG_HEADLINE = [
     "retrieval_tfidf_cosine",
     # r14 wave 3: the rep-first collapse instrument (one fp agg)
     "dedup_rep_collapse_stats",
+    "pipeline_index_health",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -264,6 +267,7 @@ BIG2_HEADLINE = [
     "pipeline_release_gate",
     "retrieval_tfidf_cosine",
     "dedup_rep_collapse_stats",
+    "pipeline_index_health",
 ]
 
 

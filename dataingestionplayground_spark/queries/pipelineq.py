@@ -3245,3 +3245,77 @@ def pipeline_release_gate(spark, sf):
             (pass_dup & pass_quality & pass_contam & pass_novelty).alias("ship"),
         )
     )
+
+
+def _index_health_oracle() -> str:
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH hb AS MATERIALIZED (
+      SELECT cv, max_over_mean FROM ({_R['vector_cell_balance'].oracle})
+    ), hd AS MATERIALIZED (
+      SELECT round(CAST(SUM(CAST(mean_sq_err AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_distortion,
+             MAX(max_sq_err) AS worst_distortion
+      FROM ({_R['vector_pq_distortion'].oracle})
+    ), hs AS MATERIALIZED (
+      SELECT skew, retrain FROM ({_R['vector_ivf_retrain_signal'].oracle})
+    )
+    SELECT b.cv, b.max_over_mean, d.mean_distortion, d.worst_distortion,
+           s.skew, s.retrain,
+           (b.max_over_mean <= 2.0) AS balance_ok,
+           (d.mean_distortion <= 0.5) AS distortion_ok,
+           (NOT s.retrain) AS skew_ok,
+           (b.max_over_mean <= 2.0 AND d.mean_distortion <= 0.5
+            AND NOT s.retrain) AS healthy
+    FROM hb b CROSS JOIN hd d CROSS JOIN hs s
+    """
+
+
+@register("pipeline_index_health", oracle=_index_health_oracle())
+def pipeline_index_health(spark, sf):
+    # The vector-index OPERATIONS card (the release gate's sibling for
+    # this round's maintained-index family): one row answering "is the
+    # index layout still healthy, or is the next action a retrain?" —
+    # composing the three registered diagnostics a serving stack
+    # actually watches: cell-occupancy balance (vector_cell_balance:
+    # a ballooning max_over_mean melts the hottest probe), codebook
+    # distortion (vector_pq_distortion: the quantizer's fit to the
+    # current corpus, averaged across subspaces through DECIMAL so the
+    # mean is order-free), and the maintained-table occupancy-skew
+    # retrain signal (vector_ivf_retrain_signal). Literal bars (the
+    # funnel rule), per-check booleans on 6dp-rounded member values
+    # (cross-engine flip-proof), and the conjunction. Plan: the member
+    # plans run once each; composition is three single-row frames
+    # broadcast-crossJoined.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    hb = _R["vector_cell_balance"].fn(spark, sf).select("cv", "max_over_mean")
+    hd = _R["vector_pq_distortion"].fn(spark, sf).agg(
+        F.round(
+            F.sum(F.col("mean_sq_err").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_distortion"),
+        F.max("max_sq_err").alias("worst_distortion"),
+    )
+    hs = _R["vector_ivf_retrain_signal"].fn(spark, sf).select("skew", "retrain")
+    balance_ok = F.col("max_over_mean") <= 2.0
+    distortion_ok = F.col("mean_distortion") <= 0.5
+    skew_ok = ~F.col("retrain")
+    return (
+        hb.crossJoin(F.broadcast(hd))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "cv",
+            "max_over_mean",
+            "mean_distortion",
+            "worst_distortion",
+            "skew",
+            "retrain",
+            balance_ok.alias("balance_ok"),
+            distortion_ok.alias("distortion_ok"),
+            skew_ok.alias("skew_ok"),
+            (balance_ok & distortion_ok & skew_ok).alias("healthy"),
+        )
+    )
