@@ -206,6 +206,9 @@ BIG_HEADLINE = [
     # r14 wave 3: the rep-first collapse instrument (one fp agg)
     "dedup_rep_collapse_stats",
     "pipeline_index_health",
+    # r14 wave 5: the audio keep/drop gate (big blocks only — the
+    # headline compact line is near its byte budget)
+    "multimodal_audio_vad_gate",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -268,6 +271,9 @@ BIG2_HEADLINE = [
     "retrieval_tfidf_cosine",
     "dedup_rep_collapse_stats",
     "pipeline_index_health",
+    # r14 wave 5: the audio keep/drop gate (big blocks only — the
+    # headline compact line is near its byte budget)
+    "multimodal_audio_vad_gate",
 ]
 
 

@@ -709,3 +709,51 @@ def multimodal_phash_confirm(spark, sf):
             F.sum(conf).cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("confirm_rate"),
     )
+
+
+def _audio_vad_gate_oracle() -> str:
+    # compose the registered per-frame energy oracle (the composite
+    # rule: the gate can never grade different frames than the feature
+    # query ships)
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    return f"""
+    WITH fr AS MATERIALIZED (
+      SELECT media_id, rms FROM ({_R['multimodal_audio_energy'].oracle})
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN rms >= 1200.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active,
+           round(CAST(SUM(CASE WHEN rms >= 1200.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS active_ratio,
+           (SUM(CASE WHEN rms >= 1200.0 THEN 1 ELSE 0 END) * 2 >= COUNT(*))
+             AS keep
+    FROM fr GROUP BY media_id
+    """
+
+
+@register("multimodal_audio_vad_gate", oracle=_audio_vad_gate_oracle())
+def multimodal_audio_vad_gate(spark, sf):
+    # The VAD-style drop-silent-clips gate an audio curation run applies
+    # after feature extraction: per clip, the fraction of frames whose
+    # RMS energy clears a literal activity bar (1200.0 — the corpus
+    # median by construction, so both decisions occur), and keep =
+    # "at least half the frames are active" decided on INTEGERS
+    # (2 * n_active >= n_frames) so the boolean can never flip
+    # cross-engine. Composes the registered multimodal_audio_energy
+    # frames (the pack -> bytes -> unpack -> frame path already proven
+    # byte-exact); one |clips|-key hash agg on top — no new shuffle
+    # class, no extra Arrow pass.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    fr = _R["multimodal_audio_energy"].fn(spark, sf).select("media_id", "rms")
+    active = F.sum(F.when(F.col("rms") >= 1200.0, 1).otherwise(0))
+    return fr.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        active.cast("long").alias("n_active"),
+        F.round(
+            active.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("active_ratio"),
+        (active * F.lit(2) >= F.count(F.lit(1))).alias("keep"),
+    )
