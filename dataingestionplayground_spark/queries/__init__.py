@@ -122,25 +122,28 @@ def all_queries() -> dict[str, Query]:
     return fresh
 
 
-def _artifact_check_sets(root) -> tuple[set[str], set[str]]:
-    """Parse every ``CORRECTNESS_r{N}.json`` under ``root`` into the
-    (checked, failed) name sets — artifact-derived ONLY, no snapshot.
-    ``checked``: clean hash match, or a rows-only query sampled as
-    ``err: no_oracle`` with rows produced (its best possible driver
-    outcome, r10 verdict item 3). ``failed``: any other explicit record
-    (hash mismatch, spark error, zero-row no_oracle) — these must
+def _artifact_check_records(root) -> dict[int, tuple[set[str], set[str]]]:
+    """Parse every ``CORRECTNESS_r{N}.json`` under ``root`` into
+    per-round (checked, failed) name sets — artifact-derived ONLY, no
+    snapshot. ``checked``: clean hash match, or a rows-only query
+    sampled as ``err: no_oracle`` with rows produced (its best possible
+    driver outcome, r10 verdict item 3). ``failed``: any other explicit
+    record (hash mismatch, spark error, zero-row no_oracle) — these must
     re-front AND be pruned from any snapshot regeneration (r14 ADVICE:
     the old snapshot tool merged through the snapshot-inclusive set, so
-    a known-failing name could never leave the tracked fallback)."""
+    a known-failing name could never leave the tracked fallback).
+    Per-round resolution exists so the snapshot tool can stamp each
+    artifact's names exactly once (r15 ADVICE: re-stamping on every
+    regeneration blessed code edited after the driver verified it)."""
     import json
     import re
     from pathlib import Path
 
     root = Path(root)
-    checked: set[str] = set()
-    failed: set[str] = set()
+    out: dict[int, tuple[set[str], set[str]]] = {}
     for p in root.glob("CORRECTNESS_r*.json"):
-        if not re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
             continue
         try:
             data = json.loads(p.read_text())
@@ -148,6 +151,8 @@ def _artifact_check_sets(root) -> tuple[set[str], set[str]]:
             continue
         if not isinstance(data, dict):
             continue
+        checked: set[str] = set()
+        failed: set[str] = set()
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
@@ -162,6 +167,17 @@ def _artifact_check_sets(root) -> tuple[set[str], set[str]]:
                 checked.add(name)
             else:
                 failed.add(name)
+        out[int(m.group(1))] = (checked, failed)
+    return out
+
+
+def _artifact_check_sets(root) -> tuple[set[str], set[str]]:
+    """Union of :func:`_artifact_check_records` across rounds."""
+    checked: set[str] = set()
+    failed: set[str] = set()
+    for chk, fld in _artifact_check_records(root).values():
+        checked |= chk
+        failed |= fld
     return checked, failed
 
 

@@ -41,16 +41,50 @@ def regenerate(root, snap: dict) -> dict:
       semantics) — a recorded failure prunes the name from the snapshot;
     * names are restricted to the live registry (deleted queries leave);
     * every surviving name gets its current content hash.
+
+    r15 (ADVICE): each artifact round is STAMPED exactly once. The first
+    regeneration that sees ``CORRECTNESS_r{N}.json`` records, under
+    ``artifact_stamps[N]``, the content hash of every checked name as it
+    stands on disk at that moment (run the tool at round open/close,
+    before editing queries, so this equals what the driver verified).
+    Later regenerations do NOT re-stamp: a name whose current hash no
+    longer matches its round-N stamp is treated as unverified by round N
+    and re-fronts, instead of riding back in with a fresh hash.
     """
     from dataingestionplayground_spark.queries import (
         REGISTRY,
-        _artifact_check_sets,
+        _artifact_check_records,
         _query_content_hash,
         all_queries,
     )
 
     all_queries()  # populate REGISTRY
-    checked, failed = _artifact_check_sets(root)
+    records = _artifact_check_records(root)
+    stamps: dict[str, dict[str, str]] = {
+        k: dict(v) for k, v in (snap.get("artifact_stamps") or {}).items()
+    }
+    checked: set[str] = set()
+    failed: set[str] = set()
+    for rnd in sorted(records):
+        chk, fld = records[rnd]
+        failed |= fld
+        prior = stamps.get(str(rnd))
+        if prior is None:
+            # first fold of this artifact: stamp its checked names with
+            # the implementation hash on disk right now
+            stamp = {
+                n: _query_content_hash(REGISTRY[n]) for n in sorted(chk & set(REGISTRY))
+            }
+            stamps[str(rnd)] = stamp
+            checked |= set(stamp)
+        else:
+            # re-fold: only names still matching their first-fold stamp
+            # count as verified by this artifact
+            checked |= {
+                n
+                for n in chk
+                if n in REGISTRY and prior.get(n) == _query_content_hash(REGISTRY[n])
+            }
     before = set(snap.get("names", []))
     # a carried-over name whose content hash changed since the old
     # snapshot was stamped is NOT re-stamped — the driver verified the
@@ -65,15 +99,11 @@ def regenerate(root, snap: dict) -> dict:
             if n in REGISTRY and old_hashes.get(n) != _query_content_hash(REGISTRY[n])
         }
     merged = sorted(((before | checked) - failed) & set(REGISTRY))
-    rounds = [
-        int(m.group(1))
-        for p in Path(root).glob("CORRECTNESS_r*.json")
-        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
-    ]
     out = dict(snap)
     out["names"] = merged
     out["hashes"] = {n: _query_content_hash(REGISTRY[n]) for n in merged}
-    out["as_of_round"] = max([snap.get("as_of_round", 0), *rounds, 0])
+    out["artifact_stamps"] = stamps
+    out["as_of_round"] = max([snap.get("as_of_round", 0), *records, 0])
     return out
 
 

@@ -312,6 +312,46 @@ def test_snapshot_regenerate_drops_stale_hashes_unless_rechecked(tmp_path):
     assert out["hashes"][rechecked] == Q._query_content_hash(qs[rechecked])
 
 
+def test_snapshot_refold_does_not_rebless_edited_code(tmp_path):
+    # r15 ADVICE: each artifact round is stamped exactly once. If a
+    # query is edited AFTER its CORRECTNESS artifact was folded in, a
+    # later regeneration with the same artifact still on disk must NOT
+    # re-stamp the new (unverified) code as hash-matched — the name
+    # drops and re-fronts until a NEW artifact round records it.
+    from scripts.snapshot_checked import regenerate
+
+    qs = all_queries()
+    oracle_names = [n for n, q in qs.items() if q.oracle is not None]
+    edited, stable = oracle_names[0], oracle_names[1]
+    (tmp_path / "CORRECTNESS_r80.json").write_text(json.dumps({
+        edited: {"err": None, "hash_match": True, "spark_rows": 1,
+                 "oracle_rows": 1},
+        stable: {"err": None, "hash_match": True, "spark_rows": 1,
+                 "oracle_rows": 1},
+    }))
+    out1 = regenerate(tmp_path, {"names": []})
+    assert edited in out1["names"] and stable in out1["names"]
+    stamps = out1["artifact_stamps"]["80"]
+    assert stamps[edited] == Q._query_content_hash(qs[edited])
+    # simulate an edit after the first fold: the round-80 stamp now
+    # disagrees with the live hash
+    out1["artifact_stamps"]["80"][edited] = "0" * 16
+    out1["hashes"][edited] = "0" * 16  # carried hash is stale too
+    out2 = regenerate(tmp_path, out1)
+    assert edited not in out2["names"], "refold re-blessed edited code"
+    assert stable in out2["names"]
+    # the first-fold stamp is preserved, not overwritten
+    assert out2["artifact_stamps"]["80"][edited] == "0" * 16
+    # a NEW artifact round re-verifying the edited query brings it back
+    (tmp_path / "CORRECTNESS_r81.json").write_text(json.dumps({
+        edited: {"err": None, "hash_match": True, "spark_rows": 1,
+                 "oracle_rows": 1},
+    }))
+    out3 = regenerate(tmp_path, out2)
+    assert edited in out3["names"]
+    assert out3["hashes"][edited] == Q._query_content_hash(qs[edited])
+
+
 def test_tracked_snapshot_hashes_match_live_registry():
     # the committed snapshot must be regenerated whenever a listed query
     # changes — otherwise its entries silently self-invalidate and the
