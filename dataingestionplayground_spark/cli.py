@@ -478,6 +478,17 @@ def cmd_index(args, cfg) -> int:
         if not args.batch:
             print("error: merge requires --batch <parquet of chunk rows>", file=sys.stderr)
             return 2
+        if args.epoch is None:
+            # r15 ADVICE: a constant default epoch made two successive
+            # merges look like a retry of the same epoch — the second
+            # silently replaced the first's staged rows
+            print(
+                "error: merge requires --epoch <id> (each batch its own "
+                "monotonically increasing epoch; a repeated epoch is "
+                "treated as a retry and REPLACES that epoch's staged rows)",
+                file=sys.stderr,
+            )
+            return 2
         batch = spark.read.parquet(args.batch)
         if kind == "pq":
             n = merge_pq_codes(spark, store, collection, batch, args.epoch)
@@ -489,7 +500,25 @@ def cmd_index(args, cfg) -> int:
             n = merge_ivf_assignments(spark, store, collection, batch, args.epoch)
             print(f"merged epoch {args.epoch}: {n} cell partitions touched")
     elif args.action == "signal":
-        s = ivf_retrain_signal(spark, store, collection, args.threshold)
+        # r15 ADVICE: dispatch per kind — signal used to always read the
+        # IVF metadata, failing confusingly (or reporting the wrong
+        # index's skew) for --kind pq/ivfpq
+        if kind == "ivf":
+            s = ivf_retrain_signal(spark, store, collection, args.threshold)
+        elif kind == "ivfpq":
+            from dataingestionplayground_spark.ingest.ann_index import (
+                ivfpq_retrain_signal,
+            )
+
+            s = ivfpq_retrain_signal(spark, store, collection, args.threshold)
+        else:
+            print(
+                "error: signal applies to cell-structured indexes "
+                "(--kind ivf|ivfpq); for PQ drift use the "
+                "vector_pq_distortion diagnostic query",
+                file=sys.stderr,
+            )
+            return 2
         print(json.dumps(s))
     elif args.action == "compact":
         if kind == "pq":
@@ -580,7 +609,13 @@ def main(argv: list[str] | None = None) -> int:
     p_ix.add_argument("--store")
     p_ix.add_argument("--cells", type=int, default=16, help="build: n_cells")
     p_ix.add_argument("--batch", help="merge: parquet of chunk rows")
-    p_ix.add_argument("--epoch", type=int, default=0, help="merge: epoch id")
+    p_ix.add_argument(
+        "--epoch",
+        type=int,
+        default=None,
+        help="merge: epoch id (REQUIRED for merge — repeating an epoch "
+        "is a retry and replaces that epoch's staged rows)",
+    )
     p_ix.add_argument(
         "--threshold", type=float, default=2.0, help="signal: skew retrain bar"
     )

@@ -170,6 +170,41 @@ def _has_parquet(path: str) -> bool:
     )
 
 
+def _swap_live_dir(tmp: str, live: str) -> None:
+    """Crash-recoverable table swap (r15 ADVICE): promote the fully
+    written ``tmp`` (which MUST be ``live + ".new"``) to ``live``. The
+    old two-rename dance had a window — after ``rename(live, old)`` and
+    before ``rename(tmp, live)`` a crash left NO live directory at all.
+    Here the complete ``.new`` directory exists on disk before ``live``
+    is ever touched, so every crash point is recoverable by
+    :func:`_recover_live_dir` (run by readers): live missing + ``.new``
+    present → finish the promotion; leftover ``.old`` → clear it."""
+    assert tmp == live + ".new", "swap tmp must be the recoverable .new name"
+    old = live + ".old"
+    if os.path.exists(old):  # leftover from an interrupted prior swap
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+
+
+def _recover_live_dir(live: str) -> None:
+    """Finish an interrupted :func:`_swap_live_dir`. Only promotes
+    ``.new`` when ``live`` is MISSING — that state is reachable solely
+    after the writer finished ``.new`` and renamed ``live`` away, so a
+    partial ``.new`` (crash mid-write, ``live`` intact) is never
+    promoted; the next rewrite simply overwrites it."""
+    new = live + ".new"
+    old = live + ".old"
+    if not os.path.exists(live):
+        if os.path.isdir(new):
+            os.rename(new, live)
+        elif os.path.isdir(old):  # defense in depth: unreachable via
+            os.rename(old, live)  # _swap_live_dir, but never strand data
+    if os.path.exists(live) and os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def read_pq_codes(spark: SparkSession, store: CollectionStore, collection: str) -> DataFrame:
     """The logical code table: the base build/refresh table plus any
     epoch-staged merge batches (``merge_pq_codes``), deduplicated by
@@ -177,7 +212,9 @@ def read_pq_codes(spark: SparkSession, store: CollectionStore, collection: str) 
     code shadows its base row; base rows read as epoch NULL and lose
     ties last). Search and staleness both read through here, so staged
     codes are searchable before compaction."""
-    base = spark.read.parquet(os.path.join(_index_dir(store, collection), "codes"))
+    codes_path = os.path.join(_index_dir(store, collection), "codes")
+    _recover_live_dir(codes_path)  # finish any interrupted compaction swap
+    base = spark.read.parquet(codes_path)
     staging = _pq_staging_dir(store, collection)
     if not _has_parquet(staging):
         return base
@@ -245,23 +282,23 @@ def merge_pq_codes(
 
 def compact_pq_codes(spark: SparkSession, store: CollectionStore, collection: str) -> int:
     """Fold staged epoch partitions into the base code table (the
-    refresh rewrite pattern: tmp write + atomic rename) and clear the
-    staging area. Run only AFTER the maintaining stream's checkpoint
-    has committed those epochs. Returns staged rows folded."""
+    refresh rewrite pattern: write to ``codes.new``, then the
+    crash-recoverable :func:`_swap_live_dir` — r15 ADVICE closed the
+    window where a crash between the two renames left no ``codes``
+    directory at all) and clear the staging area. Run only AFTER the
+    maintaining stream's checkpoint has committed those epochs. Returns
+    staged rows folded."""
     staging = _pq_staging_dir(store, collection)
     if not _has_parquet(staging):
         return 0
     n = spark.read.parquet(staging).count()
     merged = read_pq_codes(spark, store, collection).localCheckpoint(eager=True)
     codes_path = os.path.join(_index_dir(store, collection), "codes")
-    tmp = codes_path + ".rewrite-tmp"
+    tmp = codes_path + ".new"
     merged.repartition("documentid").write.mode("overwrite").option(
         "compression", "zstd"
     ).parquet(tmp)
-    old = codes_path + ".old"
-    os.rename(codes_path, old)
-    os.rename(tmp, codes_path)
-    shutil.rmtree(old)
+    _swap_live_dir(tmp, codes_path)
     shutil.rmtree(staging)
     return n
 
@@ -312,14 +349,11 @@ def refresh_pq_index(spark: SparkSession, store: CollectionStore, collection: st
     if orphaned:
         kept = codes.join(chunks.select("key"), "key", "left_semi")
         kept = kept.localCheckpoint(eager=True)  # sever lineage before rewrite
-        tmp = codes_path + ".rewrite-tmp"
+        tmp = codes_path + ".new"
         kept.repartition("documentid").write.mode("overwrite").option(
             "compression", "zstd"
         ).parquet(tmp)
-        old = codes_path + ".old"
-        os.rename(codes_path, old)
-        os.rename(tmp, codes_path)
-        shutil.rmtree(old)
+        _swap_live_dir(tmp, codes_path)
     return {"appended": appended, "removed": orphaned}
 
 
@@ -720,16 +754,35 @@ def compact_ivf_assignments(
     dropping the epoch tag). Run only AFTER the maintaining stream's
     checkpoint has committed those epochs (the compact_topk_rollup
     caveat: a replayed compacted-away epoch can no longer find its rows
-    and would re-append them). Returns cell partitions rewritten."""
+    and would re-append them). Returns cell partitions rewritten.
+
+    r15 ADVICE: only cells that actually HOLD epoch-tagged rows are
+    rewritten (dynamic partition overwrite of the touched cells), and a
+    table with nothing staged short-circuits to 0 — repeated compaction
+    of a quiet index used to be a full-table rewrite every call."""
     assigned = read_ivf_assignments(spark, store, collection)
     if "epoch_id" not in assigned.columns:
         return 0
+    staged_cells = [
+        r["cell"]
+        for r in assigned.filter(F.col("epoch_id").isNotNull())
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not staged_cells:
+        return 0
+    non_null = [c for c in staged_cells if c is not None]
+    cond = F.col("cell").isin(non_null)
+    if len(non_null) < len(staged_cells):  # isin never matches NULL
+        cond = cond | F.col("cell").isNull()
     merged = (
-        assigned.withColumn("epoch_id", F.lit(None).cast("long"))
+        assigned.filter(cond)
+        .withColumn("epoch_id", F.lit(None).cast("long"))
         .select("key", "documentid", "epoch_id", "cell")
         .localCheckpoint(eager=True)
     )
-    cells = [r["cell"] for r in merged.select("cell").distinct().collect()]
+    cells = staged_cells
     cells_path = os.path.join(_ivf_dir(store, collection), "cells")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -764,6 +817,40 @@ def ivf_retrain_signal(
     meta = _load_ivf_meta(store, collection)
     counts = (
         read_ivf_assignments(spark, store, collection)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    n_assigned = sum(r["n"] for r in counts)
+    max_cell = max((r["n"] for r in counts), default=0)
+    n_cells = int(meta["n_cells"])
+    max_share = (max_cell / n_assigned) if n_assigned else 0.0
+    skew = max_share * n_cells
+    return {
+        "n_cells": n_cells,
+        "n_assigned": n_assigned,
+        "max_cell_share": round(max_share, 6),
+        "skew": round(skew, 6),
+        "retrain": bool(skew >= skew_threshold),
+    }
+
+
+def ivfpq_retrain_signal(
+    spark: SparkSession,
+    store: CollectionStore,
+    collection: str,
+    skew_threshold: float = 2.0,
+) -> dict:
+    """The IVFADC twin of :func:`ivf_retrain_signal` (r15 ADVICE: the
+    CLI used to route ``signal --kind ivfpq`` to the IVF metadata and
+    report the wrong index's skew). Occupancy is read from the
+    maintained CODE table's coarse-cell column — one cell-count agg,
+    never a corpus scan. Skew here degrades both the probe balance AND
+    the residual codebook fit (residuals are trained per the original
+    cell geometry), so the same threshold semantics apply."""
+    meta = _load_ivfpq_meta(store, collection)
+    counts = (
+        read_ivfpq_codes(spark, store, collection)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .collect()
@@ -1088,15 +1175,33 @@ def compact_ivfpq_codes(
     """Fold per-epoch IVFADC code rows down to epoch-NULL rows (codes
     are facts keyed by chunk — the fold just drops the tag). Run only
     AFTER the maintaining stream's checkpoint has committed those
-    epochs. Returns cell partitions rewritten."""
+    epochs. Returns cell partitions rewritten.
+
+    r15 ADVICE: same touched-cells-only discipline as
+    :func:`compact_ivf_assignments` — nothing staged short-circuits to
+    0, and only cells holding epoch-tagged rows are rewritten."""
     codes = read_ivfpq_codes(spark, store, collection)
     if "epoch_id" not in codes.columns:
         return 0
+    staged_cells = [
+        r["cell"]
+        for r in codes.filter(F.col("epoch_id").isNotNull())
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not staged_cells:
+        return 0
+    non_null = [c for c in staged_cells if c is not None]
+    cond = F.col("cell").isin(non_null)
+    if len(non_null) < len(staged_cells):  # isin never matches NULL
+        cond = cond | F.col("cell").isNull()
     merged = (
-        codes.withColumn("epoch_id", F.lit(None).cast("long"))
+        codes.filter(cond)
+        .withColumn("epoch_id", F.lit(None).cast("long"))
         .localCheckpoint(eager=True)
     )
-    cells = [r["cell"] for r in merged.select("cell").distinct().collect()]
+    cells = staged_cells
     codes_path = os.path.join(_ivfpq_dir(store, collection), "codes")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
