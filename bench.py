@@ -209,6 +209,11 @@ BIG_HEADLINE = [
     # r14 wave 5: the audio keep/drop gate (big blocks only — the
     # headline compact line is near its byte budget)
     "multimodal_audio_vad_gate",
+    # r15: the audio fingerprint near-dup pairs (PCM16 build+decode+
+    # fingerprint Arrow pass into a banded Hamming self-join — the
+    # audio twin of multimodal_ahash_pairs; big blocks only, same
+    # headline byte-budget reason)
+    "multimodal_audio_fp_pairs",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -274,6 +279,9 @@ BIG2_HEADLINE = [
     # r14 wave 5: the audio keep/drop gate (big blocks only — the
     # headline compact line is near its byte budget)
     "multimodal_audio_vad_gate",
+    # r15: audio fingerprint pairs (2x-step: pair count grows with the
+    # in-group quadratic but banding keeps the join bucket-bounded)
+    "multimodal_audio_fp_pairs",
 ]
 
 
@@ -387,7 +395,13 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
     # 2-deep — the SAME corpus fraction scanned (1/4) but centroids that
     # track the corpus's label clusters (seeded: recall@10 0.68; kmeans:
     # ~1.0 at sf0.1). Stale-config ivf.json is rebuilt in place.
-    ivf_cfg = {"n_cells": 16, "centroid_mode": "kmeans"}
+    # r15 (verdict item 2): assign_top=2 soft assignment lifts the sf0.1
+    # floor 0.66 -> ~0.86 at the same n_probe — cell boundaries cut
+    # query neighborhoods on this corpus, and storing each vector in its
+    # 2 nearest cells is the robust fix (centroid-training tweaks moved
+    # recall by seed luck, 0.58-0.91). Scanned rows 2x per probe; the
+    # full-precision vectors are not duplicated.
+    ivf_cfg = {"n_cells": 16, "centroid_mode": "kmeans", "assign_top": 2}
     ivf_n_probe = 4
     ivf_meta_path = os.path.join(idx_base, "_indexes", "embeddings", "ivf", "ivf.json")
     ivf_stale = True

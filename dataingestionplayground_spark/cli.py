@@ -467,7 +467,10 @@ def cmd_index(args, cfg) -> int:
                 f"{meta['m']}x{meta['n_centroids']} residual codebook"
             )
         else:
-            meta = build_ivf_index(spark, store, collection, n_cells=args.cells)
+            meta = build_ivf_index(
+                spark, store, collection, n_cells=args.cells,
+                assign_top=args.assign_top,
+            )
             print(f"built IVF index: {meta['n_cells']} cells ({meta['centroid_mode']})")
     elif args.action == "refresh":
         refresh = {"pq": refresh_pq_index, "ivf": refresh_ivf_index,
@@ -608,6 +611,14 @@ def main(argv: list[str] | None = None) -> int:
     p_ix.add_argument("--collection")
     p_ix.add_argument("--store")
     p_ix.add_argument("--cells", type=int, default=16, help="build: n_cells")
+    p_ix.add_argument(
+        "--assign-top",
+        type=int,
+        default=1,
+        help="build (ivf): store each chunk in its N nearest cells "
+        "(soft assignment — boundary-straddling neighborhoods stay "
+        "reachable; assignment table grows Nx)",
+    )
     p_ix.add_argument("--batch", help="merge: parquet of chunk rows")
     p_ix.add_argument(
         "--epoch",

@@ -733,6 +733,173 @@ def _audio_vad_gate_oracle() -> str:
     """
 
 
+def _audio_fp_oracle() -> str:
+    from dataingestionplayground_spark.queries.pipelineq import _md5_mod_sql
+
+    def mm(expr, mod):
+        return _md5_mod_sql(expr, mod)
+
+    base_i = (
+        mm("concat(CAST(gid AS VARCHAR), ':au:', CAST(i AS VARCHAR))", 4096)
+        + " - 2048"
+    )
+    pp = [mm(f"concat(CAST(doc_id AS VARCHAR), ':ap:{j}')", 1024) for j in range(2)]
+    pv = [
+        "(" + mm(f"concat(CAST(doc_id AS VARCHAR), ':av:{j}')", 4096) + " - 2048)"
+        for j in range(2)
+    ]
+    word = (
+        "CAST(list_sum(list_transform(generate_series({lo}, {hi}), j -> "
+        "CASE WHEN e[((j + 1) % 64) + 1] > e[j + 1] "
+        "THEN (CAST(1 AS BIGINT) << (j - {lo})) ELSE CAST(0 AS BIGINT) END)) "
+        "AS BIGINT)"
+    )
+    return f"""
+    WITH gids AS (
+      SELECT DISTINCT doc_id % 40 AS gid FROM documents
+    ), gbase AS (
+      SELECT gid, list_transform(generate_series(0, 1023), i -> {base_i}) AS base
+      FROM gids
+    ), px AS (
+      SELECT d.doc_id, gb.base,
+             {pp[0]} AS p0, {pv[0]} AS v0,
+             {pp[1]} AS p1, {pv[1]} AS v1
+      FROM documents d JOIN gbase gb ON gb.gid = d.doc_id % 40
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 1023), i ->
+               CASE WHEN i = p1 THEN v1 WHEN i = p0 THEN v0
+                    ELSE base[i + 1] END) AS vs
+      FROM px
+    ), es AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), j ->
+               list_sum(list_transform(generate_series(16 * j, 16 * j + 15),
+                                       i -> vs[i + 1] * vs[i + 1]))) AS e
+      FROM g
+    ), fp AS (
+      SELECT doc_id, {word.format(lo=0, hi=31)} AS w_lo,
+             {word.format(lo=32, hi=63)} AS w_hi
+      FROM es
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, w_lo % 65536 AS band_val, w_lo, w_hi FROM fp
+      UNION ALL
+      SELECT doc_id, 1, w_lo // 65536, w_lo, w_hi FROM fp
+      UNION ALL
+      SELECT doc_id, 2, w_hi % 65536, w_lo, w_hi FROM fp
+      UNION ALL
+      SELECT doc_id, 3, w_hi // 65536, w_lo, w_hi FROM fp
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.w_lo AS lo_a, a.w_hi AS hi_a, b.w_lo AS lo_b, b.w_hi AS hi_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+                AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
+    """
+
+
+@register("multimodal_audio_fp_pairs", oracle=_audio_fp_oracle())
+def multimodal_audio_fp_pairs(spark, sf):
+    # AUDIO near-duplicate detection end to end (r14 verdict item 3) —
+    # the audio twin of multimodal_ahash_pairs: deterministic clips (40
+    # groups of near-identical waveforms, 2 perturbed samples per doc)
+    # are packed into REAL little-endian PCM16 bytes, decoded back
+    # through the engine's shared pcm16_samples parser (a decode bug
+    # breaks the oracle match), fingerprinted chromaprint-style —
+    # 64 sub-frame energies (16 samples each, exact int64 sum of
+    # squares), bit j = energy rises into sub-frame j+1 (cyclic) — and
+    # the 64-bit fingerprints banded into 4 x 16-bit keys, paired by
+    # equi-join with a Hamming<=6 verify. Energy DELTAS (not levels)
+    # are the chromaprint trick: a uniform gain change flips no bits.
+    # Scale: ONE Arrow pass builds+decodes+fingerprints (8 bytes of
+    # state per clip; per-group base waveforms computed once per
+    # batch), banding bounds the join to bucket collisions — never
+    # all-pairs.
+    import hashlib
+
+    import pandas as pd
+
+    def mm(s: str, mod: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    def build_and_fp(batches):
+        import numpy as np
+
+        from dataingestionplayground_spark.sources.multimodal import (
+            pcm16_samples,
+        )
+
+        base_cache = {}
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gid = doc_id % 40
+                if gid not in base_cache:
+                    base_cache[gid] = np.array(
+                        [mm(f"{gid}:au:{i}", 4096) - 2048 for i in range(1024)],
+                        dtype=np.int64,
+                    )
+                v = base_cache[gid].copy()
+                for j in range(2):
+                    v[mm(f"{doc_id}:ap:{j}", 1024)] = (
+                        mm(f"{doc_id}:av:{j}", 4096) - 2048
+                    )
+                data = v.astype("<i2").tobytes()  # REAL PCM16 payload
+                s = pcm16_samples(data)  # decode the real bytes back
+                e = (s.reshape(64, 16) ** 2).sum(axis=1)
+                bits = [
+                    1 if int(e[(j + 1) % 64]) > int(e[j]) else 0
+                    for j in range(64)
+                ]
+                w_lo = sum(b << i for i, b in enumerate(bits[:32]))
+                w_hi = sum(b << i for i, b in enumerate(bits[32:]))
+                out.append((doc_id, w_lo, w_hi))
+            yield pd.DataFrame(out, columns=["doc_id", "w_lo", "w_hi"])
+
+    d = t(spark, sf, "documents").select("doc_id")
+    fp = d.mapInPandas(build_and_fp, "doc_id long, w_lo long, w_hi long")
+    bands = fp.select(
+        "doc_id",
+        "w_lo",
+        "w_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), (F.col("w_lo") % 65536).alias("band_val")),
+                F.struct(F.lit(1).alias("band_idx"), F.expr("w_lo div 65536").alias("band_val")),
+                F.struct(F.lit(2).alias("band_idx"), (F.col("w_hi") % 65536).alias("band_val")),
+                F.struct(F.lit(3).alias("band_idx"), F.expr("w_hi div 65536").alias("band_val")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "w_lo", "w_hi", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("w_lo").alias("lo_a"),
+        F.col("w_hi").alias("hi_a"), "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("w_lo").alias("lo_b"),
+        F.col("w_hi").alias("hi_b"), "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    ham = F.expr(
+        "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"
+    )
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
 @register("multimodal_audio_vad_gate", oracle=_audio_vad_gate_oracle())
 def multimodal_audio_vad_gate(spark, sf):
     # The VAD-style drop-silent-clips gate an audio curation run applies

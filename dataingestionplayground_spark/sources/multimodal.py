@@ -305,6 +305,19 @@ def synth_pcm16(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema=schema)
 
 
+def pcm16_samples(data: bytes):
+    """Decode a little-endian PCM16 payload to an int64 sample vector —
+    the audio twin of :func:`bmp_pixels` (one shared decode helper so
+    every audio feature/fingerprint stage exercises the same real
+    binary path). Raises ValueError on odd-length payloads."""
+    import numpy as np
+
+    buf = bytes(data)
+    if len(buf) % 2:
+        raise ValueError(f"PCM16 payload has odd length {len(buf)}")
+    return np.frombuffer(buf, dtype="<i2").astype(np.int64)
+
+
 def audio_frame_features(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
     """Frame-level audio features over BINARY PCM16 content: per
     ``frame``-sample frame, RMS energy (sqrt of the exact integer

@@ -133,6 +133,12 @@ def sweep(spark, data_dir: str, depths, probes, n_runs: int = 3) -> dict:
             {
                 "n_probe": n_probe,
                 "probe_fraction": round(n_probe / n_cells, 4),
+                # r15: with soft assignment each probed cell holds
+                # assign_top x rows, so the scanned-row fraction is the
+                # honest cost axis (capped: a key scores once)
+                "scanned_fraction": round(
+                    min(1.0, meta.get("assign_top", 1) * n_probe / n_cells), 4
+                ),
                 "recall_at_10": _recall(exact, top),
                 "sec_min": round(samples[0], 3),
                 "sec_median": round(samples[len(samples) // 2], 3),
@@ -146,6 +152,7 @@ def sweep(spark, data_dir: str, depths, probes, n_runs: int = 3) -> dict:
         "n_queries": len(exact),
         "pq_rerank_sweep": pq_rows,
         "ivf_probe_curve": ivf_rows,
+        "ivf_assign_top": meta.get("assign_top", 1),
         "production_points": {"pq_rerank": "auto=16*k=160", "ivf_n_probe": 4},
     }
 

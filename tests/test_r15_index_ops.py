@@ -385,6 +385,131 @@ def test_ivfpq_retrain_signal_reads_its_own_index(
     assert hot["retrain"] is True
 
 
+# ------------------------------------------------- soft assignment (r15)
+
+
+def test_ivf_soft_assignment_build_search_and_maintenance(
+    spark, md_elements, tmp_path
+):
+    """assign_top=2 (r14 verdict item 2): every key is stored in its 2
+    nearest cells; search never returns a key twice; merge/refresh
+    maintain the SAME soft assignment the builder produces (maintained
+    == rebuilt under the frozen centroids), and a soft-probed search
+    finds at least everything the hard-assigned probe finds."""
+    from dataingestionplayground_spark.ingest.ann_index import (
+        _ivf_cents_df,
+        build_ivf_index,
+        ivf_index_staleness,
+        ivf_search_indexed,
+        merge_ivf_assignments,
+        refresh_ivf_index,
+    )
+    from dataingestionplayground_spark.ingest.embed import hash_embed
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+    )
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "soft", max_tokens=8, overlap=0)
+    meta = build_ivf_index(spark, store, "soft", n_cells=4, assign_top=2)
+    assert meta["assign_top"] == 2
+
+    def view():
+        return sorted(
+            (r["key"], r["cell"])
+            for r in read_ivf_assignments(spark, store, "soft")
+            .select("key", "cell")
+            .collect()
+        )
+
+    def rebuild_view():
+        chunks = store.read(spark, "soft").select(
+            "key", "documentid", "embedding"
+        )
+        return sorted(
+            (r["key"], r["cell"])
+            for r in _assign_cells_matmul(
+                chunks, _ivf_cents_df(spark, meta), "key", "embedding",
+                extra_cols=("documentid",), keep=2,
+            )
+            .select("key", "cell")
+            .collect()
+        )
+
+    base = view()
+    keys = {k for k, _ in base}
+    assert len(base) == 2 * len(keys)  # every key in exactly 2 cells
+    assert base == rebuild_view()
+
+    # maintenance preserves the soft contract
+    _inc(md_elements, store, "soft", "-m1")
+    b1 = _batch(spark, store, "soft", "-m1")
+    assert merge_ivf_assignments(spark, store, "soft", b1, epoch_id=1) > 0
+    assert view() == rebuild_view()
+    assert ivf_index_staleness(spark, store, "soft") == {
+        "missing": 0,
+        "orphaned": 0,
+    }
+    assert refresh_ivf_index(spark, store, "soft") == {
+        "appended": 0,
+        "removed": 0,
+    }
+    # replay converges under soft assignment too
+    v = view()
+    merge_ivf_assignments(spark, store, "soft", b1, epoch_id=1)
+    assert view() == v
+    # compaction folds epoch tags without changing the soft assignment
+    assert compact_ivf_assignments(spark, store, "soft") > 0
+    assert view() == v
+
+    # search: no key occupies two result slots, scores stay exact
+    q = spark.createDataFrame(
+        [("q0", hash_embed("machine learning algorithms")),
+         ("q1", hash_embed("database transactions"))],
+        "query_id string, query_vec array<float>",
+    )
+    got = ivf_search_indexed(spark, store, "soft", q, k=5, n_probe=2).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["key"])
+    for qid, ks in per_q.items():
+        assert len(ks) == len(set(ks)), f"duplicate key in top-k for {qid}"
+
+    # refresh appends NEW chunks with the soft fan-out as well
+    _inc(md_elements, store, "soft", "-m2")
+    res = refresh_ivf_index(spark, store, "soft")
+    assert res["appended"] > 0
+    assert view() == rebuild_view()
+
+
+def test_ivf_soft_probe_is_superset_of_hard_probe(spark, md_elements, tmp_path):
+    """With identical frozen centroids, the candidate set a probed
+    search sees under assign_top=2 contains the assign_top=1 candidate
+    set (each key keeps its argmax cell and gains one), so soft recall
+    can never be worse on the same probes."""
+    from dataingestionplayground_spark.ingest.ann_index import build_ivf_index
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "hard", max_tokens=8, overlap=0)
+    m1 = build_ivf_index(spark, store, "hard", n_cells=4, assign_top=1)
+    hard = {
+        (r["key"], r["cell"])
+        for r in read_ivf_assignments(spark, store, "hard")
+        .select("key", "cell")
+        .collect()
+    }
+    m2 = build_ivf_index(spark, store, "hard", n_cells=4, assign_top=2)
+    assert m1["cents"] == m2["cents"]  # same frozen centroids
+    soft = {
+        (r["key"], r["cell"])
+        for r in read_ivf_assignments(spark, store, "hard")
+        .select("key", "cell")
+        .collect()
+    }
+    assert hard <= soft
+    assert len(soft) == 2 * len(hard)
+
+
 # ------------------------------------------------------------ CLI contract
 
 
