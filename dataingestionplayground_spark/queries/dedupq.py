@@ -944,6 +944,12 @@ def _snapshot_delta_oracle() -> str:
 
 @register("dedup_snapshot_delta", oracle=_snapshot_delta_oracle())
 def dedup_snapshot_delta(spark, sf):
+    from dataingestionplayground_spark.session import load_table as _t
+
+    return _snapshot_delta_frame(_t(spark, sf, "documents"))
+
+
+def _snapshot_delta_frame(d):
     # Cross-snapshot dedup delta (r12 verdict item 5b): snapshot B's
     # NEW documents (ids absent from snapshot A — the anti-join, not id
     # arithmetic, so real snapshot manifests plug in) classified
@@ -959,11 +965,13 @@ def dedup_snapshot_delta(spark, sf):
     # column, no fan-out: A's fingerprint set is distinct), the banded
     # candidate join, and a packed-set verify that shuffles candidate
     # PAIRS only — never exploded shingles, never A x B.
+    # (r15, verdict item 5: body hoisted to a frame helper so
+    # pipeline_release_gate can feed its shared checkpointed documents
+    # frame.)
     from dataingestionplayground_spark.operators.dedup import (
         minhash_lsh_pairs_between,
     )
 
-    d = t(spark, sf, "documents")
     a = d.filter(F.col("doc_id") % 5 != 4)
     b = d.filter(F.col("doc_id") % 5 != 0)
     # consumed three times (candidate banding, packed verify side, the

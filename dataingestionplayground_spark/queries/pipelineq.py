@@ -2492,6 +2492,10 @@ def pipeline_curate_funnel(spark, sf):
     """,
 )
 def text_contamination_report(spark, sf):
+    return _contamination_report_frame(t(spark, sf, "documents"))
+
+
+def _contamination_report_frame(d):
     # The EVAL-side view of decontamination: dedup_decontaminate flags
     # which TRAIN docs to drop; this reports, per held-out eval
     # document, how compromised it already is — distinct-trigram count,
@@ -2503,8 +2507,6 @@ def text_contamination_report(spark, sf):
     # the eval gram table is benchmark-sized and BROADCASTS to both
     # probes; the train side is one distinct-gram pass (reused for the
     # gram-set and the per-doc join); aggregations key on eval doc_id.
-    d = t(spark, sf, "documents")
-
     def grams(df, idc):
         return df.select(
             F.col("doc_id").alias(idc), TX.tokens("text").alias("__tk")
@@ -3042,6 +3044,10 @@ def sample_mixture_realization_check(spark, sf):
     """,
 )
 def pipeline_release_report(spark, sf):
+    return _release_report_frame(t(spark, sf, "documents"))
+
+
+def _release_report_frame(d):
     # The ONE-ROW dataset release card — the header block of a dataset
     # datasheet (doc/source/lang counts, token total, exact-dup rate,
     # mean heuristic quality, language-distribution Shannon entropy) —
@@ -3052,8 +3058,9 @@ def pipeline_release_report(spark, sf):
     # fold (the char-entropy convention) over a |langs|-row frame.
     # Plan: ONE corpus scan computing all per-doc signals in-row, one
     # single-row agg with two-phase count-distincts, one |langs|-key
-    # agg for the entropy — nothing else.
-    d = t(spark, sf, "documents")
+    # agg for the entropy — nothing else. (r15, verdict item 5: body
+    # hoisted to a frame helper so pipeline_release_gate can feed the
+    # card's shared checkpointed documents frame.)
     raw = d.select(
         "doc_id",
         "source",
@@ -3163,18 +3170,19 @@ def text_contamination_by_source(spark, sf):
     # WHICH feed leaks eval content (a single syndicated source
     # usually accounts for most contamination; drop or decontaminate
     # that feed rather than paying gram-level scrubbing everywhere).
-    # Composes the registered per-doc report; one doc-keyed join +
-    # one source-keyed agg on the (small) eval slice.
-    from dataingestionplayground_spark.queries import REGISTRY as _R
+    # Composes the registered per-doc report (via its single-source
+    # frame helper); one doc-keyed join + one source-keyed agg on the
+    # (small) eval slice.
+    return _contamination_by_source_frame(t(spark, sf, "documents"))
 
-    rep = (
-        _R["text_contamination_report"].fn(spark, sf)
-        .select("doc_id", "n_hit", "contamination_rate")
+
+def _contamination_by_source_frame(d):
+    rep = _contamination_report_frame(d).select(
+        "doc_id", "n_hit", "contamination_rate"
     )
-    d = t(spark, sf, "documents").select("doc_id", "source")
     hit = F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
     return (
-        rep.join(d, "doc_id")
+        rep.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
@@ -3204,23 +3212,48 @@ def pipeline_release_gate(spark, sf):
     # each member runs its own proven plan once; the composition layer
     # is three single-row aggs broadcast-crossJoined — zero new shuffle
     # classes at 100 TB.
-    from dataingestionplayground_spark.queries import REGISTRY as _R
+    #
+    # r15 (verdict item 5): members compose through their REGISTERED
+    # single-source frame helpers over ONE checkpointed documents frame
+    # (the pipeline_index_health discipline) — the registered rows
+    # execute the identical bodies, but the gate stops re-reading and
+    # re-decoding the documents parquet once per member subplan.
+    from concurrent.futures import ThreadPoolExecutor
 
-    rep = _R["pipeline_release_report"].fn(spark, sf).select(
-        "n_docs", "total_tokens", "dup_rate", "avg_quality"
+    from dataingestionplayground_spark.queries.dedupq import (
+        _snapshot_delta_frame,
     )
-    contam = _R["text_contamination_by_source"].fn(spark, sf).agg(
-        F.sum("n_contaminated").cast("long").alias("n_contaminated"),
-        F.max("contaminated_frac").alias("max_contaminated_frac"),
-    )
+
+    d = t(spark, sf, "documents").localCheckpoint(eager=True)
     novel = F.sum(F.when(F.col("status") == "novel", 1).otherwise(0))
-    delta = _R["dedup_snapshot_delta"].fn(spark, sf).agg(
-        F.count(F.lit(1)).cast("long").alias("n_delta"),
-        novel.cast("long").alias("n_novel"),
-        F.round(
-            novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("novel_frac"),
-    )
+    # member CONSTRUCTION blocks on each member's internal eager
+    # localCheckpoints (delta: anti-join + banded candidates; contam:
+    # the two gram tables) — those are independent Spark jobs over the
+    # shared frame, so build the members concurrently instead of
+    # paying the checkpoint barriers serially (values are unaffected:
+    # each member is a pure function of the checkpointed d)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_rep = ex.submit(
+            lambda: _release_report_frame(d).select(
+                "n_docs", "total_tokens", "dup_rate", "avg_quality"
+            )
+        )
+        f_contam = ex.submit(
+            lambda: _contamination_by_source_frame(d).agg(
+                F.sum("n_contaminated").cast("long").alias("n_contaminated"),
+                F.max("contaminated_frac").alias("max_contaminated_frac"),
+            )
+        )
+        f_delta = ex.submit(
+            lambda: _snapshot_delta_frame(d).agg(
+                F.count(F.lit(1)).cast("long").alias("n_delta"),
+                novel.cast("long").alias("n_novel"),
+                F.round(
+                    novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+                ).alias("novel_frac"),
+            )
+        )
+        rep, contam, delta = f_rep.result(), f_contam.result(), f_delta.result()
     pass_dup = F.col("dup_rate") <= _GATE_DUP
     pass_quality = F.col("avg_quality") >= _GATE_QUALITY
     pass_contam = F.col("max_contaminated_frac") <= _GATE_CONTAM
@@ -3288,10 +3321,31 @@ def pipeline_index_health(spark, sf):
     # (cross-engine flip-proof), and the conjunction. Plan: the member
     # plans run once each; composition is three single-row frames
     # broadcast-crossJoined.
-    from dataingestionplayground_spark.queries import REGISTRY as _R
+    #
+    # r15 (verdict item 5): the members are composed through their
+    # REGISTERED single-source frame helpers (_cell_balance_frame /
+    # _pq_distortion_frame / _retrain_signal_frame — the exact bodies
+    # the registered rows execute) over ONE checkpointed embeddings
+    # frame, instead of re-running each registered fn against its own
+    # parquet scan: the member helpers' internal driver actions
+    # (centroid/codebook collects) all read the tiny materialized
+    # frame, cutting the card's serial small-job tail while grading
+    # the identical structures.
+    from dataingestionplayground_spark.queries.vectorq import (
+        _PQ_K,
+        _SD_CELLS,
+        _cell_balance_frame,
+        _pq_distortion_frame,
+        _retrain_signal_frame,
+    )
 
-    hb = _R["vector_cell_balance"].fn(spark, sf).select("cv", "max_over_mean")
-    hd = _R["vector_pq_distortion"].fn(spark, sf).agg(
+    e = (
+        t(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    hb = _cell_balance_frame(e, _SD_CELLS).select("cv", "max_over_mean")
+    hd = _pq_distortion_frame(e, _PQ_K).agg(
         F.round(
             F.sum(F.col("mean_sq_err").cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)),
@@ -3299,7 +3353,7 @@ def pipeline_index_health(spark, sf):
         ).alias("mean_distortion"),
         F.max("max_sq_err").alias("worst_distortion"),
     )
-    hs = _R["vector_ivf_retrain_signal"].fn(spark, sf).select("skew", "retrain")
+    hs = _retrain_signal_frame(e).select("skew", "retrain")
     balance_ok = F.col("max_over_mean") <= 2.0
     distortion_ok = F.col("mean_distortion") <= 0.5
     skew_ok = ~F.col("retrain")

@@ -2182,26 +2182,23 @@ def _ivf_maintained_occ(e):
     )
 
     base = e.filter(F.col("vec_id") % 5 != 0)
-    inc = e.filter(F.col("vec_id") % 5 == 0)
     cents = _seed_centroids(base, "vec_id", "embedding", _SD_CELLS)
-    ab = (
-        _assign_cells_matmul(base, cents, "vec_id", "embedding")
-        .select("vec_id", "cell")
-        .withColumn("is_new", F.lit(0))
+    # ONE Arrow matmul pass over the whole corpus (r15, verdict item 5:
+    # the old base+increment twin passes were per-row-independent
+    # assignments against the SAME frozen centroids, so splitting the
+    # input bought nothing but a second scan + job); the slice flag is
+    # a plain column expression
+    assigned = _assign_cells_matmul(e, cents, "vec_id", "embedding").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("vec_id") % 5 == 0, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_new"
+        ),
     )
-    ai = (
-        _assign_cells_matmul(inc, cents, "vec_id", "embedding")
-        .select("vec_id", "cell")
-        .withColumn("is_new", F.lit(1))
-    )
-    return (
-        ab.unionByName(ai)
-        .groupBy("cell")
-        .agg(
-            F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("n_base"),
-            F.sum("is_new").cast("long").alias("n_new"),
-            F.count(F.lit(1)).cast("long").alias("n_total"),
-        )
+    return assigned.groupBy("cell").agg(
+        F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("n_base"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
     )
 
 
@@ -2287,10 +2284,18 @@ def vector_ivf_retrain_signal(spark, sf):
     # decision compares INTEGERS (max_n * n_cells vs 2 * total) so the
     # boolean can never flip cross-engine; skew is one division then
     # round. Production twin: ingest.ann_index.ivf_retrain_signal.
-    n = F.col("n_total")
-    return _ivf_maintained_occ(
+    return _retrain_signal_frame(
         t(spark, sf, "embeddings").select("vec_id", "embedding")
-    ).agg(
+    )
+
+
+def _retrain_signal_frame(e):
+    """The retrain-signal aggregation over :func:`_ivf_maintained_occ`
+    — hoisted (r15, verdict item 5) so pipeline_index_health can feed
+    it the card's shared checkpointed embeddings frame while provably
+    grading the identical structure as the registered signal row."""
+    n = F.col("n_total")
+    return _ivf_maintained_occ(e).agg(
         F.count(F.lit(1)).cast("long").alias("n_cells_occupied"),
         F.sum(n).cast("long").alias("n_assigned"),
         F.max(n).cast("long").alias("max_n"),
