@@ -1051,3 +1051,305 @@ def compact_dup_rate_state(spark: SparkSession, path: str) -> int:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(sources)
+
+
+# ---------------------------------------------------------------------------
+# Ship-readiness state (r14 verdict item 6): the release gate's three
+# members as ONE epoch-staged maintained artifact, so "can this ship?"
+# is a state read instead of a corpus recomputation. Four sub-tables
+# under a common root, each partitioned by epoch_id and written with
+# dynamic partition overwrite — a foreachBatch retry rewrites exactly
+# its own epoch partition, so replays converge byte-identically (the
+# merge_dup_rate_state discipline, simplified: no read-back is needed
+# because every combine below is associative across epochs):
+#
+#   <path>/shape   one row per epoch: n_docs, total_tokens,
+#                  sum_q (DECIMAL — order-free), n_q
+#   <path>/fp      (f, cnt) per epoch — exact-dup fingerprint counts
+#   <path>/hits    eval grams hit by this epoch's train docs
+#   <path>/delta   (doc_id, status, best_jaccard) for this epoch's
+#                  new-snapshot docs, classified against the STATIC
+#                  old snapshot (stream-static, frozen reference)
+#
+# Every per-doc signal comes from the SAME single-source helpers the
+# batch gate runs (_release_features_frame, _gram_frame,
+# _classify_delta), so the maintained gate row is value-identical to
+# pipeline_release_gate over the same documents — pinned in
+# tests/test_r15_ship_stream.py.
+# ---------------------------------------------------------------------------
+
+
+def _ship_write_epoch(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Write one epoch's rows into ``path`` (partitioned by epoch_id,
+    dynamic overwrite — the retry-idempotence primitive)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy("epoch_id").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def ship_eval_reference(d: DataFrame) -> DataFrame:
+    """The STATIC eval-side reference the contamination member probes:
+    (doc_id, source, g) distinct-trigram rows for the held-out eval
+    slice, built by the batch gate's own gram helper. Freeze it once
+    (the psi_reference pattern); both merge and read take it as an
+    argument so the probe can never drift from the batch tokenizer."""
+    from dataingestionplayground_spark.queries.pipelineq import _gram_frame
+
+    ev = d.filter(F.col("doc_id") % 25 == 0)
+    return _gram_frame(ev, "doc_id").join(
+        ev.select("doc_id", "source"), "doc_id"
+    )
+
+
+def merge_ship_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    a_static: DataFrame,
+    eval_grams: DataFrame,
+    path: str,
+    epoch_id: int,
+) -> dict:
+    """Fold one micro-batch of documents-table rows into the ship
+    state. ``a_static`` is the frozen old snapshot (the delta member's
+    reference content); ``eval_grams`` is :func:`ship_eval_reference`'s
+    output. Returns per-sub-table staged row counts."""
+    from dataingestionplayground_spark.queries.dedupq import _classify_delta
+    from dataingestionplayground_spark.queries.pipelineq import (
+        _gram_frame,
+        _release_features_frame,
+    )
+
+    ep = F.lit(int(epoch_id)).cast("long")
+    feats = _release_features_frame(batch).localCheckpoint(eager=True)
+
+    shape = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum(F.col("quality").cast("decimal(38,6)")).alias("sum_q"),
+        F.count("quality").cast("long").alias("n_q"),
+    ).withColumn("epoch_id", ep)
+    _ship_write_epoch(spark, shape, f"{path}/shape")
+
+    fp = (
+        feats.groupBy("f")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("epoch_id", ep)
+    )
+    _ship_write_epoch(spark, fp, f"{path}/fp")
+
+    # stream-static gram probe: which eval grams does this batch's
+    # TRAIN slice hit? (the eval side is tiny and broadcasts)
+    tr = _gram_frame(batch.filter(F.col("doc_id") % 25 != 0), "tdoc")
+    hits = (
+        tr.select("g")
+        .distinct()
+        .join(F.broadcast(eval_grams.select("g").distinct()), "g")
+        .withColumn("epoch_id", ep)
+    )
+    _ship_write_epoch(spark, hits, f"{path}/hits")
+
+    # new-snapshot docs classified against the frozen old snapshot
+    delta_docs = batch.filter(F.col("doc_id") % 5 == 4)
+    n_delta = 0
+    if not delta_docs.isEmpty():
+        cls = (
+            _classify_delta(delta_docs, a_static)
+            .select("doc_id", "status", "best_jaccard")
+            .withColumn("epoch_id", ep)
+            .localCheckpoint(eager=True)
+        )
+        n_delta = cls.count()
+        _ship_write_epoch(spark, cls, f"{path}/delta")
+    return {"delta_rows": n_delta}
+
+
+def _read_state(spark: SparkSession, sub: str) -> DataFrame | None:
+    import os
+
+    if not os.path.isdir(sub) or not any(
+        e.startswith("epoch_id=") for e in os.listdir(sub)
+    ):
+        return None
+    return spark.read.parquet(sub)
+
+
+def ship_readiness_over(
+    spark: SparkSession, path: str, eval_grams: DataFrame
+) -> DataFrame:
+    """The maintained gate row — column-for-column
+    ``pipeline_release_gate`` (same member values, same literal
+    thresholds, same 6dp rounds, same ship conjunction), composed from
+    the staged state instead of a corpus recomputation. Combine rules:
+    shape sums and DECIMAL quality sums are associative across epochs;
+    fingerprints/hit-grams are distinct-unions; delta docs dedupe by
+    doc_id (newest epoch wins, the read_pq_codes rule)."""
+    from pyspark.sql import Window
+
+    from dataingestionplayground_spark.queries.pipelineq import (
+        _GATE_CONTAM,
+        _GATE_DUP,
+        _GATE_NOVEL,
+        _GATE_QUALITY,
+    )
+
+    shape = _read_state(spark, f"{path}/shape").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.sum("sum_q").alias("sum_q"),
+        F.sum("n_q").cast("long").alias("n_q"),
+    )
+    uniq = (
+        _read_state(spark, f"{path}/fp")
+        .groupBy("f")
+        .agg(F.sum("cnt").alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+    )
+    rep = shape.crossJoin(F.broadcast(uniq)).select(
+        "n_docs",
+        "total_tokens",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.col("sum_q").cast("double") / F.col("n_q").cast("double"), 6
+        ).alias("avg_quality"),
+    )
+
+    hits_state = _read_state(spark, f"{path}/hits")
+    hit_grams = (
+        hits_state.select("g").distinct()
+        if hits_state is not None
+        else spark.createDataFrame([], "g string")
+    )
+    per_doc = (
+        eval_grams.join(hit_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ev_docs = eval_grams.select("doc_id", "source").distinct()
+    hitf = F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+    by_source = (
+        ev_docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            hitf.cast("long").alias("n_contaminated"),
+            F.round(
+                hitf.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("contaminated_frac"),
+        )
+    )
+    contam = by_source.agg(
+        F.sum("n_contaminated").cast("long").alias("n_contaminated"),
+        F.max("contaminated_frac").alias("max_contaminated_frac"),
+    )
+
+    dstate = _read_state(spark, f"{path}/delta")
+    if dstate is None:
+        dstate = spark.createDataFrame(
+            [], "doc_id long, status string, best_jaccard double, epoch_id long"
+        )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("epoch_id"))
+    novel = F.sum(F.when(F.col("status") == "novel", 1).otherwise(0))
+    delta = (
+        dstate.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_delta"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novel_frac"),
+        )
+    )
+
+    pass_dup = F.col("dup_rate") <= _GATE_DUP
+    pass_quality = F.col("avg_quality") >= _GATE_QUALITY
+    pass_contam = F.col("max_contaminated_frac") <= _GATE_CONTAM
+    pass_novelty = F.col("novel_frac") >= _GATE_NOVEL
+    return (
+        rep.crossJoin(F.broadcast(contam))
+        .crossJoin(F.broadcast(delta))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "dup_rate",
+            "avg_quality",
+            "n_contaminated",
+            "max_contaminated_frac",
+            "n_delta",
+            "n_novel",
+            "novel_frac",
+            pass_dup.alias("pass_dup"),
+            pass_quality.alias("pass_quality"),
+            pass_contam.alias("pass_contam"),
+            pass_novelty.alias("pass_novelty"),
+            (pass_dup & pass_quality & pass_contam & pass_novelty).alias(
+                "ship"
+            ),
+        )
+    )
+
+
+def compact_ship_state(spark: SparkSession, path: str) -> int:
+    """Fold committed epochs down to one epoch-0-free canonical row set
+    per sub-table (run only after the maintaining stream's checkpoint
+    committed them — the compact_topk_rollup caveat). Returns sub-tables
+    rewritten."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    done = 0
+    shape = _read_state(spark, f"{path}/shape")
+    if shape is not None:
+        folded = shape.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.sum("sum_q").alias("sum_q"),
+            F.sum("n_q").cast("long").alias("n_q"),
+        ).withColumn("epoch_id", F.lit(None).cast("long"))
+        folded = folded.localCheckpoint(eager=True)
+        shutil.rmtree(f"{path}/shape")
+        folded.write.partitionBy("epoch_id").parquet(f"{path}/shape")
+        done += 1
+    fp = _read_state(spark, f"{path}/fp")
+    if fp is not None:
+        folded = (
+            fp.groupBy("f")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .withColumn("epoch_id", F.lit(None).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        shutil.rmtree(f"{path}/fp")
+        folded.write.partitionBy("epoch_id").parquet(f"{path}/fp")
+        done += 1
+    hits = _read_state(spark, f"{path}/hits")
+    if hits is not None:
+        folded = (
+            hits.select("g")
+            .distinct()
+            .withColumn("epoch_id", F.lit(None).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        shutil.rmtree(f"{path}/hits")
+        folded.write.partitionBy("epoch_id").parquet(f"{path}/hits")
+        done += 1
+    delta = _read_state(spark, f"{path}/delta")
+    if delta is not None:
+        w = Window.partitionBy("doc_id").orderBy(F.desc("epoch_id"))
+        folded = (
+            delta.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("epoch_id", F.lit(None).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        shutil.rmtree(f"{path}/delta")
+        folded.write.partitionBy("epoch_id").parquet(f"{path}/delta")
+        done += 1
+    return done

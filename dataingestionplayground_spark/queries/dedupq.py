@@ -968,10 +968,6 @@ def _snapshot_delta_frame(d):
     # (r15, verdict item 5: body hoisted to a frame helper so
     # pipeline_release_gate can feed its shared checkpointed documents
     # frame.)
-    from dataingestionplayground_spark.operators.dedup import (
-        minhash_lsh_pairs_between,
-    )
-
     a = d.filter(F.col("doc_id") % 5 != 4)
     b = d.filter(F.col("doc_id") % 5 != 0)
     # consumed three times (candidate banding, packed verify side, the
@@ -979,6 +975,19 @@ def _snapshot_delta_frame(d):
     delta = b.join(a.select("doc_id"), "doc_id", "left_anti").localCheckpoint(
         eager=True
     )
+    return _classify_delta(delta, a)
+
+
+def _classify_delta(delta, a):
+    """Classify every ``delta`` document against snapshot ``a``'s
+    content — the single-source body behind dedup_snapshot_delta,
+    hoisted (r15 verdict item 6) so the streaming ship-readiness
+    maintainer classifies each arriving micro-batch with the identical
+    fingerprint + banded-verify logic the batch gate runs."""
+    from dataingestionplayground_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
     afp = (
         a.select(TX.fingerprint("text").alias("fp"))
         .distinct()

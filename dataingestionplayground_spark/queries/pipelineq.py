@@ -2495,6 +2495,22 @@ def text_contamination_report(spark, sf):
     return _contamination_report_frame(t(spark, sf, "documents"))
 
 
+def _gram_frame(df, idc):
+    """Distinct-trigram rows (idc, g) for a document slice — the
+    single-source gram builder behind the contamination report, hoisted
+    (r15 verdict item 6) so the streaming ship-readiness maintainer's
+    stream-static gram probe provably uses the identical tokenization
+    and shingling as the batch gate."""
+    return df.select(
+        F.col("doc_id").alias(idc), TX.tokens("text").alias("__tk")
+    ).select(
+        idc,
+        F.explode(F.array_distinct(TX.shingles_from_tokens("__tk", 3))).alias(
+            "g"
+        ),
+    )
+
+
 def _contamination_report_frame(d):
     # The EVAL-side view of decontamination: dedup_decontaminate flags
     # which TRAIN docs to drop; this reports, per held-out eval
@@ -2507,20 +2523,10 @@ def _contamination_report_frame(d):
     # the eval gram table is benchmark-sized and BROADCASTS to both
     # probes; the train side is one distinct-gram pass (reused for the
     # gram-set and the per-doc join); aggregations key on eval doc_id.
-    def grams(df, idc):
-        return df.select(
-            F.col("doc_id").alias(idc), TX.tokens("text").alias("__tk")
-        ).select(
-            idc,
-            F.explode(F.array_distinct(TX.shingles_from_tokens("__tk", 3))).alias(
-                "g"
-            ),
-        )
-
-    ev = grams(d.filter(F.col("doc_id") % 25 == 0), "doc_id").localCheckpoint(
+    ev = _gram_frame(d.filter(F.col("doc_id") % 25 == 0), "doc_id").localCheckpoint(
         eager=True
     )
-    tr = grams(d.filter(F.col("doc_id") % 25 != 0), "tdoc").localCheckpoint(
+    tr = _gram_frame(d.filter(F.col("doc_id") % 25 != 0), "tdoc").localCheckpoint(
         eager=True
     )
     sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
@@ -3047,6 +3053,33 @@ def pipeline_release_report(spark, sf):
     return _release_report_frame(t(spark, sf, "documents"))
 
 
+def _release_features_frame(d):
+    """Per-document release features (doc_id, source, lang, fingerprint
+    f, n_toks, quality) — the single-source per-doc body of the release
+    card, hoisted (r15 verdict item 6) so the streaming ship-readiness
+    maintainer stages EXACTLY the per-doc signals the batch gate
+    aggregates (sum/count staging over these columns combines to the
+    identical davg/dup-rate values)."""
+    raw = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        TX.fingerprint("text").alias("f"),
+        TX.token_count("text").cast("long").alias("n_toks"),
+        TX.stopword_hits("text", "en").alias("n_stop"),
+        F.length(F.expr("replace(text, ' ', '')")).cast("int").alias("len_sum"),
+    )
+    return raw.select(
+        "doc_id",
+        "source",
+        "lang",
+        "f",
+        "n_toks",
+        F.when(F.col("n_toks") > 0, F.expr(_QUALITY_SQL)).alias("quality"),
+    )
+
+
 def _release_report_frame(d):
     # The ONE-ROW dataset release card — the header block of a dataset
     # datasheet (doc/source/lang counts, token total, exact-dup rate,
@@ -3061,24 +3094,7 @@ def _release_report_frame(d):
     # agg for the entropy — nothing else. (r15, verdict item 5: body
     # hoisted to a frame helper so pipeline_release_gate can feed the
     # card's shared checkpointed documents frame.)
-    raw = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        TX.fingerprint("text").alias("f"),
-        TX.token_count("text").cast("long").alias("n_toks"),
-        TX.stopword_hits("text", "en").alias("n_stop"),
-        F.length(F.expr("replace(text, ' ', '')")).cast("int").alias("len_sum"),
-    )
-    feats = raw.select(
-        "doc_id",
-        "source",
-        "lang",
-        "f",
-        "n_toks",
-        F.when(F.col("n_toks") > 0, F.expr(_QUALITY_SQL)).alias("quality"),
-    )
+    feats = _release_features_frame(d)
     lc = feats.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tt = lc.agg(F.sum("c").cast("double").alias("t"))
     p = F.col("c").cast("double") / F.col("t")
