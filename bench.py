@@ -212,8 +212,10 @@ BIG_HEADLINE = [
     # r15: the audio fingerprint near-dup pairs (PCM16 build+decode+
     # fingerprint Arrow pass into a banded Hamming self-join — the
     # audio twin of multimodal_ahash_pairs; big blocks only, same
-    # headline byte-budget reason)
+    # headline byte-budget reason) and the soft-assignment occupancy
+    # diagnostic (two matmul fan-outs + broadcast join)
     "multimodal_audio_fp_pairs",
+    "vector_ivf_soft_occupancy",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -280,8 +282,10 @@ BIG2_HEADLINE = [
     # headline compact line is near its byte budget)
     "multimodal_audio_vad_gate",
     # r15: audio fingerprint pairs (2x-step: pair count grows with the
-    # in-group quadratic but banding keeps the join bucket-bounded)
+    # in-group quadratic but banding keeps the join bucket-bounded) and
+    # the soft-assignment occupancy (step should track the matmul scan)
     "multimodal_audio_fp_pairs",
+    "vector_ivf_soft_occupancy",
 ]
 
 

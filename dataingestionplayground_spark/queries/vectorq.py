@@ -634,7 +634,10 @@ def vector_pq_adc_search(spark, sf):
 _SD_CELLS, _SD_THRESH = 16, 0.35  # demo threshold: synthetic corpus max pair cos ~0.51
 
 
-def _sd_cell_duck() -> str:
+def _sd_sims_duck() -> str:
+    """The per-centroid cosine-similarity LIST expression behind
+    :func:`_sd_cell_duck` (r15: also consumed directly by the soft-
+    occupancy oracle, which needs first AND second choice)."""
     dot = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(generate_series(1, len(e.embedding)), "
@@ -650,7 +653,11 @@ def _sd_cell_duck() -> str:
         "list_transform(generate_series(1, len(c['v'])), "
         "i -> (c['v'])[i] * (c['v'])[i])), (a, b) -> a + b))"
     )
-    sims = f"list_transform(cents, c -> ({dot}) / nullif(({nrm}) * ({cnrm}), 0.0))"
+    return f"list_transform(cents, c -> ({dot}) / nullif(({nrm}) * ({cnrm}), 0.0))"
+
+
+def _sd_cell_duck() -> str:
+    sims = _sd_sims_duck()
     return f"CAST(list_position({sims}, list_max({sims})) - 1 AS INTEGER)"
 
 
@@ -2163,6 +2170,106 @@ def vector_cell_balance_sweep(spark, sf):
         for n in (8, 16, 32)
     ]
     return legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+
+def _soft_occ_oracle() -> str:
+    # the SAME sims list _sd_cell_duck argmaxes, materialized once in a
+    # CTE so first + second choice derive from one expression
+    sims_list = _sd_sims_duck()
+    return f"""
+    WITH seeds AS (
+      SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SD_CELLS})
+    ), cb AS (
+      SELECT list(struct_pack(cid := cid,
+                              v := list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                  ORDER BY cid) AS cents
+      FROM seeds
+    ), sims AS (
+      SELECT e.vec_id, {sims_list} AS s
+      FROM embeddings e CROSS JOIN cb
+    ), ranked AS (
+      SELECT vec_id,
+             CAST(list_position(s, list_max(s)) - 1 AS INTEGER) AS c1,
+             CAST(list_position(
+               list_transform(generate_series(1, len(s)), i ->
+                 CASE WHEN i = list_position(s, list_max(s)) THEN NULL
+                      ELSE s[i] END),
+               list_max(list_transform(generate_series(1, len(s)), i ->
+                 CASE WHEN i = list_position(s, list_max(s)) THEN NULL
+                      ELSE s[i] END))) - 1 AS INTEGER) AS c2
+      FROM sims
+    ), occ AS (
+      SELECT cell,
+             CAST(SUM(is_first) AS BIGINT) AS n_hard,
+             CAST(COUNT(*) AS BIGINT) AS n_soft
+      FROM (
+        SELECT c1 AS cell, 1 AS is_first FROM ranked
+        UNION ALL
+        SELECT c2 AS cell, 0 AS is_first FROM ranked
+      ) GROUP BY cell
+    )
+    SELECT cell, n_hard, n_soft,
+           CASE WHEN n_hard > 0
+                THEN round(CAST(n_soft AS DOUBLE) / CAST(n_hard AS DOUBLE), 6)
+           END AS spill
+    FROM occ
+    """
+
+
+@register("vector_ivf_soft_occupancy", oracle=_soft_occ_oracle())
+def vector_ivf_soft_occupancy(spark, sf):
+    # The registry face of r15's IVF recall lever (ingest.ann_index.
+    # build_ivf_index(assign_top=2)): per cell of the frozen 16-cell
+    # quantization, the HARD occupancy (argmax assignments — what a
+    # probe of that cell is guaranteed to see under assign_top=1) vs
+    # the SOFT occupancy (top-2 assignments — what the same probe sees
+    # under assign_top=2), and the spill ratio n_soft/n_hard. A cell
+    # whose spill balloons sits next to a boundary that cuts dense
+    # neighborhoods — exactly where soft assignment buys recall
+    # (measured: recall@10 0.66 -> 0.86 at n_probe=4 on this corpus)
+    # and exactly the table that prices its 2x storage. Plan: ONE
+    # Arrow matmul pass per fan-out (the production _assign_cells_
+    # matmul with keep=1/2 — the oracle mirrors its stable lowest-cell
+    # tie rule), two n_cells-key hash aggs, one broadcast join; the
+    # corpus never shuffles.
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+        _seed_centroids,
+    )
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = _seed_centroids(e, "vec_id", "embedding", _SD_CELLS)
+    hard = (
+        _assign_cells_matmul(e, cents, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hard"))
+    )
+    soft = (
+        _assign_cells_matmul(e, cents, "vec_id", "embedding", keep=2)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_soft"))
+    )
+    return (
+        hard.join(soft, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_hard", F.lit(0)).cast("long").alias("n_hard"),
+            F.coalesce("n_soft", F.lit(0)).cast("long").alias("n_soft"),
+        )
+        .select(
+            "cell",
+            "n_hard",
+            "n_soft",
+            F.when(
+                F.col("n_hard") > 0,
+                F.round(
+                    F.col("n_soft").cast("double") / F.col("n_hard").cast("double"),
+                    6,
+                ),
+            ).alias("spill"),
+        )
+    )
 
 
 def _ivf_maintained_occ(e):
