@@ -460,7 +460,8 @@ def cmd_index(args, cfg) -> int:
             first = store.read(spark, collection).select("embedding").first()
             dims = len(first["embedding"]) if first else 384
             meta = build_ivfpq_index(
-                spark, store, collection, n_cells=args.cells, dims=dims
+                spark, store, collection, n_cells=args.cells, dims=dims,
+                assign_top=args.assign_top,
             )
             print(
                 f"built IVFPQ index: {meta['n_cells']} cells, "
@@ -615,9 +616,9 @@ def main(argv: list[str] | None = None) -> int:
         "--assign-top",
         type=int,
         default=1,
-        help="build (ivf): store each chunk in its N nearest cells "
-        "(soft assignment — boundary-straddling neighborhoods stay "
-        "reachable; assignment table grows Nx)",
+        help="build (ivf/ivfpq): store each chunk in its N nearest "
+        "cells (soft assignment — boundary-straddling neighborhoods "
+        "stay reachable; assignment/code table grows Nx)",
     )
     p_ix.add_argument("--batch", help="merge: parquet of chunk rows")
     p_ix.add_argument(

@@ -1006,10 +1006,15 @@ def _ivfpq_dir(store: CollectionStore, collection: str) -> str:
     return os.path.join(store.base_path, "_indexes", collection, "ivfpq")
 
 
-def _residualize(chunks: DataFrame, cents_df: DataFrame, dims: int) -> DataFrame:
-    """(key, documentid, cell, res) — L2 nearest coarse cell (ties to
-    the lowest id) + the double-valued residual, via the broadcast
-    expression assigner shared with the batch operator."""
+def _residualize(
+    chunks: DataFrame, cents_df: DataFrame, dims: int, keep: int = 1
+) -> DataFrame:
+    """(key, documentid, cell, res) — L2 nearest coarse cell(s) (ties
+    to the lowest id) + the double-valued residual, via the broadcast
+    expression assigner shared with the batch operator. ``keep > 1`` is
+    the IVFADC face of soft assignment (r15): a key is residual-encoded
+    against EACH of its ``keep`` nearest cells (the residual, and so
+    the stored code, is per-cell)."""
     from dataingestionplayground_spark.operators.similarity import _l2_assign
 
     cents = cents_df.select("centroid_id", "cent_vec")
@@ -1019,7 +1024,7 @@ def _residualize(chunks: DataFrame, cents_df: DataFrame, dims: int) -> DataFrame
         "embedding",
         "key",
         dims,
-        keep=1,
+        keep=max(1, int(keep)),
     )
     ids = chunks.select("key", "documentid")
     return (
@@ -1040,12 +1045,21 @@ def build_ivfpq_index(
     centroid_mode: str = "kmeans",
     kmeans_iters: int = 2,
     codebook_mode: str = "kmeans",
+    assign_top: int = 1,
 ) -> dict:
     """Derive coarse centroids, PQ-train the RESIDUAL codebook, encode
     every chunk, persist codes partitioned by cell + frozen quantizers.
     Residual training is the accuracy step: after subtracting the cell
     centroid the codebook models a zero-centered ball, so the same m x k
-    budget spends its precision on local structure."""
+    budget spends its precision on local structure.
+
+    ``assign_top`` (r15): soft coarse assignment — each chunk is
+    residual-encoded into its N nearest cells (a per-cell residual, so
+    a per-cell code), the IVFADC twin of build_ivf_index's recall
+    lever; the codebook itself trains on the argmax residuals only
+    (keep=1), so assign_top changes WHERE codes live, never the frozen
+    quantizers. Meta-recorded; merge/refresh maintain the same
+    fan-out; search keeps each key's best ADC distance."""
     from dataingestionplayground_spark.operators.similarity import (
         _pq_codebook,
         _seed_centroids,
@@ -1100,9 +1114,14 @@ def build_ivfpq_index(
         "dims": dims,
         "centroid_mode": centroid_mode,
         "codebook_mode": codebook_mode,
+        "assign_top": max(1, int(assign_top)),
         "coarse": coarse,
         "cents": [(c["s"], c["cid"], [float(x) for x in c["v"]]) for c in cb_rows],
     }
+    if meta["assign_top"] > 1:
+        # re-residualize with the soft fan-out for the STORED codes
+        # (codebook training above stays on the argmax residuals)
+        residuals = _residualize(chunks, cents_df, dims, keep=meta["assign_top"])
     codes = pq_encode_with_codebook(
         residuals, _codebook_df(spark, meta), m, dims, "key", "res",
         extra_cols=("documentid", "cell"),
@@ -1171,7 +1190,8 @@ def merge_ivfpq_codes(
         "centroid_id int, cent_vec array<float>",
     )
     residuals = _residualize(
-        batch.select("key", "documentid", "embedding"), cents_df, meta["dims"]
+        batch.select("key", "documentid", "embedding"), cents_df, meta["dims"],
+        keep=int(meta.get("assign_top", 1)),  # frozen-quantizer contract
     )
     code_cols = [f"code_{s}" for s in range(meta["m"])]
     fresh = (
@@ -1297,7 +1317,9 @@ def refresh_ivfpq_index(
             [(i, v) for i, v in enumerate(meta["coarse"])],
             "centroid_id int, cent_vec array<float>",
         )
-        residuals = _residualize(new, cents_df, meta["dims"])
+        residuals = _residualize(
+            new, cents_df, meta["dims"], keep=int(meta.get("assign_top", 1))
+        )
         (
             pq_encode_with_codebook(
                 residuals, _codebook_df(spark, meta), meta["m"], meta["dims"],
@@ -1431,6 +1453,13 @@ def ivfpq_search_indexed(
     )
     depth = max(k, rerank) if rerank else k
     scored = codes.join(lut_df, "cell").withColumn("adc_dist", F.expr(score))
+    if int(meta.get("assign_top", 1)) > 1:
+        # soft assignment stores a key's code in several cells; a key
+        # reachable through two probed cells scores once (its best ADC
+        # estimate), not twice
+        scored = scored.groupBy(query_id, "key").agg(
+            F.min("adc_dist").alias("adc_dist")
+        )
     w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc("key"))
     adc = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -510,6 +510,88 @@ def test_ivf_soft_probe_is_superset_of_hard_probe(spark, md_elements, tmp_path):
     assert len(soft) == 2 * len(hard)
 
 
+def test_ivfpq_soft_assignment_build_search_and_maintenance(
+    spark, md_elements, tmp_path
+):
+    """assign_top=2 for the IVFADC index: every key's residual is
+    encoded into its 2 nearest coarse cells (per-cell residual, so a
+    per-cell code); merge maintains the same fan-out (maintained ==
+    rebuilt under both frozen quantizers); search keeps each key's best
+    ADC distance and never returns a key twice."""
+    from dataingestionplayground_spark.ingest.ann_index import (
+        _codebook_df,
+        _residualize,
+        ivfpq_index_staleness,
+        ivfpq_search_indexed,
+        merge_ivfpq_codes,
+        refresh_ivfpq_index,
+    )
+    from dataingestionplayground_spark.ingest.embed import hash_embed
+    from dataingestionplayground_spark.operators.similarity import (
+        pq_encode_with_codebook,
+    )
+
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "sq", max_tokens=8, overlap=0)
+    meta = build_ivfpq_index(
+        spark, store, "sq", n_cells=4, m=4, n_centroids=8, dims=DIMS,
+        centroid_mode="seed", codebook_mode="seed", assign_top=2,
+    )
+    assert meta["assign_top"] == 2
+    code_cols = [f"code_{s}" for s in range(meta["m"])]
+    all_cols = ["key", *code_cols, "cell"]
+
+    def view():
+        df = read_ivfpq_codes(spark, store, "sq").select(*all_cols)
+        return sorted(tuple(r[c] for c in all_cols) for r in df.collect())
+
+    def rebuild_view():
+        cents_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(meta["coarse"])],
+            "centroid_id int, cent_vec array<float>",
+        )
+        chunks = store.read(spark, "sq").select("key", "documentid", "embedding")
+        df = pq_encode_with_codebook(
+            _residualize(chunks, cents_df, meta["dims"], keep=2),
+            _codebook_df(spark, meta), meta["m"], meta["dims"],
+            "key", "res", extra_cols=("documentid", "cell"),
+        ).select(*all_cols)
+        return sorted(tuple(r[c] for c in all_cols) for r in df.collect())
+
+    base = view()
+    keys = {r[0] for r in base}
+    assert len(base) == 2 * len(keys)  # every key coded in exactly 2 cells
+    assert base == rebuild_view()
+
+    _inc(md_elements, store, "sq", "-m1")
+    b1 = _batch(spark, store, "sq", "-m1")
+    assert merge_ivfpq_codes(spark, store, "sq", b1, epoch_id=1) > 0
+    assert view() == rebuild_view()
+    assert ivfpq_index_staleness(spark, store, "sq") == {
+        "missing": 0,
+        "orphaned": 0,
+    }
+    assert refresh_ivfpq_index(spark, store, "sq") == {
+        "appended": 0,
+        "removed": 0,
+    }
+    # replay converges under the soft fan-out
+    v = view()
+    merge_ivfpq_codes(spark, store, "sq", b1, epoch_id=1)
+    assert view() == v
+
+    q = spark.createDataFrame(
+        [("q0", hash_embed("machine learning algorithms"))],
+        "query_id string, query_vec array<float>",
+    )
+    for kwargs in ({"rerank": None}, {"rerank": "auto"}):
+        got = ivfpq_search_indexed(
+            spark, store, "sq", q, k=5, n_probe=2, **kwargs
+        ).collect()
+        ks = [r["key"] for r in got]
+        assert len(ks) == len(set(ks)) > 0, "duplicate key in top-k"
+
+
 # ------------------------------------------------------------ CLI contract
 
 
