@@ -57,11 +57,18 @@ def test_recall_floor_gate():
         "ivf": {"recall_at_10": 0.9},
     }
     assert recall_floors(good) == []
-    # IVF at 0.66 is data-limited headroom, not collapse: passes its
-    # 0.6 floor while PQ rerank 0.38 fails the 0.8 quality bar
+    # r15: the IVF floor rose 0.6 -> 0.8 with the assign_top=2 soft
+    # assignment (sf0.1 holds ~0.86) — the old 0.66 operating point now
+    # correctly FAILS the gate, and the soft-assignment point passes
     mid = _doc({"a": 1.0}, {"a": 1.0})
-    mid["pq_index"] = {"rerank_recall_at_10": 0.88, "ivf": {"recall_at_10": 0.66}}
+    mid["pq_index"] = {"rerank_recall_at_10": 0.88, "ivf": {"recall_at_10": 0.86}}
     assert recall_floors(mid) == []
+    old_point = _doc({"a": 1.0}, {"a": 1.0})
+    old_point["pq_index"] = {
+        "rerank_recall_at_10": 0.88,
+        "ivf": {"recall_at_10": 0.66},
+    }
+    assert any("ivf.recall_at_10" in r for r in recall_floors(old_point))
     bad = _doc({"a": 1.0}, {"a": 1.0}, big={"queries": {}, "queries_median": {}})
     bad["pq_index"] = {"rerank_recall_at_10": 0.38, "ivf": {"recall_at_10": 0.9}}
     bad["big"]["pq_index"] = {"ivf": {"recall_at_10": 0.5}}
