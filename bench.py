@@ -406,7 +406,15 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
     # recall by seed luck, 0.58-0.91). Scanned rows 2x per probe; the
     # full-precision vectors are not duplicated.
     ivf_cfg = {"n_cells": 16, "centroid_mode": "kmeans", "assign_top": 2}
-    ivf_n_probe = 4
+    # probe budget per corpus size (r15): the archived probe curves
+    # (BENCH_ANN_CURVES.json) show the 2k-row sf0.1 corpus needs
+    # n_probe=4 for 0.86@10 while the 10k/20k-row corpora hold 1.0@10
+    # from n_probe=1 — the IVF scaling story IS that the probed
+    # fraction shrinks as the corpus grows, so the production point
+    # follows the curve instead of paying 4 probes x 2x soft rows at
+    # every scale. Recall is re-measured and floor-gated (>=0.8) at
+    # EVERY block below, so a mis-set dial fails loudly.
+    ivf_n_probe = 4 if emb.count() <= 5000 else 2
     ivf_meta_path = os.path.join(idx_base, "_indexes", "embeddings", "ivf", "ivf.json")
     ivf_stale = True
     if os.path.exists(ivf_meta_path):
