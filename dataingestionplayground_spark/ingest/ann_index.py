@@ -514,10 +514,13 @@ def build_ivf_index(
             for r in cents.orderBy("centroid_id").collect()
         ],
     }
+    soft = meta["assign_top"] > 1
     assigned = _assign_cells_matmul(
         chunks, _ivf_cents_df(spark, meta), "key", "embedding",
-        extra_cols=("documentid",), keep=meta["assign_top"],
-    ).select("key", "documentid", "cell")
+        extra_cols=("documentid",), keep=meta["assign_top"], emit_rank=soft,
+    ).select(
+        "key", "documentid", *(("cell_rank", "cell_1") if soft else ()), "cell"
+    )
     idx = _ivf_dir(store, collection)
     (
         assigned.repartition("cell")
@@ -634,12 +637,17 @@ def refresh_ivf_index(spark: SparkSession, store: CollectionStore, collection: s
     new = chunks.join(assigned.select("key"), "key", "left_anti")
     appended = new.count()
     if appended:
+        soft = int(meta.get("assign_top", 1)) > 1
         (
             _assign_cells_matmul(
                 new, _ivf_cents_df(spark, meta), "key", "embedding",
                 extra_cols=("documentid",), keep=int(meta.get("assign_top", 1)),
+                emit_rank=soft,
             )
-            .select("key", "documentid", "cell")
+            .select(
+                "key", "documentid",
+                *(("cell_rank", "cell_1") if soft else ()), "cell",
+            )
             .repartition("cell")
             .write.mode("append")
             .partitionBy("cell")
@@ -728,6 +736,8 @@ def merge_ivf_assignments(
 
     meta = _load_ivf_meta(store, collection)
     cells_path = os.path.join(_ivf_dir(store, collection), "cells")
+    soft = int(meta.get("assign_top", 1)) > 1
+    rank_cols = ("cell_rank", "cell_1") if soft else ()
     fresh = (
         _assign_cells_matmul(
             batch.select("key", "documentid", "embedding"),
@@ -739,8 +749,9 @@ def merge_ivf_assignments(
             # the maintainer must store each key in the same assign_top
             # cells the builder would, or maintained != rebuilt
             keep=int(meta.get("assign_top", 1)),
+            emit_rank=soft,
         )
-        .select("key", "documentid", "cell")
+        .select("key", "documentid", *rank_cols, "cell")
         .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
         .localCheckpoint(eager=True)  # consumed for cells, keys, and the write
     )
@@ -754,15 +765,19 @@ def merge_ivf_assignments(
     cond = F.col("cell").isin(non_null)
     if len(non_null) < len(hot):  # null cell: isin never matches it
         cond = cond | F.col("cell").isNull()
+    out_cols = ["key", "documentid", *rank_cols, "epoch_id", "cell"]
+    for rc in rank_cols:
+        if rc not in existing.columns:  # pre-r15 soft table: no rank info
+            existing = existing.withColumn(rc, F.lit(None).cast("int"))
     kept = (
         existing.filter(cond)
         .filter(F.col("epoch_id").isNull() | (F.col("epoch_id") != int(epoch_id)))
         .join(fresh.select("key"), "key", "left_anti")
-        .select("key", "documentid", "epoch_id", "cell")
+        .select(*out_cols)
     )
-    merged = kept.unionByName(
-        fresh.select("key", "documentid", "epoch_id", "cell")
-    ).localCheckpoint(eager=True)
+    merged = kept.unionByName(fresh.select(*out_cols)).localCheckpoint(
+        eager=True
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -808,10 +823,11 @@ def compact_ivf_assignments(
     cond = F.col("cell").isin(non_null)
     if len(non_null) < len(staged_cells):  # isin never matches NULL
         cond = cond | F.col("cell").isNull()
+    rank_cols = [c for c in ("cell_rank", "cell_1") if c in assigned.columns]
     merged = (
         assigned.filter(cond)
         .withColumn("epoch_id", F.lit(None).cast("long"))
-        .select("key", "documentid", "epoch_id", "cell")
+        .select("key", "documentid", *rank_cols, "epoch_id", "cell")
         .localCheckpoint(eager=True)
     )
     cells = staged_cells
@@ -960,12 +976,39 @@ def ivf_search_indexed(
             T.StructType([qid_field, T.StructField("cell", T.IntegerType(), False)]),
         )
     )
-    cand = assigned.join(probe_df, "cell").select(query_id, "key")
     if int(meta.get("assign_top", 1)) > 1:
         # soft assignment stores a key in several cells; a (query, key)
         # pair reachable through two probed cells must score once, not
-        # occupy two of the k result slots
-        cand = cand.dropDuplicates([query_id, "key"])
+        # occupy two of the k result slots. With rank info stored
+        # (r15 schema: cell_rank + cell_1) the duplicate copy is
+        # dropped by a broadcast FILTER — keep a secondary copy only
+        # when this query did NOT probe the key's primary cell — so no
+        # (query, key)-keyed dedup Exchange is added (measured: the
+        # shuffle was +1.1 s on the sf1.0 bench row). Tables written
+        # before the rank schema fall back to the dedup shuffle.
+        if "cell_rank" in assigned.columns:
+            marker = F.broadcast(
+                probe_df.select(
+                    query_id, F.col("cell").alias("cell_1")
+                ).withColumn("__pp", F.lit(True))
+            )
+            cand = (
+                assigned.join(probe_df, "cell")
+                .join(marker, [query_id, "cell_1"], "left")
+                .filter(
+                    (F.coalesce(F.col("cell_rank"), F.lit(1)) == 1)
+                    | F.col("__pp").isNull()
+                )
+                .select(query_id, "key")
+            )
+        else:
+            cand = (
+                assigned.join(probe_df, "cell")
+                .select(query_id, "key")
+                .dropDuplicates([query_id, "key"])
+            )
+    else:
+        cand = assigned.join(probe_df, "cell").select(query_id, "key")
     vecs = store.read(spark, collection).select("key", "embedding")
     # `cand` is ~n_probe/n_cells of the whole corpus — distributed-sized,
     # NEVER broadcast it; only probe_df and the query frame are tiny by

@@ -682,6 +682,7 @@ def _assign_cells_matmul(
     corpus_vec: str,
     extra_cols: tuple = (),
     keep: int = 1,
+    emit_rank: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow-batched numpy matmul
     stage (``emb @ cents.T``): the centroid matrix (<= 4096 x d float64,
@@ -701,6 +702,13 @@ def _assign_cells_matmul(
     whose every similarity is undefined (zero-norm vector), matching
     the expression path's null-propagation semantics (one NULL row per
     such input row regardless of ``keep``).
+
+    ``emit_rank=True`` adds ``cell_rank`` (1-based preference order)
+    and ``cell_1`` (the row's argmax cell) — r15: stored with soft
+    assignments so the probed search can drop duplicate candidates
+    with a broadcast FILTER (keep a secondary copy only when the
+    query did not probe its primary cell) instead of a
+    (query, key)-keyed dedup shuffle.
     """
     import numpy as np
     import pandas as pd
@@ -713,8 +721,20 @@ def _assign_cells_matmul(
     keep_n = max(1, min(int(keep), len(rows)))
     cols = [corpus_id, corpus_vec, *extra_cols]
     src = corpus.select(*cols)
+    rank_fields = (
+        [
+            T.StructField("cell_rank", T.IntegerType(), True),
+            T.StructField("cell_1", T.IntegerType(), True),
+        ]
+        if emit_rank
+        else []
+    )
     out_schema = T.StructType(
-        [*(src.schema[c] for c in cols), T.StructField("cell", T.IntegerType(), True)]
+        [
+            *(src.schema[c] for c in cols),
+            T.StructField("cell", T.IntegerType(), True),
+            *rank_fields,
+        ]
     )
 
     def assign(batches):
@@ -724,6 +744,9 @@ def _assign_cells_matmul(
             if len(pdf) == 0:
                 out = pdf[cols].copy()
                 out["cell"] = pd.array([], dtype="Int32")
+                if emit_rank:
+                    out["cell_rank"] = pd.array([], dtype="Int32")
+                    out["cell_1"] = pd.array([], dtype="Int32")
                 yield out
                 continue
             if keep_n == 1:
@@ -732,6 +755,11 @@ def _assign_cells_matmul(
                 col = pd.array(cells, dtype="Int32")
                 col[cells < 0] = pd.NA
                 out["cell"] = col
+                if emit_rank:
+                    out["cell_rank"] = pd.array(
+                        [1 if c >= 0 else None for c in cells], dtype="Int32"
+                    )
+                    out["cell_1"] = col
                 yield out
                 continue
             E = _vstack_f64(pdf[corpus_vec])
@@ -747,12 +775,21 @@ def _assign_cells_matmul(
             reps = np.where(valid, keep_n, 1)
             out = pdf[cols].iloc[np.repeat(np.arange(len(pdf)), reps)].copy()
             flat = []
+            ranks = []
+            firsts = []
             for i in range(len(pdf)):
                 if valid[i]:
                     flat.extend(int(c) for c in order[i])
+                    ranks.extend(range(1, keep_n + 1))
+                    firsts.extend([int(order[i][0])] * keep_n)
                 else:
                     flat.append(None)
+                    ranks.append(None)
+                    firsts.append(None)
             out["cell"] = pd.array(flat, dtype="Int32")
+            if emit_rank:
+                out["cell_rank"] = pd.array(ranks, dtype="Int32")
+                out["cell_1"] = pd.array(firsts, dtype="Int32")
             yield out
 
     return src.mapInPandas(assign, schema=out_schema)
