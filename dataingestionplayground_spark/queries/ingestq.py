@@ -900,6 +900,309 @@ def multimodal_audio_fp_pairs(spark, sf):
     )
 
 
+# --- video corpus constants (shared literals in BOTH engines' closed
+# forms, like the audio/image twins above) ---
+_V_FRAMES = 32  # frames per clip
+_V_SCENE = 8  # frames per scene -> 4 scenes per clip
+_V_GROUPS = 40  # near-identical clip groups (gid = doc_id % 40)
+_V_CUT = 10  # ahash-delta > _V_CUT starts a new shot (a "cut")
+_V_PAIR_T = 12  # total keyframe-hamming bound for near-dup pairs
+
+
+def _video_frame_hashes(spark, sf, keyframes_only: bool = False):
+    """(doc_id, frame_idx, w_lo, w_hi) per frame of the deterministic
+    video corpus: per doc a 32-frame clip (4 scenes x 8 frames; docs
+    sharing gid = doc_id % 40 share scene base images, 2 per-doc pixel
+    perturbations), every frame packed as a REAL 8x8 24-bpp BMP, the
+    clip packed into the REAL VID0 container
+    (sources/multimodal.pack_video_frames), parsed back through the
+    shared video_frames + bmp_pixels parsers (a container or BMP decode
+    bug breaks the oracle hash match), and reduced to the same exact-
+    integer 64-bit average hash as multimodal_ahash_pairs. ONE Arrow
+    pass; per-doc state out is 8 bytes/frame; scene bases are computed
+    once per (gid, batch), so the md5 work scales with groups, not
+    rows. keyframes_only hashes just the scene-opening frames (0, 8,
+    16, 24) after the full container parse — the frame-SAMPLE stage of
+    a video pipeline."""
+    import hashlib
+
+    import pandas as pd
+
+    def mm(s: str, mod: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    def build_decode_hash(batches):
+        import struct
+
+        import numpy as np
+
+        from dataingestionplayground_spark.sources.multimodal import (
+            bmp_pixels,
+            pack_video_frames,
+            video_frames,
+        )
+
+        hdr = b"BM" + struct.pack("<IHHI", 54 + 192, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 192, 2835, 2835, 0, 0
+        )
+        pow2 = 1 << np.arange(32, dtype=np.int64)
+        scene_cache = {}
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gid = doc_id % _V_GROUPS
+                if gid not in scene_cache:
+                    scene_cache[gid] = [
+                        np.array(
+                            [mm(f"{gid}:vs{s}:{i}", 256) for i in range(64)],
+                            dtype=np.int64,
+                        )
+                        for s in range(_V_FRAMES // _V_SCENE)
+                    ]
+                pert = [
+                    (
+                        mm(f"{doc_id}:vfp:{j}", _V_FRAMES),
+                        mm(f"{doc_id}:vpp:{j}", 64),
+                        mm(f"{doc_id}:vpv:{j}", 256),
+                    )
+                    for j in range(2)
+                ]
+                frames = []
+                for f in range(_V_FRAMES):
+                    g = scene_cache[gid][f // _V_SCENE]
+                    hit = [(pp, pv) for (pf, pp, pv) in pert if pf == f]
+                    if hit:
+                        g = g.copy()
+                        for pp, pv in hit:
+                            g[pp] = pv
+                    # REAL bytes: 8x8 24-bpp bottom-up BMP (stride 24)
+                    rows = np.repeat(
+                        g.reshape(8, 8)[::-1].astype(np.uint8).ravel(), 3
+                    ).tobytes()
+                    frames.append(hdr + rows)
+                data = pack_video_frames(frames)  # REAL container bytes
+                for f, payload in enumerate(video_frames(data)):
+                    if keyframes_only and f % _V_SCENE:
+                        continue
+                    _w, _h, rgb = bmp_pixels(payload)  # decode real BMP
+                    dec = rgb[:, :, 0].astype(np.int64).ravel()
+                    bits = 64 * dec >= int(dec.sum())
+                    out.append(
+                        (
+                            doc_id,
+                            f,
+                            int(bits[:32] @ pow2),
+                            int(bits[32:] @ pow2),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "w_lo", "w_hi"]
+            )
+
+    d = t(spark, sf, "documents").select("doc_id")
+    return d.mapInPandas(
+        build_decode_hash, "doc_id long, frame_idx int, w_lo long, w_hi long"
+    )
+
+
+def _video_hashed_cte(keyframes_only: bool) -> str:
+    """The oracle's closed-form twin of _video_frame_hashes, as a CTE
+    chain ending in hashed(doc_id, frame_idx, w_lo, w_hi)."""
+    from dataingestionplayground_spark.queries.pipelineq import _md5_mod_sql
+
+    def mm(expr, mod):
+        return _md5_mod_sql(expr, mod)
+
+    base_i = mm(
+        "concat(CAST(gid AS VARCHAR), ':vs', CAST(scene_idx AS VARCHAR),"
+        " ':', CAST(i AS VARCHAR))",
+        256,
+    )
+    pf = [
+        mm(f"concat(CAST(doc_id AS VARCHAR), ':vfp:{j}')", _V_FRAMES)
+        for j in range(2)
+    ]
+    pp = [mm(f"concat(CAST(doc_id AS VARCHAR), ':vpp:{j}')", 64) for j in range(2)]
+    pv = [mm(f"concat(CAST(doc_id AS VARCHAR), ':vpv:{j}')", 256) for j in range(2)]
+    word = (
+        "CAST(list_sum(list_transform(generate_series({lo}, {hi}), i -> "
+        "CASE WHEN 64 * gs[i + 1] >= s THEN (CAST(1 AS BIGINT) << (i - {lo})) "
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+    frame_src = (
+        "SELECT unnest([0, 8, 16, 24]) AS f"
+        if keyframes_only
+        else "SELECT unnest(generate_series(0, 31)) AS f"
+    )
+    return f"""
+    gids AS (
+      SELECT DISTINCT doc_id % {_V_GROUPS} AS gid FROM documents
+    ), scenes AS (
+      SELECT gid, scene_idx,
+             list_transform(generate_series(0, 63), i -> {base_i}) AS base
+      FROM gids, (SELECT unnest(generate_series(0, 3)) AS scene_idx)
+    ), px AS (
+      SELECT d.doc_id, fr.f AS frame_idx, sc.base,
+             {pf[0]} AS f0, {pp[0]} AS p0, {pv[0]} AS v0,
+             {pf[1]} AS f1, {pp[1]} AS p1, {pv[1]} AS v1
+      FROM documents d
+      CROSS JOIN ({frame_src}) fr
+      JOIN scenes sc ON sc.gid = d.doc_id % {_V_GROUPS}
+                    AND sc.scene_idx = fr.f // {_V_SCENE}
+    ), g AS (
+      SELECT doc_id, frame_idx,
+             list_transform(generate_series(0, 63), i ->
+               CASE WHEN frame_idx = f1 AND i = p1 THEN v1
+                    WHEN frame_idx = f0 AND i = p0 THEN v0
+                    ELSE base[i + 1] END) AS gs
+      FROM px
+    ), hashed AS (
+      SELECT doc_id, frame_idx, {word.format(lo=0, hi=31)} AS w_lo,
+             {word.format(lo=32, hi=63)} AS w_hi
+      FROM (SELECT doc_id, frame_idx, gs, list_sum(gs) AS s FROM g)
+    )"""
+
+
+def _video_cuts_oracle() -> str:
+    return f"""
+    WITH {_video_hashed_cte(keyframes_only=False)},
+    deltas AS (
+      SELECT doc_id,
+             CAST(bit_count(xor(w_lo, lag(w_lo) OVER w)) +
+                  bit_count(xor(w_hi, lag(w_hi) OVER w)) AS BIGINT) AS d
+      FROM hashed WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN d > {_V_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(SUM(CASE WHEN d > {_V_CUT} THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             AS n_keyframes
+    FROM deltas GROUP BY doc_id
+    """
+
+
+@register("multimodal_video_scene_cuts", oracle=_video_cuts_oracle())
+def multimodal_video_scene_cuts(spark, sf):
+    # VIDEO shot-boundary detection end to end — the frame-SAMPLING
+    # stage a video curation pipeline runs before captioning/dedup:
+    # deterministic 32-frame clips (4 scenes x 8 frames, 40
+    # near-identical groups) are packed frame-by-frame into REAL BMP
+    # bytes inside the REAL VID0 container, parsed back through the
+    # shared container+BMP parsers, per-frame average-hashed, and a cut
+    # is declared where the hash delta to the previous frame exceeds
+    # _V_CUT bits (scene boundaries flip ~32 of 64 bits; in-scene
+    # frames flip 0-2). Output: per clip, frame / cut / keyframe
+    # counts. Scale: one Arrow pass, then a lag window PARTITIONED BY
+    # clip (bounded 32-row partitions) and one hash agg — no
+    # unpartitioned window, no driver collect.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    fr = _video_frame_hashes(spark, sf)
+    d = fr.select(
+        "doc_id",
+        (
+            F.bit_count(F.col("w_lo").bitwiseXOR(F.lag("w_lo").over(w)))
+            + F.bit_count(F.col("w_hi").bitwiseXOR(F.lag("w_hi").over(w)))
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    cut = F.sum(F.when(F.col("d") > _V_CUT, 1).otherwise(0))
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        cut.cast("long").alias("n_cuts"),
+        (cut + F.lit(1)).cast("long").alias("n_keyframes"),
+    )
+
+
+def _video_fp_oracle() -> str:
+    return f"""
+    WITH {_video_hashed_cte(keyframes_only=True)},
+    fps AS (
+      SELECT doc_id, frame_idx // {_V_SCENE} AS scene_idx, w_lo, w_hi
+      FROM hashed
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b
+        ON a.scene_idx = b.scene_idx AND a.w_lo = b.w_lo
+       AND a.w_hi = b.w_hi AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(bit_count(xor(a.w_lo, b.w_lo)) +
+                      bit_count(xor(a.w_hi, b.w_hi))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN fps a ON a.doc_id = c.id_a
+      JOIN fps b ON b.doc_id = c.id_b AND b.scene_idx = a.scene_idx
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {_V_PAIR_T}
+    """
+
+
+@register("multimodal_video_fp_pairs", oracle=_video_fp_oracle())
+def multimodal_video_fp_pairs(spark, sf):
+    # VIDEO near-duplicate detection — the keyframe-fingerprint inverted
+    # index: each clip's scene-opening frames (0/8/16/24, selected AFTER
+    # the full VID0 container parse — the frame-sample stage) are
+    # average-hashed; candidates are clips sharing at least one EXACT
+    # keyframe hash at the same scene position (a 4-rows-per-clip
+    # equi-join on (scene_idx, hash) — the banding trick with the scene
+    # slot as the band index, never all-pairs); verification sums the
+    # Hamming distance across all 4 aligned keyframes and keeps pairs
+    # within _V_PAIR_T bits. Same shape a PB-scale video dedup uses:
+    # the inverted index bounds candidates to exact-hash collisions,
+    # the verify re-scores only those. Scale: candidates shuffle on the
+    # (scene, hash) key, verify re-joins the tiny 4-row-per-clip
+    # fingerprint table by doc key twice.
+    fps = _video_frame_hashes(spark, sf, keyframes_only=True).select(
+        "doc_id",
+        (F.col("frame_idx") / _V_SCENE).cast("int").alias("scene_idx"),
+        "w_lo",
+        "w_hi",
+    )
+    a = fps.select(
+        F.col("doc_id").alias("id_a"), "scene_idx", "w_lo", "w_hi"
+    )
+    b = fps.select(
+        F.col("doc_id").alias("id_b"), "scene_idx", "w_lo", "w_hi"
+    )
+    cand = (
+        a.join(b, ["scene_idx", "w_lo", "w_hi"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fps.select(
+        F.col("doc_id").alias("id_a"),
+        "scene_idx",
+        F.col("w_lo").alias("lo_a"),
+        F.col("w_hi").alias("hi_a"),
+    )
+    fb = fps.select(
+        F.col("doc_id").alias("id_b"),
+        "scene_idx",
+        F.col("w_lo").alias("lo_b"),
+        F.col("w_hi").alias("hi_b"),
+    )
+    scored = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "scene_idx"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            )
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    return scored.filter(F.col("hamming") <= _V_PAIR_T)
+
+
 @register("multimodal_audio_vad_gate", oracle=_audio_vad_gate_oracle())
 def multimodal_audio_vad_gate(spark, sf):
     # The VAD-style drop-silent-clips gate an audio curation run applies

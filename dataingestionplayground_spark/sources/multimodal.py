@@ -318,6 +318,53 @@ def pcm16_samples(data: bytes):
     return np.frombuffer(buf, dtype="<i2").astype(np.int64)
 
 
+def pack_video_frames(frames) -> bytes:
+    """Pack per-frame payloads (each an encoded still, e.g. a BMP) into
+    the engine's minimal seekable video container: ``b"VID0"`` magic,
+    u16 frame count, then a u32 length-prefixed payload per frame. The
+    video twin of the PCM16 pack: a REAL binary format a decode bug
+    cannot fake its way through, while staying zero-dependency (the
+    container carries stills; real codecs would plug in behind the same
+    (pack, parse) pair)."""
+    import struct
+
+    if len(frames) > 0xFFFF:
+        raise ValueError(f"too many frames for u16 count: {len(frames)}")
+    out = [b"VID0", struct.pack("<H", len(frames))]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(bytes(fr))
+    return b"".join(out)
+
+
+def video_frames(data: bytes):
+    """Parse a ``VID0`` container back to its list of frame payloads —
+    the video twin of :func:`pcm16_samples` (one shared parse helper so
+    every video feature/fingerprint stage exercises the same real
+    binary path). Raises ValueError on bad magic, truncated frames, or
+    trailing garbage."""
+    import struct
+
+    buf = bytes(data)
+    if buf[:4] != b"VID0":
+        raise ValueError("not a VID0 payload")
+    (n,) = struct.unpack_from("<H", buf, 4)
+    off = 6
+    frames = []
+    for _ in range(n):
+        if off + 4 > len(buf):
+            raise ValueError("truncated VID0 frame header")
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        if off + ln > len(buf):
+            raise ValueError("truncated VID0 frame payload")
+        frames.append(buf[off : off + ln])
+        off += ln
+    if off != len(buf):
+        raise ValueError(f"trailing bytes after last frame: {len(buf) - off}")
+    return frames
+
+
 def audio_frame_features(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
     """Frame-level audio features over BINARY PCM16 content: per
     ``frame``-sample frame, RMS energy (sqrt of the exact integer

@@ -289,3 +289,71 @@ def test_audio_frame_features_exact_and_isolated(spark):
     rms1 = math.floor(math.sqrt((0 + 25) / 2) * 1e6 + 0.5) / 1e6
     # sign(x) := x >= 0, so 3 -> -3 flips; 0 -> 5 does not (both >= 0)
     assert rows == {("a", 0): (rms0, 1), ("a", 1): (rms1, 0)}
+
+
+def test_video_container_roundtrip_and_errors():
+    """VID0 pack/parse are exact inverses; the parser rejects bad magic,
+    truncated frames, and trailing garbage instead of mis-slicing."""
+    import pytest as _pytest
+
+    from dataingestionplayground_spark.sources.multimodal import (
+        pack_video_frames,
+        video_frames,
+    )
+
+    frames = [b"", b"x", b"frame-two", bytes(range(256))]
+    data = pack_video_frames(frames)
+    assert data[:4] == b"VID0"
+    assert video_frames(data) == frames
+    assert video_frames(pack_video_frames([])) == []
+    with _pytest.raises(ValueError, match="not a VID0"):
+        video_frames(b"AVI0" + data[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        video_frames(data[:-1])
+    with _pytest.raises(ValueError, match="trailing"):
+        video_frames(data + b"\x00")
+    # a frame header that promises more bytes than exist
+    import struct
+
+    bad = b"VID0" + struct.pack("<H", 1) + struct.pack("<I", 10) + b"abc"
+    with _pytest.raises(ValueError, match="truncated"):
+        video_frames(bad)
+
+
+def test_video_scene_cuts_shape(spark):
+    """Every clip reports 32 frames and at least the 3 scene-boundary
+    cuts (scene bases are independent md5 draws -> ~32-bit deltas, far
+    above the 10-bit bar); keyframes = cuts + 1. Group structure: docs
+    sharing gid share scene bases, so near-dup pairs exist and the
+    fingerprint join finds same-group pairs only at matching scene
+    slots."""
+    from dataingestionplayground_spark.queries import all_queries
+
+    rows = (
+        all_queries()["multimodal_video_scene_cuts"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_frames == 32
+        assert 3 <= r.n_cuts <= 7  # 3 scene cuts + at most 2x2 perturbation cuts
+        assert r.n_keyframes == r.n_cuts + 1
+
+
+def test_video_fp_pairs_same_group_only(spark):
+    """Candidate banding is (scene slot, exact hash): verified pairs can
+    only come from clips sharing scene bases (same gid), and the
+    verified Hamming bound holds."""
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.queries.ingestq import _V_GROUPS, _V_PAIR_T
+
+    rows = (
+        all_queries()["multimodal_video_fp_pairs"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r.id_a % _V_GROUPS == r.id_b % _V_GROUPS
+        assert 0 <= r.hamming <= _V_PAIR_T
