@@ -216,6 +216,14 @@ BIG_HEADLINE = [
     # diagnostic (two matmul fan-outs + broadcast join)
     "multimodal_audio_fp_pairs",
     "vector_ivf_soft_occupancy",
+    # r15 wave 4: the video twins (BMP-in-VID0 build+parse+hash Arrow
+    # pass; cuts add a clip-partitioned lag window, pairs a keyframe
+    # inverted-index join — big blocks only, headline byte budget)
+    "multimodal_video_scene_cuts",
+    "multimodal_video_fp_pairs",
+    # r15 wave 4: the cross-modality dedup card (three member pair
+    # pipelines + one-row composition — the composite-row precedent)
+    "multimodal_dedup_card",
 ]
 
 # r7 verdict item 7: the sf1.0 block demonstrates the dedup/vector
@@ -286,6 +294,11 @@ BIG2_HEADLINE = [
     # the soft-assignment occupancy (step should track the matmul scan)
     "multimodal_audio_fp_pairs",
     "vector_ivf_soft_occupancy",
+    # r15 wave 4: video twins (2x-step: the Arrow build pass is linear
+    # in clips; the pair join is bounded by exact-hash collisions)
+    "multimodal_video_scene_cuts",
+    "multimodal_video_fp_pairs",
+    "multimodal_dedup_card",
 ]
 
 

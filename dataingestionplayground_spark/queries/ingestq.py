@@ -1203,6 +1203,106 @@ def multimodal_video_fp_pairs(spark, sf):
     return scored.filter(F.col("hamming") <= _V_PAIR_T)
 
 
+def _multimodal_card_oracle() -> str:
+    # compose the three REGISTERED pair oracles (the composite-card
+    # rule: the card can never grade different pairs than the dedup
+    # pipelines ship)
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    legs = []
+    for modality, name in (
+        ("image", "multimodal_ahash_pairs"),
+        ("audio", "multimodal_audio_fp_pairs"),
+        ("video", "multimodal_video_fp_pairs"),
+    ):
+        legs.append(
+            f"""
+    SELECT '{modality}' AS modality, n.n_items,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {modality}_p) AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT d) AS BIGINT)
+            FROM (SELECT id_a AS d FROM {modality}_p
+                  UNION SELECT id_b FROM {modality}_p)) AS n_dup_items,
+           round((SELECT CAST(COUNT(DISTINCT d) AS DOUBLE)
+                  FROM (SELECT id_a AS d FROM {modality}_p
+                        UNION SELECT id_b FROM {modality}_p))
+                 / CAST(n.n_items AS DOUBLE), 6) AS dup_item_rate
+    FROM n"""
+        )
+    ctes = ", ".join(
+        f"{modality}_p AS MATERIALIZED (SELECT id_a, id_b FROM ({_R[name].oracle}))"
+        for modality, name in (
+            ("image", "multimodal_ahash_pairs"),
+            ("audio", "multimodal_audio_fp_pairs"),
+            ("video", "multimodal_video_fp_pairs"),
+        )
+    )
+    union = "\n    UNION ALL\n".join(legs)
+    return f"""
+    WITH {ctes},
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM documents)
+    {union}
+    """
+
+
+@register("multimodal_dedup_card", oracle=_multimodal_card_oracle())
+def multimodal_dedup_card(spark, sf):
+    # The CROSS-MODALITY dedup card a multimodal curation run reads
+    # before mixing: per modality (image / audio / video), the verified
+    # near-dup pair count, how many items sit in at least one pair, and
+    # the dup-item rate — composed from the three REGISTERED pair
+    # pipelines (ahash banding, chromaprint banding, keyframe inverted
+    # index) so the card can never disagree with what the dedup stages
+    # would actually collapse. The pipeline_data_card pattern applied
+    # across modalities. Scale: each member is banding-bounded; each
+    # pair frame is checkpointed once and reduced twice (count +
+    # distinct-item count); composition is three broadcast one-row
+    # joins.
+    from dataingestionplayground_spark.queries import REGISTRY as _R
+
+    n_docs = (
+        t(spark, sf, "documents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .localCheckpoint(eager=True)
+    )
+    legs = []
+    for modality, name in (
+        ("image", "multimodal_ahash_pairs"),
+        ("audio", "multimodal_audio_fp_pairs"),
+        ("video", "multimodal_video_fp_pairs"),
+    ):
+        # consumed twice (pair + dup-item counts): checkpoint so the
+        # Arrow build+decode+hash pass runs once per modality
+        p = (
+            _R[name].fn(spark, sf)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        pairs_ct = p.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        items_ct = (
+            p.select(F.explode(F.array("id_a", "id_b")).alias("d"))
+            .agg(F.count_distinct("d").cast("long").alias("n_dup_items"))
+        )
+        legs.append(
+            n_docs.crossJoin(F.broadcast(pairs_ct))
+            .crossJoin(F.broadcast(items_ct))
+            .select(
+                F.lit(modality).alias("modality"),
+                "n_items",
+                "n_pairs",
+                "n_dup_items",
+                F.round(
+                    F.col("n_dup_items").cast("double")
+                    / F.col("n_items").cast("double"),
+                    6,
+                ).alias("dup_item_rate"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 @register("multimodal_audio_vad_gate", oracle=_audio_vad_gate_oracle())
 def multimodal_audio_vad_gate(spark, sf):
     # The VAD-style drop-silent-clips gate an audio curation run applies
