@@ -1203,6 +1203,102 @@ def multimodal_video_fp_pairs(spark, sf):
     return scored.filter(F.col("hamming") <= _V_PAIR_T)
 
 
+_V_DROP = 4  # incremental screen: auto-drop bound (report bound = _V_PAIR_T)
+
+
+def _video_incr_oracle() -> str:
+    return f"""
+    WITH {_video_hashed_cte(keyframes_only=True)},
+    fps AS (
+      SELECT doc_id, frame_idx // {_V_SCENE} AS scene_idx, w_lo, w_hi
+      FROM hashed
+    ), nf AS (
+      SELECT * FROM fps WHERE doc_id % 7 = 0
+    ), of AS (
+      SELECT * FROM fps WHERE doc_id % 7 <> 0
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM nf n JOIN of o
+        ON n.scene_idx = o.scene_idx AND n.w_lo = o.w_lo AND n.w_hi = o.w_hi
+    ), scored AS (
+      SELECT c.new_id, c.old_id,
+             CAST(SUM(bit_count(xor(a.w_lo, b.w_lo)) +
+                      bit_count(xor(a.w_hi, b.w_hi))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN nf a ON a.doc_id = c.new_id
+      JOIN of b ON b.doc_id = c.old_id AND b.scene_idx = a.scene_idx
+      GROUP BY c.new_id, c.old_id
+    )
+    SELECT new_id, old_id, hamming, hamming <= {_V_DROP} AS would_drop
+    FROM scored WHERE hamming <= {_V_PAIR_T}
+    """
+
+
+@register("multimodal_video_fp_incremental", oracle=_video_incr_oracle())
+def multimodal_video_fp_incremental(spark, sf):
+    # Incremental VIDEO near-dup screening — the asymmetric form an
+    # ingest pipeline runs per batch (the dedup_lsh_incremental pattern
+    # applied to the keyframe inverted index): an ARRIVING batch of
+    # clips (doc_id % 7 == 0 — 7 is coprime with the 40 clip groups,
+    # so every group spans both slices; ~14% "new") probes the EXISTING
+    # corpus's (scene slot, keyframe hash) index instead of re-pairing
+    # the whole corpus against itself. Candidates verify by aligned
+    # keyframe Hamming (<= _V_PAIR_T reported, <= _V_DROP flagged for
+    # auto-drop). Scale: the batch-side table is O(batch); the corpus
+    # side is a maintained signature table at warehouse scale (zero
+    # per-run corpus decode); verify re-joins only candidate pairs.
+    fps = _video_frame_hashes(spark, sf, keyframes_only=True).select(
+        "doc_id",
+        (F.col("frame_idx") / _V_SCENE).cast("int").alias("scene_idx"),
+        "w_lo",
+        "w_hi",
+    ).localCheckpoint(eager=True)  # probed twice (band + verify legs)
+    nf = fps.filter(F.col("doc_id") % 7 == 0)
+    of = fps.filter(F.col("doc_id") % 7 != 0)
+    cand = (
+        nf.select(F.col("doc_id").alias("new_id"), "scene_idx", "w_lo", "w_hi")
+        .join(
+            of.select(
+                F.col("doc_id").alias("old_id"), "scene_idx", "w_lo", "w_hi"
+            ),
+            ["scene_idx", "w_lo", "w_hi"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    fa = nf.select(
+        F.col("doc_id").alias("new_id"),
+        "scene_idx",
+        F.col("w_lo").alias("lo_a"),
+        F.col("w_hi").alias("hi_a"),
+    )
+    fb = of.select(
+        F.col("doc_id").alias("old_id"),
+        "scene_idx",
+        F.col("w_lo").alias("lo_b"),
+        F.col("w_hi").alias("hi_b"),
+    )
+    scored = (
+        cand.join(fa, "new_id")
+        .join(fb, ["old_id", "scene_idx"])
+        .groupBy("new_id", "old_id")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            )
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    return scored.filter(F.col("hamming") <= _V_PAIR_T).select(
+        "new_id",
+        "old_id",
+        "hamming",
+        (F.col("hamming") <= _V_DROP).alias("would_drop"),
+    )
+
+
 def _multimodal_card_oracle() -> str:
     # compose the three REGISTERED pair oracles (the composite-card
     # rule: the card can never grade different pairs than the dedup
