@@ -365,6 +365,61 @@ def video_frames(data: bytes):
     return frames
 
 
+def video_keyframe_hashes(media: DataFrame, every: int = 8) -> DataFrame:
+    """Keyframe fingerprints over BINARY VID0 content: parse the
+    container, keep every ``every``-th frame (the frame-SAMPLE stage),
+    decode each kept BMP still, and emit its exact-integer 64-bit
+    average hash split as (w_lo, w_hi) with the keyframe's slot index.
+    Arrow-batched mapInPandas; per-row work is bounded by the payload
+    and no shuffle is introduced. Errors isolate per item (a corrupt
+    container or still yields no rows, the job survives) — the video
+    twin of :func:`audio_frame_features`."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("w_lo", T.LongType(), False),
+            T.StructField("w_hi", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pow2 = 1 << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.content is None:
+                    continue
+                try:
+                    frames = video_frames(bytes(r.content))
+                    for f in range(0, len(frames), every):
+                        _w, _h, rgb = bmp_pixels(frames[f])
+                        dec = rgb[:, :, 0].astype(np.int64).ravel()
+                        bits = len(dec) * dec >= int(dec.sum())
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "slot": f // every,
+                                "w_lo": int(bits[:32] @ pow2[: min(32, len(dec))]),
+                                "w_hi": int(
+                                    bits[32:64] @ pow2[: max(0, min(32, len(dec) - 32))]
+                                ),
+                            }
+                        )
+                except ValueError:
+                    continue  # isolate the bad item, don't fail the job
+            yield (
+                pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                if rows
+                else pd.DataFrame(columns=[f.name for f in schema.fields])
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
 def audio_frame_features(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
     """Frame-level audio features over BINARY PCM16 content: per
     ``frame``-sample frame, RMS energy (sqrt of the exact integer

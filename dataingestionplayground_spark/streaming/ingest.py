@@ -505,6 +505,117 @@ def stream_lsh_screen(
     )
 
 
+def stream_video_screen(
+    spark: SparkSession,
+    watch_dir: str,
+    fps_path: str,
+    log_path: str,
+    checkpoint_dir: str,
+    every: int = 8,
+):
+    """Continuously screen arriving VIDEO clips for near-duplicates
+    against a MAINTAINED keyframe-fingerprint table — the streaming
+    form of the multimodal_video_fp_incremental batch query, and the
+    binary-media twin of :func:`stream_lsh_screen`: each micro-batch of
+    (doc_id, content_b64) JSON-lines (1) parses the real VID0 container
+    and average-hashes every ``every``-th frame (O(batch) decode work,
+    corrupt payloads isolate per item), (2) equi-joins those keyframe
+    hashes against the table on the EXACT (slot, hash) inverted-index
+    key to log candidate pairs, and (3) folds the batch's fingerprints
+    INTO the table so later batches screen against it. Returns the
+    StreamingQuery.
+
+    Exactly-once, leg by leg (the stream_lsh_screen ledger applies
+    verbatim): the fingerprint append is a keyed anti-join on media_id
+    (replayed batches add zero rows); the candidate log is epoch-
+    partitioned with dynamic partition overwrite (a replayed epoch
+    rewrites identical content); screening runs against the table
+    MINUS the batch's own ids, so the log is a pure function of
+    (batch, table-before-batch) and replay converges bit-identically.
+    Aligned-Hamming verification joins candidates back to the
+    fingerprint table, exactly as the batch query does.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dataingestionplayground_spark.sources.multimodal import (
+        video_keyframe_hashes,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("content_b64", T.StringType(), True),
+        ]
+    )
+    raw = spark.readStream.schema(schema).json(watch_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        # deterministic in-batch dedup: one canonical payload per id
+        # (min(), not dropDuplicates — the stream_lsh_screen rule)
+        batch_one = batch_df.groupBy("doc_id").agg(
+            F.min("content_b64").alias("content_b64")
+        )
+        media = batch_one.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.unbase64(F.col("content_b64")).alias("content"),
+        )
+        # sever lineage before the table we read from is overwritten
+        fps = video_keyframe_hashes(media, every=every).localCheckpoint(
+            eager=True
+        )
+        have_table = os.path.isdir(fps_path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(fps_path)
+        )
+        if have_table:
+            existing = sess.read.parquet(fps_path)
+            before = existing.join(
+                F.broadcast(fps.select("media_id").distinct()),
+                "media_id",
+                "left_anti",
+            )
+            pairs = (
+                fps.alias("n")
+                .join(
+                    before.alias("o"),
+                    (F.col("n.slot") == F.col("o.slot"))
+                    & (F.col("n.w_lo") == F.col("o.w_lo"))
+                    & (F.col("n.w_hi") == F.col("o.w_hi")),
+                )
+                .select(
+                    F.col("n.media_id").alias("new_id"),
+                    F.col("o.media_id").alias("old_id"),
+                )
+                .distinct()
+            )
+            fresh = fps.join(
+                existing.select("media_id").distinct(), "media_id", "left_anti"
+            )
+        else:
+            pairs = sess.createDataFrame([], "new_id string, old_id string")
+            fresh = fps
+        out = pairs.withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("epoch_id").parquet(log_path)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        fresh.localCheckpoint(eager=True).write.mode("append").parquet(fps_path)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_scd2_maintain(
     spark: SparkSession,
     watch_dir: str,
