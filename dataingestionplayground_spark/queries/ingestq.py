@@ -909,7 +909,7 @@ _V_CUT = 10  # ahash-delta > _V_CUT starts a new shot (a "cut")
 _V_PAIR_T = 12  # total keyframe-hamming bound for near-dup pairs
 
 
-def _video_frame_hashes(spark, sf, keyframes_only: bool = False):
+def _video_frame_hashes(spark, sf, keyframes_only: bool = False, packed: bool = False):
     """(doc_id, frame_idx, w_lo, w_hi) per frame of the deterministic
     video corpus: per doc a 32-frame clip (4 scenes x 8 frames; docs
     sharing gid = doc_id % 40 share scene base images, 2 per-doc pixel
@@ -923,7 +923,10 @@ def _video_frame_hashes(spark, sf, keyframes_only: bool = False):
     once per (gid, batch), so the md5 work scales with groups, not
     rows. keyframes_only hashes just the scene-opening frames (0, 8,
     16, 24) after the full container parse — the frame-SAMPLE stage of
-    a video pipeline."""
+    a video pipeline. packed (implies keyframes_only) emits ONE row
+    per clip with the 4 keyframe hashes as parallel arrays — the
+    fingerprint-table layout the pair joins carry through the band
+    shuffle so verification never re-joins."""
     import hashlib
 
     import pandas as pd
@@ -982,28 +985,42 @@ def _video_frame_hashes(spark, sf, keyframes_only: bool = False):
                     ).tobytes()
                     frames.append(hdr + rows)
                 data = pack_video_frames(frames)  # REAL container bytes
+                ws = []
                 for f, payload in enumerate(video_frames(data)):
-                    if keyframes_only and f % _V_SCENE:
+                    if (keyframes_only or packed) and f % _V_SCENE:
                         continue
                     _w, _h, rgb = bmp_pixels(payload)  # decode real BMP
                     dec = rgb[:, :, 0].astype(np.int64).ravel()
                     bits = 64 * dec >= int(dec.sum())
-                    out.append(
-                        (
-                            doc_id,
-                            f,
-                            int(bits[:32] @ pow2),
-                            int(bits[32:] @ pow2),
-                        )
-                    )
-            yield pd.DataFrame(
-                out, columns=["doc_id", "frame_idx", "w_lo", "w_hi"]
+                    lo, hi = int(bits[:32] @ pow2), int(bits[32:] @ pow2)
+                    if packed:
+                        # one SIGNED int64 per scene hash (lo | hi<<32,
+                        # two's-complement wrap): equality and
+                        # XOR+POPCNT on the packed word are exactly
+                        # equality / summed Hamming on the (lo, hi)
+                        # pair, and the flat columns keep the pair
+                        # join inside whole-stage codegen (array
+                        # lambdas are interpreted per row)
+                        w = lo | (hi << 32)
+                        ws.append(w - (1 << 64) if w >= 1 << 63 else w)
+                    else:
+                        out.append((doc_id, f, lo, hi))
+                if packed:
+                    out.append((doc_id, *ws))
+            cols = (
+                ["doc_id", "w0", "w1", "w2", "w3"]
+                if packed
+                else ["doc_id", "frame_idx", "w_lo", "w_hi"]
             )
+            yield pd.DataFrame(out, columns=cols)
 
     d = t(spark, sf, "documents").select("doc_id")
-    return d.mapInPandas(
-        build_decode_hash, "doc_id long, frame_idx int, w_lo long, w_hi long"
+    schema = (
+        "doc_id long, w0 long, w1 long, w2 long, w3 long"
+        if packed
+        else "doc_id long, frame_idx int, w_lo long, w_hi long"
     )
+    return d.mapInPandas(build_decode_hash, schema)
 
 
 def _video_hashed_cte(keyframes_only: bool) -> str:
@@ -1148,59 +1165,91 @@ def multimodal_video_fp_pairs(spark, sf):
     # index: each clip's scene-opening frames (0/8/16/24, selected AFTER
     # the full VID0 container parse — the frame-sample stage) are
     # average-hashed; candidates are clips sharing at least one EXACT
-    # keyframe hash at the same scene position (a 4-rows-per-clip
-    # equi-join on (scene_idx, hash) — the banding trick with the scene
-    # slot as the band index, never all-pairs); verification sums the
-    # Hamming distance across all 4 aligned keyframes and keeps pairs
-    # within _V_PAIR_T bits. Same shape a PB-scale video dedup uses:
-    # the inverted index bounds candidates to exact-hash collisions,
-    # the verify re-scores only those. Scale: candidates shuffle on the
-    # (scene, hash) key, verify re-joins the tiny 4-row-per-clip
-    # fingerprint table by doc key twice.
-    fps = _video_frame_hashes(spark, sf, keyframes_only=True).select(
+    # keyframe hash at the same scene position (the banding trick with
+    # the scene slot as the band index, never all-pairs); verification
+    # sums the Hamming distance across all 4 aligned keyframes and
+    # keeps pairs within _V_PAIR_T bits. Same shape a PB-scale video
+    # dedup uses: the inverted index bounds candidates to exact-hash
+    # collisions, the verify re-scores only those. Scale: ONE shuffle
+    # total — each band row carries its clip's packed 4-hash arrays,
+    # so Hamming is an aggregate over the carried arrays (no verify
+    # re-join), and the first-matching-slot rule (only the SMALLEST
+    # colliding slot emits the pair) replaces the distinct shuffle an
+    # earlier draft needed (41.8 s -> single-exchange plan at sf1.0).
+    return _video_band_pairs(spark, sf).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _video_band_pairs(spark, sf, split_mod: int | None = None):
+    """The single-shuffle keyframe-fingerprint join both video pair
+    queries share: packed per-clip hash arrays explode to band rows
+    carrying the full fingerprint; equal (slot, hash) rows join; the
+    first-matching-slot filter emits each pair exactly once; aligned
+    Hamming comes from the carried arrays. split_mod=None is the
+    symmetric self-join (id_a < id_b); an integer splits batch
+    (doc_id % split_mod == 0) vs corpus for the incremental screen."""
+    fps = _video_frame_hashes(spark, sf, packed=True)
+    ws = ["w0", "w1", "w2", "w3"]
+    bands = fps.select(
         "doc_id",
-        (F.col("frame_idx") / _V_SCENE).cast("int").alias("scene_idx"),
-        "w_lo",
-        "w_hi",
-    )
-    a = fps.select(
-        F.col("doc_id").alias("id_a"), "scene_idx", "w_lo", "w_hi"
-    )
-    b = fps.select(
-        F.col("doc_id").alias("id_b"), "scene_idx", "w_lo", "w_hi"
-    )
-    cand = (
-        a.join(b, ["scene_idx", "w_lo", "w_hi"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    fa = fps.select(
-        F.col("doc_id").alias("id_a"),
-        "scene_idx",
-        F.col("w_lo").alias("lo_a"),
-        F.col("w_hi").alias("hi_a"),
-    )
-    fb = fps.select(
-        F.col("doc_id").alias("id_b"),
-        "scene_idx",
-        F.col("w_lo").alias("lo_b"),
-        F.col("w_hi").alias("hi_b"),
-    )
-    scored = (
-        cand.join(fa, "id_a")
-        .join(fb, ["id_b", "scene_idx"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(
-                F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-                + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        *ws,
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(i).alias("slot"), F.col(w).alias("w")
+                    )
+                    for i, w in enumerate(ws)
+                )
             )
-            .cast("long")
-            .alias("hamming")
+        ).alias("b"),
+    ).select("doc_id", *ws, "b.slot", "b.w")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        *(F.col(w).alias(f"{w}a") for w in ws),
+        "slot",
+        "w",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        *(F.col(w).alias(f"{w}b") for w in ws),
+        "slot",
+        "w",
+    )
+    if split_mod is None:
+        j = a.join(b, ["slot", "w"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        j = a.filter(F.col("id_a") % split_mod == 0).join(
+            b.filter(F.col("id_b") % split_mod != 0), ["slot", "w"]
+        )
+    # emit each pair at its SMALLEST colliding slot only — a flat
+    # codegen-able boolean per slot (no array lambdas: higher-order
+    # functions are interpreted per row, which dominated an earlier
+    # draft on the ~quadratic in-group join output)
+    first_slot = (
+        (F.col("slot") == 0)
+        | ((F.col("slot") == 1) & (F.col("w0a") != F.col("w0b")))
+        | (
+            (F.col("slot") == 2)
+            & (F.col("w0a") != F.col("w0b"))
+            & (F.col("w1a") != F.col("w1b"))
+        )
+        | (
+            (F.col("slot") == 3)
+            & (F.col("w0a") != F.col("w0b"))
+            & (F.col("w1a") != F.col("w1b"))
+            & (F.col("w2a") != F.col("w2b"))
         )
     )
-    return scored.filter(F.col("hamming") <= _V_PAIR_T)
+    ham = sum(
+        F.bit_count(F.col(f"{w}a").bitwiseXOR(F.col(f"{w}b"))) for w in ws
+    )
+    return (
+        j.filter(first_slot)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _V_PAIR_T)
+    )
 
 
 _V_DROP = 4  # incremental screen: auto-drop bound (report bound = _V_PAIR_T)
@@ -1244,56 +1293,15 @@ def multimodal_video_fp_incremental(spark, sf):
     # corpus's (scene slot, keyframe hash) index instead of re-pairing
     # the whole corpus against itself. Candidates verify by aligned
     # keyframe Hamming (<= _V_PAIR_T reported, <= _V_DROP flagged for
-    # auto-drop). Scale: the batch-side table is O(batch); the corpus
-    # side is a maintained signature table at warehouse scale (zero
-    # per-run corpus decode); verify re-joins only candidate pairs.
-    fps = _video_frame_hashes(spark, sf, keyframes_only=True).select(
-        "doc_id",
-        (F.col("frame_idx") / _V_SCENE).cast("int").alias("scene_idx"),
-        "w_lo",
-        "w_hi",
-    ).localCheckpoint(eager=True)  # probed twice (band + verify legs)
-    nf = fps.filter(F.col("doc_id") % 7 == 0)
-    of = fps.filter(F.col("doc_id") % 7 != 0)
-    cand = (
-        nf.select(F.col("doc_id").alias("new_id"), "scene_idx", "w_lo", "w_hi")
-        .join(
-            of.select(
-                F.col("doc_id").alias("old_id"), "scene_idx", "w_lo", "w_hi"
-            ),
-            ["scene_idx", "w_lo", "w_hi"],
-        )
-        .select("new_id", "old_id")
-        .distinct()
-    )
-    fa = nf.select(
-        F.col("doc_id").alias("new_id"),
-        "scene_idx",
-        F.col("w_lo").alias("lo_a"),
-        F.col("w_hi").alias("hi_a"),
-    )
-    fb = of.select(
-        F.col("doc_id").alias("old_id"),
-        "scene_idx",
-        F.col("w_lo").alias("lo_b"),
-        F.col("w_hi").alias("hi_b"),
-    )
-    scored = (
-        cand.join(fa, "new_id")
-        .join(fb, ["old_id", "scene_idx"])
-        .groupBy("new_id", "old_id")
-        .agg(
-            F.sum(
-                F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-                + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-            )
-            .cast("long")
-            .alias("hamming")
-        )
-    )
-    return scored.filter(F.col("hamming") <= _V_PAIR_T).select(
-        "new_id",
-        "old_id",
+    # auto-drop). Scale: the batch-side band table is O(batch); the
+    # corpus side is a maintained signature table at warehouse scale
+    # (zero per-run corpus decode); the shared single-shuffle band join
+    # carries both fingerprints, so there is no verify re-join and no
+    # distinct (first-matching-slot rule) — the same plan as the
+    # self-join pairs, just asymmetric.
+    return _video_band_pairs(spark, sf, split_mod=7).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("old_id"),
         "hamming",
         (F.col("hamming") <= _V_DROP).alias("would_drop"),
     )
@@ -1349,10 +1357,14 @@ def multimodal_dedup_card(spark, sf):
     # pipelines (ahash banding, chromaprint banding, keyframe inverted
     # index) so the card can never disagree with what the dedup stages
     # would actually collapse. The pipeline_data_card pattern applied
-    # across modalities. Scale: each member is banding-bounded; each
-    # pair frame is checkpointed once and reduced twice (count +
-    # distinct-item count); composition is three broadcast one-row
-    # joins.
+    # across modalities. Scale: each member is banding-bounded, and
+    # each pair frame is reduced in ONE streaming pass — ids explode
+    # into a single agg where n_pairs = rows/2 (exact: every pair
+    # contributes exactly 2 rows) and n_dup_items is the two-phase
+    # count-distinct. No pair frame is ever materialized (an earlier
+    # localCheckpoint-per-leg draft held all three sf1.0 pair frames
+    # on the heap at once and OOMed the big2 bench block); composition
+    # is three broadcast one-row joins.
     from dataingestionplayground_spark.queries import REGISTRY as _R
 
     n_docs = (
@@ -1366,21 +1378,16 @@ def multimodal_dedup_card(spark, sf):
         ("audio", "multimodal_audio_fp_pairs"),
         ("video", "multimodal_video_fp_pairs"),
     ):
-        # consumed twice (pair + dup-item counts): checkpoint so the
-        # Arrow build+decode+hash pass runs once per modality
-        p = (
+        stats = (
             _R[name].fn(spark, sf)
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
-        pairs_ct = p.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        items_ct = (
-            p.select(F.explode(F.array("id_a", "id_b")).alias("d"))
-            .agg(F.count_distinct("d").cast("long").alias("n_dup_items"))
+            .select(F.explode(F.array("id_a", "id_b")).alias("d"))
+            .agg(
+                (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs"),
+                F.count_distinct("d").cast("long").alias("n_dup_items"),
+            )
         )
         legs.append(
-            n_docs.crossJoin(F.broadcast(pairs_ct))
-            .crossJoin(F.broadcast(items_ct))
+            n_docs.crossJoin(F.broadcast(stats))
             .select(
                 F.lit(modality).alias("modality"),
                 "n_items",
