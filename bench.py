@@ -729,6 +729,15 @@ def main():
         "queries_median": medians,
         "protocol": {"warmup_runs": 1, "timed_runs": 5, "reported": "min"},
         "calibration": calibration,
+        # r15: the host this session oscillated 0.30 <-> 0.96 s on the
+        # single-thread probe on a minutes-to-hours timescale, so ONE
+        # start-of-run calibration can sample a fast window while the
+        # query blocks run slow (105 uniform phantom "regressions" in
+        # the first r15 compare). The end-of-run re-probe bounds the
+        # drift WITHIN the run: when start and end disagree, the
+        # archive itself says its rows are host-smeared and by how
+        # much; bench_compare keys on "calibration" unchanged.
+        "calibration_end": _calibrate(),
         "sf": sf,
     }
     if pq_index is not None:
