@@ -561,7 +561,12 @@ def stream_video_screen(
         batch_one = batch_df.groupBy("doc_id").agg(
             F.min("content_b64").alias("content_b64")
         )
-        media = batch_one.select(
+        # malformed base64 would fail the whole micro-batch under ANSI
+        # unbase64 — gate on the alphabet first so a bad LINE isolates
+        # like a bad PAYLOAD does (the decode stage's per-item rule)
+        media = batch_one.filter(
+            F.col("content_b64").rlike("^[A-Za-z0-9+/]*={0,2}$")
+        ).select(
             F.col("doc_id").cast("string").alias("media_id"),
             F.unbase64(F.col("content_b64")).alias("content"),
         )

@@ -89,13 +89,19 @@ def test_stream_video_screen_cross_batch_replay_and_isolation(spark, tmp_path):
         "b1.json",
         [(100, _clip("A")), (101, _clip("C")), (102, b"garbage-not-vid0")],
     )
+    # a line whose content_b64 is not even base64: must isolate (the
+    # alphabet gate), not fail the micro-batch under ANSI unbase64
+    with open(watch / "b1x.json", "a") as f:
+        import json as _json
+
+        f.write(_json.dumps({"doc_id": 103, "content_b64": "@@not-base64!!"}) + "\n")
     stream_video_screen(spark, str(watch), fps, log, ckpt).awaitTermination(60)
     pairs = {(r["new_id"], r["old_id"]) for r in read_pairs().collect()}
     assert ("100", "1") in pairs
     assert all(n != "101" for n, _ in pairs)
     table = spark.read.parquet(fps)
     ids = {r["media_id"] for r in table.select("media_id").distinct().collect()}
-    assert ids == {"1", "2", "100", "101"}  # 102 isolated, not stored
+    assert ids == {"1", "2", "100", "101"}  # 102 + 103 isolated, not stored
 
     first_log = sorted(map(tuple, read_pairs().drop("epoch_id").collect()))
     first_table = sorted(map(tuple, table.collect()))
