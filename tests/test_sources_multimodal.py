@@ -357,3 +357,68 @@ def test_video_fp_pairs_same_group_only(spark):
     for r in rows:
         assert r.id_a % _V_GROUPS == r.id_b % _V_GROUPS
         assert 0 <= r.hamming <= _V_PAIR_T
+
+
+def test_video_pair_join_packed_matches_naive_reference(spark):
+    """The single-shuffle packed-fingerprint pair join (flat int64
+    columns, first-matching-slot rule) is pinned pair-for-pair equal
+    to the naive formulation it replaced: band join on per-slot
+    (lo, hi), DISTINCT candidates, verify by re-joining the keyframe
+    table twice — the rep-first discipline (semantics pinned equal
+    before the perf trade is taken)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.queries import all_queries
+
+    all_queries()  # build the registry before touching ingestq directly
+    from dataingestionplayground_spark.queries.ingestq import (
+        _V_PAIR_T,
+        _V_SCENE,
+        _video_band_pairs,
+        _video_frame_hashes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in _video_band_pairs(spark, sf).collect()
+    }
+
+    fps = _video_frame_hashes(spark, sf, keyframes_only=True).select(
+        "doc_id",
+        (F.col("frame_idx") / _V_SCENE).cast("int").alias("scene_idx"),
+        "w_lo",
+        "w_hi",
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "scene_idx", "w_lo", "w_hi")
+    b = fps.select(F.col("doc_id").alias("id_b"), "scene_idx", "w_lo", "w_hi")
+    cand = (
+        a.join(b, ["scene_idx", "w_lo", "w_hi"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fps.select(
+        F.col("doc_id").alias("id_a"), "scene_idx",
+        F.col("w_lo").alias("lo_a"), F.col("w_hi").alias("hi_a"),
+    )
+    fb = fps.select(
+        F.col("doc_id").alias("id_b"), "scene_idx",
+        F.col("w_lo").alias("lo_b"), F.col("w_hi").alias("hi_b"),
+    )
+    naive = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in (
+            cand.join(fa, "id_a")
+            .join(fb, ["id_b", "scene_idx"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum(
+                    F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                    + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                ).cast("long").alias("hamming")
+            )
+            .filter(F.col("hamming") <= _V_PAIR_T)
+        ).collect()
+    }
+    assert fast == naive and len(fast) > 0
