@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.session import load_table as t
+from dataingestionplayground_spark.sources import multimodal as _mm_const
 
 # Deterministic token-window chunking: fixed 32-token windows with 8-token
 # stride overlap disabled (non-overlapping) — both engines slice the same
@@ -229,7 +230,15 @@ def ingest_doc_reassembly(spark, sf):
     )
 
 
-def _ahash_oracle() -> str:
+def _ahash_bands_sql() -> str:
+    """Self-contained WITH-subquery yielding the image-modality banded
+    fingerprint table bands(doc_id, band_idx, band_lo, band_hi, w_lo,
+    w_hi) — the closed-form twin of ``_bands4(_image_fp_frame(...))``.
+    Shared by the pair oracle and the (sub-linear) dedup-card oracle so
+    the two can never grade different fingerprints. band_hi is 0 for the
+    4 x 16-bit banding (the uniform 2-column band key lets the video
+    modality, whose band key is a full 64-bit keyframe hash, share the
+    card's machinery)."""
     from dataingestionplayground_spark.queries.pipelineq import _md5_mod_sql
 
     def mm(expr, mod):
@@ -261,19 +270,26 @@ def _ahash_oracle() -> str:
       SELECT doc_id, {word.format(lo=0, hi=31)} AS w_lo,
              {word.format(lo=32, hi=63)} AS w_hi
       FROM (SELECT doc_id, gs, list_sum(gs) AS s FROM g)
-    ), bands AS (
-      SELECT doc_id, 0 AS band_idx, w_lo % 65536 AS band_val, w_lo, w_hi FROM hashed
-      UNION ALL
-      SELECT doc_id, 1, w_lo // 65536, w_lo, w_hi FROM hashed
-      UNION ALL
-      SELECT doc_id, 2, w_hi % 65536, w_lo, w_hi FROM hashed
-      UNION ALL
-      SELECT doc_id, 3, w_hi // 65536, w_lo, w_hi FROM hashed
-    ), cand AS (
+    )
+    SELECT doc_id, 0 AS band_idx, w_lo % 65536 AS band_lo,
+           CAST(0 AS BIGINT) AS band_hi, w_lo, w_hi FROM hashed
+    UNION ALL
+    SELECT doc_id, 1, w_lo // 65536, CAST(0 AS BIGINT), w_lo, w_hi FROM hashed
+    UNION ALL
+    SELECT doc_id, 2, w_hi % 65536, CAST(0 AS BIGINT), w_lo, w_hi FROM hashed
+    UNION ALL
+    SELECT doc_id, 3, w_hi // 65536, CAST(0 AS BIGINT), w_lo, w_hi FROM hashed
+    """
+
+
+def _ahash_oracle() -> str:
+    return f"""
+    WITH bands AS ({_ahash_bands_sql()}),
+    cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.w_lo AS lo_a, a.w_hi AS hi_a, b.w_lo AS lo_b, b.w_hi AS hi_b
       FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        ON a.band_idx = b.band_idx AND a.band_lo = b.band_lo
        AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
@@ -284,20 +300,15 @@ def _ahash_oracle() -> str:
     """
 
 
-@register("multimodal_ahash_pairs", oracle=_ahash_oracle())
-def multimodal_ahash_pairs(spark, sf):
-    # IMAGE near-duplicate detection end to end: deterministic 8x8
-    # grayscale images are materialized as REAL uncompressed BMP bytes,
-    # decoded back through the engine's zero-dependency BMP parser
-    # (sources/multimodal.py bmp_pixels — any decode bug breaks the
-    # oracle hash match), reduced to a 64-bit average hash (bit i =
-    # pixel_i >= mean, in exact integer form 64*g_i >= sum), banded
-    # into 4 x 16-bit keys, and paired by equi-join with a Hamming<=6
-    # verify — the image twin of dedup_simhash's shape. The corpus is
-    # 50 groups of near-identical images (3 perturbed pixels per doc),
-    # so the pair set is non-trivial in both directions. Scale: ONE
-    # Arrow pass builds+decodes+hashes (8 bytes of state per image),
-    # banding bounds the join to bucket collisions — never all-pairs.
+def _image_fp_frame(spark, sf):
+    """(doc_id, w_lo, w_hi) 64-bit average-hash fingerprints of the
+    deterministic image corpus: 8x8 grayscale stills materialized as
+    REAL uncompressed BMP bytes, decoded back through the engine's
+    zero-dependency BMP parser (sources/multimodal.py bmp_pixels — any
+    decode bug breaks the oracle hash match), reduced to bit i =
+    pixel_i >= mean in exact integer form (64*g_i >= sum). ONE Arrow
+    pass; 8 bytes of state per image. Shared by the pair query and the
+    dedup card so both grade the same fingerprints."""
     import hashlib
 
     import pandas as pd
@@ -346,32 +357,51 @@ def multimodal_ahash_pairs(spark, sf):
             yield pd.DataFrame(out, columns=["doc_id", "w_lo", "w_hi"])
 
     d = t(spark, sf, "documents").select("doc_id")
-    hashed = d.mapInPandas(
-        build_and_hash, "doc_id long, w_lo long, w_hi long"
-    )
-    bands = hashed.select(
+    return d.mapInPandas(build_and_hash, "doc_id long, w_lo long, w_hi long")
+
+
+def _bands4(fp):
+    """Explode a (doc_id, w_lo, w_hi) fingerprint frame into the
+    4 x 16-bit LSH band table (doc_id, band_idx, band_lo, band_hi,
+    w_lo, w_hi) — band_hi is 0 here; the 2-column band key exists so
+    the video modality (whose band key is a whole 64-bit keyframe
+    hash) shares the dedup card's group machinery."""
+    return fp.select(
         "doc_id",
         "w_lo",
         "w_hi",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band_idx"), (F.col("w_lo") % 65536).alias("band_val")),
-                F.struct(F.lit(1).alias("band_idx"), F.expr("w_lo div 65536").alias("band_val")),
-                F.struct(F.lit(2).alias("band_idx"), (F.col("w_hi") % 65536).alias("band_val")),
-                F.struct(F.lit(3).alias("band_idx"), F.expr("w_hi div 65536").alias("band_val")),
+                F.struct(F.lit(0).alias("band_idx"), (F.col("w_lo") % 65536).alias("band_lo")),
+                F.struct(F.lit(1).alias("band_idx"), F.expr("w_lo div 65536").alias("band_lo")),
+                F.struct(F.lit(2).alias("band_idx"), (F.col("w_hi") % 65536).alias("band_lo")),
+                F.struct(F.lit(3).alias("band_idx"), F.expr("w_hi div 65536").alias("band_lo")),
             )
         ).alias("b"),
-    ).select("doc_id", "w_lo", "w_hi", "b.band_idx", "b.band_val")
+    ).select(
+        "doc_id",
+        "b.band_idx",
+        "b.band_lo",
+        F.lit(0).cast("long").alias("band_hi"),
+        "w_lo",
+        "w_hi",
+    )
+
+
+def _banded_fp_pairs(bands, bound: int):
+    """The shared banded near-dup pair join: equi-join on the band key,
+    id_a < id_b, distinct pairs, full-fingerprint Hamming verify at
+    ``bound``. Candidates are bucket collisions only — never all-pairs."""
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("w_lo").alias("lo_a"),
-        F.col("w_hi").alias("hi_a"), "band_idx", "band_val",
+        F.col("w_hi").alias("hi_a"), "band_idx", "band_lo", "band_hi",
     )
     b = bands.select(
         F.col("doc_id").alias("id_b"), F.col("w_lo").alias("lo_b"),
-        F.col("w_hi").alias("hi_b"), "band_idx", "band_val",
+        F.col("w_hi").alias("hi_b"), "band_idx", "band_lo", "band_hi",
     )
     cand = (
-        a.join(b, ["band_idx", "band_val"])
+        a.join(b, ["band_idx", "band_lo", "band_hi"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
         .distinct()
@@ -380,8 +410,22 @@ def multimodal_ahash_pairs(spark, sf):
         "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"
     )
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= 6
+        F.col("hamming") <= bound
     )
+
+
+@register("multimodal_ahash_pairs", oracle=_ahash_oracle())
+def multimodal_ahash_pairs(spark, sf):
+    # IMAGE near-duplicate detection end to end: deterministic 8x8
+    # grayscale BMPs decoded through the engine's zero-dependency
+    # parser, reduced to a 64-bit average hash (_image_fp_frame),
+    # banded into 4 x 16-bit keys, and paired by equi-join with a
+    # Hamming<=6 verify — the image twin of dedup_simhash's shape. The
+    # corpus is 50 groups of near-identical images (3 perturbed pixels
+    # per doc), so the pair set is non-trivial in both directions.
+    # Scale: ONE Arrow pass builds+decodes+hashes, banding bounds the
+    # join to bucket collisions — never all-pairs.
+    return _banded_fp_pairs(_bands4(_image_fp_frame(spark, sf)), bound=6)
 
 
 def _dct_basis() -> list:
@@ -733,7 +777,11 @@ def _audio_vad_gate_oracle() -> str:
     """
 
 
-def _audio_fp_oracle() -> str:
+def _audio_bands_sql() -> str:
+    """Self-contained WITH-subquery yielding the audio-modality banded
+    fingerprint table bands(doc_id, band_idx, band_lo, band_hi, w_lo,
+    w_hi) — the closed-form twin of ``_bands4(_audio_fp_frame(...))``;
+    shared by the pair oracle and the dedup-card oracle."""
     from dataingestionplayground_spark.queries.pipelineq import _md5_mod_sql
 
     def mm(expr, mod):
@@ -781,19 +829,26 @@ def _audio_fp_oracle() -> str:
       SELECT doc_id, {word.format(lo=0, hi=31)} AS w_lo,
              {word.format(lo=32, hi=63)} AS w_hi
       FROM es
-    ), bands AS (
-      SELECT doc_id, 0 AS band_idx, w_lo % 65536 AS band_val, w_lo, w_hi FROM fp
-      UNION ALL
-      SELECT doc_id, 1, w_lo // 65536, w_lo, w_hi FROM fp
-      UNION ALL
-      SELECT doc_id, 2, w_hi % 65536, w_lo, w_hi FROM fp
-      UNION ALL
-      SELECT doc_id, 3, w_hi // 65536, w_lo, w_hi FROM fp
-    ), cand AS (
+    )
+    SELECT doc_id, 0 AS band_idx, w_lo % 65536 AS band_lo,
+           CAST(0 AS BIGINT) AS band_hi, w_lo, w_hi FROM fp
+    UNION ALL
+    SELECT doc_id, 1, w_lo // 65536, CAST(0 AS BIGINT), w_lo, w_hi FROM fp
+    UNION ALL
+    SELECT doc_id, 2, w_hi % 65536, CAST(0 AS BIGINT), w_lo, w_hi FROM fp
+    UNION ALL
+    SELECT doc_id, 3, w_hi // 65536, CAST(0 AS BIGINT), w_lo, w_hi FROM fp
+    """
+
+
+def _audio_fp_oracle() -> str:
+    return f"""
+    WITH bands AS ({_audio_bands_sql()}),
+    cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.w_lo AS lo_a, a.w_hi AS hi_a, b.w_lo AS lo_b, b.w_hi AS hi_b
       FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        ON a.band_idx = b.band_idx AND a.band_lo = b.band_lo
        AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
@@ -804,23 +859,18 @@ def _audio_fp_oracle() -> str:
     """
 
 
-@register("multimodal_audio_fp_pairs", oracle=_audio_fp_oracle())
-def multimodal_audio_fp_pairs(spark, sf):
-    # AUDIO near-duplicate detection end to end (r14 verdict item 3) —
-    # the audio twin of multimodal_ahash_pairs: deterministic clips (40
-    # groups of near-identical waveforms, 2 perturbed samples per doc)
-    # are packed into REAL little-endian PCM16 bytes, decoded back
-    # through the engine's shared pcm16_samples parser (a decode bug
-    # breaks the oracle match), fingerprinted chromaprint-style —
-    # 64 sub-frame energies (16 samples each, exact int64 sum of
-    # squares), bit j = energy rises into sub-frame j+1 (cyclic) — and
-    # the 64-bit fingerprints banded into 4 x 16-bit keys, paired by
-    # equi-join with a Hamming<=6 verify. Energy DELTAS (not levels)
-    # are the chromaprint trick: a uniform gain change flips no bits.
-    # Scale: ONE Arrow pass builds+decodes+fingerprints (8 bytes of
-    # state per clip; per-group base waveforms computed once per
-    # batch), banding bounds the join to bucket collisions — never
-    # all-pairs.
+def _audio_fp_frame(spark, sf):
+    """(doc_id, w_lo, w_hi) chromaprint-style fingerprints of the
+    deterministic audio corpus: clips (40 groups of near-identical
+    waveforms, 2 perturbed samples per doc) packed into REAL
+    little-endian PCM16 bytes, decoded back through the shared
+    pcm16_samples parser (a decode bug breaks the oracle match),
+    fingerprinted as 64 sub-frame energies (16 samples each, exact
+    int64 sum of squares) with bit j = energy rises into sub-frame j+1
+    (cyclic). Energy DELTAS (not levels) are the chromaprint trick: a
+    uniform gain change flips no bits. ONE Arrow pass; per-group base
+    waveforms computed once per batch. Shared by the pair query and
+    the dedup card so both grade the same fingerprints."""
     import hashlib
 
     import pandas as pd
@@ -864,40 +914,19 @@ def multimodal_audio_fp_pairs(spark, sf):
             yield pd.DataFrame(out, columns=["doc_id", "w_lo", "w_hi"])
 
     d = t(spark, sf, "documents").select("doc_id")
-    fp = d.mapInPandas(build_and_fp, "doc_id long, w_lo long, w_hi long")
-    bands = fp.select(
-        "doc_id",
-        "w_lo",
-        "w_hi",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_idx"), (F.col("w_lo") % 65536).alias("band_val")),
-                F.struct(F.lit(1).alias("band_idx"), F.expr("w_lo div 65536").alias("band_val")),
-                F.struct(F.lit(2).alias("band_idx"), (F.col("w_hi") % 65536).alias("band_val")),
-                F.struct(F.lit(3).alias("band_idx"), F.expr("w_hi div 65536").alias("band_val")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "w_lo", "w_hi", "b.band_idx", "b.band_val")
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("w_lo").alias("lo_a"),
-        F.col("w_hi").alias("hi_a"), "band_idx", "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("w_lo").alias("lo_b"),
-        F.col("w_hi").alias("hi_b"), "band_idx", "band_val",
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
-        .distinct()
-    )
-    ham = F.expr(
-        "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"
-    )
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= 6
-    )
+    return d.mapInPandas(build_and_fp, "doc_id long, w_lo long, w_hi long")
+
+
+@register("multimodal_audio_fp_pairs", oracle=_audio_fp_oracle())
+def multimodal_audio_fp_pairs(spark, sf):
+    # AUDIO near-duplicate detection end to end (r14 verdict item 3) —
+    # the audio twin of multimodal_ahash_pairs: chromaprint-style
+    # 64-bit fingerprints over REAL PCM16 bytes (_audio_fp_frame),
+    # banded into 4 x 16-bit keys, paired by equi-join with a
+    # Hamming<=6 verify. Scale: ONE Arrow pass builds+decodes+
+    # fingerprints, banding bounds the join to bucket collisions —
+    # never all-pairs.
+    return _banded_fp_pairs(_bands4(_audio_fp_frame(spark, sf)), bound=6)
 
 
 # --- video corpus constants (shared literals in BOTH engines' closed
@@ -906,7 +935,9 @@ _V_FRAMES = 32  # frames per clip
 _V_SCENE = 8  # frames per scene -> 4 scenes per clip
 _V_GROUPS = 40  # near-identical clip groups (gid = doc_id % 40)
 _V_CUT = 10  # ahash-delta > _V_CUT starts a new shot (a "cut")
-_V_PAIR_T = 12  # total keyframe-hamming bound for near-dup pairs
+# canonical bound lives in sources/multimodal.py (importable standalone,
+# so the streaming screen's verify leg shares the literal)
+_V_PAIR_T = _mm_const.VIDEO_PAIR_HAMMING_T  # = 12
 
 
 def _video_frame_hashes(spark, sf, keyframes_only: bool = False, packed: bool = False):
@@ -927,64 +958,30 @@ def _video_frame_hashes(spark, sf, keyframes_only: bool = False, packed: bool = 
     per clip with the 4 keyframe hashes as parallel arrays — the
     fingerprint-table layout the pair joins carry through the band
     shuffle so verification never re-joins."""
-    import hashlib
-
     import pandas as pd
 
-    def mm(s: str, mod: int) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
-
     def build_decode_hash(batches):
-        import struct
-
         import numpy as np
 
         from dataingestionplayground_spark.sources.multimodal import (
             bmp_pixels,
-            pack_video_frames,
+            synth_video_clip,
             video_frames,
         )
 
-        hdr = b"BM" + struct.pack("<IHHI", 54 + 192, 0, 0, 54) + struct.pack(
-            "<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 192, 2835, 2835, 0, 0
-        )
         pow2 = 1 << np.arange(32, dtype=np.int64)
         scene_cache = {}
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                gid = doc_id % _V_GROUPS
-                if gid not in scene_cache:
-                    scene_cache[gid] = [
-                        np.array(
-                            [mm(f"{gid}:vs{s}:{i}", 256) for i in range(64)],
-                            dtype=np.int64,
-                        )
-                        for s in range(_V_FRAMES // _V_SCENE)
-                    ]
-                pert = [
-                    (
-                        mm(f"{doc_id}:vfp:{j}", _V_FRAMES),
-                        mm(f"{doc_id}:vpp:{j}", 64),
-                        mm(f"{doc_id}:vpv:{j}", 256),
-                    )
-                    for j in range(2)
-                ]
-                frames = []
-                for f in range(_V_FRAMES):
-                    g = scene_cache[gid][f // _V_SCENE]
-                    hit = [(pp, pv) for (pf, pp, pv) in pert if pf == f]
-                    if hit:
-                        g = g.copy()
-                        for pp, pv in hit:
-                            g[pp] = pv
-                    # REAL bytes: 8x8 24-bpp bottom-up BMP (stride 24)
-                    rows = np.repeat(
-                        g.reshape(8, 8)[::-1].astype(np.uint8).ravel(), 3
-                    ).tobytes()
-                    frames.append(hdr + rows)
-                data = pack_video_frames(frames)  # REAL container bytes
+                data = synth_video_clip(
+                    doc_id,
+                    scene_cache,
+                    frames=_V_FRAMES,
+                    scene=_V_SCENE,
+                    groups=_V_GROUPS,
+                )
                 ws = []
                 for f, payload in enumerate(video_frames(data)):
                     if (keyframes_only or packed) and f % _V_SCENE:
@@ -1252,7 +1249,7 @@ def _video_band_pairs(spark, sf, split_mod: int | None = None):
     )
 
 
-_V_DROP = 4  # incremental screen: auto-drop bound (report bound = _V_PAIR_T)
+_V_DROP = _mm_const.VIDEO_DROP_T  # = 4: auto-drop bound (report bound = _V_PAIR_T)
 
 
 def _video_incr_oracle() -> str:
@@ -1307,40 +1304,58 @@ def multimodal_video_fp_incremental(spark, sf):
     )
 
 
-def _multimodal_card_oracle() -> str:
-    # compose the three REGISTERED pair oracles (the composite-card
-    # rule: the card can never grade different pairs than the dedup
-    # pipelines ship)
-    from dataingestionplayground_spark.queries import REGISTRY as _R
-
-    legs = []
-    for modality, name in (
-        ("image", "multimodal_ahash_pairs"),
-        ("audio", "multimodal_audio_fp_pairs"),
-        ("video", "multimodal_video_fp_pairs"),
-    ):
-        legs.append(
-            f"""
-    SELECT '{modality}' AS modality, n.n_items,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM {modality}_p) AS n_pairs,
-           (SELECT CAST(COUNT(DISTINCT d) AS BIGINT)
-            FROM (SELECT id_a AS d FROM {modality}_p
-                  UNION SELECT id_b FROM {modality}_p)) AS n_dup_items,
-           round((SELECT CAST(COUNT(DISTINCT d) AS DOUBLE)
-                  FROM (SELECT id_a AS d FROM {modality}_p
-                        UNION SELECT id_b FROM {modality}_p))
+def _card_leg_sql(p: str, bands_sql: str, bound: int) -> tuple[str, str]:
+    """(CTE chain, leg SELECT) for one modality of the dedup card —
+    the closed-form twin of ``_card_band_stats``: rep-verified band
+    groups, all LINEAR in band rows (no pair enumeration anywhere).
+    ``p`` prefixes the CTE names so three legs share one WITH."""
+    ctes = f"""
+    {p}bands AS MATERIALIZED ({bands_sql}),
+    {p}gs AS (
+      SELECT band_idx, band_lo, band_hi,
+             arg_min(w_lo, doc_id) AS rep_lo, arg_min(w_hi, doc_id) AS rep_hi
+      FROM {p}bands GROUP BY band_idx, band_lo, band_hi
+    ), {p}mem AS (
+      SELECT b.doc_id, b.band_idx, b.band_lo, b.band_hi,
+             bit_count(xor(b.w_lo, g.rep_lo)) + bit_count(xor(b.w_hi, g.rep_hi)) AS ham
+      FROM {p}bands b JOIN {p}gs g USING (band_idx, band_lo, band_hi)
+    ), {p}ver AS (
+      SELECT band_idx, band_lo, band_hi, CAST(COUNT(*) AS BIGINT) AS m
+      FROM {p}mem WHERE ham <= {bound} GROUP BY band_idx, band_lo, band_hi
+    ), {p}bp AS (
+      SELECT band_idx, SUM(m * (m - 1) // 2) AS pcnt FROM {p}ver GROUP BY band_idx
+    ), {p}dup AS (
+      SELECT DISTINCT e.doc_id
+      FROM {p}mem e JOIN {p}ver v USING (band_idx, band_lo, band_hi)
+      WHERE e.ham <= {bound} AND v.m >= 2
+    )"""
+    select = f"""
+    SELECT '{p.rstrip("_")}' AS modality, n.n_items,
+           (SELECT CAST(COALESCE(MAX(pcnt), 0) AS BIGINT) FROM {p}bp) AS est_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}dup) AS n_dup_items,
+           round((SELECT CAST(COUNT(*) AS DOUBLE) FROM {p}dup)
                  / CAST(n.n_items AS DOUBLE), 6) AS dup_item_rate
     FROM n"""
-        )
-    ctes = ", ".join(
-        f"{modality}_p AS MATERIALIZED (SELECT id_a, id_b FROM ({_R[name].oracle}))"
-        for modality, name in (
-            ("image", "multimodal_ahash_pairs"),
-            ("audio", "multimodal_audio_fp_pairs"),
-            ("video", "multimodal_video_fp_pairs"),
-        )
-    )
-    union = "\n    UNION ALL\n".join(legs)
+    return ctes, select
+
+
+def _multimodal_card_oracle() -> str:
+    # compose the three modalities' SHARED banded-fingerprint CTEs
+    # (the composite-card rule: the card grades the same fingerprints
+    # and band keys the dedup pipelines ship) into the rep-verified
+    # group statistics of _card_band_stats
+    video_bands = f"""
+      WITH {_video_hashed_cte(keyframes_only=True)}
+      SELECT doc_id, frame_idx // {_V_SCENE} AS band_idx,
+             w_lo AS band_lo, w_hi AS band_hi, w_lo, w_hi
+      FROM hashed"""
+    legs = [
+        _card_leg_sql("image_", _ahash_bands_sql(), 6),
+        _card_leg_sql("audio_", _audio_bands_sql(), 6),
+        _card_leg_sql("video_", video_bands, _V_PAIR_T),
+    ]
+    ctes = ",".join(c for c, _ in legs)
+    union = "\n    UNION ALL\n".join(s for _, s in legs)
     return f"""
     WITH {ctes},
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM documents)
@@ -1351,47 +1366,46 @@ def _multimodal_card_oracle() -> str:
 @register("multimodal_dedup_card", oracle=_multimodal_card_oracle())
 def multimodal_dedup_card(spark, sf):
     # The CROSS-MODALITY dedup card a multimodal curation run reads
-    # before mixing: per modality (image / audio / video), the verified
-    # near-dup pair count, how many items sit in at least one pair, and
-    # the dup-item rate — composed from the three REGISTERED pair
-    # pipelines (ahash banding, chromaprint banding, keyframe inverted
-    # index) so the card can never disagree with what the dedup stages
-    # would actually collapse. The pipeline_data_card pattern applied
-    # across modalities. Scale: each member is banding-bounded, and
-    # each pair frame is reduced in ONE streaming pass — ids explode
-    # into a single agg where n_pairs = rows/2 (exact: every pair
-    # contributes exactly 2 rows) and n_dup_items is the two-phase
-    # count-distinct. No pair frame is ever materialized (an earlier
-    # localCheckpoint-per-leg draft held all three sf1.0 pair frames
-    # on the heap at once and OOMed the big2 bench block); composition
-    # is three broadcast one-row joins.
-    from dataingestionplayground_spark.queries import REGISTRY as _R
-
+    # before mixing: per modality (image / audio / video), an estimated
+    # near-dup pair mass, how many items verify as duplicates, and the
+    # dup-item rate — computed from the SAME banded fingerprints the
+    # dedup pipelines ship (shared _image_fp_frame/_audio_fp_frame/
+    # _video_frame_hashes builders), but SUB-LINEAR IN PAIR MASS (r15
+    # verdict item 4: exact pair counts are quadratic in dup-group size
+    # — a rate card needs rates, not a pair enumeration). Per band
+    # group: the min-doc_id REPRESENTATIVE's full fingerprint verifies
+    # each member (Hamming <= the pipeline's own bound; exact-key video
+    # groups verify trivially), m = verified group size; n_dup_items =
+    # distinct verified members of m>=2 groups; est_pairs = MAX over
+    # band_idx of SUM(m*(m-1)/2) — the densest single-band pairing
+    # view, an arithmetic fold over group sizes, never a pair frame.
+    # Every stage is a hash agg or co-partitioned join on the band key:
+    # linear in band rows at any corpus size.
     n_docs = (
         t(spark, sf, "documents")
         .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
         .localCheckpoint(eager=True)
     )
+    video_bands = _video_frame_hashes(spark, sf, keyframes_only=True).select(
+        "doc_id",
+        F.expr(f"frame_idx div {_V_SCENE}").alias("band_idx"),
+        F.col("w_lo").alias("band_lo"),
+        F.col("w_hi").alias("band_hi"),
+        "w_lo",
+        "w_hi",
+    )
     legs = []
-    for modality, name in (
-        ("image", "multimodal_ahash_pairs"),
-        ("audio", "multimodal_audio_fp_pairs"),
-        ("video", "multimodal_video_fp_pairs"),
+    for modality, bands, bound in (
+        ("image", _bands4(_image_fp_frame(spark, sf)), 6),
+        ("audio", _bands4(_audio_fp_frame(spark, sf)), 6),
+        ("video", video_bands, _V_PAIR_T),
     ):
-        stats = (
-            _R[name].fn(spark, sf)
-            .select(F.explode(F.array("id_a", "id_b")).alias("d"))
-            .agg(
-                (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs"),
-                F.count_distinct("d").cast("long").alias("n_dup_items"),
-            )
-        )
+        stats = _card_band_stats(bands, bound)
         legs.append(
-            n_docs.crossJoin(F.broadcast(stats))
-            .select(
+            n_docs.crossJoin(F.broadcast(stats)).select(
                 F.lit(modality).alias("modality"),
                 "n_items",
-                "n_pairs",
+                "est_pairs",
                 "n_dup_items",
                 F.round(
                     F.col("n_dup_items").cast("double")
@@ -1404,6 +1418,50 @@ def multimodal_dedup_card(spark, sf):
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def _card_band_stats(bands, bound: int):
+    """One-row frame (est_pairs, n_dup_items) from a banded fingerprint
+    frame (doc_id, band_idx, band_lo, band_hi, w_lo, w_hi) — the
+    Spark side of _card_leg_sql. Linear in band rows: one agg picks the
+    min-doc_id representative fingerprint per band group, one
+    co-partitioned join scores every member against its rep, and the
+    verified group sizes fold arithmetically (m*(m-1)/2) — no pair
+    frame is ever materialized. The decode pass behind ``bands`` is
+    localCheckpointed once; the two derived multi-consumer frames
+    (verified members, verified group sizes) are checkpointed too, so
+    nothing re-decodes and nothing quadratic sits on the heap."""
+    keys = ["band_idx", "band_lo", "band_hi"]
+    bands = bands.localCheckpoint(eager=True)  # one decode pass, 2 consumers
+    gs = bands.groupBy(*keys).agg(
+        F.min_by("w_lo", "doc_id").alias("rep_lo"),
+        F.min_by("w_hi", "doc_id").alias("rep_hi"),
+    )
+    ham = F.bit_count(F.col("w_lo").bitwiseXOR(F.col("rep_lo"))) + F.bit_count(
+        F.col("w_hi").bitwiseXOR(F.col("rep_hi"))
+    )
+    ok = (
+        bands.join(gs, keys)
+        .filter(ham <= F.lit(bound))
+        .select("doc_id", *keys)
+        .localCheckpoint(eager=True)  # 2 consumers: group sizes + dup items
+    )
+    ver = (
+        ok.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .localCheckpoint(eager=True)  # 2 consumers: pair fold + m>=2 filter
+    )
+    est = (
+        ver.groupBy("band_idx")
+        .agg(F.sum(F.expr("m * (m - 1) div 2")).alias("pcnt"))
+        .agg(
+            F.coalesce(F.max("pcnt"), F.lit(0)).cast("long").alias("est_pairs")
+        )
+    )
+    dup = ok.join(
+        ver.filter(F.col("m") >= 2).select(*keys), keys, "left_semi"
+    ).agg(F.count_distinct("doc_id").cast("long").alias("n_dup_items"))
+    return est.crossJoin(F.broadcast(dup))
 
 
 @register("multimodal_audio_vad_gate", oracle=_audio_vad_gate_oracle())

@@ -94,6 +94,8 @@ def bmp_pixels(data: bytes):
 
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(data) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
+        raise ValueError(f"truncated BMP header ({len(data)} bytes)")
     pix_off = struct.unpack_from("<I", data, 10)[0]
     hdr_size = struct.unpack_from("<I", data, 14)[0]
     if hdr_size < 40:
@@ -337,6 +339,80 @@ def pack_video_frames(frames) -> bytes:
     return b"".join(out)
 
 
+# Canonical video near-dup bounds — the single source of truth shared
+# by the batch queries (queries/ingestq.py re-exports them as
+# _V_PAIR_T/_V_DROP) and the streaming screen's verify leg
+# (streaming/ingest.py). Defined HERE because this module is the only
+# video module importable standalone (the queries package must load via
+# all_queries() in registration order).
+VIDEO_PAIR_HAMMING_T = 12  # total keyframe-Hamming bound for near-dup pairs
+VIDEO_DROP_T = 4  # incremental screens: auto-drop bound
+
+
+def synth_video_clip(
+    doc_id: int,
+    scene_cache: dict | None = None,
+    *,
+    frames: int = 32,
+    scene: int = 8,
+    groups: int = 40,
+) -> bytes:
+    """REAL VID0 container bytes for deterministic corpus clip
+    ``doc_id`` — ``frames // scene`` scenes of ``scene`` frames each,
+    gid-shared scene stills (gid = doc_id % groups), 2 per-doc pixel
+    perturbations, every frame a real 8x8 24-bpp bottom-up BMP.
+    Extracted from the ``_video_frame_hashes`` mapInPandas builder
+    (queries/ingestq.py) so the streaming parity test can feed the
+    EXACT corpus clips over the JSON/base64 wire format that
+    ``streaming.ingest.stream_video_screen`` consumes. ``scene_cache``
+    memoizes the gid-shared stills across calls (the builder passes one
+    dict per Arrow batch so md5 work scales with groups, not rows)."""
+    import struct
+
+    import numpy as np
+
+    def mm(s: str, mod: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    hdr = b"BM" + struct.pack("<IHHI", 54 + 192, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 192, 2835, 2835, 0, 0
+    )
+    doc_id = int(doc_id)
+    gid = doc_id % groups
+    if scene_cache is None:
+        scene_cache = {}
+    if gid not in scene_cache:
+        scene_cache[gid] = [
+            np.array(
+                [mm(f"{gid}:vs{s}:{i}", 256) for i in range(64)],
+                dtype=np.int64,
+            )
+            for s in range(frames // scene)
+        ]
+    pert = [
+        (
+            mm(f"{doc_id}:vfp:{j}", frames),
+            mm(f"{doc_id}:vpp:{j}", 64),
+            mm(f"{doc_id}:vpv:{j}", 256),
+        )
+        for j in range(2)
+    ]
+    out = []
+    for f in range(frames):
+        g = scene_cache[gid][f // scene]
+        hit = [(pp, pv) for (pf, pp, pv) in pert if pf == f]
+        if hit:
+            g = g.copy()
+            for pp, pv in hit:
+                g[pp] = pv
+        # REAL bytes: 8x8 24-bpp bottom-up BMP (stride 24)
+        rows = np.repeat(
+            g.reshape(8, 8)[::-1].astype(np.uint8).ravel(), 3
+        ).tobytes()
+        out.append(hdr + rows)
+    return pack_video_frames(out)  # REAL container bytes
+
+
 def video_frames(data: bytes):
     """Parse a ``VID0`` container back to its list of frame payloads —
     the video twin of :func:`pcm16_samples` (one shared parse helper so
@@ -348,6 +424,8 @@ def video_frames(data: bytes):
     buf = bytes(data)
     if buf[:4] != b"VID0":
         raise ValueError("not a VID0 payload")
+    if len(buf) < 6:
+        raise ValueError(f"truncated VID0 header ({len(buf)} bytes)")
     (n,) = struct.unpack_from("<H", buf, 4)
     off = 6
     frames = []
@@ -387,6 +465,8 @@ def video_keyframe_hashes(media: DataFrame, every: int = 8) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         pow2 = 1 << np.arange(32, dtype=np.int64)
         for pdf in batches:
             rows = []
@@ -409,8 +489,12 @@ def video_keyframe_hashes(media: DataFrame, every: int = 8) -> DataFrame:
                                 ),
                             }
                         )
-                except ValueError:
-                    continue  # isolate the bad item, don't fail the job
+                except (ValueError, struct.error):
+                    # Isolate the bad item, don't fail the job. The parse
+                    # helpers length-guard before every unpack so a short
+                    # payload raises ValueError, but struct.error stays
+                    # caught as defense in depth for any unguarded offset.
+                    continue
             yield (
                 pd.DataFrame(rows, columns=[f.name for f in schema.fields])
                 if rows

@@ -532,8 +532,11 @@ def stream_video_screen(
     rewrites identical content); screening runs against the table
     MINUS the batch's own ids, so the log is a pure function of
     (batch, table-before-batch) and replay converges bit-identically.
-    Aligned-Hamming verification joins candidates back to the
-    fingerprint table, exactly as the batch query does.
+    Aligned-Hamming verification joins the bounded candidate set back
+    to both sides' maintained fingerprints, exactly as the batch query
+    does: summed per-slot Hamming reported at <= _V_PAIR_T (12), flagged
+    ``would_drop`` at <= _V_DROP (4) — row-for-row parity with the batch
+    twin is pinned by test_stream_video_screen_batch_parity.
     """
     import os
 
@@ -562,10 +565,16 @@ def stream_video_screen(
             F.min("content_b64").alias("content_b64")
         )
         # malformed base64 would fail the whole micro-batch under ANSI
-        # unbase64 — gate on the alphabet first so a bad LINE isolates
-        # like a bad PAYLOAD does (the decode stage's per-item rule)
+        # unbase64 — gate on full base64 STRUCTURE first (whole groups
+        # of 4, padding only in the final group) so a bad LINE isolates
+        # like a bad PAYLOAD does (the decode stage's per-item rule).
+        # Alphabet alone is not enough: 'abc' (length % 4 != 0) or
+        # 'A==' (padding in a 3-char tail) pass an alphabet check yet
+        # still throw under strict decode.
         media = batch_one.filter(
-            F.col("content_b64").rlike("^[A-Za-z0-9+/]*={0,2}$")
+            F.col("content_b64").rlike(
+                "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+            )
         ).select(
             F.col("doc_id").cast("string").alias("media_id"),
             F.unbase64(F.col("content_b64")).alias("content"),
@@ -578,13 +587,18 @@ def stream_video_screen(
             not e.startswith(("_", ".")) for e in os.listdir(fps_path)
         )
         if have_table:
+            from dataingestionplayground_spark.sources.multimodal import (
+                VIDEO_DROP_T as _V_DROP,
+                VIDEO_PAIR_HAMMING_T as _V_PAIR_T,
+            )
+
             existing = sess.read.parquet(fps_path)
             before = existing.join(
                 F.broadcast(fps.select("media_id").distinct()),
                 "media_id",
                 "left_anti",
             )
-            pairs = (
+            cand = (
                 fps.alias("n")
                 .join(
                     before.alias("o"),
@@ -598,11 +612,43 @@ def stream_video_screen(
                 )
                 .distinct()
             )
+            # VERIFY leg — the batch twin's rule applied verbatim
+            # (multimodal_video_fp_incremental): join the bounded
+            # candidate set back to both sides' maintained fingerprints
+            # aligned on slot, sum the per-keyframe Hamming, report at
+            # <= _V_PAIR_T, flag auto-drop at <= _V_DROP. The left side
+            # (candidates x batch keyframes) is candidate-bounded, so
+            # it broadcasts into the table-side join: one scan of the
+            # corpus fingerprints, no pair explosion.
+            nh = fps.select(
+                F.col("media_id").alias("new_id"),
+                "slot",
+                F.col("w_lo").alias("n_lo"),
+                F.col("w_hi").alias("n_hi"),
+            )
+            oh = before.select(
+                F.col("media_id").alias("old_id"),
+                "slot",
+                F.col("w_lo").alias("o_lo"),
+                F.col("w_hi").alias("o_hi"),
+            )
+            ham = F.bit_count(
+                F.col("n_lo").bitwiseXOR(F.col("o_lo"))
+            ) + F.bit_count(F.col("n_hi").bitwiseXOR(F.col("o_hi")))
+            pairs = (
+                oh.join(F.broadcast(cand.join(nh, "new_id")), ["old_id", "slot"])
+                .groupBy("new_id", "old_id")
+                .agg(F.sum(ham).cast("long").alias("hamming"))
+                .filter(F.col("hamming") <= F.lit(_V_PAIR_T))
+                .withColumn("would_drop", F.col("hamming") <= F.lit(_V_DROP))
+            )
             fresh = fps.join(
                 existing.select("media_id").distinct(), "media_id", "left_anti"
             )
         else:
-            pairs = sess.createDataFrame([], "new_id string, old_id string")
+            pairs = sess.createDataFrame(
+                [], "new_id string, old_id string, hamming long, would_drop boolean"
+            )
             fresh = fps
         out = pairs.withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
         prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -109,9 +109,9 @@ SHOW = [
     ("dedup_softdedup_effect", "soft-vs-hard dedup mass: registered weights + token join, |clusters| keepers agg, one single-row decimal fold (r13)"),
     ("vector_cell_balance_sweep", "cell-resolution curve: three broadcast-matmul assignment legs over the shared balance frame, zero corpus shuffles (r13)"),
     ("multimodal_video_scene_cuts", "video shot detection: one Arrow build+parse+hash pass, lag window PARTITIONED BY clip (32-row partitions), one clip-keyed agg (r15)"),
-    ("multimodal_video_fp_pairs", "video near-dup: keyframe inverted-index equi-join on (scene slot, exact hash), distinct pairs, two fingerprint re-joins + pair agg (r15)"),
-    ("multimodal_video_fp_incremental", "per-batch video screen: checkpointed fingerprint frame, batch-vs-corpus index probe, candidate-bounded verify joins (r15)"),
-    ("multimodal_dedup_card", "cross-modality card: three banding-bounded member pair frames checkpointed once each, reduced twice, three broadcast 1-row compositions (r15)"),
+    ("multimodal_video_fp_pairs", "video near-dup: single-exchange (scene slot, exact hash) band join with carried fingerprint arrays — first-matching-slot dedup + codegen Hamming, no distinct, no verify re-join (r15)"),
+    ("multimodal_video_fp_incremental", "per-batch video screen: the same single-exchange band join, asymmetric batch-vs-corpus slices, ≤12 report / ≤4 auto-drop bounds on the carried-array Hamming (r15)"),
+    ("multimodal_dedup_card", "cross-modality card, sub-linear in pair mass: per modality, rep-per-band-group agg + co-partitioned member-vs-rep verify join + arithmetic m*(m-1)/2 fold — no pair frame anywhere; three broadcast 1-row compositions (r16)"),
 ]
 
 INTERESTING = re.compile(

@@ -72,7 +72,11 @@ def test_stream_video_screen_cross_batch_replay_and_isolation(spark, tmp_path):
         import glob
 
         if not glob.glob(f"{log}/epoch_id=*/*.parquet"):
-            return spark.createDataFrame([], "new_id string, old_id string, epoch_id long")
+            return spark.createDataFrame(
+                [],
+                "new_id string, old_id string, hamming long,"
+                " would_drop boolean, epoch_id long",
+            )
         return spark.read.parquet(log)
 
     _drop(watch, "b0.json", [(1, _clip("A")), (2, _clip("B"))])
@@ -89,19 +93,29 @@ def test_stream_video_screen_cross_batch_replay_and_isolation(spark, tmp_path):
         "b1.json",
         [(100, _clip("A")), (101, _clip("C")), (102, b"garbage-not-vid0")],
     )
-    # a line whose content_b64 is not even base64: must isolate (the
-    # alphabet gate), not fail the micro-batch under ANSI unbase64
+    # lines whose content_b64 is not valid base64 must isolate (the
+    # structural gate), not fail the micro-batch under ANSI unbase64:
+    # 103 violates the alphabet, 104 has length % 4 != 0 ('abc'), 105
+    # has padding in a 3-char tail ('A==') — the last two pass a
+    # naive alphabet-only check yet still throw under strict decode
     with open(watch / "b1x.json", "a") as f:
         import json as _json
 
         f.write(_json.dumps({"doc_id": 103, "content_b64": "@@not-base64!!"}) + "\n")
+        f.write(_json.dumps({"doc_id": 104, "content_b64": "abc"}) + "\n")
+        f.write(_json.dumps({"doc_id": 105, "content_b64": "A=="}) + "\n")
     stream_video_screen(spark, str(watch), fps, log, ckpt).awaitTermination(60)
-    pairs = {(r["new_id"], r["old_id"]) for r in read_pairs().collect()}
+    logged = read_pairs().collect()
+    pairs = {(r["new_id"], r["old_id"]) for r in logged}
     assert ("100", "1") in pairs
     assert all(n != "101" for n, _ in pairs)
+    # the verify leg: an identical clip has aligned Hamming 0 and is
+    # flagged for auto-drop, exactly as the batch twin grades it
+    dup = next(r for r in logged if (r["new_id"], r["old_id"]) == ("100", "1"))
+    assert dup["hamming"] == 0 and dup["would_drop"] is True
     table = spark.read.parquet(fps)
     ids = {r["media_id"] for r in table.select("media_id").distinct().collect()}
-    assert ids == {"1", "2", "100", "101"}  # 102 + 103 isolated, not stored
+    assert ids == {"1", "2", "100", "101"}  # 102-105 isolated, not stored
 
     first_log = sorted(map(tuple, read_pairs().drop("epoch_id").collect()))
     first_table = sorted(map(tuple, table.collect()))
@@ -155,3 +169,47 @@ def test_stream_video_screen_same_batch_duplicate_doc_id(spark, tmp_path):
     want = sorted(map(tuple, ref.collect()))
     got = sorted(map(tuple, stored.filter(F.col("media_id") == "7").collect()))
     assert got == want
+
+
+def test_stream_video_screen_batch_parity(spark, tmp_path):
+    """Row-for-row parity with the batch twin on the SAME input: stream
+    the sf0.001 corpus clips (doc_id % 7 != 0) into the fingerprint
+    table, then the arriving slice (doc_id % 7 == 0) as a second batch
+    — the streamed candidate log must equal multimodal_video_fp_
+    incremental's (new_id, old_id, hamming, would_drop) exactly, the
+    discipline every other streaming twin in the repo already meets."""
+    from dataingestionplayground_spark.queries import all_queries
+    from dataingestionplayground_spark.sources.multimodal import synth_video_clip
+
+    multimodal_video_fp_incremental = all_queries()[
+        "multimodal_video_fp_incremental"
+    ].fn
+    from dataingestionplayground_spark.streaming.ingest import stream_video_screen
+
+    sf = "/root/testdata/sf0.001"
+    doc_ids = [r["doc_id"] for r in spark.read.parquet(f"{sf}/documents.parquet").select("doc_id").collect()]
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    fps = str(tmp_path / "fps")
+    log = str(tmp_path / "pairs_log")
+    ckpt = str(tmp_path / "ckpt")
+
+    cache: dict = {}
+    corpus = [(int(d), synth_video_clip(d, cache)) for d in doc_ids if d % 7 != 0]
+    arriving = [(int(d), synth_video_clip(d, cache)) for d in doc_ids if d % 7 == 0]
+
+    _drop(watch, "corpus.json", corpus)
+    stream_video_screen(spark, str(watch), fps, log, ckpt).awaitTermination(120)
+    _drop(watch, "arriving.json", arriving)
+    stream_video_screen(spark, str(watch), fps, log, ckpt).awaitTermination(120)
+
+    got = sorted(
+        (int(r["new_id"]), int(r["old_id"]), r["hamming"], r["would_drop"])
+        for r in spark.read.parquet(log).collect()
+    )
+    want = sorted(
+        (r["new_id"], r["old_id"], r["hamming"], r["would_drop"])
+        for r in multimodal_video_fp_incremental(spark, sf).collect()
+    )
+    assert got == want and len(want) > 0

@@ -422,3 +422,41 @@ def test_video_pair_join_packed_matches_naive_reference(spark):
         ).collect()
     }
     assert fast == naive and len(fast) > 0
+
+
+def test_video_truncated_payloads_raise_valueerror_and_isolate(spark):
+    """Short payloads raise ValueError (not struct.error) from the parse
+    helpers' length guards, and video_keyframe_hashes isolates them per
+    item: a 5-byte VID0 stub, a VID0 whose only frame is a 2-byte 'BM'
+    stub, and a healthy clip share one Arrow batch — only the healthy
+    clip emits rows and the task survives (r16 ADVICE: struct.error
+    escaped the ValueError-only isolation before the guards existed)."""
+    import pytest as _pytest
+
+    from dataingestionplayground_spark.sources.multimodal import (
+        bmp_pixels,
+        pack_video_frames,
+        synth_video_clip,
+        video_frames,
+        video_keyframe_hashes,
+    )
+
+    with _pytest.raises(ValueError, match="truncated VID0 header"):
+        video_frames(b"VID0\x01")
+    with _pytest.raises(ValueError, match="truncated BMP header"):
+        bmp_pixels(b"BM")
+    with _pytest.raises(ValueError, match="truncated BMP header"):
+        bmp_pixels(b"BM" + b"\x00" * 20)
+
+    good = synth_video_clip(3)
+    media = spark.createDataFrame(
+        [
+            ("short_vid", bytearray(b"VID0\x01")),
+            ("short_bmp_frame", bytearray(pack_video_frames([b"BM"]))),
+            ("good", bytearray(good)),
+        ],
+        "media_id string, content binary",
+    ).coalesce(1)
+    rows = video_keyframe_hashes(media).collect()
+    assert {r["media_id"] for r in rows} == {"good"}
+    assert len(rows) == 4  # 32 frames, every=8
