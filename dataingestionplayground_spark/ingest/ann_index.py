@@ -454,6 +454,7 @@ def build_ivf_index(
     centroid_mode: str = "kmeans",
     kmeans_iters: int = 2,
     assign_top: int = 1,
+    assign_margin: float | None = None,
 ) -> dict:
     """Derive ``n_cells`` centroids (``'seed'``: the lowest-key chunks;
     ``'kmeans'`` — the default — refines them with the deterministic
@@ -481,7 +482,17 @@ def build_ivf_index(
     Cost: the assignment table and each probed cell hold ``assign_top``x
     rows (the full-precision vectors are NOT duplicated — candidates
     semi-join into the collection). Recorded in the meta; merge/refresh
-    maintain it so maintained == rebuilt parity holds."""
+    maintain it so maintained == rebuilt parity holds.
+
+    ``assign_margin`` (r16 verdict item 3, boundary-only fan-out):
+    with ``assign_top > 1``, store a secondary copy ONLY when its
+    cosine similarity is within ``assign_margin`` of the chunk's best
+    cell — chunks deep inside a cell stay single-assigned, so the
+    assignment table grows by the measured boundary fraction instead
+    of a flat ``assign_top``x while boundary-straddling neighborhoods
+    keep their second entry point (the recall lever). Frozen into the
+    meta like assign_top: merge/refresh reproduce the same fan-out
+    rule, so maintained == rebuilt still holds."""
     from dataingestionplayground_spark.operators.similarity import (
         _assign_cells_matmul,
         _seed_centroids,
@@ -509,6 +520,9 @@ def build_ivf_index(
         "n_cells": cents.count(),
         "centroid_mode": centroid_mode,
         "assign_top": max(1, int(assign_top)),
+        "assign_margin": (
+            float(assign_margin) if assign_margin is not None else None
+        ),
         "cents": [
             [float(x) for x in r["cent_vec"]]
             for r in cents.orderBy("centroid_id").collect()
@@ -518,6 +532,7 @@ def build_ivf_index(
     assigned = _assign_cells_matmul(
         chunks, _ivf_cents_df(spark, meta), "key", "embedding",
         extra_cols=("documentid",), keep=meta["assign_top"], emit_rank=soft,
+        soft_margin=meta["assign_margin"],
     ).select(
         "key", "documentid", *(("cell_rank", "cell_1") if soft else ()), "cell"
     )
@@ -643,6 +658,7 @@ def refresh_ivf_index(spark: SparkSession, store: CollectionStore, collection: s
                 new, _ivf_cents_df(spark, meta), "key", "embedding",
                 extra_cols=("documentid",), keep=int(meta.get("assign_top", 1)),
                 emit_rank=soft,
+                soft_margin=meta.get("assign_margin"),
             )
             .select(
                 "key", "documentid",
@@ -747,9 +763,11 @@ def merge_ivf_assignments(
             extra_cols=("documentid",),
             # soft assignment is part of the frozen quantizer contract:
             # the maintainer must store each key in the same assign_top
-            # cells the builder would, or maintained != rebuilt
+            # cells (and the same boundary margin) the builder would,
+            # or maintained != rebuilt
             keep=int(meta.get("assign_top", 1)),
             emit_rank=soft,
+            soft_margin=meta.get("assign_margin"),
         )
         .select("key", "documentid", *rank_cols, "cell")
         .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))

@@ -683,6 +683,7 @@ def _assign_cells_matmul(
     extra_cols: tuple = (),
     keep: int = 1,
     emit_rank: bool = False,
+    soft_margin: float | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow-batched numpy matmul
     stage (``emb @ cents.T``): the centroid matrix (<= 4096 x d float64,
@@ -709,6 +710,14 @@ def _assign_cells_matmul(
     with a broadcast FILTER (keep a secondary copy only when the
     query did not probe its primary cell) instead of a
     (query, key)-keyed dedup shuffle.
+
+    ``soft_margin`` (r16, boundary-only fan-out): when set, a rank-r
+    copy (r >= 2) is stored ONLY if its cosine similarity is within
+    ``soft_margin`` of the row's best cell (``sim_r >= sim_1 -
+    soft_margin``) — rows deep inside a cell stay single-assigned and
+    only genuine boundary-straddlers fan out, cutting the assignment
+    table's growth below ``keep``x. ``None`` (the default) keeps every
+    rank, the pre-r16 behavior.
     """
     import numpy as np
     import pandas as pd
@@ -772,16 +781,29 @@ def _assign_cells_matmul(
             # rule as the keep=1 argmax path
             order = np.argsort(-sims, axis=1, kind="stable")[:, :keep_n]
             valid = finite.any(axis=1)
-            reps = np.where(valid, keep_n, 1)
-            out = pdf[cols].iloc[np.repeat(np.arange(len(pdf)), reps)].copy()
+            if soft_margin is None:
+                kept = np.where(valid, keep_n, 1)
+            else:
+                # boundary-only fan-out: rank r >= 2 survives only
+                # within soft_margin of the row's best similarity;
+                # ranks are similarity-sorted, so the first failure
+                # bounds the kept prefix
+                top = sims[np.arange(len(pdf)), order[:, 0]]
+                within = sims[np.arange(len(pdf))[:, None], order] >= (
+                    top[:, None] - soft_margin
+                )
+                kept = np.where(valid, within.cumprod(axis=1).sum(axis=1), 1)
+                kept = np.maximum(kept, 1).astype(np.int64)
+            out = pdf[cols].iloc[np.repeat(np.arange(len(pdf)), kept)].copy()
             flat = []
             ranks = []
             firsts = []
             for i in range(len(pdf)):
                 if valid[i]:
-                    flat.extend(int(c) for c in order[i])
-                    ranks.extend(range(1, keep_n + 1))
-                    firsts.extend([int(order[i][0])] * keep_n)
+                    k_i = int(kept[i])
+                    flat.extend(int(c) for c in order[i][:k_i])
+                    ranks.extend(range(1, k_i + 1))
+                    firsts.extend([int(order[i][0])] * k_i)
                 else:
                     flat.append(None)
                     ranks.append(None)

@@ -145,6 +145,96 @@ def sweep(spark, data_dir: str, depths, probes, n_runs: int = 3) -> dict:
             }
         )
         print(f"  ivf {sf_name} n_probe={n_probe}: {ivf_rows[-1]}", flush=True)
+    # --- soft-assignment A/B (r15 verdict item 3): assign_top=1 vs 2
+    # at EQUAL n_probe isolates the recall-for-latency trade from host
+    # noise, and the boundary-margin variants measure how much of the
+    # 2x assignment-table growth the recall actually needs. Variant
+    # indexes are built in place and the production index directory is
+    # restored afterwards, so the bench's cached artifact is untouched.
+    # Only at the sf0.1 block: the larger corpora hold recall 1.0 from
+    # n_probe=1 (archived probe curves), so the boundary effect the
+    # sweep isolates exists only at the small scale — and 5 variant
+    # kmeans builds at sf1.0 would dominate the script's runtime.
+    import shutil
+
+    from dataingestionplayground_spark.ingest.ann_index import (
+        build_ivf_index,
+        read_ivf_assignments,
+    )
+
+    ivf_dir = os.path.join(store.base_path, "_indexes", "embeddings", "ivf")
+    saved = ivf_dir + ".curves-saved"
+    soft_rows = []
+    eq_probe = 4
+    if sf_name != "sf0.1":
+        return {
+            "sf": sf_name,
+            "n_corpus": n_corpus,
+            "k": 10,
+            "n_queries": len(exact),
+            "pq_rerank_sweep": pq_rows,
+            "ivf_probe_curve": ivf_rows,
+            "ivf_assign_top": meta.get("assign_top", 1),
+            "production_points": {
+                "pq_rerank": "auto=16*k=160",
+                "ivf_n_probe": 4,
+            },
+        }
+    try:
+        shutil.move(ivf_dir, saved)
+        for top, margin in (
+            (1, None),
+            (2, None),
+            (2, 0.05),
+            (2, 0.1),
+            (2, 0.15),
+            (2, 0.2),
+        ):
+            m = build_ivf_index(
+                spark, store, "embeddings",
+                n_cells=16, centroid_mode="kmeans",
+                assign_top=top, assign_margin=margin,
+            )
+            n_rows = read_ivf_assignments(spark, store, "embeddings").count()
+            n_keys = store.read(spark, "embeddings").count()
+            samples = []
+            ivf_search_indexed(
+                spark, store, "embeddings", q, k=10, n_probe=eq_probe
+            ).write.format("noop").mode("overwrite").save()
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                ivf_search_indexed(
+                    spark, store, "embeddings", q, k=10, n_probe=eq_probe
+                ).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            top10 = _topk_sets(
+                ivf_search_indexed(
+                    spark, store, "embeddings", q, k=10, n_probe=eq_probe
+                ).collect(),
+                "key",
+            )
+            samples.sort()
+            soft_rows.append(
+                {
+                    "assign_top": top,
+                    "assign_margin": margin,
+                    "n_probe": eq_probe,
+                    "rows_ratio": round(n_rows / n_keys, 3),
+                    "recall_at_10": _recall(exact, top10),
+                    "sec_min": round(samples[0], 3),
+                    "sec_median": round(samples[len(samples) // 2], 3),
+                }
+            )
+            print(
+                f"  ivf-soft {sf_name} top={top} margin={margin}: {soft_rows[-1]}",
+                flush=True,
+            )
+            shutil.rmtree(ivf_dir)
+    finally:
+        if os.path.isdir(ivf_dir):
+            shutil.rmtree(ivf_dir)
+        shutil.move(saved, ivf_dir)
+
     return {
         "sf": sf_name,
         "n_corpus": n_corpus,
@@ -152,6 +242,7 @@ def sweep(spark, data_dir: str, depths, probes, n_runs: int = 3) -> dict:
         "n_queries": len(exact),
         "pq_rerank_sweep": pq_rows,
         "ivf_probe_curve": ivf_rows,
+        "ivf_soft_sweep": soft_rows,
         "ivf_assign_top": meta.get("assign_top", 1),
         "production_points": {"pq_rerank": "auto=16*k=160", "ivf_n_probe": 4},
     }

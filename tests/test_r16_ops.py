@@ -66,3 +66,106 @@ def test_card_video_dup_items_match_exact_collision_groups(spark):
         .count()
     )
     assert card["video"]["n_dup_items"] == collided
+
+
+def test_ivf_boundary_margin_fanout_build_and_maintenance(
+    spark, md_fixture_dir, tmp_path
+):
+    """assign_margin (r15 verdict item 3, boundary-only fan-out): with
+    assign_top=2 plus a finite margin, only boundary-straddling chunks
+    keep a second assignment, so the table sits strictly between 1x and
+    2x; an infinite-equivalent margin (2.0 covers the whole cosine
+    range) reproduces plain assign_top=2 exactly; and merge/refresh
+    under the frozen (centroids, margin) contract keep maintained ==
+    rebuilt."""
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.ingest import (
+        CollectionStore,
+        ingest_corpus,
+    )
+    from dataingestionplayground_spark.ingest.ann_index import (
+        _ivf_cents_df,
+        build_ivf_index,
+        ivf_index_staleness,
+        merge_ivf_assignments,
+        read_ivf_assignments,
+        refresh_ivf_index,
+    )
+    from dataingestionplayground_spark.operators.similarity import (
+        _assign_cells_matmul,
+    )
+    from dataingestionplayground_spark.sources.markdown import (
+        parse_markdown_df,
+        read_markdown_dir,
+    )
+
+    md_elements = parse_markdown_df(read_markdown_dir(spark, md_fixture_dir))
+    store = CollectionStore(str(tmp_path))
+    ingest_corpus(md_elements, store, "m", max_tokens=8, overlap=0)
+
+    def view(name):
+        return sorted(
+            (r["key"], r["cell"], r["cell_rank"], r["cell_1"])
+            for r in read_ivf_assignments(spark, store, name)
+            .select("key", "cell", "cell_rank", "cell_1")
+            .collect()
+        )
+
+    # margin 2.0 spans the entire cosine range -> identical to plain top2
+    build_ivf_index(spark, store, "m", n_cells=4, assign_top=2)
+    full = view("m")
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "_indexes"))
+    meta = build_ivf_index(
+        spark, store, "m", n_cells=4, assign_top=2, assign_margin=2.0
+    )
+    assert meta["assign_margin"] == 2.0
+    assert view("m") == full
+
+    # a finite margin trims interior chunks to a single assignment
+    shutil.rmtree(str(tmp_path / "_indexes"))
+    meta = build_ivf_index(
+        spark, store, "m", n_cells=4, assign_top=2, assign_margin=0.05
+    )
+    trimmed = view("m")
+    n_keys = len({k for k, *_ in trimmed})
+    assert n_keys < len(trimmed) < 2 * n_keys or len(trimmed) == n_keys
+    assert len(trimmed) < len(full)
+    # every rank-1 row survives; rank-2 rows are a subset of plain top2
+    assert {t for t in full if t[2] == 1} == {t for t in trimmed if t[2] == 1}
+    assert {t for t in trimmed if t[2] == 2} <= {t for t in full if t[2] == 2}
+
+    def rebuild_view():
+        chunks = store.read(spark, "m").select("key", "documentid", "embedding")
+        return sorted(
+            (r["key"], r["cell"], r["cell_rank"], r["cell_1"])
+            for r in _assign_cells_matmul(
+                chunks, _ivf_cents_df(spark, meta), "key", "embedding",
+                extra_cols=("documentid",), keep=2, emit_rank=True,
+                soft_margin=0.05,
+            )
+            .select("key", "cell", "cell_rank", "cell_1")
+            .collect()
+        )
+
+    assert trimmed == rebuild_view()
+
+    # maintenance reproduces the same fan-out rule (frozen contract)
+    extra = md_elements.withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("-m1"))
+    )
+    ingest_corpus(extra, store, "m", max_tokens=8, overlap=0, incremental=True)
+    batch = (
+        store.read(spark, "m")
+        .filter(F.col("documentid").endswith("-m1"))
+        .select("key", "documentid", "embedding")
+    )
+    assert merge_ivf_assignments(spark, store, "m", batch, epoch_id=1) > 0
+    assert view("m") == rebuild_view()
+    assert ivf_index_staleness(spark, store, "m") == {
+        "missing": 0,
+        "orphaned": 0,
+    }
+    assert refresh_ivf_index(spark, store, "m") == {"appended": 0, "removed": 0}
