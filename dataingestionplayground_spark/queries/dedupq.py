@@ -501,6 +501,18 @@ def dedup_exact_substring_signal(spark, sf):
     # doc_id, all map-side partial; no window functions, no driver
     # state. Hot windows (boilerplate shared by thousands of docs) are
     # just large count groups — AQE splits the skewed join keys.
+    # r16 (optimization): three provably-lossless plan cuts. (1) Only
+    # "df >= 2 distinct docs" is ever consumed, and min(doc_id) <
+    # max(doc_id) is equivalent to countDistinct(doc_id) >= 2 — dropping
+    # the distinct-aggregate removes a whole (w, doc_id)-keyed exchange
+    # of window mass (guide §2.4). (2) The window key shuffles as the
+    # 16-byte binary md5 (unhex of the hex string is a bijection — same
+    # equality classes) instead of 32 hex chars: half the key bytes in
+    # every exchange (guide §2.3, narrower types). (3) Windows
+    # pre-aggregate to (doc_id, w, c) occurrence counts before the
+    # df join, so the join carries distinct windows per doc and the
+    # per-doc counts regroup exactly (n_windows = Σ c, n_shared =
+    # Σ c over shared rows).
     d = t(spark, sf, "documents")
     tk = TX.tokens("lower(text)")
     base = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 8)
@@ -509,17 +521,19 @@ def dedup_exact_substring_signal(spark, sf):
         F.explode(
             F.expr(
                 "transform(sequence(1, size(tk) - 7),"
-                " i -> md5(array_join(slice(tk, i, 8), ' ')))"
+                " i -> unhex(md5(array_join(slice(tk, i, 8), ' '))))"
             )
         ).alias("w"),
+    ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dfreq = wins.groupBy("w").agg(
+        (F.min("doc_id") < F.max("doc_id")).alias("shared")
     )
-    dfreq = wins.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     per_doc = (
         wins.join(dfreq, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("shared"), F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_shared"),
         )

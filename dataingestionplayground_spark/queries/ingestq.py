@@ -323,23 +323,26 @@ def _image_fp_frame(spark, sf):
 
         from dataingestionplayground_spark.sources.multimodal import bmp_pixels
 
+        # r16 (optimization, guide §4.5): the 64 base-pixel md5 calls
+        # depend only on gid = doc_id % 50 — memoize them per task (the
+        # audio twin's base_cache discipline) so each doc pays 6 md5
+        # calls instead of 70; bit packing via one vectorized dot
+        # (exact: bits are 0/1 ints, powers of two are exact int64).
+        base_cache: dict = {}
+        pow_lo = (np.int64(1) << np.arange(32, dtype=np.int64))
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 gid = doc_id % 50
-                g = [mm(f"{gid}:px:{i}", 256) for i in range(64)]
+                if gid not in base_cache:
+                    base_cache[gid] = [mm(f"{gid}:px:{i}", 256) for i in range(64)]
+                g = list(base_cache[gid])
                 for j in range(3):
                     g[mm(f"{doc_id}:pp:{j}", 64)] = mm(f"{doc_id}:pv:{j}", 256)
                 # REAL bytes: 8x8 24-bpp bottom-up BMP (stride 24, no pad)
-                rows = b"".join(
-                    bytes(
-                        b
-                        for c in range(8)
-                        for b in (g[r * 8 + c],) * 3
-                    )
-                    for r in range(7, -1, -1)
-                )
+                px = np.array(g, dtype=np.uint8).reshape(8, 8)
+                rows = np.repeat(px[::-1, :].ravel(), 3).tobytes()
                 data = (
                     b"BM"
                     + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
@@ -349,10 +352,9 @@ def _image_fp_frame(spark, sf):
                 )
                 _w, _h, rgb = bmp_pixels(data)  # decode the real payload
                 dec = rgb[:, :, 0].astype(np.int64).ravel()  # gray: R==G==B
-                s = int(dec.sum())
-                bits = [1 if 64 * int(p) >= s else 0 for p in dec]
-                w_lo = sum(b << i for i, b in enumerate(bits[:32]))
-                w_hi = sum(b << i for i, b in enumerate(bits[32:]))
+                bits = (64 * dec >= dec.sum()).astype(np.int64)
+                w_lo = int(bits[:32] @ pow_lo)
+                w_hi = int(bits[32:] @ pow_lo)
                 out.append((doc_id, w_lo, w_hi))
             yield pd.DataFrame(out, columns=["doc_id", "w_lo", "w_hi"])
 

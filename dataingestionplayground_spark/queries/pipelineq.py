@@ -1067,22 +1067,46 @@ def sample_dsir_importance(spark, sf):
     # partition to <=256 rows), broadcast the 256-row distribution
     # table back onto the token stream, one per-doc agg — no windows,
     # no skewed reducers, no floating point.
+    # r16 (optimization): the token stream fed TWO consumers — the
+    # 256-key distribution agg and the broadcast-join scoring side — and
+    # the broadcast join kept the scoring side's lineage un-exchanged,
+    # so the explode + per-token md5 ran TWICE. Pre-aggregating to
+    # (doc_id, source, bucket) occurrence counts first (guide §2.3:
+    # aggregate before you shuffle) tokenizes and hashes ONCE, shrinks
+    # the join input from token occurrences to <= |docs| x 256 rows,
+    # and is exact by regrouping: sum over tokens of f(bucket) ==
+    # sum over buckets of c * f(bucket) in BIGINT arithmetic, and
+    # cs/ct are integer sums of the same occurrence counts.
     d = t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.explode(TX.tokens("text")).alias("tok"),
-    ).select("doc_id", "source", F.expr(_md5_mod("tok", 256)).alias("bucket"))
-    dist = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cs"),
-        F.count_if(F.col("source").isin("src0", "src1", "src2")).alias("ct"),
+    docb = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(TX.tokens("text")).alias("tok"),
+        )
+        .select("doc_id", "source", F.expr(_md5_mod("tok", 256)).alias("bucket"))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # both consumers below share docb's exchange verbatim (same canonical
+    # subtree -> ReusedExchange; verified in plans/r16), so the explode +
+    # md5 pass under it runs once — no checkpoint barrier needed
+    dist = docb.groupBy("bucket").agg(
+        F.sum("c").alias("cs"),
+        F.sum(
+            F.when(F.col("source").isin("src0", "src1", "src2"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ct"),
     )
     scored = (
-        toks.join(F.broadcast(dist), "bucket")
+        docb.join(F.broadcast(dist), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_toks"),
-            F.sum(F.expr("(ct + 1) * 1000000L div (cs + 1)")).alias("importance"),
+            F.sum("c").cast("long").alias("n_toks"),
+            F.sum(F.expr("c * ((ct + 1) * 1000000L div (cs + 1))")).alias(
+                "importance"
+            ),
         )
     )
     tot = scored.agg(
@@ -1235,7 +1259,15 @@ def nb_weight_table(spark, sf, lab=None):
 
     ``lab`` (optional): a precomputed (doc_id, pos boolean) label frame
     — callers that already materialized the perplexity gate (the
-    quality ensemble) pass it in so the labeling scan runs once."""
+    quality ensemble) pass it in so the labeling scan runs once.
+
+    r16 (optimization): the returned token frame is pre-aggregated to
+    (doc_id, pos, bucket, c) occurrence counts — guide §2.3, aggregate
+    before you shuffle. Training counts are integer sums of the same
+    occurrences (cp = Σ c over pos rows), and every scoring consumer
+    folds sum(w) over tokens as the exactly-equal sum(c * w) over
+    buckets (DECIMAL x BIGINT is exact). The checkpoint materializes
+    <= |docs| x 256 rows instead of the raw token stream."""
     from dataingestionplayground_spark.queries import REGISTRY as _R
 
     d = t(spark, sf, "documents")
@@ -1251,13 +1283,20 @@ def nb_weight_table(spark, sf, lab=None):
     lab = lab.localCheckpoint(eager=True)
     toks = (
         d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .select("doc_id", F.expr(_md5_mod("tok", 256)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
         .join(lab, "doc_id")
-        .select("doc_id", "pos", F.expr(_md5_mod("tok", 256)).alias("bucket"))
+        .select("doc_id", "pos", "bucket", "c")
     )
     toks = toks.localCheckpoint(eager=True)
     dist = toks.groupBy("bucket").agg(
-        F.count_if(F.col("pos")).cast("long").alias("cp"),
-        F.count_if(~F.col("pos")).cast("long").alias("cn"),
+        F.sum(F.when(F.col("pos"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(~F.col("pos"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cn"),
     )
     priors = lab.agg(
         F.count_if(F.col("pos")).cast("long").alias("np"),
@@ -1310,8 +1349,10 @@ def text_nb_quality_classifier(spark, sf):
         toks.join(F.broadcast(wb), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_toks"),
-            (F.sum("w") + F.min("prior")).cast("double").alias("log_odds"),
+            F.sum("c").cast("long").alias("n_toks"),
+            (F.sum(F.col("c") * F.col("w")) + F.min("prior"))
+            .cast("double")
+            .alias("log_odds"),
             F.bool_or("pos").alias("pos"),
         )
     )
@@ -2151,7 +2192,11 @@ def text_quality_ensemble(spark, sf):
     nb = (
         toks.join(F.broadcast(wb), "bucket")
         .groupBy("doc_id")
-        .agg((F.sum("w") + F.min("prior")).cast("double").alias("log_odds"))
+        .agg(
+            (F.sum(F.col("c") * F.col("w")) + F.min("prior"))
+            .cast("double")
+            .alias("log_odds")
+        )
     )
     from dataingestionplayground_spark.queries.textq import gopher_n_rules_expr
 
@@ -3355,21 +3400,35 @@ def pipeline_index_health(spark, sf):
         _retrain_signal_frame,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     e = (
         t(spark, sf, "embeddings")
         .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )
-    hb = _cell_balance_frame(e, _SD_CELLS).select("cv", "max_over_mean")
-    hd = _pq_distortion_frame(e, _PQ_K).agg(
-        F.round(
-            F.sum(F.col("mean_sq_err").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_distortion"),
-        F.max("max_sq_err").alias("worst_distortion"),
-    )
-    hs = _retrain_signal_frame(e).select("skew", "retrain")
+    # r16 (optimization): member CONSTRUCTION blocks on driver actions
+    # (the balance frame's seed-centroid collect, the distortion frame's
+    # codebook collect, the retrain frame's internal actions) — build
+    # the three members concurrently over the shared checkpointed frame,
+    # the pipeline_release_gate discipline. Values are unaffected: each
+    # member is a pure function of the checkpointed e.
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_hb = ex.submit(
+            lambda: _cell_balance_frame(e, _SD_CELLS).select("cv", "max_over_mean")
+        )
+        f_hd = ex.submit(
+            lambda: _pq_distortion_frame(e, _PQ_K).agg(
+                F.round(
+                    F.sum(F.col("mean_sq_err").cast("decimal(38,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mean_distortion"),
+                F.max("max_sq_err").alias("worst_distortion"),
+            )
+        )
+        f_hs = ex.submit(lambda: _retrain_signal_frame(e).select("skew", "retrain"))
+        hb, hd, hs = f_hb.result(), f_hd.result(), f_hs.result()
     balance_ok = F.col("max_over_mean") <= 2.0
     distortion_ok = F.col("mean_distortion") <= 0.5
     skew_ok = ~F.col("retrain")

@@ -1144,10 +1144,19 @@ def retrieval_tfidf_cosine(spark, sf):
         "doc_id", TX.tokens("text").alias("tk")
     )
     n = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # r16 (optimization): the full-vocab w frame (tf ⋈ df) previously fed
+    # THREE consumers (norms, qnorm, nums), so the token explode and the
+    # vocab-keyed join each ran ~3x. Materialize tf once ((doc, term)
+    # grain — the smallest frame everything derives from), run the
+    # corpus-shaped join ONCE for the norm stage, and build the
+    # query-term legs from tf/df FILTERED to the 3 fixed terms (a
+    # broadcast join over <= 3 x |docs| rows) — the same rows the old
+    # post-join filter kept, with identical expressions.
     tf = (
         base.select("doc_id", F.explode("tk").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
@@ -1162,7 +1171,12 @@ def retrieval_tfidf_cosine(spark, sf):
             .cast("double")
         ).alias("dnorm")
     )
-    qterms = w.filter(F.col("term").isin(*terms))
+    qterms = (
+        tf.filter(F.col("term").isin(*terms))
+        .join(F.broadcast(dfreq.filter(F.col("term").isin(*terms))), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * idf).alias("w"), idf.alias("idf"))
+    )
     qn_parts = [
         F.coalesce(
             F.sum(

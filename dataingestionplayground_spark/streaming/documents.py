@@ -216,7 +216,11 @@ def quality_gate_model(spark, sf) -> dict:
     nb = (
         toks.join(F.broadcast(wb), "bucket")
         .groupBy("doc_id")
-        .agg((F.sum("w") + F.min("prior")).cast("double").alias("log_odds"))
+        .agg(
+            (F.sum(F.col("c") * F.col("w")) + F.min("prior"))
+            .cast("double")
+            .alias("log_odds")
+        )
     )
     lo = nb.agg(
         F.min("log_odds").alias("lo_min"), F.max("log_odds").alias("lo_max")
