@@ -49,7 +49,16 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     per-row JVM dedup, so no (id, shingle) Exchange is ever needed —
     ``.distinct()`` here would shuffle the largest intermediate of the
     whole dedup pipeline for nothing.
+
+    r16 (optimization): the input fans out when the upstream scan has
+    fewer splits than cores (single-row-group files) — the tokenize +
+    shingle + md5-lane work above this frame is the most CPU-expensive
+    stage of the whole dedup family and was running near-single-threaded
+    locally (profiled: one 1.3 s task on local[32]). No-op at scale.
     """
+    from dataingestionplayground_spark.session import fan_out_small_scan
+
+    df = fan_out_small_scan(df)
     return df.select(F.col(id_col), TX.tokens(text_col).alias("__w")).select(
         F.col(id_col),
         F.explode(F.array_distinct(TX.shingles_from_tokens("__w", n))).alias("shingle"),

@@ -496,8 +496,13 @@ def pq_encode_with_codebook(
     """Encode against a FIXED codebook (one-row ``cents`` frame) — the
     incremental-index path: new vectors must quantize against the
     centroids the existing codes used, or codes are incomparable."""
+    from dataingestionplayground_spark.session import fan_out_small_scan
+
     dsub = dims // m
-    enc = corpus.crossJoin(F.broadcast(codebook))
+    # r16: the per-row min-distance encode is interpreted lambda work —
+    # fan out a narrow upstream scan first (no-op at scale / when the
+    # input is already exchange-partitioned)
+    enc = fan_out_small_scan(corpus).crossJoin(F.broadcast(codebook))
     for s in range(m):
         # (x-y)*(x-y), not power(x-y, 2): multiplication is exact IEEE on
         # both engines; pow implementations may differ by an ulp
@@ -1240,28 +1245,56 @@ def _l2_assign(
     keep the ``keep`` best cells per row with ties to the lowest
     centroid id. Output columns: ``id_col, centroid_id, __res`` (the
     double-valued x - centroid difference the residual quantizer
-    consumes)."""
-    dist = (
+    consumes).
+
+    r16 (optimization): the old shape crossJoined every row with every
+    centroid ROW and ranked with a row_number window — a corpus×cells
+    Exchange carrying 64-double residual arrays plus a sort, with
+    residuals computed for ALL cells and then keep× of them thrown
+    away. Now the centroids ride as ONE broadcast array row; the
+    distance vector, the top-``keep`` selection (array_sort on
+    struct(d, cid) — same lexicographic tie rule as the old
+    orderBy(d, cid)), and the residual for the KEPT cells only are all
+    in-row expressions — zero Exchange, zero Window, at any scale.
+    Distances use the identical left-fold expression, so every value
+    is bit-equal to the old plan's."""
+    one = cents.orderBy("centroid_id").agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "cent_vec"))).alias(
+            "__cl"
+        )
+    )
+    dist_of = (
         f"aggregate(sequence(1, {dims}), cast(0.0 as double), "
         f"(acc, i) -> acc + (cast(element_at({vec}, i) as double) "
-        f"- cast(element_at(cent_vec, i) as double)) "
+        f"- cast(element_at(c.cent_vec, i) as double)) "
         f"* (cast(element_at({vec}, i) as double) "
-        f"- cast(element_at(cent_vec, i) as double)))"
+        f"- cast(element_at(c.cent_vec, i) as double)))"
+    )
+    cand = (
+        f"slice(array_sort(transform(__cl, c -> "
+        f"struct({dist_of} as d, c.centroid_id as cid))), 1, {int(keep)})"
     )
     res = (
-        f"zip_with({vec}, cent_vec, "
+        f"zip_with({vec}, element_at(__cl, __cid + 1).cent_vec, "
         f"(x, y) -> cast(x as double) - cast(y as double))"
     )
-    scored = (
-        df.crossJoin(F.broadcast(cents))
-        .withColumn("__d", F.expr(dist))
-        .withColumn("__res", F.expr(res))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.asc("__d"), F.asc("centroid_id"))
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= keep)
-        .select(id_col, "centroid_id", "__res")
+        df.crossJoin(F.broadcast(one))
+        .select(F.col(id_col), F.col(vec), F.col("__cl"), F.expr(cand).alias("__ks"))
+        .select(
+            id_col, vec, "__cl", F.explode("__ks").alias("__k")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__k.cid").alias("__cid"),
+            F.col(vec),
+            F.col("__cl"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__cid").alias("centroid_id"),
+            F.expr(res).alias("__res"),
+        )
     )
 
 
@@ -1300,8 +1333,16 @@ def ivf_pq_residual_search(
     rows, argmin ties break to the lowest centroid id, so the whole
     index is SQL-replicable (the registry oracle re-derives it).
     """
+    from dataingestionplayground_spark.session import fan_out_small_scan
+
     cents = _seed_centroids(corpus, corpus_id, corpus_vec, n_cells)
-    asg = _l2_assign(corpus, cents, corpus_vec, corpus_id, dims, keep=1)
+    # r16: with the in-row assignment below there is no Exchange left
+    # between the scan and the final top-k, so a single-split local scan
+    # would run the whole assign+encode pipeline one task wide — fan out
+    # once at entry (no-op at scale; A/B: 2.92 -> 2.41 s min in-session)
+    asg = _l2_assign(
+        fan_out_small_scan(corpus), cents, corpus_vec, corpus_id, dims, keep=1
+    )
     residuals = asg.withColumnRenamed("__res", "res")
     codebook = _pq_codebook(residuals, m, pq_k, dims, corpus_id, "res", "seed")
     enc = pq_encode_with_codebook(

@@ -21,6 +21,7 @@ from dataingestionplayground_spark.operators.dedup import (
 )
 from dataingestionplayground_spark.queries import register
 from dataingestionplayground_spark.queries.textq import _QUALITY_SQL
+from dataingestionplayground_spark.session import fan_out_small_scan
 from dataingestionplayground_spark.session import load_table as t
 
 _TOKS = TX.tokens_sql("text")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import fan_out_small_scan
 from dataingestionplayground_spark.session import load_table as t
 from dataingestionplayground_spark.sources import multimodal as _mm_const
 

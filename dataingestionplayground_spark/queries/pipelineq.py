@@ -22,6 +22,7 @@ from dataingestionplayground_spark.functions.portable import (
 )
 from dataingestionplayground_spark.queries.textq import _QUALITY_SQL
 from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import fan_out_small_scan
 from dataingestionplayground_spark.session import load_table as t
 
 

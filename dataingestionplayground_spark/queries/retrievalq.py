@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from dataingestionplayground_spark.functions import text as TX
 from dataingestionplayground_spark.operators.prefix import bounded_rank
 from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import fan_out_small_scan
 from dataingestionplayground_spark.session import load_table as t
 
 # Fixed query for the BM25 demo — frequent corpus words so every scale

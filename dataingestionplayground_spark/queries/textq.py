@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from dataingestionplayground_spark.functions import text as TX
 from dataingestionplayground_spark.functions.portable import davg, davg_expr, md5_mod, md5_mod_sql
 from dataingestionplayground_spark.queries import register
+from dataingestionplayground_spark.session import fan_out_small_scan
 from dataingestionplayground_spark.session import load_table as t
 
 _LANGS = ["en", "es", "fr", "de", "zh"]

@@ -118,6 +118,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition for a CPU-heavy stage whose upstream scan
+    yielded fewer splits than the session has cores.
+
+    The testdata tables are single-row-group parquet files, so Spark
+    cannot split them below one task per file — a tokenize/hash/decode
+    stage over such a scan runs near-single-threaded on local[N] (the
+    guide's §2.5 unsplittable-input case: "repartition immediately
+    after the read"). Scale-adaptive by construction: any real
+    warehouse input already scans with >= cores splits, making this a
+    no-op (zero extra exchanges at scale); locally it costs one tiny
+    exchange of the scan output and buys cores-wide parallelism for
+    the expensive stage above it. Values are unaffected — every caller
+    feeds order-insensitive aggregations/joins, and Spark's
+    sort-before-repartition keeps the row->partition assignment
+    deterministic under retries (SPARK-23207).
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register testdata tables as temp views for the SQL front-end."""
     for name in tables:
