@@ -50,6 +50,18 @@ def get_spark(app_name: str = "dataingestionplayground_spark", cpus: int | None 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash over
+        # sort-merge when the per-partition build side fits — skips both
+        # sort passes; AQE can also rewrite SMJ->SHJ at runtime below
+        # the local-map threshold. Overridable for A/B via env.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert (load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
