@@ -528,6 +528,66 @@ def _bench_index_paths(spark, data_dir: str, timings: dict, medians: dict) -> di
     return meta
 
 
+def _bench_stream_maintainers(spark, data_dir: str, timings: dict, medians: dict):
+    """r16 (r15 verdict item 6): timed folds for the two epoch-staged
+    streaming maintainers that had parity pins but no bench row — the
+    ship-readiness state fold (3 merge_ship_state epochs + compaction)
+    and the SCD2 dimension merge (3 event batches). Methodology matches
+    _bench_index_paths: the STREAM-STATIC references (the frozen old
+    snapshot and the eval-gram table — computed once per stream start
+    in production) are materialized outside the timed region, exactly
+    like the cached index build; every timed run folds the parquet-
+    derived batches into a FRESH state directory, so nothing persists
+    across runs and a super-linear maintainer shows in the 2x step."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dataingestionplayground_spark.operators.incremental import (
+        compact_ship_state,
+        merge_ship_state,
+        merge_scd2_dimension,
+        ship_eval_reference,
+    )
+
+    docs = load_table(spark, data_dir, "documents")
+    a_static = docs.filter(F.col("doc_id") % 5 != 4).localCheckpoint(eager=True)
+    ev = ship_eval_reference(docs).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="bench_maint_")
+
+    def run_ship():
+        path = os.path.join(root, f"ship-{uuid.uuid4().hex}")
+        for i in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == i)
+            merge_ship_state(spark, batch, a_static, ev, path, epoch_id=i + 1)
+        compact_ship_state(spark, path)
+        shutil.rmtree(path, ignore_errors=True)
+
+    timings["stream_ship_state_fold"], medians["stream_ship_state_fold"] = (
+        _timed_runs(spark, run_ship, 3)
+    )
+
+    events = load_table(spark, data_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def run_scd2():
+        path = os.path.join(root, f"scd2-{uuid.uuid4().hex}")
+        for i in range(3):
+            batch = events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+            merge_scd2_dimension(spark, batch, path, max_lateness_s=86400)
+        shutil.rmtree(path, ignore_errors=True)
+
+    timings["stream_scd2_fold"], medians["stream_scd2_fold"] = _timed_runs(
+        spark, run_scd2, 3
+    )
+    a_static.unpersist()
+    ev.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def _bench_block(spark, registry, names, data_dir: str, n_runs: int):
     timings, medians = {}, {}
     for name in names:
@@ -653,6 +713,7 @@ def main():
         big_index = None
         if os.environ.get("SPARK_GRAFT_INDEX_BENCH", "1") != "0":
             big_index = _bench_index_paths(spark, big_dir, big_timings, big_medians)
+        _bench_stream_maintainers(spark, big_dir, big_timings, big_medians)
         big = {
             "sf": round(sf * 5, 3),
             "total": round(sum(big_timings.values()), 3),
@@ -678,6 +739,7 @@ def main():
                 big2_index = _bench_index_paths(
                     spark, big2_dir, big2_timings, big2_medians
                 )
+            _bench_stream_maintainers(spark, big2_dir, big2_timings, big2_medians)
             # the scaling curve the 100 TB story rests on: 2x the rows
             # should cost <= ~2.5x for the linear-shaped ops, and the
             # index searches should stay ~flat
