@@ -18,12 +18,12 @@ from dataingestionplayground_spark.session import get_spark
 
 SHOW = [
     ("scan_filter_project", "filter + projection reach the parquet scan"),
-    ("agg_pricing_summary", "partial + final hash aggregation, one exchange"),
+    ("agg_pricing_summary", "partial + final hash aggregation; local small-scan fan-out below the partial agg (r16, no-op at scale)"),
     ("join_star_broadcast", "fixed-size dims broadcast — zero join shuffles"),
     ("join_multiway", "6-way join: broadcast dims, AQE-planned fact joins"),
     ("sort_limit_topk", "TakeOrderedAndProject — top-k without a global sort"),
     ("events_asof_join", "as-of join: union + single sort-shuffle window"),
-    ("dedup_minhash_lsh_pairs", "minhash: HashAggregate lane-mins, band self-join"),
+    ("dedup_minhash_lsh_pairs", "minhash: small-scan fan-out (r16) under HashAggregate lane-mins, band self-join"),
     ("vector_knn_bruteforce", "two-phase top-k: partial per-partition heap below the final window exchange"),
     ("vector_ivf_ann", "IVF: broadcast centroid assignment, bucket equi-join, rerank"),
     ("text_fingerprint", "min rolling-hash inside the projection — no explode, no shuffle"),
@@ -77,7 +77,7 @@ SHOW = [
     ("events_xcorr_lead_lag", "lead-lag xcorr: corpus collapses to an hours-sized series in one agg; spine + 7-lag literal frame joins are time-bounded (r10)"),
     ("pipeline_join_skew_report", "skew report: per-key hash agg, ~64-bucket bit-length agg, one-row total broadcast — no global sort (r10)"),
     ("agg_corr_pairs", "corr matrix: ONE scan computing nine decimal power sums map-side partial; 3-row stack of the single agg row (r10)"),
-    ("vector_ivfpq_residual", "IVFADC: broadcast centroids + residual-PQ codebook, per-row encode, probed ADC LUT join, bounded top-k is the only shuffle (r10b)"),
+    ("vector_ivfpq_residual", "IVFADC: broadcast centroid-array, IN-ROW coarse assignment + residuals (r16: no corpus x cells exchange/window), residual-PQ encode, probed ADC LUT join, bounded top-k (r10b/r16)"),
     ("window_running_distinct", "running COUNT(DISTINCT): first-occurrence flag + running sum — ONE exchange satisfies both window distributions (r10b)"),
     ("text_kneser_ney_perplexity", "Kneser-Ney LM: one bigram-type hash agg; c1/type counts are rollups of it; three vocabulary-sized equi-joins (r10b)"),
     ("sample_coordinated_join", "coordinated sampling: md5 key predicate pushed to BOTH parquet scans; join of samples = key cluster sample of join (r10b)"),
