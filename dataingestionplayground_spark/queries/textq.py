@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 from dataingestionplayground_spark.functions import text as TX
 from dataingestionplayground_spark.functions.portable import davg, davg_expr, md5_mod, md5_mod_sql
 from dataingestionplayground_spark.queries import register
-from dataingestionplayground_spark.session import fan_out_small_scan
 from dataingestionplayground_spark.session import load_table as t
 
 _LANGS = ["en", "es", "fr", "de", "zh"]
@@ -647,17 +646,6 @@ def text_bigram_perplexity(spark, sf):
     docs = d.select("doc_id", TX.tokens("lower(text)").alias("tk")).where(
         F.size("tk") >= 2
     )
-    # r16 (optimization): two measured cuts, values identical. (1) The
-    # count tables join EACH OTHER first (bc ⋈ ctx is bigram-vocab-
-    # bounded mass), so the occurrence stream is exchanged once for ONE
-    # join instead of twice for two — one fewer full-mass exchange at
-    # any scale. (2) vocab derives from the bigram stream itself
-    # (distinct over w1 ∪ w2 — bigrams cover every token position of a
-    # >=2-token doc), dropping the second tokenize pass. A third
-    # variant — pre-aggregating occurrences to (doc, w1, w2, c) — was
-    # measured SLOWER (in-session alternating A/B: 1.47 s vs 1.20 s
-    # min) because bigrams are nearly unique within a doc, so the extra
-    # exchange bought nothing; kept at occurrence granularity.
     bigr = docs.select(
         "doc_id",
         F.explode(
@@ -670,12 +658,12 @@ def text_bigram_perplexity(spark, sf):
     ctx = bigr.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
     bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
     vocab = (
-        bigr.select(F.explode(F.array(F.col("w1"), F.col("w2"))).alias("w"))
+        docs.select(F.explode("tk").alias("w"))
         .agg(F.countDistinct("w").cast("long").alias("v"))
     )
-    counts = bc.join(ctx, "w1")
     scored = (
-        bigr.join(counts, ["w1", "w2"])
+        bigr.join(ctx, "w1")
+        .join(bc, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
