@@ -588,6 +588,84 @@ def _bench_stream_maintainers(spark, data_dir: str, timings: dict, medians: dict
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_skew_join(spark, big_dir: str, skew_dir: str) -> dict:
+    """r17 (r16 VERDICT item 3): a HOT-KEY SHUFFLE-JOIN row — the skew
+    evidence the window-shaped skew rows cannot give. The events table
+    (probe side; global user 1 owns ~20% of rows in the skewed fixture)
+    equi-joins its own per-user count dimension on user_id and the join
+    output is folded to one row. Auto-broadcast is disabled INSIDE the
+    timed region only (the dimension is tiny and would broadcast, which
+    has no skew exposure at all) so the planner must pick a shuffled
+    strategy — SHJ under the session's preferSortMergeJoin=false — and
+    the AQE skew thresholds are lowered to bench-visible sizes (the
+    production defaults, 256 MB partitions, are unreachable by a local
+    fixture; what is being demonstrated is that OptimizeSkewedJoin's
+    split MECHANISM fires on the shuffled-hash path, not the absolute
+    byte bar). Reports min/median hot + uniform seconds, the ratio, and
+    whether the executed plan of the hot run contains a skew-split
+    AQEShuffleRead. Conf overrides are restored afterward."""
+    from pyspark.sql import functions as F
+
+    def run_once(data_dir):
+        e = load_table(spark, data_dir, "events").select("user_id", "value")
+        dim = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n"))
+        j = e.join(dim, "user_id").groupBy().agg(
+            F.sum(F.col("value") * F.col("user_n")).alias("s")
+        )
+        j.write.format("noop").mode("overwrite").save()
+        return j._jdf.queryExecution().toString()
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        plans = {}
+
+        def timed(data_dir, tag):
+            spark.catalog.clearCache()
+            run_once(data_dir)  # warm-up
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                plans[tag] = run_once(data_dir)
+                samples.append(time.perf_counter() - t0)
+            return round(min(samples), 3), round(statistics.median(samples), 3)
+
+        uni_min, uni_med = timed(big_dir, "uniform")
+        hot_min, hot_med = timed(skew_dir, "hot")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    hot_plan = plans.get("hot", "")
+    return {
+        "uniform": uni_min,
+        "uniform_median": uni_med,
+        "hot": hot_min,
+        "hot_median": hot_med,
+        "ratio": round(hot_min / uni_min, 2) if uni_min else None,
+        "join_node": (
+            "ShuffledHashJoin"
+            if "ShuffledHashJoin" in hot_plan
+            else ("SortMergeJoin" if "SortMergeJoin" in hot_plan else "other")
+        ),
+        "skew_split_fired": "skewed" in hot_plan,
+    }
+
+
 def _bench_block(spark, registry, names, data_dir: str, n_runs: int):
     timings, medians = {}, {}
     for name in names:
@@ -791,6 +869,10 @@ def main():
             "ratio_hot_vs_uniform": {
                 q: round(hot_t[q] / uni_t[q], 2) for q in skew_names if uni_t.get(q)
             },
+            # r17 (r16 VERDICT item 3): the hot key pushed through a
+            # SHUFFLED join, with the executed-plan evidence that AQE's
+            # skew split fires on the SHJ path
+            "join": _bench_skew_join(spark, big_dir, skew_dir),
         }
 
     out = {
@@ -872,6 +954,13 @@ def compact_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
         ratios = skew.get("ratio_hot_vs_uniform") or {}
         if ratios:
             compact["skew_max_ratio"] = max(ratios.values())
+        join_row = skew.get("join")
+        if join_row:
+            compact["skew_join"] = {
+                "ratio": join_row.get("ratio"),
+                "node": join_row.get("join_node"),
+                "split": join_row.get("skew_split_fired"),
+            }
     line = json.dumps(compact)
     assert len(line) < 1900, f"compact bench line grew to {len(line)} bytes"
     return line

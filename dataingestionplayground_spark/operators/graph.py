@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint-ed frame's cached blocks NOW instead of
+    waiting for the async ContextCleaner (ADVICE r16: each pointer-jump
+    round adds two lineage-severed block sets; prior rounds' blocks
+    otherwise accumulate until GC catches up, growing storage-memory
+    pressure with iteration count). Best-effort: a checkpointed frame's
+    analyzed plan is a LogicalRDD whose rdd we can unpersist directly;
+    anything else is left to the ContextCleaner as before."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -137,12 +153,19 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # r17 (ADVICE r16): hopped is consumed once new_labels is
+        # materialized, and the PREVIOUS round's labels once the
+        # convergence check has read them — release both eagerly so the
+        # per-round block footprint stays at 2 frames instead of
+        # growing with the iteration count
+        _release_local_checkpoint(hopped)
         if numeric_ids:
             cur_sum = _label_sum(new_labels)  # tiny agg over checkpointed blocks
             done = cur_sum == prev_sum
             prev_sum = cur_sum
         else:
             done = _changed(new_labels, labels) == 0
+        _release_local_checkpoint(labels)
         labels = new_labels
         if done:
             converged = True

@@ -1257,7 +1257,15 @@ def _l2_assign(
     orderBy(d, cid)), and the residual for the KEPT cells only are all
     in-row expressions — zero Exchange, zero Window, at any scale.
     Distances use the identical left-fold expression, so every value
-    is bit-equal to the old plan's."""
+    is bit-equal to the old plan's.
+
+    Contract note (ADVICE r16): rows must carry NON-NULL, full-length
+    ``dims`` vectors. A null/short vector folds its distance to NULL;
+    the old Window orderBy(asc) sorted NULL distances FIRST while
+    array_sort places null-d structs LAST, so such rows would get
+    different (trailing) cell assignments than the pre-r16 plan. Every
+    in-repo caller feeds fixed-length embedding columns; external
+    callers must filter or pad short vectors at the boundary."""
     one = cents.orderBy("centroid_id").agg(
         F.array_sort(F.collect_list(F.struct("centroid_id", "cent_vec"))).alias(
             "__cl"

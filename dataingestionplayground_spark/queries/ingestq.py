@@ -393,8 +393,17 @@ def _bands4(fp):
 
 def _banded_fp_pairs(bands, bound: int):
     """The shared banded near-dup pair join: equi-join on the band key,
-    id_a < id_b, distinct pairs, full-fingerprint Hamming verify at
-    ``bound``. Candidates are bucket collisions only — never all-pairs."""
+    id_a < id_b, full-fingerprint Hamming verify at ``bound``.
+
+    r17: each colliding pair is emitted at its SMALLEST colliding band
+    only — the video pipeline's first-matching-slot rule. All 4 x 16-bit
+    band values are pure projections of the carried (w_lo, w_hi), so
+    "no earlier band also collided" is flat codegen-able arithmetic, and
+    the former ``.distinct()`` — an Exchange carrying the FULL
+    multi-band pair mass (near-identical fingerprints collide in all 4
+    bands, so ~4x the quadratic-in-group-size pair count) — is gone:
+    the only Exchange left in the pair stage is the band-key join's
+    own. Candidates are bucket collisions only — never all-pairs."""
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("w_lo").alias("lo_a"),
         F.col("w_hi").alias("hi_a"), "band_idx", "band_lo", "band_hi",
@@ -403,11 +412,25 @@ def _banded_fp_pairs(bands, bound: int):
         F.col("doc_id").alias("id_b"), F.col("w_lo").alias("lo_b"),
         F.col("w_hi").alias("hi_b"), "band_idx", "band_lo", "band_hi",
     )
+    # band k values of both sides, recomputed in-row from the carried
+    # fingerprints (must mirror _bands4's band_lo exactly)
+    bnd = lambda col, k: [
+        F.col(col) % 65536,
+        F.expr(f"{col} div 65536"),
+        F.col(col.replace("lo", "hi")) % 65536,
+        F.expr(f"{col.replace('lo', 'hi')} div 65536"),
+    ][k]
+    differs = lambda k: bnd("lo_a", k) != bnd("lo_b", k)
+    first_band = (
+        (F.col("band_idx") == 0)
+        | ((F.col("band_idx") == 1) & differs(0))
+        | ((F.col("band_idx") == 2) & differs(0) & differs(1))
+        | ((F.col("band_idx") == 3) & differs(0) & differs(1) & differs(2))
+    )
     cand = (
         a.join(b, ["band_idx", "band_lo", "band_hi"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & first_band)
         .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
-        .distinct()
     )
     ham = F.expr(
         "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"

@@ -149,7 +149,41 @@ def fan_out_small_scan(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    # r17 (ADVICE r16 medium): the old width probe, df.rdd
+    # .getNumPartitions(), EXECUTES every exchange in the lineage at
+    # query-construction time under AQE — pq_encode_with_codebook re-ran
+    # its input's fan-out exchange once per call and plan-only tooling
+    # (scripts/dump_plans.py) launched real Spark jobs just to build
+    # plans. Replaced with a PLAN-ONLY probe: any wide operator in the
+    # lineage means the frame is already >= spark.sql.shuffle.partitions
+    # (sized to cores) wide post-shuffle, so only a narrow-over-scan
+    # lineage can be under-split; for those, the scan's file list and
+    # the optimizer's size estimate bound the split count without
+    # running anything. A false positive on the node-name probe only
+    # ever SKIPS the fan-out (never adds an exchange).
+    jqe = df._jdf.queryExecution()
+    plan = jqe.analyzed().toString()
+    wide_nodes = (
+        "Repartition",  # incl. RepartitionByExpression (a prior fan-out)
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Deduplicate",
+        "LogicalRDD",  # localCheckpoint output: already exchange-shaped
+    )
+    if any(w in plan for w in wide_nodes):
+        return df
+    n_files = len(df.inputFiles())
+    if n_files >= cores:
+        return df
+    # few big SPLITTABLE files still scan wide: bound splits from the
+    # optimizer's size estimate at the default 128 MB split size
+    size = jqe.optimizedPlan().stats().sizeInBytes()
+    if not isinstance(size, int):  # py4j may hand back scala BigInt
+        size = int(size.toString())
+    est_splits = max(n_files, size >> 27)
+    if est_splits >= cores:
         return df
     return df.repartition(cores)
 
