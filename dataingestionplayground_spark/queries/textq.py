@@ -387,9 +387,51 @@ def _lm_tokens_frame(d):
     return d.select("doc_id", TX.tokens("lower(text)").alias("tk"))
 
 
+def _bigram_stream(tkall):
+    """(doc_id, w1, w2) bigram occurrences over >=2-token docs — the
+    scoring stream all three bigram LMs read."""
+    docs = tkall.where(F.size("tk") >= 2)
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+
+def _bigram_counts(bigr):
+    """The (w1, w2, c12) bigram-type table — every count table of the
+    bigram/interpolated/Kneser-Ney LMs is a rollup of this one frame.
+
+    r17 (r16 VERDICT item 1, guide §2.3/§2.4): the LM frames
+    localCheckpoint this ONCE and derive c1/n1f/n1b/nb from the cached
+    blocks. As lazy frames, Catalyst re-inlined the corpus scan into
+    every rollup consumer — the Kneser-Ney plan tokenized and exploded
+    the whole corpus once per broadcast side (4 Scan parquet chains for
+    one logical pass; no ReusedExchange fires because each rollup's
+    pruned projections canonicalize differently). The JOIN SHAPE of the
+    scoring stream is deliberately unchanged — the r16 A/B showed
+    pre-joining the count tables with each other is near-occurrence-
+    sized mass at real vocabularies (2.4x slower at sf0.5, reverted in
+    1a74218); only the redundant scans are removed here."""
+    return bigr.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+
+
 def _unigram_ppl_frame(tkall):
     toks = tkall.select("doc_id", F.explode("tk").alias("w"))
-    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # vocab feeds both the broadcast join side and the corpus total —
+    # materialize the vocabulary-sized table once instead of letting
+    # each consumer re-inline the corpus scan (r17, guide §2.4)
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = vocab.agg(F.sum("c").cast("long").alias("n"))
     scored = (
         toks.join(F.broadcast(vocab), "w")
@@ -659,21 +701,19 @@ def text_bigram_perplexity(spark, sf):
     return _bigram_ppl_frame(_lm_tokens_frame(t(spark, sf, "documents")))
 
 
-def _bigram_ppl_frame(tkall):
-    docs = tkall.where(F.size("tk") >= 2)
-    bigr = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
-    ctx = bigr.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+def _bigram_ppl_frame(tkall, bc=None):
+    bigr = _bigram_stream(tkall)
+    if bc is None:
+        bc = _bigram_counts(bigr).localCheckpoint(eager=True)
+    # c1 (occurrences of w1 as a left word) = sum over w2 of c12 — a
+    # rollup of the materialized type table, not a third corpus scan
+    ctx = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    # vocab stays its own map-side-partial countDistinct over the token
+    # scan: deriving it from bigrams pushes 2x the occurrence mass
+    # through the distinct (the measured r16 regression, 1a74218)
     vocab = (
-        docs.select(F.explode("tk").alias("w"))
+        tkall.where(F.size("tk") >= 2)
+        .select(F.explode("tk").alias("w"))
         .agg(F.countDistinct("w").cast("long").alias("v"))
     )
     scored = (
@@ -1269,23 +1309,20 @@ def text_interpolated_perplexity(spark, sf):
     return _interpolated_ppl_frame(_lm_tokens_frame(t(spark, sf, "documents")))
 
 
-def _interpolated_ppl_frame(tkall):
-    docs = tkall.where(F.size("tk") >= 2)
-    bigr = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
-    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+def _interpolated_ppl_frame(tkall, bc=None):
+    bigr = _bigram_stream(tkall)
+    if bc is None:
+        bc = _bigram_counts(bigr).localCheckpoint(eager=True)
     ctx = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    # unigram counts must include first-token positions, so uni cannot
+    # derive from bc — but it IS read twice (join side + the nt/v
+    # total), so materialize the vocabulary-sized table once too
     uni = (
-        docs.select(F.explode("tk").alias("w"))
+        tkall.where(F.size("tk") >= 2)
+        .select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(
         F.sum("cw").cast("long").alias("nt"), F.count(F.lit(1)).cast("long").alias("v")
@@ -1468,18 +1505,13 @@ def text_kneser_ney_perplexity(spark, sf):
     return _kn_ppl_frame(_lm_tokens_frame(t(spark, sf, "documents")))
 
 
-def _kn_ppl_frame(tkall):
-    docs = tkall.where(F.size("tk") >= 2)
-    bigr = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
-    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+def _kn_ppl_frame(tkall, bc=None):
+    bigr = _bigram_stream(tkall)
+    # all three count tables (and the type total) are rollups of the
+    # ONE materialized bigram-type table — see _bigram_counts; the gate
+    # table passes its shared copy in
+    if bc is None:
+        bc = _bigram_counts(bigr).localCheckpoint(eager=True)
     ctx = bc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1f"),
@@ -2485,15 +2517,18 @@ def text_lm_gate_table(spark, sf):
     # re-tokenized the corpus ~9x between them (each leg pays the
     # regex-split again on the map side of every one of its own
     # exchanges), which dominated the gate's big-block rows.
-    members = {
-        "unigram": _unigram_ppl_frame,
-        "bigram": _bigram_ppl_frame,
-        "interpolated": _interpolated_ppl_frame,
-        "kneser_ney": _kn_ppl_frame,
-    }
     tkall = _lm_tokens_frame(t(spark, sf, "documents")).localCheckpoint(
         eager=True
     )
+    # r17 session 2: the three bigram legs share ONE materialized
+    # bigram-type table (each used to checkpoint its own identical copy)
+    bc = _bigram_counts(_bigram_stream(tkall)).localCheckpoint(eager=True)
+    members = {
+        "unigram": lambda tk: _unigram_ppl_frame(tk),
+        "bigram": lambda tk: _bigram_ppl_frame(tk, bc),
+        "interpolated": lambda tk: _interpolated_ppl_frame(tk, bc),
+        "kneser_ney": lambda tk: _kn_ppl_frame(tk, bc),
+    }
     legs = []
     for lm, has_keep in (
         ("unigram", True),

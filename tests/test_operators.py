@@ -231,12 +231,27 @@ def test_connected_components_round_counts(spark):
     assert set(comp.values()) == {0} and st["rounds"] <= 5
 
     # two overlapping band-bucket cliques (the shape LSH pairs produce):
-    # init alone labels everything 0 -> round 1 is pure confirmation
+    # the bridge node 3 leaves clique {3..6} at label 3 after init, so
+    # one real propagate round + one confirmation round
     cliques = [(a, b) for grp in ([0, 1, 2, 3], [3, 4, 5, 6]) for a in grp for b in grp if a < b]
     pairs = spark.createDataFrame(cliques, "id_a long, id_b long")
     st = {}
     comp = {r.id: r.component for r in connected_components(pairs, stats=st).collect()}
     assert set(comp.values()) == {0} and st["rounds"] <= 2
+
+    # a SINGLE clique converges at the init hop itself (everyone's
+    # neighborhood contains the min) — r17 seeds the convergence sum
+    # with the initial labels, so the loop detects this in ONE round
+    # instead of burning a second, pure-confirmation round
+    one = [(a, b) for a in range(4) for b in range(4) if a < b]
+    st = {}
+    comp = {
+        r.id: r.component
+        for r in connected_components(
+            spark.createDataFrame(one, "id_a long, id_b long"), stats=st
+        ).collect()
+    }
+    assert set(comp.values()) == {0} and st["rounds"] == 1
 
 
 def test_connected_components_fractional_ids_use_exact_path(spark):
